@@ -1,0 +1,144 @@
+"""Standard analyzer: UAX#29-style word-break -> lowercase -> stop filter.
+
+Re-implements, from the published Unicode UAX#29 word-boundary spec, the
+behavior of the reference's standard analyzer
+(``server/src/main/java/org/elasticsearch/index/analysis/StandardAnalyzerProvider.java:21-29``:
+StandardTokenizer -> LowerCaseFilter -> StopFilter with default stop set
+EMPTY and ``max_token_length`` 255;
+``StandardTokenizerFactory.java:29`` delegates the UAX#29 grammar to the
+Lucene jar — re-derived here as a compiled ``regex`` pattern).
+
+Word-break rules implemented (the subset that matters for web text):
+  - runs of letters / digits / combining marks / connector punctuation
+    ("foo_bar" is ONE token per ExtendNumLet);
+  - MidNumLet/MidLetter (``.`` ``'`` ``’`` ``·`` ``·``
+    ``״`` ``‧``) join alnum runs ("3.14", "o'neil's");
+  - MidNum ``,`` joins digit runs only ("1,000"; "a,b" splits);
+  - Katakana runs are one token; Han / Hiragana code points are emitted
+    one per token (the reference's ``<IDEOGRAPHIC>`` behavior);
+  - hyphens and other punctuation split ("wi-fi" -> wi, fi);
+  - "@"/"/" split (plain UAX#29, not the URL/email variant):
+    "foo@bar.com" -> foo, bar.com.
+Deviations from the full spec (documented, golden-tested):
+  - MidNumLet joins any alnum pair (spec restricts to letter-letter /
+    num-num); regional indicators / Hebrew double-quote rules omitted.
+
+Lowercase: Python ``str.lower()`` (Unicode full lowercase; Lucene uses
+per-code-point simple lowercase — differs only for a handful of code
+points like dotted capital I).
+
+``max_token_length=255``: longer matches are split into 255-char chunks,
+mirroring the reference tokenizer's overflow behavior.
+
+Stop set ``_english_``: the exact Lucene English stop set
+(``server/.../index/analysis/StopTokenFilterFactory.java:34``,
+``Analysis.java:101-112``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import regex
+
+MAX_TOKEN_LENGTH = 255
+
+ENGLISH_STOP_SET = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+_WORDCHAR = r"[[\p{Alphabetic}\p{Mn}\p{Mc}\p{Nd}\p{Pc}]--[\p{Hiragana}\p{Katakana}\p{Han}]]"
+_MIDNUMLET = r"[.'’··״‧]"
+_TOKEN_RE = regex.compile(
+    rf"[\p{{Katakana}}ー]+"
+    rf"|[\p{{Han}}\p{{Hiragana}}]"
+    rf"|{_WORDCHAR}+(?:(?:{_MIDNUMLET}|(?<=\p{{Nd}}),(?=\p{{Nd}})){_WORDCHAR}+)*",
+    regex.V1,
+)
+
+# "simple" analyzer: maximal letter runs, lowercased (Lucene SimpleAnalyzer)
+_LETTER_RE = regex.compile(r"\p{L}+", regex.V1)
+
+
+def _split_long(tok: str) -> list[str]:
+    if len(tok) <= MAX_TOKEN_LENGTH:
+        return [tok]
+    return [tok[i : i + MAX_TOKEN_LENGTH] for i in range(0, len(tok), MAX_TOKEN_LENGTH)]
+
+
+def tokenize(text: str) -> list[str]:
+    """UAX#29-style tokenization only (no lowercase/stop)."""
+    out: list[str] = []
+    for tok in _TOKEN_RE.findall(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            out.extend(_split_long(tok))
+        else:
+            out.append(tok)
+    return out
+
+
+def standard_analyze(text: str, stopwords: frozenset[str] | None = None) -> list[str]:
+    """StandardTokenizer -> LowerCaseFilter -> StopFilter.
+
+    Default ``stopwords=None`` mirrors the reference default (EMPTY stop
+    set for the `standard` analyzer).
+    """
+    toks = [t.lower() for t in tokenize(text)]
+    if stopwords:
+        toks = [t for t in toks if t not in stopwords]
+    return toks
+
+
+def simple_analyze(text: str) -> list[str]:
+    return [t.lower() for t in _LETTER_RE.findall(text)]
+
+
+def whitespace_analyze(text: str) -> list[str]:
+    return text.split()
+
+
+def keyword_analyze(text: str) -> list[str]:
+    return [text] if text else []
+
+
+class Analyzer:
+    """A named analyzer = tokenizer fn + optional stop set.
+
+    The registry mirrors the reference's ``AnalysisRegistry``
+    (``server/.../index/analysis/AnalysisRegistry.java:46``) as a flat
+    dict — the plugin/classloader machinery collapses to registration.
+    """
+
+    def __init__(self, fn: Callable[[str], list[str]], name: str):
+        self.fn = fn
+        self.name = name
+
+    def __call__(self, text: str) -> list[str]:
+        return self.fn(text)
+
+    def analyze_many(self, texts: Iterable[str]) -> list[list[str]]:
+        fn = self.fn
+        return [fn(t if t is not None else "") for t in texts]
+
+
+_REGISTRY: dict[str, Analyzer] = {}
+
+
+def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> Analyzer:
+    a = Analyzer(fn, name)
+    _REGISTRY[name] = a
+    return a
+
+
+def get_analyzer(name: str) -> Analyzer:
+    return _REGISTRY[name]
+
+
+register_analyzer("standard", standard_analyze)
+register_analyzer(
+    "standard_en", lambda t: standard_analyze(t, stopwords=ENGLISH_STOP_SET)
+)
+register_analyzer("simple", simple_analyze)
+register_analyzer("whitespace", whitespace_analyze)
+register_analyzer("keyword", keyword_analyze)

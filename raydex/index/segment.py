@@ -1,0 +1,206 @@
+"""Immutable segment build + read (the Lucene-segment analogue).
+
+A segment is a directory of Arrow/binary artifacts (SURVEY.md §1.3):
+
+    seg-<id>/
+      terms.parquet     term (sorted), df, cf, block metadata list-columns
+      docs.parquet      url, dl (raw token count), norm (SmallFloat byte)
+      postings.bin      block varint payload (raydex.index.postings)
+      manifest.json     doc_count, sum_dl, term_count, lineage, hash, status
+
+Doc ids are per-segment ordinals in **input row order** (the build
+pipeline sorts each partition's rows by url before cutting segments, so
+ordering is deterministic — SURVEY.md §7 hard-part 6). The write is
+atomic: artifacts land in ``<dir>.tmp`` which is renamed on completion;
+a reader only ever sees complete segments (the translog/checkpoint
+analogue at batch granularity, reference semantics
+``server/.../index/translog/Translog.java:78-89``).
+
+Block-max ``min_dl`` metadata is computed over the **quantized** doc
+lengths (SmallFloat round-trip) so WAND bounds match BM25 scoring
+exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raydex.analysis.smallfloat import byte4_to_int, int_to_byte4
+from raydex.analysis.tokenizer import get_analyzer
+from raydex.index.postings import encode_postings
+
+
+def _list_col(flat: np.ndarray, counts: np.ndarray, typ: pa.DataType) -> pa.ListArray:
+    offsets = np.zeros(counts.size + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=typ))
+
+
+def build_segment(
+    out_dir: str,
+    urls: list[str],
+    texts: list[str],
+    analyzer: str = "standard_en",
+    input_fragments: list[str] | None = None,
+    seg_id: str | None = None,
+) -> dict:
+    """Tokenize docs, build the inverted index, write one segment.
+
+    Returns the manifest dict. ``urls``/``texts`` arrive in final doc
+    order (docid = position).
+    """
+    t0 = time.perf_counter()
+    an = get_analyzer(analyzer)
+    tokens = an.analyze_many(texts)
+    ndocs = len(urls)
+    dl = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=ndocs)
+    norms = int_to_byte4(dl)
+    dl_quant = byte4_to_int(norms)
+
+    flat: list[str] = []
+    for toks in tokens:
+        flat.extend(toks)
+    flat_arr = np.array(flat, dtype=object)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), dl)
+
+    if flat_arr.size:
+        terms, inverse = np.unique(flat_arr, return_inverse=True)
+        key = inverse.astype(np.int64) * ndocs + doc_of
+        uniq_key, tfs = np.unique(key, return_counts=True)
+        docids = uniq_key % ndocs
+        term_idx = uniq_key // ndocs
+        df = np.bincount(term_idx, minlength=terms.size).astype(np.int64)
+        cf = np.bincount(term_idx, weights=tfs, minlength=terms.size).astype(np.int64)
+        term_offsets = np.zeros(terms.size + 1, dtype=np.int64)
+        np.cumsum(df, out=term_offsets[1:])
+    else:
+        terms = np.empty(0, dtype=object)
+        docids = np.empty(0, dtype=np.int64)
+        tfs = np.empty(0, dtype=np.int64)
+        df = np.empty(0, dtype=np.int64)
+        cf = np.empty(0, dtype=np.int64)
+        term_offsets = np.zeros(1, dtype=np.int64)
+
+    payload, meta = encode_postings(docids, tfs, dl_quant[docids] if docids.size else docids, term_offsets)
+
+    seg_id = seg_id or ("seg-" + uuid.uuid4().hex[:12])
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    terms_tbl = pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(df, type=pa.int64()),
+            "cf": pa.array(cf, type=pa.int64()),
+            "nblocks": pa.array(meta.term_nblocks, type=pa.int32()),
+            "blk_n": _list_col(meta.n, meta.term_nblocks, pa.int32()),
+            "blk_last": _list_col(meta.last_docid, meta.term_nblocks, pa.int32()),
+            "blk_maxtf": _list_col(meta.max_tf, meta.term_nblocks, pa.int32()),
+            "blk_mindl": _list_col(meta.min_dl, meta.term_nblocks, pa.int32()),
+            "blk_off": _list_col(meta.offset, meta.term_nblocks, pa.int64()),
+            "blk_idsb": _list_col(meta.ids_nbytes, meta.term_nblocks, pa.int32()),
+            "blk_nb": _list_col(meta.nbytes, meta.term_nblocks, pa.int32()),
+        }
+    )
+    pq.write_table(terms_tbl, os.path.join(tmp, "terms.parquet"))
+    docs_tbl = pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "dl": pa.array(dl, type=pa.int64()),
+            "norm": pa.array(norms, type=pa.uint8()),
+        }
+    )
+    pq.write_table(docs_tbl, os.path.join(tmp, "docs.parquet"))
+    payload.tofile(os.path.join(tmp, "postings.bin"))
+
+    h = hashlib.sha256()
+    h.update(payload.tobytes())
+    for u in urls:
+        h.update(u.encode())
+    manifest = {
+        "seg_id": seg_id,
+        "analyzer": analyzer,
+        "doc_count": int(ndocs),
+        "sum_dl": int(dl.sum()),
+        "term_count": int(terms.size),
+        "max_df": int(df.max()) if df.size else 0,
+        "payload_bytes": int(payload.size),
+        "input_fragments": input_fragments or [],
+        "content_hash": h.hexdigest(),
+        "build_sec": round(time.perf_counter() - t0, 4),
+        "status": "complete",
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, out_dir)  # atomic completion
+    return manifest
+
+
+class SegmentReader:
+    """Query-side in-RAM view of one segment (term dict + norms + payload).
+
+    The stateful analogue of the reference's per-shard
+    ``ContextIndexSearcher`` over open segment files
+    (``server/.../search/internal/ContextIndexSearcher.java:55``); held
+    inside query actors, loaded once (§2.4).
+    """
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        self.df = t["df"].to_numpy()
+        self.cf = t["cf"].to_numpy()
+        self.term_nblocks = t["nblocks"].to_numpy()
+        self._blk_start = np.cumsum(self.term_nblocks) - self.term_nblocks
+        flat = lambda c: np.asarray(t[c].combine_chunks().flatten())
+        self.blk_n = flat("blk_n")
+        self.blk_last = flat("blk_last")
+        self.blk_maxtf = flat("blk_maxtf")
+        self.blk_mindl = flat("blk_mindl")
+        self.blk_off = flat("blk_off")
+        self.blk_idsb = flat("blk_idsb")
+        self.blk_nb = flat("blk_nb")
+        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self.urls = d["url"]
+        self.norms = d["norm"].to_numpy()
+        self.dl_quant = byte4_to_int(self.norms)
+        self.payload = np.fromfile(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8)
+        with open(os.path.join(seg_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.ndocs = self.manifest["doc_count"]
+        self.sum_dl = self.manifest["sum_dl"]
+
+    def lookup(self, term: str) -> int:
+        """Sorted-term binary search; -1 if absent."""
+        i = int(np.searchsorted(self.terms, term))
+        if i < self.terms.size and self.terms[i] == term:
+            return i
+        return -1
+
+    def term_blocks(self, ti: int) -> slice:
+        s = int(self._blk_start[ti])
+        return slice(s, s + int(self.term_nblocks[ti]))
+
+    def postings(self, ti: int) -> tuple[np.ndarray, np.ndarray]:
+        from raydex.index.postings import decode_term
+
+        sl = self.term_blocks(ti)
+        return decode_term(
+            self.payload,
+            self.blk_off[sl],
+            self.blk_idsb[sl],
+            self.blk_nb[sl],
+            self.blk_n[sl],
+        )
+
+    def url_of(self, docid: int) -> str:
+        return self.urls[int(docid)].as_py()

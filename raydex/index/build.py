@@ -1,0 +1,311 @@
+"""Distributed inverted-index build — the `_bulk` ingest analogue as a
+Ray Data pipeline (SURVEY.md §3.1 "our shape").
+
+    read_parquet(pages)                               # prune to needed cols
+      -> map_batches(prepare)                         # extract/verify text,
+                                                      #   murmur3 partition id
+      -> groupby("part").map_groups(build_partition)  # THE explicit shuffle:
+                                                      #   latest-wins dedup,
+                                                      #   url-sorted doc order,
+                                                      #   cut + write segments
+      -> driver collects the (tiny) manifest table    # index manifest
+
+Reference mapping: the murmur3 routing mirrors
+``server/.../cluster/routing/OperationRouting.java:220-242``; the
+latest-wins url dedup is the ``_id`` version-map semantics
+(``server/.../index/engine/InternalEngine.java:896-907``); per-partition
+url-sorted doc order is the deterministic-ordering rule (SURVEY.md §7
+hard-part 6); segments are flushed every ``max_docs_per_segment`` docs —
+the indexing-buffer flush analogue
+(``server/.../indices/IndexingMemoryController.java:41-60``).
+
+Scale notes (100 TB): ``html`` never crosses the shuffle — ``prepare``
+extracts text and projects it away, so shuffled bytes ≈ text bytes; a
+partition is the unit that must fit one worker (exactly an ES shard's
+contract) — choose ``num_partitions`` ≥ corpus_bytes / a-few-GB;
+tokenization+encode happen inside the per-partition group task, fully
+parallel across partitions. Resumability: each partition directory gets
+a ``partition_manifest.json`` on completion (atomic rename); a resumed
+build filters completed partitions out BEFORE the shuffle, so finished
+work costs one hash-filter pass, not a rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydex.partition import route_partitions
+
+INDEX_MANIFEST = "index_manifest.json"
+PART_MANIFEST = "partition_manifest.json"
+
+
+def _part_dir(index_dir: str, p: int) -> str:
+    return os.path.join(index_dir, f"part={p:05d}")
+
+
+def completed_partitions(index_dir: str) -> set[int]:
+    done = set()
+    if not os.path.isdir(index_dir):
+        return done
+    for name in os.listdir(index_dir):
+        if name.startswith("part=") and os.path.exists(
+            os.path.join(index_dir, name, PART_MANIFEST)
+        ):
+            done.add(int(name.split("=")[1]))
+    return done
+
+
+class _Prepare:
+    """Stateless batch prepare: text extraction/verification + routing.
+
+    ``source='text'`` uses the text column as-is; ``'html'`` extracts
+    (html_strip); ``'verify'`` extracts AND asserts byte-identity with
+    the text column (the per-row invariant from BASELINE.json).
+    """
+
+    def __init__(self, num_partitions: int, source: str, skip_parts: frozenset[int]):
+        self.num_partitions = num_partitions
+        self.source = source
+        self.skip_parts = skip_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raydex.analysis.html_strip import extract_text_many
+
+        urls = batch["url"].to_pylist()
+        if self.source == "text":
+            texts = batch["text"]
+        else:
+            extracted = extract_text_many(batch["html"].to_pylist())
+            if self.source == "verify":
+                want = batch["text"].to_pylist()
+                for u, got, w in zip(urls, extracted, want):
+                    if got != w:
+                        raise ValueError(f"extracted text != text column for url={u!r}")
+            texts = pa.array(extracted, type=pa.large_string())
+        part = route_partitions(urls, self.num_partitions)
+        out = pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "text": texts,
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+        if self.skip_parts:
+            mask = np.isin(part, np.fromiter(self.skip_parts, dtype=np.int32), invert=True)
+            out = out.filter(pa.array(mask))
+        return out
+
+
+class _BuildPartition:
+    """Per-group (one partition) segment cutter. Runs inside the shuffle."""
+
+    def __init__(self, index_dir, analyzer, max_docs_per_segment, dedup, lineage):
+        self.index_dir = index_dir
+        self.analyzer = analyzer
+        self.max_docs = max_docs_per_segment
+        self.dedup = dedup
+        self.lineage = lineage
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from raydex.index.segment import build_segment
+
+        if group.num_rows == 0:
+            return _manifest_schema_empty()
+        p = int(group["part"][0].as_py())
+        t0 = time.perf_counter()
+        # deterministic doc order: sort by (url, warc_ts, text);
+        # latest-wins dedup keeps the last row per url
+        group = group.sort_by(
+            [("url", "ascending"), ("warc_ts", "ascending"), ("text", "ascending")]
+        )
+        urls = np.asarray(group["url"].to_pylist(), dtype=object)
+        if self.dedup and urls.size:
+            keep = np.ones(urls.size, dtype=bool)
+            keep[:-1] = urls[:-1] != urls[1:]  # last occurrence per url
+            idx = np.flatnonzero(keep)
+        else:
+            idx = np.arange(urls.size)
+        texts = group["text"].take(pa.array(idx)).to_pylist()
+        kept_urls = [str(u) for u in urls[idx]]
+
+        part_dir = _part_dir(self.index_dir, p)
+        os.makedirs(part_dir, exist_ok=True)
+        rows = []
+        nsegs = -(-len(kept_urls) // self.max_docs) if kept_urls else 0
+        for s in range(nsegs):
+            lo, hi = s * self.max_docs, min((s + 1) * self.max_docs, len(kept_urls))
+            seg_id = f"seg-{p:05d}-{s:04d}"
+            seg_dir = os.path.join(part_dir, seg_id)
+            if os.path.exists(os.path.join(seg_dir, "manifest.json")):
+                with open(os.path.join(seg_dir, "manifest.json")) as f:
+                    m = json.load(f)  # idempotent re-run: reuse
+            else:
+                m = build_segment(
+                    seg_dir,
+                    kept_urls[lo:hi],
+                    texts[lo:hi],
+                    analyzer=self.analyzer,
+                    input_fragments=self.lineage,
+                    seg_id=seg_id,
+                )
+            rows.append(
+                {
+                    "part": p,
+                    "seg_id": seg_id,
+                    "doc_count": m["doc_count"],
+                    "sum_dl": m["sum_dl"],
+                    "term_count": m["term_count"],
+                    "max_df": m["max_df"],
+                    "content_hash": m["content_hash"],
+                }
+            )
+        wall = time.perf_counter() - t0
+        pm = {
+            "partition_id": p,
+            "segment_ids": [r["seg_id"] for r in rows],
+            "input_fragments": self.lineage,
+            "doc_count": int(sum(r["doc_count"] for r in rows)),
+            "sum_dl": int(sum(r["sum_dl"] for r in rows)),
+            "term_count": int(sum(r["term_count"] for r in rows)),
+            "max_df": int(max((r["max_df"] for r in rows), default=0)),
+            "content_hash": "|".join(r["content_hash"] for r in rows),
+            "docs_per_sec": round(sum(r["doc_count"] for r in rows) / max(wall, 1e-9), 2),
+            "build_sec": round(wall, 4),
+            "status": "complete",
+        }
+        tmp = os.path.join(part_dir, PART_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(pm, f)
+        os.replace(tmp, os.path.join(part_dir, PART_MANIFEST))
+        return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)
+
+
+_MANIFEST_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("seg_id", pa.string()),
+        ("doc_count", pa.int64()),
+        ("sum_dl", pa.int64()),
+        ("term_count", pa.int64()),
+        ("max_df", pa.int64()),
+        ("content_hash", pa.string()),
+    ]
+)
+
+
+def _manifest_schema_empty() -> pa.Table:
+    return _MANIFEST_SCHEMA.empty_table()
+
+
+def build_index(
+    input_path,
+    index_dir: str,
+    num_partitions: int = 32,
+    analyzer: str = "standard_en",
+    source: str = "text",
+    dedup: bool = True,
+    max_docs_per_segment: int = 50_000,
+    resume: bool = False,
+    ray_ds=None,
+) -> dict:
+    """Run the build; returns the index manifest dict.
+
+    ``input_path`` may be a file/dir (read_parquet) or pre-built Dataset
+    via ``ray_ds``. ``source``: 'text' | 'html' | 'verify'.
+    """
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    os.makedirs(index_dir, exist_ok=True)
+    skip = frozenset(completed_partitions(index_dir)) if resume else frozenset()
+
+    cols = ["url", "warc_ts", "text"]
+    if source in ("html", "verify"):
+        cols = ["url", "warc_ts", "html"] + (["text"] if source == "verify" else [])
+    if ray_ds is None:
+        ds = rd.read_parquet(input_path, columns=cols)
+        lineage = [input_path] if isinstance(input_path, str) else list(input_path)
+    else:
+        ds = ray_ds
+        lineage = ["<dataset>"]
+
+    prepared = ds.map_batches(
+        _Prepare(num_partitions, source, skip),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+    builder = _BuildPartition(index_dir, analyzer, max_docs_per_segment, dedup, lineage)
+
+    def build_partition(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    manifests = prepared.groupby("part").map_groups(
+        build_partition, batch_format="pyarrow"
+    )
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in manifests.iter_batches(batch_format="pyarrow")
+    ]
+    mtable = pa.concat_tables(batches or [_manifest_schema_empty()])
+
+    segs = mtable.to_pylist()
+    # merge with pre-existing (resumed) partitions
+    for p in sorted(skip):
+        with open(os.path.join(_part_dir(index_dir, p), PART_MANIFEST)) as f:
+            pm = json.load(f)
+        for sid in pm["segment_ids"]:
+            with open(os.path.join(_part_dir(index_dir, p), sid, "manifest.json")) as f:
+                m = json.load(f)
+            segs.append(
+                {
+                    "part": p,
+                    "seg_id": sid,
+                    "doc_count": m["doc_count"],
+                    "sum_dl": m["sum_dl"],
+                    "term_count": m["term_count"],
+                    "max_df": m["max_df"],
+                    "content_hash": m["content_hash"],
+                }
+            )
+    segs.sort(key=lambda r: (r["part"], r["seg_id"]))
+    manifest = {
+        "index_dir": index_dir,
+        "analyzer": analyzer,
+        "num_partitions": num_partitions,
+        "doc_count": int(sum(r["doc_count"] for r in segs)),
+        "sum_dl": int(sum(r["sum_dl"] for r in segs)),
+        "segments": segs,
+        "lineage": lineage,
+        "build_sec": round(time.perf_counter() - t0, 3),
+        "resumed_partitions": sorted(skip),
+    }
+    manifest["docs_per_sec"] = round(
+        manifest["doc_count"] / max(manifest["build_sec"], 1e-9), 2
+    )
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    return manifest
+
+
+def load_index_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, INDEX_MANIFEST)) as f:
+        return json.load(f)
+
+
+def segment_dirs(index_dir: str, manifest: dict | None = None) -> list[str]:
+    """Deterministic global segment order = (part asc, seg_id asc) — the
+    shard-index order used for cross-shard tie-breaks (TopDocs.merge)."""
+    m = manifest or load_index_manifest(index_dir)
+    return [
+        os.path.join(_part_dir(index_dir, r["part"]), r["seg_id"]) for r in m["segments"]
+    ]

@@ -1,0 +1,457 @@
+"""Segment merge as an explicit term-hash shuffle (SURVEY.md §4.2, M4).
+
+The reference's tiered background merge
+(``server/.../index/MergePolicyConfig.java:109-119``: floor 2MB, <=10
+segments/tier, <=10 merged at once, max segment 5GB) coalesces small
+segments; the *mechanism* (k-way term-dict merge inside Lucene) is
+re-expressed here Ray-Data-first:
+
+  map stage (parallel over input segments, does ALL heavy byte work):
+    each segment's posting payload is docid-REBASED (the merged docid of
+    a doc is old docid + segment base — only each block's absolute first
+    docid needs re-encoding, deltas are unchanged: a vectorized splice
+    of one varint per block) and split into TERM CHUNKS of <=
+    ``max_blocks_per_chunk`` blocks — the head-term skew split: a
+    stop-word-sized posting list becomes many independently shipped
+    chunks instead of one giant row;
+
+  shuffle: rows keyed by (partition, murmur3(term) % num_buckets) —
+    explicit term-hash partitioning; ``groupby`` on the composite key;
+
+  reduce stage (cheap): within a bucket, chunks are ordered by
+    (term, seg_ord, chunk_ord) and CONCATENATED — pure memcpy, no
+    decode — into a bucket file (terms sorted within bucket).
+
+The merged segment is a ``bucketed`` layout directory
+(``bucket=NNN/{terms.parquet,postings.bin}`` + concatenated
+``docs.parquet``); ``SegmentReader`` re-sorts the union term dict at
+load. Because build cut segments from a url-sorted stream, concatenating
+doc tables in segment order preserves the partition's deterministic doc
+order — merged-index search results are EXACTLY the pre-merge results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raydex.index.build import PART_MANIFEST, _part_dir, load_index_manifest
+from raydex.index.postings import varint_encode
+from raydex.partition import murmur3_hash_many
+
+# ported policy constants (MergePolicyConfig.java:113-119)
+FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024
+SEGMENTS_PER_TIER = 10
+MAX_MERGE_AT_ONCE = 10
+MAX_MERGED_SEGMENT_BYTES = 5 * 1024**3
+
+_CHUNK_SCHEMA = pa.schema(
+    [
+        ("pb", pa.int64()),  # part * num_buckets + bucket (shuffle key)
+        ("part", pa.int32()),
+        ("term", pa.string()),
+        ("seg_ord", pa.int32()),
+        ("chunk_ord", pa.int32()),
+        ("first_chunk", pa.bool_()),
+        ("term_cf", pa.int64()),
+        ("blk_n", pa.list_(pa.int32())),
+        ("blk_last", pa.list_(pa.int32())),
+        ("blk_maxtf", pa.list_(pa.int32())),
+        ("blk_mindl", pa.list_(pa.int32())),
+        ("blk_idsb", pa.list_(pa.int32())),
+        ("blk_nb", pa.list_(pa.int32())),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+def _decode_first_varints(payload: np.ndarray, offs: np.ndarray):
+    """Vectorized decode of the varint AT each offset -> (values, lengths)."""
+    nb = offs.size
+    vals = np.zeros(nb, dtype=np.uint64)
+    lens = np.ones(nb, dtype=np.int64)
+    cont = np.ones(nb, dtype=bool)
+    for j in range(5):
+        # clip: masked-off rows may point past the payload end
+        b = payload[np.minimum(offs + j, payload.size - 1)].astype(np.uint64)
+        use = cont
+        vals[use] |= (b[use] & np.uint64(0x7F)) << np.uint64(7 * j)
+        nxt = cont & (b >= 128)
+        lens[nxt] += 1
+        cont = nxt
+        if not cont.any():
+            break
+    return vals.astype(np.int64), lens
+
+
+def _varint_len(v: np.ndarray) -> np.ndarray:
+    return (
+        1
+        + (v >= 128).astype(np.int64)
+        + (v >= 128**2)
+        + (v >= 128**3)
+        + (v >= 128**4)
+    )
+
+
+def _spans(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    csum = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(csum, lens) + np.repeat(
+        starts, lens
+    )
+
+
+def rebase_payload(reader) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """Shift every block's absolute first docid by ``base`` via a
+    vectorized one-varint-per-block splice.
+
+    Returns (new_payload, new_off, new_idsb, new_nb, new_last) given the
+    reader's flat block arrays; ``base`` is added by the caller through
+    ``reader._merge_base`` set beforehand.
+    """
+    base = reader._merge_base
+    payload = reader.payload
+    off = reader.blk_off.astype(np.int64)
+    idsb = reader.blk_idsb.astype(np.int64)
+    nb = reader.blk_nb.astype(np.int64)
+    if off.size == 0:
+        return payload, off, idsb, nb, reader.blk_last.astype(np.int64)
+    vals, old_lens = _decode_first_varints(payload, off)
+    new_vals = vals + base
+    new_lens = _varint_len(new_vals)
+    dlen = new_lens - old_lens
+    new_nb = nb + dlen
+    new_idsb = idsb + dlen
+    new_off = np.cumsum(new_nb) - new_nb  # blocks are payload-ordered
+    out = np.empty(int(new_nb.sum()), dtype=np.uint8)
+    first_bytes = varint_encode(new_vals)
+    fb_starts = np.cumsum(new_lens) - new_lens
+    out[_spans(new_off, new_lens)] = first_bytes[_spans(fb_starts, new_lens)]
+    rest_len = nb - old_lens
+    out[_spans(new_off + new_lens, rest_len)] = payload[
+        _spans(off + old_lens, rest_len)
+    ]
+    new_last = reader.blk_last.astype(np.int64) + base
+    return out, new_off, new_idsb, new_nb, new_last
+
+
+class _ChunkSegment:
+    """Map stage: one input segment -> rebased, chunked term rows."""
+
+    def __init__(self, num_buckets: int, max_blocks_per_chunk: int):
+        self.num_buckets = num_buckets
+        self.max_blocks = max_blocks_per_chunk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raydex.index.segment import SegmentReader
+
+        out_rows = []
+        for row in batch.to_pylist():
+            reader = SegmentReader(row["seg_dir"])
+            reader._merge_base = row["base"]
+            payload, off, idsb, nbs, last = rebase_payload(reader)
+            tnb = reader.term_nblocks.astype(np.int64)
+            tstart = np.cumsum(tnb) - tnb
+            buckets = (
+                murmur3_hash_many(reader.terms).astype(np.int64) % self.num_buckets
+            )
+            part = row["part"]
+            seg_ord = row["seg_ord"]
+            for t in range(reader.terms.size):
+                s, nb_t = int(tstart[t]), int(tnb[t])
+                for c, cs in enumerate(range(0, nb_t, self.max_blocks)):
+                    ce = min(cs + self.max_blocks, nb_t)
+                    lo, hi = s + cs, s + ce
+                    pb_lo = int(off[lo])
+                    pb_hi = int(off[hi - 1] + nbs[hi - 1])
+                    out_rows.append(
+                        {
+                            "pb": part * self.num_buckets + int(buckets[t]),
+                            "part": part,
+                            "term": reader.terms[t],
+                            "seg_ord": seg_ord,
+                            "chunk_ord": c,
+                            "first_chunk": c == 0,
+                            "term_cf": int(reader.cf[t]),
+                            "blk_n": reader.blk_n[lo:hi].tolist(),
+                            "blk_last": last[lo:hi].tolist(),
+                            "blk_maxtf": reader.blk_maxtf[lo:hi].tolist(),
+                            "blk_mindl": reader.blk_mindl[lo:hi].tolist(),
+                            "blk_idsb": idsb[lo:hi].tolist(),
+                            "blk_nb": nbs[lo:hi].tolist(),
+                            "payload": payload[pb_lo:pb_hi].tobytes(),
+                        }
+                    )
+        if not out_rows:
+            return _CHUNK_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out_rows, schema=_CHUNK_SCHEMA)
+
+
+class _WriteBucket:
+    """Reduce stage: one (part, bucket) group -> bucket files (memcpy only)."""
+
+    def __init__(self, out_dirs: dict[int, str], num_buckets: int):
+        self.out_dirs = out_dirs  # part -> merged seg dir (pre-created .tmp)
+        self.num_buckets = num_buckets
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"pb": pa.array([], pa.int64()), "nterms": pa.array([], pa.int64()), "nbytes": pa.array([], pa.int64())})
+        pb = int(group["pb"][0].as_py())
+        part, bucket = pb // self.num_buckets, pb % self.num_buckets
+        group = group.sort_by(
+            [("term", "ascending"), ("seg_ord", "ascending"), ("chunk_ord", "ascending")]
+        )
+        terms = group["term"].to_pylist()
+        payloads = group["payload"].to_pylist()
+        first_chunk = group["first_chunk"].to_pylist()
+        term_cf = group["term_cf"].to_pylist()
+        lists = {
+            c: group[c].to_pylist()
+            for c in ("blk_n", "blk_last", "blk_maxtf", "blk_mindl", "blk_idsb", "blk_nb")
+        }
+        rows = []
+        blob_parts: list[bytes] = []
+        pos = 0
+        i = 0
+        n = len(terms)
+        while i < n:
+            j = i
+            while j < n and terms[j] == terms[i]:
+                j += 1
+            cols = {c: sum((lists[c][x] for x in range(i, j)), []) for c in lists}
+            nbs = cols["blk_nb"]
+            offs = (np.cumsum(nbs) - np.array(nbs) + pos).tolist()
+            for x in range(i, j):
+                blob_parts.append(payloads[x])
+            nbytes = int(np.sum(nbs))
+            pos += nbytes
+            rows.append(
+                {
+                    "term": terms[i],
+                    "df": int(np.sum(cols["blk_n"])),
+                    "cf": int(sum(cf for x, cf in zip(range(i, j), term_cf[i:j]) if first_chunk[x])),
+                    "nblocks": len(nbs),
+                    "blk_n": cols["blk_n"],
+                    "blk_last": cols["blk_last"],
+                    "blk_maxtf": cols["blk_maxtf"],
+                    "blk_mindl": cols["blk_mindl"],
+                    "blk_off": offs,
+                    "blk_idsb": cols["blk_idsb"],
+                    "blk_nb": cols["blk_nb"],
+                }
+            )
+            i = j
+        bdir = os.path.join(self.out_dirs[part], f"bucket={bucket:03d}")
+        os.makedirs(bdir, exist_ok=True)
+        tbl = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("term", pa.string()),
+                    ("df", pa.int64()),
+                    ("cf", pa.int64()),
+                    ("nblocks", pa.int32()),
+                    ("blk_n", pa.list_(pa.int32())),
+                    ("blk_last", pa.list_(pa.int32())),
+                    ("blk_maxtf", pa.list_(pa.int32())),
+                    ("blk_mindl", pa.list_(pa.int32())),
+                    ("blk_off", pa.list_(pa.int64())),
+                    ("blk_idsb", pa.list_(pa.int32())),
+                    ("blk_nb", pa.list_(pa.int32())),
+                ]
+            ),
+        )
+        pq.write_table(tbl, os.path.join(bdir, "terms.parquet"))
+        with open(os.path.join(bdir, "postings.bin"), "wb") as f:
+            for b in blob_parts:
+                f.write(b)
+        return pa.table(
+            {
+                "pb": pa.array([pb], pa.int64()),
+                "nterms": pa.array([len(rows)], pa.int64()),
+                "nbytes": pa.array([pos], pa.int64()),
+            }
+        )
+
+
+def merge_partition_segments(
+    index_dir: str,
+    merges: dict[int, list[str]],
+    num_buckets: int = 16,
+    max_blocks_per_chunk: int = 1024,
+    generation: int = 1,
+) -> dict[int, str]:
+    """Merge the given segments per partition (``part -> [seg_id, ...]``)
+    in ONE Ray Data shuffle across all partitions. Returns
+    ``part -> merged seg_id``. Old segments are deleted and partition /
+    index manifests rewritten."""
+    import ray.data as rd
+
+    manifest = load_index_manifest(index_dir)
+    descs = []
+    out_tmp: dict[int, str] = {}
+    merged_ids: dict[int, str] = {}
+    doc_meta: dict[int, dict] = {}
+    for part, seg_ids in merges.items():
+        part_dir = _part_dir(index_dir, part)
+        base = 0
+        mseg_id = f"mseg-{part:05d}-{generation:04d}"
+        merged_ids[part] = mseg_id
+        tmp = os.path.join(part_dir, mseg_id) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        out_tmp[part] = tmp
+        doc_tables, seg_manifests = [], []
+        for ord_, sid in enumerate(sorted(seg_ids)):
+            sd = os.path.join(part_dir, sid)
+            with open(os.path.join(sd, "manifest.json")) as f:
+                sm = json.load(f)
+            descs.append({"part": part, "seg_dir": sd, "seg_ord": ord_, "base": base})
+            base += sm["doc_count"]
+            doc_tables.append(pq.read_table(os.path.join(sd, "docs.parquet")))
+            seg_manifests.append(sm)
+        docs = pa.concat_tables(doc_tables)
+        pq.write_table(docs, os.path.join(tmp, "docs.parquet"))
+        doc_meta[part] = {
+            "doc_count": int(sum(m["doc_count"] for m in seg_manifests)),
+            "sum_dl": int(sum(m["sum_dl"] for m in seg_manifests)),
+            "analyzer": seg_manifests[0]["analyzer"],
+            "input_fragments": sorted(
+                {f for m in seg_manifests for f in m.get("input_fragments", [])}
+            ),
+        }
+
+    chunker = _ChunkSegment(num_buckets, max_blocks_per_chunk)
+    writer = _WriteBucket(out_tmp, num_buckets)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    ds = rd.from_items(descs)
+    stats = (
+        ds.map_batches(chunker, batch_format="pyarrow", batch_size=1)
+        .groupby("pb")
+        .map_groups(write_bucket, batch_format="pyarrow")
+    )
+    bucket_rows = stats.to_pandas()
+
+    for part, tmp in out_tmp.items():
+        buckets = sorted(
+            d for d in os.listdir(tmp) if d.startswith("bucket=")
+        )
+        meta = doc_meta[part]
+        nterms = int(
+            bucket_rows[bucket_rows["pb"] // num_buckets == part]["nterms"].sum()
+        )
+        m = {
+            "seg_id": merged_ids[part],
+            "layout": "bucketed",
+            "buckets": buckets,
+            "analyzer": meta["analyzer"],
+            "doc_count": meta["doc_count"],
+            "sum_dl": meta["sum_dl"],
+            "term_count": nterms,
+            "max_df": 0,
+            "input_fragments": meta["input_fragments"],
+            "merged_from": sorted(merges[part]),
+            "content_hash": "",
+            "status": "complete",
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(m, f)
+        final = tmp[: -len(".tmp")]
+        os.replace(tmp, final)
+        # drop merged inputs, update partition manifest
+        part_dir = _part_dir(index_dir, part)
+        for sid in merges[part]:
+            shutil.rmtree(os.path.join(part_dir, sid), ignore_errors=True)
+        pm_path = os.path.join(part_dir, PART_MANIFEST)
+        if os.path.exists(pm_path):
+            with open(pm_path) as f:
+                pm = json.load(f)
+            pm["segment_ids"] = sorted(
+                [s for s in pm["segment_ids"] if s not in set(merges[part])]
+                + [merged_ids[part]]
+            )
+            with open(pm_path + ".tmp", "w") as f:
+                json.dump(pm, f)
+            os.replace(pm_path + ".tmp", pm_path)
+
+    # rewrite index manifest
+    segs = [r for r in manifest["segments"] if not (
+        r["part"] in merges and r["seg_id"] in set(merges[r["part"]])
+    )]
+    for part in merges:
+        md = os.path.join(_part_dir(index_dir, part), merged_ids[part])
+        with open(os.path.join(md, "manifest.json")) as f:
+            sm = json.load(f)
+        segs.append(
+            {
+                "part": part,
+                "seg_id": merged_ids[part],
+                "doc_count": sm["doc_count"],
+                "sum_dl": sm["sum_dl"],
+                "term_count": sm["term_count"],
+                "max_df": sm["max_df"],
+                "content_hash": sm["content_hash"],
+            }
+        )
+    segs.sort(key=lambda r: (r["part"], r["seg_id"]))
+    manifest["segments"] = segs
+    from raydex.index.build import INDEX_MANIFEST
+
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    return merged_ids
+
+
+def choose_merges(index_dir: str) -> dict[int, list[str]]:
+    """Tiered selection using the ported policy constants: merge when a
+    partition holds more than SEGMENTS_PER_TIER segments; pick the
+    MAX_MERGE_AT_ONCE smallest (size-floored), capped by max merged
+    bytes."""
+    manifest = load_index_manifest(index_dir)
+    by_part: dict[int, list[dict]] = {}
+    for r in manifest["segments"]:
+        by_part.setdefault(r["part"], []).append(r)
+    plan: dict[int, list[str]] = {}
+    for part, segs in by_part.items():
+        if len(segs) <= SEGMENTS_PER_TIER:
+            continue
+        sized = []
+        for r in segs:
+            sd = os.path.join(_part_dir(index_dir, part), r["seg_id"])
+            sz = 0
+            for root, _, files in os.walk(sd):
+                sz += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            sized.append((max(sz, FLOOR_SEGMENT_BYTES), r["seg_id"]))
+        sized.sort()
+        chosen, total = [], 0
+        for sz, sid in sized[:MAX_MERGE_AT_ONCE]:
+            if total + sz > MAX_MERGED_SEGMENT_BYTES:
+                break
+            chosen.append(sid)
+            total += sz
+        if len(chosen) >= 2:
+            plan[part] = chosen
+    return plan
+
+
+def merge_index(index_dir: str, generation: int = 1, **kw) -> dict[int, str]:
+    plan = choose_merges(index_dir)
+    if not plan:
+        return {}
+    return merge_partition_segments(index_dir, plan, generation=generation, **kw)

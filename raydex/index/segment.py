@@ -31,6 +31,7 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from raydex.analysis.smallfloat import byte4_to_int, int_to_byte4
@@ -155,7 +156,15 @@ class SegmentReader:
 
     def __init__(self, seg_dir: str):
         self.seg_dir = seg_dir
-        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        with open(os.path.join(seg_dir, "manifest.json")) as f:
+            manifest_probe = json.load(f)
+        if manifest_probe.get("layout") == "bucketed":
+            t, self.payload = self._load_bucketed(seg_dir, manifest_probe)
+        else:
+            t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+            self.payload = np.fromfile(
+                os.path.join(seg_dir, "postings.bin"), dtype=np.uint8
+            )
         self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
         self.df = t["df"].to_numpy()
         self.cf = t["cf"].to_numpy()
@@ -173,11 +182,34 @@ class SegmentReader:
         self.urls = d["url"]
         self.norms = d["norm"].to_numpy()
         self.dl_quant = byte4_to_int(self.norms)
-        self.payload = np.fromfile(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8)
         with open(os.path.join(seg_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.ndocs = self.manifest["doc_count"]
         self.sum_dl = self.manifest["sum_dl"]
+
+    @staticmethod
+    def _load_bucketed(seg_dir: str, manifest: dict):
+        """Merged-segment layout: term-hash bucket files, each internally
+        term-sorted (raydex.index.merge). Concatenate bucket payloads
+        (rebasing block offsets) and globally sort the term dict once."""
+        tables, payloads, base = [], [], 0
+        for b in manifest["buckets"]:
+            bt = pq.read_table(os.path.join(seg_dir, b, "terms.parquet"))
+            bp = np.fromfile(os.path.join(seg_dir, b, "postings.bin"), dtype=np.uint8)
+            if base:
+                off = bt["blk_off"].combine_chunks()
+                shifted = pa.ListArray.from_arrays(
+                    off.offsets, pc.add(off.values, base)
+                )
+                bt = bt.set_column(
+                    bt.schema.get_field_index("blk_off"), "blk_off", shifted
+                )
+            tables.append(bt)
+            payloads.append(bp)
+            base += bp.size
+        t = pa.concat_tables(tables).combine_chunks().sort_by("term")
+        payload = np.concatenate(payloads) if payloads else np.empty(0, dtype=np.uint8)
+        return t, payload
 
     def lookup(self, term: str) -> int:
         """Sorted-term binary search; -1 if absent."""

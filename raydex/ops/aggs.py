@@ -1,0 +1,188 @@
+"""Aggregation operators (SURVEY.md §2.6) as Ray Data pipelines.
+
+Execution contract mirrors the reference: per-block PARTIAL aggregation,
+shuffled merge of partials, single final reduce
+(``server/.../search/aggregations/InternalAggregation.java:41-51``;
+partial-reduce law tested per
+``test/framework/.../InternalAggregationTestCase.java:356``). Ray Data's
+``groupby().aggregate`` already performs map-side combine, so `terms`
+needs no shard_size/doc_count_error machinery — the shuffle is exact.
+
+Column naming: every helper takes explicit output column names so Ray
+results hash-match the DuckDB oracle SQL (driver compare contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def terms_agg(ds, key: str, size: int = 10, count_name: str = "doc_count"):
+    """Top-N most frequent values (the `terms` bucket agg,
+    ``TermsAggregationBuilder.java:46``) — exact: groupby-count, sort by
+    (count desc, key asc), limit."""
+    out = ds.groupby(key).count()
+    out = out.map_batches(
+        lambda t: t.rename_columns([key, count_name]), batch_format="pyarrow"
+    )
+    tbl = out.sort([count_name, key], descending=[True, False]).limit(size)
+    return tbl
+
+
+def stats_agg(ds, col: str, prefix: str = ""):
+    """count/min/max/sum/avg — the `stats` metric agg. Integer-exact:
+    sum is exact for int inputs; avg = one float64 division."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    p = prefix
+    res = ds.aggregate(
+        Count(col, alias_name=p + "cnt"),
+        Min(col, alias_name=p + "min_v"),
+        Max(col, alias_name=p + "max_v"),
+        Sum(col, alias_name=p + "sum_v"),
+    )
+    res[p + "avg_v"] = float(res[p + "sum_v"]) / float(res[p + "cnt"])
+    return pa.table({k: [v] for k, v in res.items()})
+
+
+def extended_stats_agg(ds, col: str):
+    """extended_stats: adds sum_of_squares / variance / std via the
+    mergeable (count, sum, sum_sq) partial state."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "cnt": pa.array([len(x)], pa.int64()),
+                "s": pa.array([float(x.sum())]),
+                "ss": pa.array([float((x * x).sum())]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cnt, s, ss = int(parts["cnt"].sum()), float(parts["s"].sum()), float(parts["ss"].sum())
+    var = ss / cnt - (s / cnt) ** 2 if cnt else float("nan")
+    return pa.table(
+        {
+            "cnt": pa.array([cnt], pa.int64()),
+            "sum_v": pa.array([s]),
+            "sum_sq": pa.array([ss]),
+            "avg_v": pa.array([s / cnt if cnt else float("nan")]),
+            "variance": pa.array([var]),
+            "std_dev": pa.array([var**0.5 if var == var else float("nan")]),
+        }
+    )
+
+
+def value_count_agg(ds, col: str, name: str = "value_count"):
+    from ray.data.aggregate import Count
+
+    res = ds.aggregate(Count(col, alias_name=name))
+    return pa.table({name: [res[name]]})
+
+
+def cardinality_exact(ds, col: str, name: str = "cardinality"):
+    """Exact distinct count (`cardinality` would be HLL++ — see
+    raydex.ops.sketches for the approximate path)."""
+    n = ds.unique(col)
+    return pa.table({name: pa.array([len(n)], pa.int64())})
+
+
+def range_agg(ds, col: str, edges: list[float], count_name: str = "doc_count"):
+    """`range` bucket agg: half-open [lo, hi) buckets labeled 'lo-hi'
+    (reference label convention), plus open-ended ends."""
+    edges_arr = np.asarray(edges, dtype=np.float64)
+    labels = (
+        ["*-%g" % edges[0]]
+        + ["%g-%g" % (a, b) for a, b in zip(edges[:-1], edges[1:])]
+        + ["%g-*" % edges[-1]]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy().astype(np.float64)
+        idx = np.digitize(x, edges_arr)  # 0..len(edges)
+        cnt = np.bincount(idx, minlength=len(labels))
+        return pa.table(
+            {"bucket": pa.array(labels), count_name: pa.array(cnt, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(count_name)
+    )
+    out = out.map_batches(
+        lambda t: t.rename_columns(["bucket", count_name]), batch_format="pyarrow"
+    )
+    return out.sort("bucket")
+
+
+def histogram_agg(ds, col: str, interval: float, count_name: str = "doc_count"):
+    """`histogram`: bucket key = floor(x/interval)*interval."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy().astype(np.float64)
+        key = np.floor(x / interval) * interval
+        return pa.table({"bucket_key": pa.array(key)})
+
+    out = ds.map_batches(keyed, batch_format="pyarrow").groupby("bucket_key").count()
+    out = out.map_batches(
+        lambda t: t.rename_columns(["bucket_key", count_name]), batch_format="pyarrow"
+    )
+    return out.sort("bucket_key")
+
+
+def date_histogram_agg(ds, ts_col: str, unit: str = "day", count_name: str = "doc_count"):
+    """`date_histogram` with calendar_interval=day/hour/month."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.floor_temporal(t[ts_col], unit=unit)
+        return pa.table({"bucket_ts": k})
+
+    out = ds.map_batches(keyed, batch_format="pyarrow").groupby("bucket_ts").count()
+    out = out.map_batches(
+        lambda t: t.rename_columns(["bucket_ts", count_name]), batch_format="pyarrow"
+    )
+    return out.sort("bucket_ts")
+
+
+def composite_agg(ds, keys: list[str], count_name: str = "doc_count"):
+    """`composite`: all key combinations, key-ordered (paginated grouped
+    iteration — pagination collapses to ordered output here)."""
+    out = ds.groupby(keys).count()
+    out = out.map_batches(
+        lambda t: t.rename_columns(keys + [count_name]), batch_format="pyarrow"
+    )
+    return out.sort(keys)
+
+
+def collapse_best(ds, group_key: str, sort_col: str, tiebreak_col: str):
+    """Field collapsing (``CollapseBuilder.java``): keep the best row per
+    group by (sort_col desc, tiebreak asc)."""
+    import pandas as pd
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([sort_col, tiebreak_col], ascending=[False, True])
+        return g.head(1)
+
+    return ds.groupby(group_key).map_groups(best, batch_format="pandas")
+
+
+def top_hits(ds, sort_col: str, k: int, descending: bool = True, tiebreak: str | None = None):
+    keys, desc = [sort_col], [descending]
+    if tiebreak:
+        keys.append(tiebreak)
+        desc.append(False)
+    return ds.sort(keys, descending=desc).limit(k)
+
+
+def weighted_avg(ds, value_col: str, weight_col: str, name: str = "weighted_avg"):
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy().astype(np.float64)
+        w = t[weight_col].to_numpy().astype(np.float64)
+        return pa.table({"vw": pa.array([float((v * w).sum())]), "w": pa.array([float(w.sum())])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({name: pa.array([float(parts["vw"].sum()) / float(parts["w"].sum())])})

@@ -1,0 +1,183 @@
+"""Text-analysis operators for training-data pipelines.
+
+- language-ID (stopword/character n-gram heuristic)
+- quality scoring (length / punctuation / stopword ratios)
+- token counting (whitespace + BPE-ish regex subword count)
+- document fingerprinting (rolling Rabin-Karp hash windows)
+
+All vectorized-per-batch (``map_batches``), deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import regex
+
+from raydex.analysis.tokenizer import ENGLISH_STOP_SET
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "que", "para", "por"},
+}
+_BPE_RE = regex.compile(r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]")
+_PUNCT_RE = regex.compile(r"[\p{P}\p{S}]")
+_CJK_RE = regex.compile(r"[\p{Han}\p{Hiragana}\p{Katakana}]")
+
+
+def detect_lang(text: str) -> str:
+    """n-gram/stopword heuristic language id (no external model)."""
+    if _CJK_RE.search(text):
+        return "zh" if regex.search(r"\p{Han}", text) and not regex.search(
+            r"[\p{Hiragana}\p{Katakana}]", text
+        ) else "ja"
+    toks = set(text.lower().split())
+    best, best_n = "unknown", 0
+    for lang, markers in _LANG_MARKERS.items():
+        n = len(toks & markers)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def lang_id(ds, text_col: str, out_col: str = "lang_pred"):
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out_col, pa.array([detect_lang(str(x)) for x in t[text_col].to_pylist()])
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def quality_features(ds, text_col: str, id_col: str):
+    """Per-doc quality components (ints/exact floats for SQL checking):
+    char_len, word_count (single-space split), punct_count, stop_count,
+    upper_count, plus float ratios."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        texts = [str(x) for x in t[text_col].to_pylist()]
+        char_len = [len(s) for s in texts]
+        words = [s.split(" ") for s in texts]
+        wc = [len(w) for w in words]
+        punct = [len(_PUNCT_RE.findall(s)) for s in texts]
+        stop = [sum(1 for w in ws if w.lower() in ENGLISH_STOP_SET) for ws in words]
+        upper = [sum(1 for c in s if c.isupper()) for s in texts]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "char_len": pa.array(char_len, pa.int64()),
+                "word_count": pa.array(wc, pa.int64()),
+                "punct_count": pa.array(punct, pa.int64()),
+                "stop_count": pa.array(stop, pa.int64()),
+                "upper_count": pa.array(upper, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def quality_score(ds, text_col: str, id_col: str):
+    """Composite quality score in [0,1]: penalize very short docs, high
+    punctuation density, and zero stopwords (gibberish heuristic)."""
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = [str(x) for x in t[text_col].to_pylist()]
+        out = []
+        for s in texts:
+            words = s.split()
+            wc = max(1, len(words))
+            punct_ratio = len(_PUNCT_RE.findall(s)) / max(1, len(s))
+            stop_ratio = sum(1 for w in words if w.lower() in ENGLISH_STOP_SET) / wc
+            len_score = min(1.0, wc / 50.0)
+            out.append(
+                round(0.4 * len_score + 0.3 * min(1.0, 4 * stop_ratio) + 0.3 * (1.0 - min(1.0, 5 * punct_ratio)), 6)
+            )
+        return pa.table({id_col: t[id_col], "quality": pa.array(out, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def token_counts(ds, text_col: str, id_col: str):
+    """whitespace_tokens (split on single space) + bpe-ish subword count."""
+
+    def cnt(t: pa.Table) -> pa.Table:
+        texts = [str(x) for x in t[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "ws_tokens": pa.array([len(s.split(" ")) for s in texts], pa.int64()),
+                "bpe_tokens": pa.array(
+                    [len(_BPE_RE.findall(s)) for s in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(cnt, batch_format="pyarrow")
+
+
+def top_terms(ds, text_col: str, size: int = 20):
+    """Global most-frequent whitespace tokens: per-batch partial counts
+    (map-side combine) -> groupby(token).sum -> top-N. The merge-shuffle
+    pattern at word granularity."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t[text_col].to_pylist():
+            c.update(str(s).split(" "))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "cnt": pa.array([c[k] for k in toks], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum("cnt")
+    out = out.map_batches(
+        lambda t: t.rename_columns(["token", "cnt"]), batch_format="pyarrow"
+    )
+    return out.sort(["cnt", "token"], descending=[True, False]).limit(size)
+
+
+def rolling_fingerprints(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
+    """Rabin-Karp rolling hashes of token windows (document fingerprint;
+    winnowing-style selection = min per stride)."""
+    toks = text.split()
+    if len(toks) < window:
+        toks = toks + [""] * (window - len(toks))
+    hs = [hash_tokens(toks[i : i + window], base, mod) for i in range(len(toks) - window + 1)]
+    return hs
+
+
+def hash_tokens(toks: list[str], base: int, mod: int) -> int:
+    h = 0
+    for t in toks:
+        th = 0
+        for ch in t.encode():
+            th = (th * base + ch) % mod
+        h = (h * base + th + 1) % mod
+    return h
+
+
+def doc_fingerprint(ds, text_col: str, id_col: str, window: int = 8, keep: int = 4):
+    """Winnowed fingerprint: the ``keep`` smallest rolling hashes per doc
+    (deterministic near-dup signal)."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            hs = sorted(rolling_fingerprints(str(s), window))[:keep]
+            ids.append(i)
+            out.append(hs)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "fingerprint": pa.array(out, pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,233 @@
+"""Ops-layer tests: aggs vs duckdb, dedup/similarity/text invariants."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+from raydex.ops import aggs, dedup, similarity, text
+from raydex.ops.multimodal import extract_media_features, make_media_table
+from raydex.ops.sketches import HllPlusPlus, cardinality_hll
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ["documents", "events", "embeddings", "orders"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def test_terms_agg(docs_ds, con):
+    got = aggs.terms_agg(docs_ds, "lang", size=3).to_pandas()
+    want = con.execute(
+        "SELECT lang, COUNT(*) AS doc_count FROM documents GROUP BY lang "
+        "ORDER BY doc_count DESC, lang LIMIT 3"
+    ).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+
+
+def test_stats_agg(docs_ds, con):
+    got = aggs.stats_agg(docs_ds, "n_chars").to_pylist()[0]
+    want = con.execute(
+        "SELECT COUNT(n_chars) cnt, MIN(n_chars) min_v, MAX(n_chars) max_v, "
+        "SUM(n_chars) sum_v, AVG(n_chars) avg_v FROM documents"
+    ).df().iloc[0]
+    assert got["cnt"] == want["cnt"] and got["sum_v"] == want["sum_v"]
+    assert got["avg_v"] == pytest.approx(want["avg_v"], rel=1e-12)
+
+
+def test_range_histogram_date(docs_ds, con, ray_session, sf_dir):
+    got = aggs.range_agg(docs_ds, "n_chars", [100, 200, 400]).to_pandas()
+    want = con.execute(
+        "SELECT CASE WHEN n_chars < 100 THEN '*-100' "
+        "WHEN n_chars < 200 THEN '100-200' WHEN n_chars < 400 THEN '200-400' "
+        "ELSE '400-*' END AS bucket, COUNT(*) AS doc_count FROM documents "
+        "GROUP BY bucket ORDER BY bucket"
+    ).df()
+    m = dict(zip(got["bucket"], got["doc_count"]))
+    for b, c in zip(want["bucket"], want["doc_count"]):
+        assert m.get(b, 0) == c
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    got = aggs.date_histogram_agg(ev, "ts", unit="day").to_pandas()
+    want = con.execute(
+        "SELECT date_trunc('day', ts) AS bucket_ts, COUNT(*) AS doc_count "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+
+
+def test_collapse_and_composite(ray_session, sf_dir, con):
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    got = (
+        aggs.collapse_best(orders, "o_custkey", "o_totalprice", "o_orderkey")
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        "SELECT * FROM orders QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1 "
+        "ORDER BY o_custkey"
+    ).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+
+    got = aggs.composite_agg(orders, ["o_orderstatus", "o_orderpriority"]).to_pandas()
+    want = con.execute(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS doc_count "
+        "FROM orders GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+
+
+def test_cardinality_exact_and_hll(docs_ds, con):
+    got = aggs.cardinality_exact(docs_ds, "source").to_pylist()[0]["cardinality"]
+    want = con.execute("SELECT COUNT(DISTINCT source) FROM documents").fetchone()[0]
+    assert got == want
+    # HLL++ accuracy + merge law
+    approx = cardinality_hll(docs_ds, "doc_id").to_pylist()[0]["cardinality"]
+    exact = con.execute("SELECT COUNT(DISTINCT doc_id) FROM documents").fetchone()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_hll_merge_law():
+    rng = np.random.default_rng(3)
+    vals = [f"v{i}" for i in rng.integers(0, 50000, size=20000)]
+    single = HllPlusPlus()
+    single.add(vals)
+    parts = [HllPlusPlus() for _ in range(7)]
+    for i, v in enumerate(vals):
+        parts[i % 7].add([v])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.cardinality() == single.cardinality()  # exact same registers
+    exact = len(set(vals))
+    assert abs(single.cardinality() - exact) / exact < 0.03
+
+
+def test_exact_dedup(docs_ds, con):
+    got = dedup.exact_dedup(docs_ds, "text", "doc_id").to_pandas()
+    want = con.execute(
+        "SELECT * FROM documents QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY text ORDER BY doc_id) = 1"
+    ).df()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_minhash_and_jaccard(ray_session):
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog tonight"},
+        {"doc_id": 2, "text": "completely different content about ray data pipelines"},
+        {"doc_id": 3, "text": "completely different content about ray data pipelines"},
+    ]
+    ds = rd.from_items(rows)
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    pairs = dedup.minhash_lsh_pairs(
+        ds, "text", "doc_id", jaccard_threshold=0.5, texts_lookup=texts
+    ).to_pylist()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (2, 3) in got  # identical docs always pair
+    assert (0, 1) in got  # near-identical pair found
+    assert (0, 2) not in got and (1, 3) not in got
+    assert dedup.ngram_jaccard(rows[2]["text"], rows[3]["text"]) == 1.0
+
+
+def test_simhash(ray_session):
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base + " iota"},  # tiny perturbation
+        {"doc_id": 2, "text": "unrelated words entirely disjoint vocabulary set"},
+        {"doc_id": 3, "text": base},  # identical -> distance 0
+    ]
+    h0 = dedup.simhash64(rows[0]["text"])
+    assert h0 == dedup.simhash64(rows[0]["text"])  # deterministic
+    d01 = bin(h0 ^ dedup.simhash64(rows[1]["text"])).count("1")
+    pairs = dedup.simhash_near_dup_pairs(
+        rd.from_items(rows), "text", "doc_id", max_hamming=max(3, d01)
+    ).to_pylist()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 3) in got  # identical docs always found (distance 0)
+    assert (0, 1) in got  # near-identical found within its radius
+    assert (0, 2) not in got
+
+
+def test_embedding_near_dup_and_knn(ray_session, sf_dir, con):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(first["embedding"].to_pylist()[:3], dtype=np.float64)
+    got = similarity.knn_brute_force(emb, q, "embedding", "vec_id", k=5).to_pandas()
+    # oracle: duckdb cosine on the same vectors, ids-only comparison
+    for qi in range(3):
+        vec = "[" + ",".join(str(x) for x in q[qi]) + "]"
+        want = con.execute(
+            f"SELECT vec_id FROM embeddings "
+            f"ORDER BY list_cosine_similarity(embedding, {vec}::FLOAT[]) DESC, vec_id "
+            f"LIMIT 5"
+        ).df()["vec_id"].tolist()
+        mine = got[got["query_id"] == qi].sort_values("rank")["doc_id"].tolist()
+        assert mine == want, qi
+    # self-match: query 0 is row 0's vector
+    assert got[(got["query_id"] == 0) & (got["rank"] == 0)]["cosine"].iloc[0] == pytest.approx(1.0)
+
+    # IVF recall vs brute force on the same queries (coarse buckets on
+    # near-random vectors: expect the exact self-match plus overlap >=1)
+    cents = similarity.train_centroids(emb, "embedding", num_centroids=16)
+    ivf = similarity.knn_ivf(
+        emb, q, "embedding", "vec_id", k=5, centroids=cents, nprobe=4
+    ).to_pandas()
+    for qi in range(3):
+        b = set(got[got["query_id"] == qi]["doc_id"])
+        a = set(ivf[ivf["query_id"] == qi]["doc_id"])
+        assert qi in a or len(a & b) >= 1
+        assert len(a & b) >= 1
+
+
+def test_text_ops(docs_ds, con):
+    tc = text.token_counts(docs_ds, "text", "doc_id").to_pandas()
+    want = con.execute(
+        "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens FROM documents ORDER BY doc_id"
+    ).df()
+    got = tc.sort_values("doc_id")
+    assert got["ws_tokens"].tolist() == want["ws_tokens"].tolist()
+
+    tt = text.top_terms(docs_ds, "text", size=5).to_pandas()
+    want = con.execute(
+        "SELECT tok AS token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text,' ')) AS tok "
+        "FROM documents) GROUP BY tok ORDER BY cnt DESC, token LIMIT 5"
+    ).df()
+    assert tt["token"].tolist() == want["token"].tolist()
+    assert tt["cnt"].tolist() == want["cnt"].tolist()
+
+    assert text.detect_lang("the cat is on the mat and it is happy") == "en"
+    assert text.detect_lang("der hund ist nicht mit der katze") == "de"
+    assert text.detect_lang("日本語のテキストです") in ("ja", "zh")
+
+    qf = text.quality_features(docs_ds, "text", "doc_id").to_pandas()
+    assert (qf["char_len"] > 0).all()
+    fp = text.doc_fingerprint(docs_ds.limit(20), "text", "doc_id").to_pandas()
+    assert fp["fingerprint"].map(len).max() <= 4
+
+
+def test_multimodal_stub(ray_session):
+    t = make_media_table(32)
+    ds = rd.from_arrow(t)
+    out = extract_media_features(ds, dim=16, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert len(out["features"].iloc[0]) == 16
+    # deterministic: same payload -> same features
+    out2 = extract_media_features(rd.from_arrow(t), dim=16, concurrency=2, batch_size=8).to_pandas()
+    a = np.asarray(out.sort_values("media_id")["features"].tolist())
+    b = np.asarray(out2.sort_values("media_id")["features"].tolist())
+    np.testing.assert_array_equal(a, b)

@@ -1,44 +1,606 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship fulltext pipeline (synthesize pages ->
+verify html extraction -> distributed index build -> scatter-gather BM25
+query set). ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (+ training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Ray is initialised
+by the driver — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _ds(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _docs_index_dir(sf_dir: str) -> str:
+    """Build (once, resumable) a fulltext index over the `documents`
+    table — url := str(doc_id); cached under /tmp keyed by sf_dir."""
+    import ray.data as rd
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/raydex_cache/docs_index_{tag}"
+    if os.path.exists(os.path.join(idx, "index_manifest.json")):
+        return idx
+    from raydex.index.build import build_index
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "url": pa.array([str(i) for i in ids], pa.string()),
+                "warc_ts": pa.array(ids.astype("int64")).cast(pa.timestamp("us")),
+                "text": t["text"].cast(pa.large_string()),
+            }
+        )
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    build_index(None, idx, num_partitions=8, analyzer="standard_en",
+                source="text", dedup=False, ray_ds=ds, resume=True)
+    return idx
+
+
+def _bm25(sf_dir: str, query: str, k: int = 10, operator: str = "or",
+          method: str = "wand") -> pa.Table:
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf_dir))
+    hits = s.search(query, k=k, operator=operator, method=method)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(hits)), pa.int64()),
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+            "score": pa.array([round(float(h["score"]), 4) for h in hits], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages corpus -> verified extract -> distributed build ->
+    merged scatter-gather BM25 over the reference query set."""
+    from raydex.corpus import make_queries_table, pages_path
+    from raydex.index.build import build_index
+    from raydex.search.scatter import RaySearcher
+
+    pages = pages_path(2000, seed=42)
+    idx = "/tmp/raydex_cache/flagship_index"
+    if not os.path.exists(os.path.join(idx, "index_manifest.json")):
+        build_index(pages, idx, num_partitions=8, analyzer="standard_en",
+                    source="verify", max_docs_per_segment=2000, resume=True)
+    searcher = RaySearcher(idx, num_actors=4)
+    q = make_queries_table(20)
+    results = searcher.search_batch(
+        list(zip(q["query_text"].to_pylist(), q["k"].to_pylist()))
+    )
+    rows = []
+    for qid, hits in zip(q["qid"].to_pylist(), results):
+        for rank, h in enumerate(hits):
+            rows.append(
+                {"qid": qid, "rank": rank, "url": h["url"], "score": float(h["score"])}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("qid", pa.int64()), ("rank", pa.int64()), ("url", pa.string()),
+             ("score", pa.float64())]
+        ),
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_terms_lang(sf):
+    from raydex.ops.aggs import terms_agg
+
+    return terms_agg(_ds(sf, "documents", ["lang"]), "lang", size=5)
+
+
+def q_terms_source(sf):
+    from raydex.ops.aggs import terms_agg
+
+    return terms_agg(_ds(sf, "documents", ["source"]), "source", size=10)
+
+
+def q_stats_nchars(sf):
+    from raydex.ops.aggs import stats_agg
+
+    return stats_agg(_ds(sf, "documents", ["n_chars"]), "n_chars")
+
+
+def q_extended_stats_nchars(sf):
+    from raydex.ops.aggs import extended_stats_agg
+
+    t = extended_stats_agg(_ds(sf, "documents", ["n_chars"]), "n_chars")
+    # round float moments to dodge summation-order ULP (documented)
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "cnt": t["cnt"],
+            "sum_v": pc.round(t["sum_v"], 3),
+            "avg_v": pc.round(t["avg_v"], 6),
+        }
+    )
+
+
+def q_value_count(sf):
+    from raydex.ops.aggs import value_count_agg
+
+    return value_count_agg(_ds(sf, "documents", ["source"]), "source")
+
+
+def q_cardinality_source(sf):
+    from raydex.ops.aggs import cardinality_exact
+
+    return cardinality_exact(_ds(sf, "documents", ["source"]), "source")
+
+
+def q_cardinality_users_hll(sf):
+    from raydex.ops.sketches import cardinality_hll
+
+    return cardinality_hll(_ds(sf, "events", ["user_id"]), "user_id")
+
+
+def q_range_nchars(sf):
+    from raydex.ops.aggs import range_agg
+
+    return range_agg(_ds(sf, "documents", ["n_chars"]), "n_chars", [100, 200, 400])
+
+
+def q_histogram_nchars(sf):
+    from raydex.ops.aggs import histogram_agg
+
+    return histogram_agg(_ds(sf, "documents", ["n_chars"]), "n_chars", 100.0)
+
+
+def q_date_histogram_events(sf):
+    from raydex.ops.aggs import date_histogram_agg
+
+    return date_histogram_agg(_ds(sf, "events", ["ts"]), "ts", unit="day")
+
+
+def q_composite_orders(sf):
+    from raydex.ops.aggs import composite_agg
+
+    return composite_agg(
+        _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
+        ["o_orderstatus", "o_orderpriority"],
+    )
+
+
+def q_collapse_orders(sf):
+    from raydex.ops.aggs import collapse_best
+
+    return collapse_best(_ds(sf, "orders"), "o_custkey", "o_totalprice", "o_orderkey")
+
+
+def q_sort_limit_orders(sf):
+    from raydex.ops.aggs import top_hits
+
+    return top_hits(_ds(sf, "orders"), "o_totalprice", 100, tiebreak="o_orderkey")
+
+
+def q_search_after_orders(sf):
+    """search_after cursor: page 2 via a predicate on the page-1 bottom
+    sort key (the reference's cursor semantics, FieldSortBuilder)."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf, "orders")
+    page1 = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100).to_pandas()
+    last_p, last_k = float(page1["o_totalprice"].iloc[-1]), int(page1["o_orderkey"].iloc[-1])
+
+    def after(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.less(t["o_totalprice"], last_p),
+            pc.and_(pc.equal(t["o_totalprice"], last_p), pc.greater(t["o_orderkey"], last_k)),
+        )
+        return t.filter(m)
+
+    return (
+        ds.map_batches(after, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def q_filter_bool_events(sf):
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "signup"])),
+            pc.greater_equal(t["value"], 50.0),
+        )
+        m = pc.and_(m, pc.is_valid(t["props"]))
+        return t.select(["event_id", "event_type", "value"]).filter(m)
+
+    return _ds(sf, "events").map_batches(f, batch_format="pyarrow")
+
+
+def q_filter_must_not_events(sf):
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.is_in(t["event_type"], value_set=pa.array(["error", "click"])))
+        return t.select(["event_id", "event_type"]).filter(m)
+
+    return _ds(sf, "events").map_batches(f, batch_format="pyarrow")
+
+
+def q_exists_props(sf):
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([int(pc.sum(pc.is_valid(t["props"]).cast(pa.int64())).as_py() or 0)], pa.int64())}
+        )
+
+    parts = _ds(sf, "events", ["props"]).map_batches(f, batch_format="pyarrow").to_pandas()
+    return pa.table({"n_with_props": pa.array([int(parts["n"].sum())], pa.int64())})
+
+
+def q_term_filter_docs(sf):
+    from raydex.ops.aggs import terms_agg
+    import pyarrow.compute as pc
+
+    ds = _ds(sf, "documents", ["lang", "source"]).map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    return terms_agg(ds, "source", size=20)
+
+
+def q_ingest_pipeline_docs(sf):
+    from raydex.ops.processors import apply_pipeline
+
+    ds = _ds(sf, "documents", ["doc_id", "lang", "source"])
+    out = apply_pipeline(
+        ds,
+        [
+            ("lowercase", {"field": "source", "target": "src_lower"}),
+            ("gsub", {"field": "source", "pattern": "src", "replacement": "s_", "target": "src_g"}),
+            ("uppercase", {"field": "lang", "target": "lang_up"}),
+            ("fingerprint", {"fields": ["lang", "source"], "target": "fingerprint"}),
+        ],
+    )
+    return out.select_columns(["doc_id", "src_lower", "src_g", "lang_up", "fingerprint"])
+
+
+def q_json_extract_events(sf):
+    from raydex.ops.processors import apply_pipeline
+
+    ds = _ds(sf, "events", ["event_id", "props"])
+    out = apply_pipeline(ds, [("json", {"field": "props", "key": "k", "target": "k_val"})])
+    return out.select_columns(["event_id", "k_val"])
+
+
+def q_dedup_exact_docs(sf):
+    from raydex.ops.dedup import exact_dedup
+
+    out = exact_dedup(_ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id")
+    return out.select_columns(["doc_id"])
+
+
+def q_token_counts_docs(sf):
+    from raydex.ops.text import token_counts
+
+    out = token_counts(_ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id")
+    return out.select_columns(["doc_id", "ws_tokens"])
+
+
+def q_top_terms_docs(sf):
+    from raydex.ops.text import top_terms
+
+    return top_terms(_ds(sf, "documents", ["text"]), "text", size=20)
+
+
+def q_quality_docs(sf):
+    from raydex.ops.text import quality_features
+
+    out = quality_features(_ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id")
+    return out.select_columns(["doc_id", "char_len", "word_count"])
+
+
+def q_pricing_summary(sf):
+    """TPC-H-Q1-shaped grouped metrics (integral-exact aggregates only)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _ds(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="cnt"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def q_tumbling_window_events(sf):
+    """Stream-shaped tumbling 1h window per user: count per window."""
+    import pyarrow.compute as pc
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "win": pc.floor_temporal(t["ts"], unit="hour")}
+        )
+
+    out = (
+        _ds(sf, "events", ["user_id", "ts"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .count()
+    )
+    out = out.map_batches(
+        lambda t: t.rename_columns(["user_id", "win", "n_events"]),
+        batch_format="pyarrow",
+    )
+    return out.sort(["user_id", "win"])
+
+
+def q_knn_cosine(sf):
+    from raydex.ops.similarity import knn_brute_force
+
+    first = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    q = np.asarray(first["embedding"].to_pylist()[:1], dtype=np.float64)
+    out = knn_brute_force(_ds(sf, "embeddings"), q, "embedding", "vec_id", k=10)
+    return out.select(["rank", "doc_id"]).rename_columns(["rank", "vec_id"])
+
+
+def q_knn_ivf(sf):
+    from raydex.ops.similarity import knn_ivf, train_centroids
+
+    emb = _ds(sf, "embeddings")
+    first = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    q = np.asarray(first["embedding"].to_pylist()[:2], dtype=np.float64)
+    cents = train_centroids(emb, "embedding", num_centroids=16)
+    return knn_ivf(emb, q, "embedding", "vec_id", k=10, centroids=cents, nprobe=4)
+
+
+def q_minhash_pairs(sf):
+    from raydex.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+
+
+def q_simhash_docs(sf):
+    from raydex.ops.dedup import simhash64
+
+    def add(t: pa.Table) -> pa.Table:
+        hs = ["%016x" % simhash64(str(x)) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, pa.string())})
+
+    return _ds(sf, "documents", ["doc_id", "text"]).map_batches(add, batch_format="pyarrow")
+
+
+def q_embedding_near_dup(sf):
+    from raydex.ops.dedup import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(
+        _ds(sf, "embeddings"), "embedding", "vec_id", threshold=0.99
+    )
+    return out.select(["id_a", "id_b"])
+
+
+def q_lang_id_docs(sf):
+    from raydex.ops.text import lang_id
+
+    out = lang_id(_ds(sf, "documents", ["doc_id", "text"]), "text")
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint_docs(sf):
+    from raydex.ops.text import doc_fingerprint
+
+    return doc_fingerprint(_ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+def q_bm25_match(sf):
+    return _bm25(sf, "data stream batch", k=10)
+
+
+def q_bm25_conjunction(sf):
+    return _bm25(sf, "window sort", k=10, operator="and")
+
+
+def q_bm25_brute_equals_wand(sf):
+    """WAND vs exhaustive over the docs index: returns rows only when the
+    two paths are IDENTICAL (self-checking query)."""
+    a = _bm25(sf, "merge shuffle spill", k=20, method="wand")
+    b = _bm25(sf, "merge shuffle spill", k=20, method="brute")
+    assert a.equals(b), "WAND must equal brute force"
+    return a
+
+
+def q_analyze_tokens(sf):
+    """The `_analyze` API analogue (tokens for golden inputs)."""
+    from raydex.analysis.tokenizer import get_analyzer
+
+    an = get_analyzer("standard_en")
+    cases = ["Wi-Fi 3.14 O'Neil's", "The quick brown fox", "日本語テキスト"]
+    rows = []
+    for cid, c in enumerate(cases):
+        for pos, tok in enumerate(an(c)):
+            rows.append({"case_id": cid, "position": pos, "token": tok})
+    return pa.Table.from_pylist(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "terms_lang": q_terms_lang,
+        "terms_source": q_terms_source,
+        "stats_nchars": q_stats_nchars,
+        "extended_stats_nchars": q_extended_stats_nchars,
+        "value_count": q_value_count,
+        "cardinality_source": q_cardinality_source,
+        "cardinality_users_hll": q_cardinality_users_hll,
+        "range_nchars": q_range_nchars,
+        "histogram_nchars": q_histogram_nchars,
+        "date_histogram_events": q_date_histogram_events,
+        "composite_orders": q_composite_orders,
+        "collapse_orders": q_collapse_orders,
+        "sort_limit_orders": q_sort_limit_orders,
+        "search_after_orders": q_search_after_orders,
+        "filter_bool_events": q_filter_bool_events,
+        "filter_must_not_events": q_filter_must_not_events,
+        "exists_props": q_exists_props,
+        "term_filter_docs": q_term_filter_docs,
+        "ingest_pipeline_docs": q_ingest_pipeline_docs,
+        "json_extract_events": q_json_extract_events,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "top_terms_docs": q_top_terms_docs,
+        "quality_docs": q_quality_docs,
+        "pricing_summary": q_pricing_summary,
+        "tumbling_window_events": q_tumbling_window_events,
+        "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_docs": q_simhash_docs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_id_docs": q_lang_id_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "bm25_match": q_bm25_match,
+        "bm25_conjunction": q_bm25_conjunction,
+        "bm25_brute_equals_wand": q_bm25_brute_equals_wand,
+        "analyze_tokens": q_analyze_tokens,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "terms_lang": (
+            "SELECT lang, COUNT(*) AS doc_count FROM documents "
+            "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 5"
+        ),
+        "terms_source": (
+            "SELECT source, COUNT(*) AS doc_count FROM documents "
+            "GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"
+        ),
+        "stats_nchars": (
+            "SELECT COUNT(n_chars) AS cnt, MIN(n_chars) AS min_v, "
+            "MAX(n_chars) AS max_v, SUM(n_chars) AS sum_v, "
+            "SUM(n_chars) / CAST(COUNT(n_chars) AS DOUBLE) AS avg_v FROM documents"
+        ),
+        "extended_stats_nchars": (
+            "SELECT COUNT(n_chars) AS cnt, "
+            "ROUND(CAST(SUM(n_chars) AS DOUBLE), 3) AS sum_v, "
+            "ROUND(SUM(n_chars) / CAST(COUNT(n_chars) AS DOUBLE), 6) AS avg_v "
+            "FROM documents"
+        ),
+        "value_count": "SELECT COUNT(source) AS value_count FROM documents",
+        "cardinality_source": (
+            "SELECT COUNT(DISTINCT source) AS cardinality FROM documents"
+        ),
+        "range_nchars": (
+            "SELECT bucket, COUNT(*) AS doc_count FROM (SELECT CASE "
+            "WHEN n_chars < 100 THEN '*-100' WHEN n_chars < 200 THEN '100-200' "
+            "WHEN n_chars < 400 THEN '200-400' ELSE '400-*' END AS bucket "
+            "FROM documents) GROUP BY bucket ORDER BY bucket"
+        ),
+        "histogram_nchars": (
+            "SELECT FLOOR(n_chars / 100.0) * 100.0 AS bucket_key, "
+            "COUNT(*) AS doc_count FROM documents GROUP BY bucket_key "
+            "ORDER BY bucket_key"
+        ),
+        "date_histogram_events": (
+            "SELECT date_trunc('day', ts) AS bucket_ts, COUNT(*) AS doc_count "
+            "FROM events GROUP BY bucket_ts ORDER BY bucket_ts"
+        ),
+        "composite_orders": (
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS doc_count "
+            "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "collapse_orders": (
+            "SELECT * FROM orders QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1"
+        ),
+        "sort_limit_orders": (
+            "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "search_after_orders": (
+            "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+            "LIMIT 100 OFFSET 100"
+        ),
+        "filter_bool_events": (
+            "SELECT event_id, event_type, value FROM events WHERE "
+            "event_type IN ('purchase','signup') AND value >= 50 "
+            "AND props IS NOT NULL"
+        ),
+        "filter_must_not_events": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE event_type NOT IN ('error','click')"
+        ),
+        "exists_props": (
+            "SELECT COUNT(props) AS n_with_props FROM events"
+        ),
+        "term_filter_docs": (
+            "SELECT source, COUNT(*) AS doc_count FROM documents "
+            "WHERE lang = 'en' GROUP BY source "
+            "ORDER BY doc_count DESC, source LIMIT 20"
+        ),
+        "ingest_pipeline_docs": (
+            "SELECT doc_id, lower(source) AS src_lower, "
+            "regexp_replace(source, 'src', 's_', 'g') AS src_g, "
+            "upper(lang) AS lang_up, "
+            "md5(lang || '|' || source) AS fingerprint FROM documents"
+        ),
+        "json_extract_events": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events"
+        ),
+        "dedup_exact_docs": (
+            "SELECT doc_id FROM documents QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "token_counts_docs": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens FROM documents"
+        ),
+        "top_terms_docs": (
+            "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
+            "AS token FROM documents) GROUP BY token "
+            "ORDER BY cnt DESC, token LIMIT 20"
+        ),
+        "quality_docs": (
+            "SELECT doc_id, length(text) AS char_len, "
+            "len(string_split(text, ' ')) AS word_count FROM documents"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+            "SUM(l_quantity) AS sum_qty, MIN(l_extendedprice) AS min_price, "
+            "MAX(l_extendedprice) AS max_price FROM lineitem "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "tumbling_window_events": (
+            "SELECT user_id, date_trunc('hour', ts) AS win, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "knn_cosine": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY "
+            "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) - 1 AS INT) "
+            "AS rank, e.vec_id FROM embeddings e, q "
+            "ORDER BY rank LIMIT 10"
+        ),
+    }

@@ -281,5 +281,14 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)

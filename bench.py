@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""raydex benchmark — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N}
+
+Headline = fulltext index build (docs/s) + BM25 top-10 batch QPS over the
+reference query set on a deterministic synthetic pages corpus sized to
+the sf (FIXTURES.md §1), plus representative training-data ops over the
+sf tables. ``--scaling`` runs the same bench in fresh processes at
+num_cpus=8 and num_cpus=32 and reports throughput scaling efficiency
+(the sandbox evidence for the N->4N-node criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import ray.data as rd
+
+    from raydex.corpus import make_queries_table, pages_dir
+    from raydex.index.build import build_index
+    from raydex.search.scatter import RaySearcher
+
+    timings: dict[str, float] = {}
+    # FIXTURES.md §1: bench corpus ~600k rows at sf0.1
+    n_pages = max(2000, int(6_000_000 * sf))
+
+    # corpus generation is cached on disk (untimed after first run); it
+    # also warms the page cache so the timed build measures compute
+    corpus = pages_dir(n_pages, seed=42, shards=max(8, num_cpus), use_ray=True)
+
+    # warm the worker pool (imports + allocator) with a small untimed
+    # build, so the timed run measures steady-state throughput
+    warm_idx = "/tmp/raydex_bench/warm_idx"
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    warm_corpus = pages_dir(min(8000, n_pages), seed=7, shards=num_cpus, use_ray=True)
+    build_index(warm_corpus, warm_idx, num_partitions=num_cpus, source="text")
+
+    # ---- index build (the docs/s headline)
+    idx = f"/tmp/raydex_bench/index_n{n_pages}_c{num_cpus}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(
+        corpus,
+        idx,
+        num_partitions=64,  # fixed partitioning across cpu levels
+        analyzer="standard_en",
+        source="text",
+        max_docs_per_segment=200_000,
+    )
+    t_build = time.perf_counter() - t0
+    timings["build_index"] = round(t_build, 3)
+    docs_per_sec = manifest["doc_count"] / t_build
+
+    # ---- BM25 batch QPS over the reference query set
+    q = make_queries_table(100)
+    searcher = RaySearcher(idx, num_actors=max(2, num_cpus - 2))
+    pairs = list(zip(q["query_text"].to_pylist(), q["k"].to_pylist()))
+    searcher.search_batch(pairs[:4])  # warm actors (untimed)
+    t0 = time.perf_counter()
+    searcher.search_batch(pairs)
+    t_query = time.perf_counter() - t0
+    timings["bm25_100_queries"] = round(t_query, 3)
+    qps = len(pairs) / t_query
+
+    # ---- representative ops over the sf tables
+    from raydex.ops.aggs import terms_agg
+    from raydex.ops.dedup import exact_dedup
+    from raydex.ops.similarity import knn_brute_force
+
+    t0 = time.perf_counter()
+    terms_agg(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]), "lang").to_pandas()
+    timings["terms_agg"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    exact_dedup(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "text", "doc_id",
+    ).count()
+    timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    import pyarrow.parquet as pq
+
+    qvecs = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        ["embedding"].to_pylist()[:8],
+        dtype=np.float64,
+    )
+    knn_brute_force(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), qvecs, "embedding", "vec_id", k=10
+    )
+    timings["knn_brute"] = round(time.perf_counter() - t0, 3)
+
+    headline = t_build + t_query
+    out = {
+        "metric": "fulltext build + BM25 top-10 batch QPS (headline sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs": manifest["doc_count"],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "bm25_qps": round(qps, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
+    eff_build = (thr_hi / thr_lo) / (32 / 8)
+    eff_qps = (hi["bm25_qps"] / lo["bm25_qps"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency 8->32 cpus",
+                "docs_per_sec_8": thr_lo,
+                "docs_per_sec_32": thr_hi,
+                "build_scaling_efficiency": round(eff_build, 3),
+                "bm25_qps_8": lo["bm25_qps"],
+                "bm25_qps_32": hi["bm25_qps"],
+                "qps_scaling_efficiency": round(eff_qps, 3),
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -57,6 +57,17 @@ _TOKEN_RE = regex.compile(
     regex.V1,
 )
 
+# ASCII fast path: byte-identical to _TOKEN_RE on pure-ASCII input (no
+# Katakana/Han/ideographic branches can fire; the Unicode word classes
+# collapse to [A-Za-z0-9_]); stdlib `re` is ~4x faster than the regex
+# module here, and the analyzer is the single hottest function of the
+# whole build (allocation-bound workload — see BASELINE.md notes)
+import re as _stdre
+
+_TOKEN_RE_ASCII = _stdre.compile(
+    r"[A-Za-z0-9_]+(?:(?:['.]|(?<=[0-9]),(?=[0-9]))[A-Za-z0-9_]+)*"
+)
+
 # "simple" analyzer: maximal letter runs, lowercased (Lucene SimpleAnalyzer)
 _LETTER_RE = regex.compile(r"\p{L}+", regex.V1)
 
@@ -69,24 +80,26 @@ def _split_long(tok: str) -> list[str]:
 
 def tokenize(text: str) -> list[str]:
     """UAX#29-style tokenization only (no lowercase/stop)."""
-    out: list[str] = []
-    for tok in _TOKEN_RE.findall(text):
-        if len(tok) > MAX_TOKEN_LENGTH:
-            out.extend(_split_long(tok))
-        else:
-            out.append(tok)
-    return out
+    rx = _TOKEN_RE_ASCII if text.isascii() else _TOKEN_RE
+    toks = rx.findall(text)
+    for t in toks:
+        if len(t) > MAX_TOKEN_LENGTH:  # rare path
+            return [p for tok in toks for p in _split_long(tok)]
+    return toks
 
 
 def standard_analyze(text: str, stopwords: frozenset[str] | None = None) -> list[str]:
     """StandardTokenizer -> LowerCaseFilter -> StopFilter.
 
-    Default ``stopwords=None`` mirrors the reference default (EMPTY stop
-    set for the `standard` analyzer).
+    Lowercasing is applied to the whole text BEFORE tokenization (one
+    big string op instead of one per token — same output for our rules;
+    full-lowercase expansions like dotted-capital-I keep their marks
+    inside the token). Default ``stopwords=None`` mirrors the reference
+    default (EMPTY stop set for the `standard` analyzer).
     """
-    toks = [t.lower() for t in tokenize(text)]
+    toks = tokenize(text.lower())
     if stopwords:
-        toks = [t for t in toks if t not in stopwords]
+        return [t for t in toks if t not in stopwords]
     return toks
 
 

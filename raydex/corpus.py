@@ -97,6 +97,7 @@ def make_pages_table(
     dup_frac: float = 0.03,
     big_rows: int = 0,
     with_html: bool = True,
+    id_offset: int = 0,
 ) -> pa.Table:
     """Deterministic pages table; ~``dup_frac`` of urls duplicated with a
     later warc_ts (latest-wins dedup fixtures), ``big_rows`` multi-100KB
@@ -117,7 +118,8 @@ def make_pages_table(
     all_words = rng.choice(vocab, size=int(doc_lens.sum()), p=probs)
     pos = 0
     for i in range(n_base):
-        url = f"https://site{i % 97}.example/p/{i}"
+        gid = id_offset + i
+        url = f"https://site{gid % 97}.example/p/{gid}"
         lang_roll = rng.random()
         if lang_roll < 0.02:
             words = rng.choice(np.array(_JA, dtype=object), size=int(rng.integers(8, 30)))
@@ -194,6 +196,52 @@ def make_queries_table(n_queries: int = 60, seed: int = 43, vocab_size: int = 50
             "k": pa.array(ks, type=pa.int32()),
         }
     )
+
+
+def pages_dir(
+    n_rows: int,
+    seed: int = 42,
+    shards: int = 32,
+    root: str = "/tmp/raydex_corpus",
+    with_html: bool = False,
+    use_ray: bool = True,
+) -> str:
+    """Sharded, cached bench corpus: ``shards`` parquet files generated in
+    parallel (Ray tasks), each deterministically seeded (seed + shard) —
+    identical output at any parallelism. Existing shards are skipped
+    (resume semantics)."""
+    tag = f"pages_n{n_rows}_s{seed}_sh{shards}" + ("_html" if with_html else "")
+    out = os.path.join(root, tag)
+    os.makedirs(out, exist_ok=True)
+    per = -(-n_rows // shards)
+    missing = []
+    for i in range(shards):
+        rows = min(per, n_rows - i * per)
+        if rows <= 0:
+            break
+        path = os.path.join(out, f"shard-{i:04d}.parquet")
+        if not os.path.exists(path):
+            missing.append((i, rows, path))
+    if not missing:
+        return out
+
+    def gen(i: int, rows: int, path: str) -> str:
+        tbl = make_pages_table(
+            rows, seed=seed + i, with_html=with_html, id_offset=i * per
+        )
+        pq.write_table(tbl, path + ".tmp", row_group_size=max(1024, rows // 4))
+        os.replace(path + ".tmp", path)
+        return path
+
+    if use_ray:
+        import ray
+
+        rgen = ray.remote(gen)
+        ray.get([rgen.remote(i, r, p) for i, r, p in missing])
+    else:
+        for i, r, p in missing:
+            gen(i, r, p)
+    return out
 
 
 def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/raydex_corpus", **kw) -> str:

@@ -114,12 +114,24 @@ class _BuildPartition:
         self.dedup = dedup
         self.lineage = lineage
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Build every partition present in the (hash-partitioned) batch.
+
+        The shuffle guarantees each ``part`` value lands wholly in one
+        block, but a block may carry several partitions — loop over them.
+        """
+        if batch.num_rows == 0:
+            return _manifest_schema_empty()
+        parts = pc.unique(batch["part"]).to_pylist()
+        outs = [
+            self._build_one(batch.filter(pc.equal(batch["part"], p)), int(p))
+            for p in sorted(parts)
+        ]
+        return pa.concat_tables(outs)
+
+    def _build_one(self, group: pa.Table, p: int) -> pa.Table:
         from raydex.index.segment import build_segment
 
-        if group.num_rows == 0:
-            return _manifest_schema_empty()
-        p = int(group["part"][0].as_py())
         t0 = time.perf_counter()
         # deterministic doc order: sort by (url, warc_ts, text);
         # latest-wins dedup keeps the last row per url
@@ -221,9 +233,46 @@ def build_index(
     ``input_path`` may be a file/dir (read_parquet) or pre-built Dataset
     via ``ray_ds``. ``source``: 'text' | 'html' | 'verify'.
     """
+    import ray
     import ray.data as rd
+    from ray.data.context import DataContext, ShuffleStrategy
 
-    t0 = time.perf_counter()
+    # key-based repartition requires the hash-shuffle backend (also the
+    # right choice for this workload: no global sort needed). Cap the
+    # aggregator actor pool and its CPU reservation so the shuffle does
+    # not starve the read/prepare/build stages (measured: uncapped
+    # aggregators serialize the pipeline on small CPU counts). The
+    # overrides are SCOPED to this build — other pipelines (groupby /
+    # map_groups) keep the default sort-shuffle backend.
+    ctx = DataContext.get_current()
+    saved = (
+        ctx.shuffle_strategy,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ctx.max_hash_shuffle_aggregators,
+    )
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    try:
+        return _build_index_inner(
+            input_path, index_dir, num_partitions, analyzer, source, dedup,
+            max_docs_per_segment, resume, ray_ds, rd, ncpu, t0=time.perf_counter(),
+        )
+    finally:
+        (
+            ctx.shuffle_strategy,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ctx.max_hash_shuffle_aggregators,
+        ) = saved
+
+
+def _build_index_inner(
+    input_path, index_dir, num_partitions, analyzer, source, dedup,
+    max_docs_per_segment, resume, ray_ds, rd, ncpu, t0,
+) -> dict:
+    import pyarrow as pa
+
     os.makedirs(index_dir, exist_ok=True)
     skip = frozenset(completed_partitions(index_dir)) if resume else frozenset()
 
@@ -244,11 +293,18 @@ def build_index(
     )
     builder = _BuildPartition(index_dir, analyzer, max_docs_per_segment, dedup, lineage)
 
-    def build_partition(group: pa.Table) -> pa.Table:
-        return builder(group)
+    def build_partition(batch: pa.Table) -> pa.Table:
+        return builder(batch)
 
-    manifests = prepared.groupby("part").map_groups(
-        build_partition, batch_format="pyarrow"
+    # THE routing shuffle: hash-repartition rows by `part` so each
+    # partition lands wholly in one block, then build per block with full
+    # task parallelism (one task per block; batch_size=None = whole
+    # block). num_blocks <= 2*CPUs: each block may carry several
+    # partitions (built sequentially inside the task) — more partitions
+    # per block smooths hash-placement skew.
+    num_blocks = min(num_partitions, 2 * ncpu)
+    manifests = prepared.repartition(num_blocks=num_blocks, keys=["part"]).map_batches(
+        build_partition, batch_format="pyarrow", batch_size=None
     )
     batches = [
         pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b

@@ -298,8 +298,8 @@ def q_json_extract_events(sf):
 def q_dedup_exact_docs(sf):
     from raydex.ops.dedup import exact_dedup
 
-    out = exact_dedup(_ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id")
-    return out.select_columns(["doc_id"])
+    out = exact_dedup(_ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id", keep="ids")
+    return out
 
 
 def q_token_counts_docs(sf):

@@ -103,7 +103,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     exact_dedup(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
-        "text", "doc_id",
+        "text", "doc_id", keep="ids",
     ).count()
     timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
 

@@ -31,10 +31,15 @@ def content_hash_column(texts) -> list[str]:
     return [hashlib.md5(str(t).encode()).hexdigest() for t in texts]
 
 
-def exact_dedup(ds, text_col: str, id_col: str):
+def exact_dedup(ds, text_col: str, id_col: str, keep: str = "rows"):
     """Keep the lowest-id row per distinct text (deterministic winner).
 
-    map_batches(add md5) -> groupby(hash) -> min-id row per group.
+    map_batches(add md5) -> groupby(hash) native Min aggregate (map-side
+    combine; NO per-group python). ``keep='ids'`` returns just the
+    winning ids (one shuffle); ``keep='rows'`` additionally broadcasts
+    the (sorted) winner-id array and filters the input — at 100 TB the
+    winner set may not fit one node, in which case use keep='ids' and a
+    partitioned join instead.
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -42,14 +47,32 @@ def exact_dedup(ds, text_col: str, id_col: str):
             "_chash", pa.array(content_hash_column(t[text_col].to_pylist()))
         )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1).drop(columns=["_chash"])
+    from ray.data.aggregate import Min
 
-    return (
+    winners = (
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("_chash")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min(id_col, alias_name="_win"))
     )
+    if keep == "ids":
+        return winners.map_batches(
+            lambda t: pa.table({id_col: t["_win"]}), batch_format="pyarrow"
+        )
+    import ray
+
+    win_ids = np.sort(
+        np.asarray([r["_win"] for r in winners.take_all()], dtype=np.int64)
+    )
+    ref = ray.put(win_ids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        ids = t[id_col].to_numpy()
+        pos = np.searchsorted(w, ids)
+        mask = (pos < w.size) & (w[np.minimum(pos, w.size - 1)] == ids)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- minhash

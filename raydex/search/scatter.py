@@ -58,9 +58,19 @@ class SegmentGroup:
         stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df)
         out = []
         for r, o in zip(self.readers, self.ordinals):
-            if operator == "and" and method != "brute":
+            m = method
+            if m == "auto":
+                # dispatch per segment: the vectorized exhaustive scorer
+                # beats the python-loop WAND below ~500k candidate
+                # postings; above that, block-max pruning wins (and is
+                # the only viable path at 10^12-doc scale)
+                seg_df = sum(
+                    int(r.df[ti]) for t in terms if (ti := r.lookup(t)) >= 0
+                )
+                m = "brute" if seg_df < 500_000 else "wand"
+            if operator == "and" and m != "brute":
                 ids, sc = conjunction_top_k(r, terms, k, stats)
-            elif method == "wand" and operator == "or" and minimum_should_match <= 1:
+            elif m == "wand" and operator == "or" and minimum_should_match <= 1:
                 ids, sc = wand_top_k(r, terms, k, stats)
             else:
                 ids, sc = brute_force_top_k(
@@ -117,7 +127,7 @@ class LocalSearcher(SearcherBase):
         super().__init__(index_dir)
         self.group = SegmentGroup(self.seg_dirs, list(range(len(self.seg_dirs))))
 
-    def search(self, query_text: str, k: int = 10, method: str = "wand",
+    def search(self, query_text: str, k: int = 10, method: str = "auto",
                operator: str = "or", minimum_should_match: int = 0):
         terms = self.analyze(query_text)
         if not terms:
@@ -165,7 +175,7 @@ class RaySearcher(SearcherBase):
                 df[t] += v
         return df
 
-    def search(self, query_text: str, k: int = 10, method: str = "wand",
+    def search(self, query_text: str, k: int = 10, method: str = "auto",
                operator: str = "or", minimum_should_match: int = 0):
         terms = self.analyze(query_text)
         if not terms:
@@ -179,7 +189,7 @@ class RaySearcher(SearcherBase):
         per_seg = [seg for actor_out in self._ray.get(refs) for seg in actor_out]
         return merge_top_k(per_seg, k)
 
-    def search_batch(self, queries: list[tuple[str, int]], method: str = "wand"):
+    def search_batch(self, queries: list[tuple[str, int]], method: str = "auto"):
         """Pipelined batch evaluation (the QPS path): all scatter calls in
         flight at once; df lookups batched per query."""
         analyzed = [self.analyze(q) for q, _ in queries]

@@ -1,0 +1,495 @@
+"""Structured query DSL: dataclass tree + per-segment evaluation.
+
+The rank-relevant subset of the reference's 46 query builders
+(``server/src/main/java/org/elasticsearch/index/query/*QueryBuilder.java``,
+SURVEY.md §2.11), evaluated per segment over the raydex index:
+
+  match_all, term, terms, match (analyzed, operator/minimum_should_match
+  — ``MatchQueryParser.java:58,110,230-237``), bool
+  (must/should/must_not/filter + minimum_should_match,
+  ``BoolQueryBuilder.java``), constant_score, dis_max (tie_breaker),
+  boosting (negative_boost), prefix, wildcard, regexp, fuzzy
+  (Damerau-ish edit distance <=2), range over stored doc columns
+  (url keyword / dl numeric), exists, ids (url list).
+
+Semantics follow the reference:
+  - multi-term expansions (prefix/wildcard/regexp/fuzzy) rewrite to
+    CONSTANT-SCORE over the expanded term set (the reference's default
+    ``constant_score`` rewrite) — no per-term IDF;
+  - scoring leaves (term/match) use BM25 with GLOBAL df passed in by the
+    coordinator; expansions use segment-local term dicts;
+  - bool: must/filter conjunct the match mask (filter never scores),
+    should adds scores (pure-should requires >=1 match or
+    minimum_should_match), must_not subtracts from the mask.
+
+Evaluation is dense-vectorized per segment (scores + mask arrays) —
+exhaustive, the generality path; the hot `match` top-k path keeps the
+WAND/brute fast paths in ``raydex.search.scatter``.
+
+Also provides ``explain`` (per-doc score breakdown — the `_explain` API,
+``es/action/explain/``) and ``count`` (the `_count` API).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import regex as _regex
+
+from raydex.search.bm25 import idf as _idf
+from raydex.search.bm25 import term_score, tf_norm_denom_add, top_k_select
+
+
+# ------------------------------------------------------------------ tree
+
+
+@dataclass
+class Query:
+    boost: float = 1.0
+
+
+@dataclass
+class MatchAll(Query):
+    pass
+
+
+@dataclass
+class Term(Query):
+    value: str = ""
+
+
+@dataclass
+class Terms(Query):
+    values: tuple = ()
+
+
+@dataclass
+class Match(Query):
+    text: str = ""
+    operator: str = "or"
+    minimum_should_match: int = 0
+
+
+@dataclass
+class Prefix(Query):
+    value: str = ""
+
+
+@dataclass
+class Wildcard(Query):
+    pattern: str = ""  # * and ? wildcards
+
+
+@dataclass
+class Regexp(Query):
+    pattern: str = ""
+
+
+@dataclass
+class Fuzzy(Query):
+    value: str = ""
+    fuzziness: int = 2
+
+
+@dataclass
+class Ids(Query):
+    values: tuple = ()  # urls
+
+
+@dataclass
+class RangeQ(Query):
+    fld: str = "dl"  # 'dl' (numeric) or 'url' (keyword)
+    gte: object = None
+    gt: object = None
+    lte: object = None
+    lt: object = None
+
+
+@dataclass
+class Exists(Query):
+    fld: str = "url"
+
+
+@dataclass
+class Bool(Query):
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    filter: tuple = ()
+    minimum_should_match: int = 0
+
+
+@dataclass
+class ConstantScore(Query):
+    filter_q: Query = None
+
+
+@dataclass
+class DisMax(Query):
+    queries: tuple = ()
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class Boosting(Query):
+    positive: Query = None
+    negative: Query = None
+    negative_boost: float = 0.5
+
+
+def parse_query(d: dict) -> Query:
+    """Parse the reference's JSON query DSL shape (single text field)."""
+    (kind, body), = d.items()
+    if kind == "match_all":
+        return MatchAll(**({"boost": body.get("boost", 1.0)} if body else {}))
+    if kind == "term":
+        v = body["text"] if isinstance(body, dict) else body
+        if isinstance(v, dict):
+            return Term(value=v["value"], boost=v.get("boost", 1.0))
+        return Term(value=v)
+    if kind == "terms":
+        return Terms(values=tuple(body["text"]), boost=body.get("boost", 1.0))
+    if kind == "match":
+        v = body["text"] if isinstance(body, dict) else body
+        if isinstance(v, dict):
+            return Match(
+                text=v["query"],
+                operator=v.get("operator", "or"),
+                minimum_should_match=int(v.get("minimum_should_match", 0)),
+                boost=v.get("boost", 1.0),
+            )
+        return Match(text=v)
+    if kind == "match_phrase":
+        raise NotImplementedError(
+            "match_phrase requires positional postings (not stored in v1 "
+            "segments; see SURVEY.md §2.11 note)"
+        )
+    if kind == "prefix":
+        v = body["text"] if isinstance(body, dict) else body
+        return Prefix(value=v if isinstance(v, str) else v["value"])
+    if kind == "wildcard":
+        v = body["text"] if isinstance(body, dict) else body
+        return Wildcard(pattern=v if isinstance(v, str) else v["value"])
+    if kind == "regexp":
+        v = body["text"] if isinstance(body, dict) else body
+        return Regexp(pattern=v if isinstance(v, str) else v["value"])
+    if kind == "fuzzy":
+        v = body["text"] if isinstance(body, dict) else body
+        if isinstance(v, dict):
+            return Fuzzy(value=v["value"], fuzziness=int(v.get("fuzziness", 2)))
+        return Fuzzy(value=v)
+    if kind == "ids":
+        return Ids(values=tuple(body["values"]))
+    if kind == "range":
+        (fld, spec), = body.items()
+        fld = "dl" if fld in ("dl", "length") else "url"
+        return RangeQ(fld=fld, **{k: spec[k] for k in ("gte", "gt", "lte", "lt") if k in spec})
+    if kind == "exists":
+        return Exists(fld=body.get("field", "url"))
+    if kind == "bool":
+        return Bool(
+            must=tuple(parse_query(q) for q in _as_list(body.get("must"))),
+            should=tuple(parse_query(q) for q in _as_list(body.get("should"))),
+            must_not=tuple(parse_query(q) for q in _as_list(body.get("must_not"))),
+            filter=tuple(parse_query(q) for q in _as_list(body.get("filter"))),
+            minimum_should_match=int(body.get("minimum_should_match", 0)),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "constant_score":
+        return ConstantScore(
+            filter_q=parse_query(body["filter"]), boost=body.get("boost", 1.0)
+        )
+    if kind == "dis_max":
+        return DisMax(
+            queries=tuple(parse_query(q) for q in body["queries"]),
+            tie_breaker=body.get("tie_breaker", 0.0),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "boosting":
+        return Boosting(
+            positive=parse_query(body["positive"]),
+            negative=parse_query(body["negative"]),
+            negative_boost=body.get("negative_boost", 0.5),
+        )
+    raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _as_list(x):
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+# ----------------------------------------------------- term collection
+
+
+def collect_stat_terms(q: Query, analyzer) -> set[str]:
+    """Terms whose GLOBAL df the coordinator must collect (scoring
+    leaves only — expansions are segment-local constant-score)."""
+    out: set[str] = set()
+    if isinstance(q, Term):
+        out.add(q.value)
+    elif isinstance(q, Terms):
+        out.update(q.values)
+    elif isinstance(q, Match):
+        out.update(analyzer(q.text))
+    elif isinstance(q, Bool):
+        for sub in (*q.must, *q.should, *q.must_not, *q.filter):
+            out |= collect_stat_terms(sub, analyzer)
+    elif isinstance(q, ConstantScore):
+        out |= collect_stat_terms(q.filter_q, analyzer)
+    elif isinstance(q, DisMax):
+        for sub in q.queries:
+            out |= collect_stat_terms(sub, analyzer)
+    elif isinstance(q, Boosting):
+        out |= collect_stat_terms(q.positive, analyzer)
+        out |= collect_stat_terms(q.negative, analyzer)
+    return out
+
+
+# ------------------------------------------------------------ expansion
+
+
+def _expand(reader, pred) -> list[int]:
+    return [i for i, t in enumerate(reader.terms) if pred(t)]
+
+
+def expand_prefix(reader, prefix: str) -> list[int]:
+    lo = int(np.searchsorted(reader.terms, prefix))
+    hi = int(np.searchsorted(reader.terms, prefix + "￿"))
+    return list(range(lo, hi))
+
+
+def expand_wildcard(reader, pattern: str) -> list[int]:
+    # leading literal prefix narrows the scan range (Lucene's automaton
+    # prefix optimization, approximated)
+    lit = _regex.match(r"[^*?\[\]\\]*", pattern).group(0)
+    rx = _regex.compile(
+        "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _regex.escape(c)
+            for c in pattern
+        ) + "$"
+    )
+    if lit:
+        lo = int(np.searchsorted(reader.terms, lit))
+        hi = int(np.searchsorted(reader.terms, lit + "￿"))
+        return [i for i in range(lo, hi) if rx.match(reader.terms[i])]
+    return _expand(reader, lambda t: rx.match(t) is not None)
+
+
+def expand_regexp(reader, pattern: str) -> list[int]:
+    rx = _regex.compile("^(?:" + pattern + ")$")
+    return _expand(reader, lambda t: rx.match(t) is not None)
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def expand_fuzzy(reader, value: str, fuzziness: int) -> list[int]:
+    return _expand(reader, lambda t: _edit_distance_le(value, t, fuzziness))
+
+
+# ----------------------------------------------------------- evaluation
+
+
+class SegmentEvaluator:
+    """Dense (scores, mask) evaluation of a query tree over one segment."""
+
+    def __init__(self, reader, stats, analyzer):
+        self.r = reader
+        self.stats = stats
+        self.analyzer = analyzer
+        self.n = reader.ndocs
+
+    def _term_leaf(self, term: str, boost: float):
+        scores = np.zeros(self.n)
+        mask = np.zeros(self.n, dtype=bool)
+        ti = self.r.lookup(term)
+        gdf = self.stats.df.get(term, 0)
+        if ti >= 0 and gdf > 0:
+            ids, tfs = self.r.postings(ti)
+            denom = tf_norm_denom_add(self.r.dl_quant[ids], self.stats.avgdl)
+            scores[ids] = boost * term_score(
+                tfs, denom, float(_idf(self.stats.ndocs, gdf))
+            )
+            mask[ids] = True
+        return scores, mask
+
+    def _const_terms(self, term_indices: list[int], boost: float):
+        mask = np.zeros(self.n, dtype=bool)
+        for ti in term_indices:
+            ids, _ = self.r.postings(ti)
+            mask[ids] = True
+        scores = np.where(mask, boost, 0.0)
+        return scores, mask
+
+    def eval(self, q: Query):
+        n = self.n
+        if isinstance(q, MatchAll):
+            return np.full(n, q.boost), np.ones(n, dtype=bool)
+        if isinstance(q, Term):
+            return self._term_leaf(q.value, q.boost)
+        if isinstance(q, Terms):
+            # bool.should of term clauses (reference terms query scoring:
+            # constant score per matching term set)
+            mask = np.zeros(n, dtype=bool)
+            for v in q.values:
+                ti = self.r.lookup(v)
+                if ti >= 0:
+                    ids, _ = self.r.postings(ti)
+                    mask[ids] = True
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, Match):
+            scores = np.zeros(n)
+            nmatch = np.zeros(n, dtype=np.int32)
+            terms = self.analyzer(q.text)
+            present = 0
+            for t in terms:
+                s, m = self._term_leaf(t, 1.0)
+                scores += s
+                nmatch += m
+                present += bool(m.any()) or (self.stats.df.get(t, 0) > 0)
+            if q.operator == "and":
+                need = len(terms)
+                mask = nmatch >= need if need else np.zeros(n, dtype=bool)
+            elif q.minimum_should_match > 1:
+                mask = nmatch >= q.minimum_should_match
+            else:
+                mask = nmatch > 0
+            return q.boost * scores, mask
+        if isinstance(q, Prefix):
+            return self._const_terms(expand_prefix(self.r, q.value), q.boost)
+        if isinstance(q, Wildcard):
+            return self._const_terms(expand_wildcard(self.r, q.pattern), q.boost)
+        if isinstance(q, Regexp):
+            return self._const_terms(expand_regexp(self.r, q.pattern), q.boost)
+        if isinstance(q, Fuzzy):
+            return self._const_terms(
+                expand_fuzzy(self.r, q.value, q.fuzziness), q.boost
+            )
+        if isinstance(q, Ids):
+            wanted = set(q.values)
+            urls = self.r.urls.to_pylist()
+            mask = np.fromiter((u in wanted for u in urls), dtype=bool, count=n)
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, RangeQ):
+            if q.fld == "dl":
+                vals = self.r.dl_quant
+            else:
+                vals = np.asarray(self.r.urls.to_pylist(), dtype=object)
+            mask = np.ones(n, dtype=bool)
+            if q.gte is not None:
+                mask &= vals >= q.gte
+            if q.gt is not None:
+                mask &= vals > q.gt
+            if q.lte is not None:
+                mask &= vals <= q.lte
+            if q.lt is not None:
+                mask &= vals < q.lt
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, Exists):
+            return np.full(n, q.boost), np.ones(n, dtype=bool)
+        if isinstance(q, ConstantScore):
+            _, mask = self.eval(q.filter_q)
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, DisMax):
+            alls = [self.eval(sub) for sub in q.queries]
+            mask = np.zeros(n, dtype=bool)
+            for _, m in alls:
+                mask |= m
+            stack = np.stack([s for s, _ in alls])
+            mx = stack.max(axis=0)
+            total = stack.sum(axis=0)
+            return q.boost * (mx + q.tie_breaker * (total - mx)), mask
+        if isinstance(q, Boosting):
+            ps, pm = self.eval(q.positive)
+            _, nm = self.eval(q.negative)
+            scores = np.where(nm, ps * q.negative_boost, ps)
+            return q.boost * scores, pm
+        if isinstance(q, Bool):
+            scores = np.zeros(n)
+            mask = np.ones(n, dtype=bool)
+            constrained = False
+            for sub in q.must:
+                s, m = self.eval(sub)
+                scores += s
+                mask &= m
+                constrained = True
+            for sub in q.filter:
+                _, m = self.eval(sub)
+                mask &= m
+                constrained = True
+            if q.should:
+                smask = np.zeros(n, dtype=bool)
+                scount = np.zeros(n, dtype=np.int32)
+                for sub in q.should:
+                    s, m = self.eval(sub)
+                    scores += s
+                    smask |= m
+                    scount += m
+                msm = q.minimum_should_match
+                if not constrained:
+                    mask &= (scount >= msm) if msm > 1 else smask
+                elif msm > 0:
+                    mask &= scount >= msm
+            for sub in q.must_not:
+                _, m = self.eval(sub)
+                mask &= ~m
+            return q.boost * scores, mask
+        raise TypeError(f"unknown query node {type(q)}")
+
+    def top_k(self, q: Query, k: int):
+        scores, mask = self.eval(q)
+        scores = np.where(mask, scores, 0.0)
+        # keep docs that MATCH even with score 0 (pure filters): nudge via
+        # the mask in top_k_select
+        return top_k_select(scores, k, mask)
+
+    def count(self, q: Query) -> int:
+        _, mask = self.eval(q)
+        return int(mask.sum())
+
+    def explain(self, q: Query, docid: int) -> dict:
+        """Per-doc score breakdown (the `_explain` API shape)."""
+        if isinstance(q, Match):
+            terms = self.analyzer(q.text)
+            parts = []
+            total = 0.0
+            for t in terms:
+                s, m = self._term_leaf(t, 1.0)
+                if m[docid]:
+                    contrib = float(s[docid])
+                    ti = self.r.lookup(t)
+                    parts.append(
+                        {
+                            "term": t,
+                            "score": contrib,
+                            "df": self.stats.df.get(t, 0),
+                            "idf": float(_idf(self.stats.ndocs, self.stats.df.get(t, 1))),
+                            "dl": int(self.r.dl_quant[docid]),
+                            "avgdl": self.stats.avgdl,
+                        }
+                    )
+                    total += contrib
+            return {"docid": docid, "url": self.r.url_of(docid), "score": total, "terms": parts}
+        scores, mask = self.eval(q)
+        return {
+            "docid": docid,
+            "url": self.r.url_of(docid),
+            "score": float(scores[docid]),
+            "matched": bool(mask[docid]),
+        }

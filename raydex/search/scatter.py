@@ -81,6 +81,47 @@ class SegmentGroup:
             out.append((o, ids.tolist(), sc.tolist(), urls))
         return out
 
+    def top_k_many(self, queries, ndocs: int, sum_dl: int,
+                   gdf: dict[str, int], method: str = "auto"):
+        """Batched evaluation: ONE RPC carries every query of a batch
+        (the per-query scatter fan-out cost dominates batch QPS
+        otherwise — measured 3000 RPCs serializing on the driver).
+        ``queries`` = [(terms, k), ...]; returns a list per query."""
+        out = []
+        for terms, k in queries:
+            df = {t: gdf.get(t, 0) for t in terms}
+            out.append(self.top_k(terms, k, ndocs, sum_dl, df, method))
+        return out
+
+    def query_top_k(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
+                    df: dict[str, int], analyzer_name: str):
+        """Structured query-DSL evaluation (raydex.search.query)."""
+        from raydex.analysis.tokenizer import get_analyzer
+        from raydex.search.query import SegmentEvaluator, parse_query
+
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df)
+        q = parse_query(qdict)
+        an = get_analyzer(analyzer_name)
+        out = []
+        for r, o in zip(self.readers, self.ordinals):
+            ev = SegmentEvaluator(r, stats, an)
+            ids, sc = ev.top_k(q, k)
+            urls = [r.url_of(d) for d in ids]
+            out.append((o, ids.tolist(), sc.tolist(), urls))
+        return out
+
+    def query_count(self, qdict: dict, ndocs: int, sum_dl: int,
+                    df: dict[str, int], analyzer_name: str) -> int:
+        from raydex.analysis.tokenizer import get_analyzer
+        from raydex.search.query import SegmentEvaluator, parse_query
+
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df)
+        q = parse_query(qdict)
+        an = get_analyzer(analyzer_name)
+        return sum(
+            SegmentEvaluator(r, stats, an).count(q) for r in self.readers
+        )
+
 
 def merge_top_k(per_segment, k: int):
     """``TopDocs.merge``-style k-way merge.
@@ -139,6 +180,74 @@ class LocalSearcher(SearcherBase):
         )
         return merge_top_k(per_seg, k)
 
+    def _query_stats(self, qdict: dict) -> dict[str, int]:
+        from raydex.search.query import collect_stat_terms, parse_query
+
+        terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
+        return self.group.term_stats(terms)
+
+    def search_query(self, qdict: dict, k: int = 10):
+        """Structured DSL search (`POST _search {"query": ...}` analogue)."""
+        df = self._query_stats(qdict)
+        per_seg = self.group.query_top_k(
+            qdict, k, self.ndocs, self.sum_dl, df, self.manifest["analyzer"]
+        )
+        return merge_top_k(per_seg, k)
+
+    def count(self, qdict: dict) -> int:
+        """The `_count` API analogue."""
+        df = self._query_stats(qdict)
+        return self.group.query_count(
+            qdict, self.ndocs, self.sum_dl, df, self.manifest["analyzer"]
+        )
+
+
+class ReplicatedSearcher(SearcherBase):
+    """Replica-based READ scaling (the reference's replica model: QPS
+    scales by adding index copies, ``OperationRouting.java:185-190``
+    adaptive replica selection): ``num_replicas`` actors EACH hold every
+    segment; a batch of queries round-robins across replicas, one RPC
+    per query (no per-query scatter fan-out). Use when one node can hold
+    a full index copy — the high-QPS configuration; ``RaySearcher``
+    (scatter-gather over disjoint segment slices) is the big-index
+    configuration."""
+
+    def __init__(self, index_dir: str, num_replicas: int = 4, cpus_per_replica: int = 1):
+        super().__init__(index_dir)
+        import ray
+
+        RemoteGroup = ray.remote(SegmentGroup)
+        ords = list(range(len(self.seg_dirs)))
+        self.actors = [
+            RemoteGroup.options(num_cpus=cpus_per_replica).remote(self.seg_dirs, ords)
+            for _ in range(num_replicas)
+        ]
+        self._ray = ray
+        # global df is exact from any single replica (it sees all segments)
+        self._df_actor = self.actors[0]
+
+    def search_batch(self, queries: list[tuple[str, int]], method: str = "auto"):
+        analyzed = [self.analyze(q) for q, _ in queries]
+        uniq = sorted({t for ts in analyzed for t in ts})
+        gdf = self._ray.get(self._df_actor.term_stats.remote(uniq)) if uniq else {}
+        refs = []
+        for i, (terms, (_, k)) in enumerate(zip(analyzed, queries)):
+            if not terms:
+                refs.append(None)
+                continue
+            df = {t: gdf.get(t, 0) for t in terms}
+            a = self.actors[i % len(self.actors)]
+            refs.append(
+                a.top_k.remote(terms, k, self.ndocs, self.sum_dl, df, method)
+            )
+        out = []
+        for r, (_, k) in zip(refs, queries):
+            if r is None:
+                out.append([])
+            else:
+                out.append(merge_top_k(self._ray.get(r), k))
+        return out
+
 
 class RaySearcher(SearcherBase):
     """Actor-pool scatter-gather searcher.
@@ -189,27 +298,54 @@ class RaySearcher(SearcherBase):
         per_seg = [seg for actor_out in self._ray.get(refs) for seg in actor_out]
         return merge_top_k(per_seg, k)
 
+    def search_query(self, qdict: dict, k: int = 10):
+        """Structured DSL search, scatter-gathered over the actor pool."""
+        from raydex.search.query import collect_stat_terms, parse_query
+
+        terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
+        df = self._stats(terms) if terms else {}
+        refs = [
+            a.query_top_k.remote(qdict, k, self.ndocs, self.sum_dl, df,
+                                 self.manifest["analyzer"])
+            for a in self.actors
+        ]
+        per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
+        return merge_top_k(per_seg, k)
+
+    def count(self, qdict: dict) -> int:
+        from raydex.search.query import collect_stat_terms, parse_query
+
+        terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
+        df = self._stats(terms) if terms else {}
+        refs = [
+            a.query_count.remote(qdict, self.ndocs, self.sum_dl, df,
+                                 self.manifest["analyzer"])
+            for a in self.actors
+        ]
+        return sum(self._ray.get(refs))
+
     def search_batch(self, queries: list[tuple[str, int]], method: str = "auto"):
-        """Pipelined batch evaluation (the QPS path): all scatter calls in
-        flight at once; df lookups batched per query."""
+        """Batched QPS path: ONE RPC per actor carries the whole query
+        batch (per-query scatter fan-out would serialize on the driver);
+        df lookups batched once for all unique terms."""
         analyzed = [self.analyze(q) for q, _ in queries]
         uniq_terms = sorted({t for ts in analyzed for t in ts})
         gdf = self._stats(uniq_terms) if uniq_terms else {}
-        all_refs = []
+        work = [
+            (terms, k) for terms, (_, k) in zip(analyzed, queries) if terms
+        ]
+        refs = [
+            a.top_k_many.remote(work, self.ndocs, self.sum_dl, gdf, method)
+            for a in self.actors
+        ]
+        per_actor = self._ray.get(refs)  # [actor][query][seg]
+        out = []
+        wi = 0
         for terms, (_, k) in zip(analyzed, queries):
             if not terms:
-                all_refs.append(None)
-                continue
-            df = {t: gdf.get(t, 0) for t in terms}
-            all_refs.append(
-                [a.top_k.remote(terms, k, self.ndocs, self.sum_dl, df, method)
-                 for a in self.actors]
-            )
-        out = []
-        for refs, (_, k) in zip(all_refs, queries):
-            if refs is None:
                 out.append([])
-            else:
-                per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
-                out.append(merge_top_k(per_seg, k))
+                continue
+            per_seg = [s for actor_out in per_actor for s in actor_out[wi]]
+            out.append(merge_top_k(per_seg, k))
+            wi += 1
         return out

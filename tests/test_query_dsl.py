@@ -1,0 +1,147 @@
+"""Query-DSL tree evaluation tests (parse -> evaluate vs hand oracles)."""
+
+import numpy as np
+import pytest
+
+from raydex.analysis.tokenizer import get_analyzer
+from raydex.index.segment import SegmentReader, build_segment
+from raydex.search.bm25 import GlobalStats, brute_force_top_k
+from raydex.search.query import (
+    SegmentEvaluator,
+    collect_stat_terms,
+    expand_fuzzy,
+    expand_prefix,
+    expand_wildcard,
+    parse_query,
+)
+
+DOCS = [
+    ("u00", "apple banana cherry"),
+    ("u01", "apple apple dog"),
+    ("u02", "banana dog elephant"),
+    ("u03", "cherry elephant fig"),
+    ("u04", "applesauce apricot"),
+    ("u05", "dog dog dog"),
+]
+
+
+@pytest.fixture(scope="module")
+def seg(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dsl") / "seg")
+    build_segment(d, [u for u, _ in DOCS], [t for _, t in DOCS], analyzer="standard")
+    return SegmentReader(d)
+
+
+def _ev(seg, terms=()):
+    df = {}
+    for t in terms:
+        ti = seg.lookup(t)
+        df[t] = int(seg.df[ti]) if ti >= 0 else 0
+    stats = GlobalStats(seg.ndocs, seg.sum_dl, df)
+    return SegmentEvaluator(seg, stats, get_analyzer("standard"))
+
+
+def _match_urls(seg, ev, q, k=10):
+    ids, _ = ev.top_k(parse_query(q), k)
+    return sorted(seg.url_of(d) for d in ids)
+
+
+def test_term_and_match(seg):
+    ev = _ev(seg, ["apple", "dog"])
+    assert _match_urls(seg, ev, {"term": {"text": "apple"}}) == ["u00", "u01"]
+    # match == brute force path
+    ids, sc = ev.top_k(parse_query({"match": {"text": "apple dog"}}), 10)
+    b_ids, b_sc = brute_force_top_k(
+        seg, ["apple", "dog"], 10,
+        GlobalStats(seg.ndocs, seg.sum_dl, {"apple": 2, "dog": 3}),
+    )
+    assert ids.tolist() == b_ids.tolist()
+    np.testing.assert_array_equal(sc, b_sc)
+
+
+def test_bool_semantics(seg):
+    ev = _ev(seg, ["apple", "dog", "banana"])
+    # must + must_not
+    q = {"bool": {"must": [{"term": {"text": "dog"}}],
+                  "must_not": [{"term": {"text": "apple"}}]}}
+    assert _match_urls(seg, ev, q) == ["u02", "u05"]
+    # filter does not change scores but constrains
+    q = {"bool": {"must": [{"term": {"text": "dog"}}],
+                  "filter": [{"term": {"text": "banana"}}]}}
+    assert _match_urls(seg, ev, q) == ["u02"]
+    # pure should requires >= 1 match
+    q = {"bool": {"should": [{"term": {"text": "apple"}}, {"term": {"text": "banana"}}]}}
+    assert _match_urls(seg, ev, q) == ["u00", "u01", "u02"]
+    # minimum_should_match=2
+    q = {"bool": {"should": [{"term": {"text": "apple"}}, {"term": {"text": "banana"}},
+                             {"term": {"text": "cherry"}}],
+                  "minimum_should_match": 2}}
+    assert _match_urls(seg, ev, q) == ["u00"]
+
+
+def test_expansions(seg):
+    assert [seg.terms[i] for i in expand_prefix(seg, "app")] == ["apple", "applesauce"]
+    assert [seg.terms[i] for i in expand_wildcard(seg, "ap*e")] == ["apple", "applesauce"]
+    assert [seg.terms[i] for i in expand_wildcard(seg, "?og")] == ["dog"]
+    assert [seg.terms[i] for i in expand_fuzzy(seg, "aple", 1)] == ["apple"]
+    ev = _ev(seg)
+    assert _match_urls(seg, ev, {"prefix": {"text": "app"}}) == ["u00", "u01", "u04"]
+    assert _match_urls(seg, ev, {"fuzzy": {"text": "bananna"}}) == ["u00", "u02"]
+    assert _match_urls(seg, ev, {"regexp": {"text": "(dog|fig)"}}) == ["u01", "u02", "u03", "u05"]
+
+
+def test_constant_score_and_dismax(seg):
+    ev = _ev(seg, ["apple", "dog"])
+    ids, sc = ev.top_k(parse_query(
+        {"constant_score": {"filter": {"term": {"text": "apple"}}, "boost": 2.5}}), 10)
+    assert set(sc.tolist()) == {2.5}
+    q = {"dis_max": {"queries": [{"term": {"text": "apple"}}, {"term": {"text": "dog"}}],
+                     "tie_breaker": 0.0}}
+    ids, sc = ev.top_k(parse_query(q), 10)
+    assert len(ids) == 4  # union of matches
+
+
+def test_range_ids_exists_matchall(seg):
+    ev = _ev(seg)
+    assert _match_urls(seg, ev, {"range": {"dl": {"gte": 3}}}) == ["u00", "u01", "u02", "u03", "u05"]
+    assert _match_urls(seg, ev, {"ids": {"values": ["u01", "u05"]}}) == ["u01", "u05"]
+    assert len(_match_urls(seg, ev, {"match_all": {}})) == 6
+    assert ev.count(parse_query({"exists": {"field": "url"}})) == 6
+
+
+def test_count_and_explain(seg):
+    ev = _ev(seg, ["dog"])
+    assert ev.count(parse_query({"term": {"text": "dog"}})) == 3
+    ex = ev.explain(parse_query({"match": {"text": "dog"}}), 5)
+    assert ex["url"] == "u05" and ex["score"] > 0
+    assert ex["terms"][0]["term"] == "dog"
+
+
+def test_collect_stat_terms():
+    an = get_analyzer("standard")
+    q = parse_query({"bool": {"must": [{"match": {"text": "Apple DOG"}}],
+                              "should": [{"term": {"text": "fig"}}]}})
+    assert collect_stat_terms(q, an) == {"apple", "dog", "fig"}
+
+
+def test_searcher_integration(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher
+
+    t = make_pages_table(300, seed=17)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=3, source="text", max_docs_per_segment=200)
+    s = LocalSearcher(idx)
+    hits = s.search_query({"match": {"text": "search engine"}}, k=10)
+    plain = s.search("search engine", k=10, method="brute")
+    assert [(h["url"], h["score"]) for h in hits] == [(h["url"], h["score"]) for h in plain]
+    n = s.count({"term": {"text": "search"}})
+    assert n > 0
+    nb = s.count({"bool": {"must": [{"term": {"text": "search"}}],
+                           "must_not": [{"term": {"text": "engine"}}]}})
+    assert 0 <= nb <= n

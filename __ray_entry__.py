@@ -35,7 +35,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v2_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.index.build import build_index
@@ -53,8 +53,11 @@ def _docs_index_dir(sf_dir: str) -> str:
     ds = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         to_pages, batch_format="pyarrow"
     )
-    build_index(None, idx, num_partitions=8, analyzer="standard_en",
-                source="text", dedup=False, ray_ds=ds, resume=True)
+    # plain `standard` analyzer (no stop removal) + positions: keeps the
+    # whitespace-token documents table SQL-checkable for phrase counts
+    build_index(None, idx, num_partitions=8, analyzer="standard",
+                source="text", dedup=False, ray_ds=ds, resume=True,
+                store_positions=True)
     return idx
 
 
@@ -434,6 +437,56 @@ def q_bm25_brute_equals_wand(sf):
     return a
 
 
+def q_match_phrase_count(sf):
+    """Exact-phrase doc count (`_count` with match_phrase) — SQL-checkable
+    because documents.text is single-space word text."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count({"match_phrase": {"text": "batch stream"}})
+    return pa.table({"phrase_docs": pa.array([n], pa.int64())})
+
+
+def q_match_phrase_top(sf):
+    """BM25-scored exact-phrase top-10 (rows-only)."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    hits = s.search_query({"match_phrase": {"text": "batch stream"}}, k=10)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(hits)), pa.int64()),
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+        }
+    )
+
+
+def q_dsl_bool(sf):
+    """Structured bool query over the docs index: must + must_not
+    (SQL-checkable via LIKE on padded whitespace text)."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count(
+        {
+            "bool": {
+                "must": [{"term": {"text": "batch"}}],
+                "must_not": [{"term": {"text": "stream"}}],
+            }
+        }
+    )
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def q_dsl_prefix_count(sf):
+    """Prefix multi-term query count — SQL via LIKE 'sc%' token scan."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count({"prefix": {"text": "sc"}})
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
 def q_analyze_tokens(sf):
     """The `_analyze` API analogue (tokens for golden inputs)."""
     from raydex.analysis.tokenizer import get_analyzer
@@ -485,6 +538,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_match": q_bm25_match,
         "bm25_conjunction": q_bm25_conjunction,
         "bm25_brute_equals_wand": q_bm25_brute_equals_wand,
+        "match_phrase_count": q_match_phrase_count,
+        "match_phrase_top": q_match_phrase_top,
+        "dsl_bool": q_dsl_bool,
+        "dsl_prefix_count": q_dsl_prefix_count,
         "analyze_tokens": q_analyze_tokens,
     }
 
@@ -595,6 +652,20 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_events": (
             "SELECT user_id, date_trunc('hour', ts) AS win, COUNT(*) AS n_events "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "match_phrase_count": (
+            "SELECT COUNT(*) AS phrase_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch stream %'"
+        ),
+        "dsl_bool": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND ' ' || text || ' ' NOT LIKE '% stream %'"
+        ),
+        "dsl_prefix_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE EXISTS (SELECT 1 FROM unnest(string_split(documents.text, ' ')) "
+            "AS t(tok) WHERE tok LIKE 'sc%')"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -88,6 +88,23 @@ def tokenize(text: str) -> list[str]:
     return toks
 
 
+def standard_analyze_with_positions(
+    text: str, stopwords: frozenset[str] | None = None
+) -> tuple[list[str], list[int]]:
+    """Like :func:`standard_analyze` but returns token POSITIONS in the
+    pre-stop-filter stream — the reference StopFilter preserves position
+    increments across removed stopwords (phrase queries see the gap)."""
+    toks = tokenize(text.lower())
+    if not stopwords:
+        return toks, list(range(len(toks)))
+    out_t, out_p = [], []
+    for i, t in enumerate(toks):
+        if t not in stopwords:
+            out_t.append(t)
+            out_p.append(i)
+    return out_t, out_p
+
+
 def standard_analyze(text: str, stopwords: frozenset[str] | None = None) -> list[str]:
     """StandardTokenizer -> LowerCaseFilter -> StopFilter.
 
@@ -133,6 +150,23 @@ class Analyzer:
     def analyze_many(self, texts: Iterable[str]) -> list[list[str]]:
         fn = self.fn
         return [fn(t if t is not None else "") for t in texts]
+
+    def analyze_many_with_positions(self, texts: Iterable[str]):
+        """(tokens, positions) per text; positions preserve stop gaps."""
+        stop = (
+            ENGLISH_STOP_SET if self.name == "standard_en" else None
+        )
+        if self.name in ("standard", "standard_en"):
+            return [
+                standard_analyze_with_positions(t if t is not None else "", stop)
+                for t in texts
+            ]
+        # other analyzers: positions = ordinal stream
+        out = []
+        for t in texts:
+            toks = self.fn(t if t is not None else "")
+            out.append((toks, list(range(len(toks)))))
+        return out
 
 
 _REGISTRY: dict[str, Analyzer] = {}

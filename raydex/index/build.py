@@ -107,12 +107,14 @@ class _Prepare:
 class _BuildPartition:
     """Per-group (one partition) segment cutter. Runs inside the shuffle."""
 
-    def __init__(self, index_dir, analyzer, max_docs_per_segment, dedup, lineage):
+    def __init__(self, index_dir, analyzer, max_docs_per_segment, dedup, lineage,
+                 store_positions=False):
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.max_docs = max_docs_per_segment
         self.dedup = dedup
         self.lineage = lineage
+        self.store_positions = store_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Build every partition present in the (hash-partitioned) batch.
@@ -167,6 +169,7 @@ class _BuildPartition:
                     analyzer=self.analyzer,
                     input_fragments=self.lineage,
                     seg_id=seg_id,
+                    store_positions=self.store_positions,
                 )
             rows.append(
                 {
@@ -227,6 +230,7 @@ def build_index(
     max_docs_per_segment: int = 50_000,
     resume: bool = False,
     ray_ds=None,
+    store_positions: bool = False,
 ) -> dict:
     """Run the build; returns the index manifest dict.
 
@@ -257,7 +261,8 @@ def build_index(
     try:
         return _build_index_inner(
             input_path, index_dir, num_partitions, analyzer, source, dedup,
-            max_docs_per_segment, resume, ray_ds, rd, ncpu, t0=time.perf_counter(),
+            max_docs_per_segment, resume, ray_ds, rd, ncpu,
+            t0=time.perf_counter(), store_positions=store_positions,
         )
     finally:
         (
@@ -269,7 +274,7 @@ def build_index(
 
 def _build_index_inner(
     input_path, index_dir, num_partitions, analyzer, source, dedup,
-    max_docs_per_segment, resume, ray_ds, rd, ncpu, t0,
+    max_docs_per_segment, resume, ray_ds, rd, ncpu, t0, store_positions=False,
 ) -> dict:
     import pyarrow as pa
 
@@ -291,7 +296,8 @@ def _build_index_inner(
         batch_format="pyarrow",
         batch_size=2048,
     )
-    builder = _BuildPartition(index_dir, analyzer, max_docs_per_segment, dedup, lineage)
+    builder = _BuildPartition(index_dir, analyzer, max_docs_per_segment, dedup,
+                              lineage, store_positions=store_positions)
 
     def build_partition(batch: pa.Table) -> pa.Table:
         return builder(batch)
@@ -335,6 +341,7 @@ def _build_index_inner(
     manifest = {
         "index_dir": index_dir,
         "analyzer": analyzer,
+        "positions": bool(store_positions),
         "num_partitions": num_partitions,
         "doc_count": int(sum(r["doc_count"] for r in segs)),
         "sum_dl": int(sum(r["sum_dl"] for r in segs)),

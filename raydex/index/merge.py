@@ -158,6 +158,11 @@ class _ChunkSegment:
         out_rows = []
         for row in batch.to_pylist():
             reader = SegmentReader(row["seg_dir"])
+            if getattr(reader, "has_positions", False):
+                raise NotImplementedError(
+                    "merge of positional segments not implemented yet "
+                    "(positions.bin chunk splicing; planned round 2)"
+                )
             reader._merge_base = row["base"]
             payload, off, idsb, nbs, last = rebase_payload(reader)
             tnb = reader.term_nblocks.astype(np.int64)

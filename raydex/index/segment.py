@@ -52,15 +52,26 @@ def build_segment(
     analyzer: str = "standard_en",
     input_fragments: list[str] | None = None,
     seg_id: str | None = None,
+    store_positions: bool = False,
 ) -> dict:
     """Tokenize docs, build the inverted index, write one segment.
 
     Returns the manifest dict. ``urls``/``texts`` arrive in final doc
-    order (docid = position).
+    order (docid = position). ``store_positions=True`` additionally
+    writes ``positions.bin`` (per-posting delta-varint token positions,
+    stop-filter gaps preserved) — the reference `text` field's
+    ``DOCS_AND_FREQS_AND_POSITIONS`` option
+    (``TextFieldMapper.java:99``), enabling phrase queries.
     """
     t0 = time.perf_counter()
     an = get_analyzer(analyzer)
-    tokens = an.analyze_many(texts)
+    if store_positions:
+        tok_pos = an.analyze_many_with_positions(texts)
+        tokens = [tp[0] for tp in tok_pos]
+        positions = [tp[1] for tp in tok_pos]
+    else:
+        tokens = an.analyze_many(texts)
+        positions = None
     ndocs = len(urls)
     dl = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=ndocs)
     norms = int_to_byte4(dl)
@@ -92,6 +103,17 @@ def build_segment(
         cf = np.bincount(term_idx, weights=tfs, minlength=terms.size).astype(np.int64)
         term_offsets = np.zeros(terms.size + 1, dtype=np.int64)
         np.cumsum(df, out=term_offsets[1:])
+        if store_positions:
+            flat_pos = np.empty(flat_arr.size, dtype=np.int64)
+            i = 0
+            for pl in positions:
+                flat_pos[i : i + len(pl)] = pl
+                i += len(pl)
+            # stable sort by (term, doc) keeps occurrences pos-ascending
+            occ_order = np.argsort(key, kind="stable")
+            sorted_pos = flat_pos[occ_order]
+        else:
+            sorted_pos = None
     else:
         terms = np.empty(0, dtype=object)
         docids = np.empty(0, dtype=np.int64)
@@ -101,6 +123,44 @@ def build_segment(
         term_offsets = np.zeros(1, dtype=np.int64)
 
     payload, meta = encode_postings(docids, tfs, dl_quant[docids] if docids.size else docids, term_offsets)
+
+    pos_payload = np.empty(0, dtype=np.uint8)
+    pos_cols: dict = {}
+    if store_positions and docids.size:
+        from raydex.index.postings import varint_encode as _venc
+
+        post_start = np.cumsum(tfs) - tfs  # occurrence start per posting
+        deltas = np.empty(sorted_pos.size, dtype=np.int64)
+        deltas[0] = sorted_pos[0]
+        deltas[1:] = sorted_pos[1:] - sorted_pos[:-1]
+        deltas[post_start] = sorted_pos[post_start]  # absolute per posting
+        pos_payload = _venc(deltas)
+        vlen = (
+            1
+            + (deltas >= 128).astype(np.int64)
+            + (deltas >= 128**2)
+            + (deltas >= 128**3)
+            + (deltas >= 128**4)
+        )
+        per_post_nb = np.add.reduceat(vlen, post_start)
+        blk_post_start = np.cumsum(meta.n) - meta.n
+        blk_posnb = np.add.reduceat(per_post_nb, blk_post_start).astype(np.int64)
+        blk_posoff = np.cumsum(blk_posnb) - blk_posnb
+        pos_cols = {
+            "blk_posoff": _list_col(blk_posoff, meta.term_nblocks, pa.int64()),
+            "blk_posnb": _list_col(
+                blk_posnb.astype(np.int32), meta.term_nblocks, pa.int32()
+            ),
+        }
+    elif store_positions:
+        pos_cols = {
+            "blk_posoff": _list_col(
+                np.empty(0, dtype=np.int64), meta.term_nblocks, pa.int64()
+            ),
+            "blk_posnb": _list_col(
+                np.empty(0, dtype=np.int32), meta.term_nblocks, pa.int32()
+            ),
+        }
 
     seg_id = seg_id or ("seg-" + uuid.uuid4().hex[:12])
     tmp = out_dir + ".tmp"
@@ -119,9 +179,12 @@ def build_segment(
             "blk_off": _list_col(meta.offset, meta.term_nblocks, pa.int64()),
             "blk_idsb": _list_col(meta.ids_nbytes, meta.term_nblocks, pa.int32()),
             "blk_nb": _list_col(meta.nbytes, meta.term_nblocks, pa.int32()),
+            **pos_cols,
         }
     )
     pq.write_table(terms_tbl, os.path.join(tmp, "terms.parquet"))
+    if store_positions:
+        pos_payload.tofile(os.path.join(tmp, "positions.bin"))
     docs_tbl = pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
@@ -139,6 +202,7 @@ def build_segment(
     manifest = {
         "seg_id": seg_id,
         "analyzer": analyzer,
+        "positions": bool(store_positions),
         "doc_count": int(ndocs),
         "sum_dl": int(dl.sum()),
         "term_count": int(terms.size),
@@ -188,6 +252,13 @@ class SegmentReader:
         self.blk_off = flat("blk_off")
         self.blk_idsb = flat("blk_idsb")
         self.blk_nb = flat("blk_nb")
+        self.has_positions = "blk_posoff" in t.schema.names
+        if self.has_positions:
+            self.blk_posoff = flat("blk_posoff")
+            self.blk_posnb = flat("blk_posnb")
+            self.pos_payload = np.fromfile(
+                os.path.join(seg_dir, "positions.bin"), dtype=np.uint8
+            )
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.urls = d["url"]
         self.norms = d["norm"].to_numpy()
@@ -246,3 +317,28 @@ class SegmentReader:
 
     def url_of(self, docid: int) -> str:
         return self.urls[int(docid)].as_py()
+
+    def postings_with_positions(self, ti: int):
+        """(docids, tfs, flat positions, per-posting offsets) for a term.
+
+        Positions are absolute token positions (stop gaps preserved);
+        flat array split per posting by ``offsets`` (len = df + 1).
+        """
+        if not self.has_positions:
+            raise ValueError("segment was built without positions")
+        from raydex.index.postings import varint_decode
+
+        ids, tfs = self.postings(ti)
+        sl = self.term_blocks(ti)
+        offs, nbs = self.blk_posoff[sl], self.blk_posnb[sl]
+        start, end = int(offs[0]), int(offs[-1] + nbs[-1])
+        deltas = varint_decode(self.pos_payload[start:end])
+        # per-posting cumsum with absolute first value
+        csum = np.cumsum(deltas)
+        post_start = np.cumsum(tfs) - tfs
+        corr = np.zeros(tfs.size, dtype=np.int64)
+        if tfs.size > 1:
+            corr[1:] = csum[post_start[1:] - 1]
+        pos = csum - np.repeat(corr, tfs)
+        offsets = np.concatenate([post_start, [deltas.size]])
+        return ids, tfs, pos, offsets

@@ -72,6 +72,11 @@ class Match(Query):
 
 
 @dataclass
+class MatchPhrase(Query):
+    text: str = ""
+
+
+@dataclass
 class Prefix(Query):
     value: str = ""
 
@@ -161,10 +166,10 @@ def parse_query(d: dict) -> Query:
             )
         return Match(text=v)
     if kind == "match_phrase":
-        raise NotImplementedError(
-            "match_phrase requires positional postings (not stored in v1 "
-            "segments; see SURVEY.md §2.11 note)"
-        )
+        v = body["text"] if isinstance(body, dict) else body
+        if isinstance(v, dict):
+            return MatchPhrase(text=v["query"], boost=v.get("boost", 1.0))
+        return MatchPhrase(text=v)
     if kind == "prefix":
         v = body["text"] if isinstance(body, dict) else body
         return Prefix(value=v if isinstance(v, str) else v["value"])
@@ -232,7 +237,7 @@ def collect_stat_terms(q: Query, analyzer) -> set[str]:
         out.add(q.value)
     elif isinstance(q, Terms):
         out.update(q.values)
-    elif isinstance(q, Match):
+    elif isinstance(q, (Match, MatchPhrase)):
         out.update(analyzer(q.text))
     elif isinstance(q, Bool):
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
@@ -371,6 +376,29 @@ class SegmentEvaluator:
             else:
                 mask = nmatch > 0
             return q.boost * scores, mask
+        if isinstance(q, MatchPhrase):
+            from raydex.analysis.tokenizer import (
+                ENGLISH_STOP_SET,
+                standard_analyze_with_positions,
+            )
+            from raydex.search.phrase import phrase_frequencies
+            from raydex.search.bm25 import idf as _idf2
+
+            stop = ENGLISH_STOP_SET if self.analyzer.name == "standard_en" else None
+            terms, qpos = standard_analyze_with_positions(q.text, stop)
+            scores = np.zeros(n)
+            mask = np.zeros(n, dtype=bool)
+            if terms:
+                docs, pf = phrase_frequencies(self.r, terms, qpos)
+                if docs.size:
+                    sum_idf = float(
+                        sum(_idf2(self.stats.ndocs, max(self.stats.df.get(t, 0), 1))
+                            for t in terms)
+                    )
+                    denom = tf_norm_denom_add(self.r.dl_quant[docs], self.stats.avgdl)
+                    scores[docs] = q.boost * term_score(pf, denom, sum_idf)
+                    mask[docs] = True
+            return scores, mask
         if isinstance(q, Prefix):
             return self._const_terms(expand_prefix(self.r, q.value), q.boost)
         if isinstance(q, Wildcard):

@@ -147,7 +147,7 @@ class _BuildPartition:
             idx = np.flatnonzero(keep)
         else:
             idx = np.arange(urls.size)
-        texts = group["text"].take(pa.array(idx)).to_pylist()
+        texts = group["text"].take(pa.array(idx))  # stays Arrow (zero-copy path)
         kept_urls = [str(u) for u in urls[idx]]
 
         part_dir = _part_dir(self.index_dir, p)

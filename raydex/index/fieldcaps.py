@@ -1,0 +1,47 @@
+"""Field capabilities — the `_field_caps` API (``server/.../action/
+fieldcaps/``): report, per field across tables/indexes, the type and
+whether it is searchable/aggregatable. For parquet tables this derives
+from the Arrow schema; for a raydex index, from the index manifest.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+_AGGREGATABLE = {"int32", "int64", "float", "double", "timestamp[us]", "bool"}
+
+
+def field_caps_for_parquet(paths: dict[str, str]) -> dict:
+    """paths: table_name -> parquet path. Returns field -> caps."""
+    out: dict[str, dict] = {}
+    for table, path in paths.items():
+        schema = pq.ParquetFile(path).schema_arrow
+        for f in schema:
+            typ = str(f.type)
+            caps = out.setdefault(
+                f.name,
+                {"types": set(), "searchable": True, "aggregatable": False, "indices": []},
+            )
+            caps["types"].add(typ)
+            caps["aggregatable"] |= typ in _AGGREGATABLE or typ == "string"
+            caps["indices"].append(table)
+    for caps in out.values():
+        caps["types"] = sorted(caps["types"])
+    return out
+
+
+def field_caps_for_index(index_dir: str) -> dict:
+    from raydex.index.build import load_index_manifest
+
+    m = load_index_manifest(index_dir)
+    return {
+        "text": {
+            "types": ["text"],
+            "searchable": True,
+            "aggregatable": False,
+            "analyzer": m["analyzer"],
+            "positions": bool(m.get("positions")),
+        },
+        "url": {"types": ["keyword"], "searchable": True, "aggregatable": True},
+        "dl": {"types": ["long"], "searchable": True, "aggregatable": True},
+    }

@@ -65,36 +65,64 @@ def build_segment(
     """
     t0 = time.perf_counter()
     an = get_analyzer(analyzer)
-    if store_positions:
-        tok_pos = an.analyze_many_with_positions(texts)
-        tokens = [tp[0] for tp in tok_pos]
-        positions = [tp[1] for tp in tok_pos]
-    else:
-        tokens = an.analyze_many(texts)
-        positions = None
     ndocs = len(urls)
-    dl = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=ndocs)
+    if analyzer in ("standard", "standard_en"):
+        # Arrow-native hot path: tokens never become Python objects
+        # (allocation traffic is the scaling ceiling — see module doc of
+        # raydex.analysis.arrow_tokenize and BASELINE.md)
+        from raydex.analysis.arrow_tokenize import encode_terms, tokenize_batch
+        from raydex.analysis.tokenizer import ENGLISH_STOP_SET
+
+        stop = ENGLISH_STOP_SET if analyzer == "standard_en" else None
+        flat_tokens, doc_of, flat_pos = tokenize_batch(
+            texts, stopwords=stop, store_positions=store_positions
+        )
+        inverse, terms = encode_terms(flat_tokens)
+        dl = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+    else:
+        tokens = (
+            an.analyze_many(texts.to_pylist())
+            if hasattr(texts, "to_pylist")
+            else an.analyze_many(texts)
+        )
+        if store_positions:
+            tok_pos = an.analyze_many_with_positions(
+                texts.to_pylist() if hasattr(texts, "to_pylist") else texts
+            )
+            tokens = [tp[0] for tp in tok_pos]
+            pos_lists = [tp[1] for tp in tok_pos]
+        dl = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=ndocs)
+        flat_list: list[str] = []
+        for toks in tokens:
+            flat_list.extend(toks)
+        flat_arr = np.array(flat_list, dtype=object)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), dl)
+        if flat_arr.size:
+            import pandas as pd
+
+            codes, uniques = pd.factorize(flat_arr, sort=False)
+            uniq_arr = np.asarray(uniques, dtype=object)
+            order = np.argsort(uniq_arr, kind="stable")
+            rank = np.empty_like(order)
+            rank[order] = np.arange(order.size)
+            terms = uniq_arr[order]
+            inverse = rank[codes]
+        else:
+            terms = np.empty(0, dtype=object)
+            inverse = np.empty(0, dtype=np.int64)
+        if store_positions:
+            flat_pos = np.empty(flat_arr.size, dtype=np.int64)
+            i = 0
+            for pl in pos_lists:
+                flat_pos[i : i + len(pl)] = pl
+                i += len(pl)
+        else:
+            flat_pos = None
+
     norms = int_to_byte4(dl)
     dl_quant = byte4_to_int(norms)
 
-    flat: list[str] = []
-    for toks in tokens:
-        flat.extend(toks)
-    flat_arr = np.array(flat, dtype=object)
-    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), dl)
-
-    if flat_arr.size:
-        # hash-based factorize + sort of the (small) unique set is ~20x
-        # faster than sort-based np.unique on object arrays
-        import pandas as pd
-
-        codes, uniques = pd.factorize(flat_arr, sort=False)
-        uniq_arr = np.asarray(uniques, dtype=object)
-        order = np.argsort(uniq_arr, kind="stable")  # lexicographic term order
-        rank = np.empty_like(order)
-        rank[order] = np.arange(order.size)
-        terms = uniq_arr[order]
-        inverse = rank[codes]
+    if inverse.size:
         key = inverse.astype(np.int64) * ndocs + doc_of
         uniq_key, tfs = np.unique(key, return_counts=True)
         docids = uniq_key % ndocs
@@ -104,11 +132,6 @@ def build_segment(
         term_offsets = np.zeros(terms.size + 1, dtype=np.int64)
         np.cumsum(df, out=term_offsets[1:])
         if store_positions:
-            flat_pos = np.empty(flat_arr.size, dtype=np.int64)
-            i = 0
-            for pl in positions:
-                flat_pos[i : i + len(pl)] = pl
-                i += len(pl)
             # stable sort by (term, doc) keeps occurrences pos-ascending
             occ_order = np.argsort(key, kind="stable")
             sorted_pos = flat_pos[occ_order]

@@ -172,6 +172,99 @@ def p_date(batch, field, target=None, unit="ms"):
     return batch
 
 
+def p_csv(batch, field, target_fields, separator=",", quote='"'):
+    """`csv` processor: split one CSV-formatted field into columns."""
+    import csv as _csv
+    import io
+
+    def parse(s):
+        row = next(_csv.reader(io.StringIO(str(s)), delimiter=separator, quotechar=quote))
+        return row
+
+    rows = batch[field].map(parse)
+    for i, tf in enumerate(target_fields):
+        batch[tf] = rows.map(lambda r, i=i: r[i] if i < len(r) else None)
+    return batch
+
+
+def p_dissect(batch, field, pattern, _rx_cache={}):
+    """`dissect` processor: '%{key}' delimited extraction (non-regex).
+
+    Pattern like '%{ip} - %{user} [%{ts}]' -> columns ip/user/ts.
+    """
+    rx = _rx_cache.get(pattern)
+    if rx is None:
+        parts = re.split(r"(%\{[^}]+\})", pattern)
+        out = ""
+        for p in parts:
+            if p.startswith("%{") and p.endswith("}"):
+                out += f"(?P<{p[2:-1]}>.*?)"
+            else:
+                out += re.escape(p)
+        rx = _rx_cache[pattern] = re.compile("^" + out + "$")
+    keys = list(rx.groupindex)
+    matches = batch[field].map(lambda s: rx.match(str(s)))
+    for k in keys:
+        batch[k] = matches.map(lambda m, k=k: m.group(k) if m else None)
+    return batch
+
+
+def p_grok(batch, field, pattern, _rx_cache={}, patterns: dict | None = None):
+    """`grok` processor: named-capture regex with a small built-in
+    pattern library (%{WORD:name} style)."""
+    lib = {
+        "WORD": r"\w+", "NUMBER": r"-?\d+(?:\.\d+)?", "INT": r"-?\d+",
+        "IP": r"\d{1,3}(?:\.\d{1,3}){3}", "NOTSPACE": r"\S+",
+        "DATA": r".*?", "GREEDYDATA": r".*",
+    }
+    if patterns:
+        lib.update(patterns)
+    rx = _rx_cache.get(pattern)
+    if rx is None:
+        def sub(m):
+            name, _, alias = m.group(1).partition(":")
+            body = lib[name]
+            return f"(?P<{alias}>{body})" if alias else f"(?:{body})"
+
+        rx = _rx_cache[pattern] = re.compile(
+            re.sub(r"%\{([^}]+)\}", sub, pattern)
+        )
+    keys = list(rx.groupindex)
+    matches = batch[field].map(lambda s: rx.search(str(s)))
+    for k in keys:
+        batch[k] = matches.map(lambda m, k=k: m.group(k) if m else None)
+    return batch
+
+
+def p_foreach(batch, field, processor, target=None, **kw):
+    """`foreach`: apply a (scalar-shaped) processor to every element of a
+    list-valued field."""
+    fn = PROCESSORS[processor]
+
+    def each(xs):
+        sub = pd.DataFrame({field: list(xs)})
+        return fn(sub, field=field, **kw)[field].tolist()
+
+    batch[target or field] = batch[field].map(each)
+    return batch
+
+
+def p_enrich(batch, field, lookup, target, default=None):
+    """`enrich` processor (x-pack enrich analogue): decorate each row
+    from a broadcast lookup dict — pass ``lookup`` as a plain dict or a
+    ``ray.ObjectRef`` (fetched once per worker)."""
+    table = lookup
+    try:
+        import ray
+
+        if isinstance(lookup, ray.ObjectRef):
+            table = ray.get(lookup)
+    except Exception:
+        pass
+    batch[target] = batch[field].map(lambda v: table.get(v, default))
+    return batch
+
+
 PROCESSORS = {
     "set": p_set, "remove": p_remove, "rename": p_rename,
     "lowercase": p_lowercase, "uppercase": p_uppercase, "trim": p_trim,
@@ -180,6 +273,8 @@ PROCESSORS = {
     "urldecode": p_urldecode, "uri_parts": p_uri_parts,
     "html_strip": p_html_strip, "script": p_script, "drop": p_drop,
     "append": p_append, "bytes": p_bytes, "date": p_date,
+    "csv": p_csv, "dissect": p_dissect, "grok": p_grok,
+    "foreach": p_foreach, "enrich": p_enrich,
 }
 
 

@@ -1,0 +1,110 @@
+"""Ingest-processor unit tests (pipeline composition + each processor)."""
+
+import pandas as pd
+import pytest
+
+from raydex.ops.processors import PROCESSORS, compile_pipeline
+
+
+def _b(**cols):
+    return pd.DataFrame(cols)
+
+
+def test_basic_string_processors():
+    run = compile_pipeline(
+        [
+            ("lowercase", {"field": "a", "target": "lo"}),
+            ("uppercase", {"field": "a", "target": "up"}),
+            ("trim", {"field": "b"}),
+            ("gsub", {"field": "a", "pattern": "o+", "replacement": "0"}),
+        ]
+    )
+    out = run(_b(a=["FoO", "boo"], b=[" x ", "y"]))
+    assert out["lo"].tolist() == ["foo", "boo"]
+    assert out["up"].tolist() == ["FOO", "BOO"]
+    assert out["b"].tolist() == ["x", "y"]
+    assert out["a"].tolist() == ["F0O", "b0"]  # gsub ran on original case
+
+
+def test_split_join_convert_set_remove_rename():
+    run = compile_pipeline(
+        [
+            ("split", {"field": "csv", "separator": ",", "target": "parts"}),
+            ("join", {"field": "parts", "separator": "-", "target": "joined"}),
+            ("convert", {"field": "n", "type": "integer"}),
+            ("set", {"field": "const", "value": 7}),
+            ("rename", {"field": "n", "target": "num"}),
+        ]
+    )
+    out = run(_b(csv=["a,b,c"], n=["42"]))
+    assert out["parts"].iloc[0] == ["a", "b", "c"]
+    assert out["joined"].iloc[0] == "a-b-c"
+    assert out["num"].iloc[0] == 42 and out["const"].iloc[0] == 7
+
+
+def test_fingerprint_json_kv_urldecode_uri():
+    run = compile_pipeline(
+        [
+            ("fingerprint", {"fields": ["x", "y"], "target": "fp"}),
+            ("json", {"field": "j", "key": "k", "target": "kv_j"}),
+            ("kv", {"field": "pairs", "field_split": "&", "value_split": "=", "target": "kvmap"}),
+            ("urldecode", {"field": "u"}),
+            ("uri_parts", {"field": "uri"}),
+        ]
+    )
+    out = run(
+        _b(
+            x=["a"], y=["b"], j=['{"k": 5}'], pairs=["p=1&q=2"],
+            u=["a%20b"], uri=["https://h.example/p?x=1"],
+        )
+    )
+    import hashlib
+
+    assert out["fp"].iloc[0] == hashlib.md5(b"a|b").hexdigest()
+    assert out["kv_j"].iloc[0] == "5"
+    assert out["kvmap"].iloc[0] == {"p": "1", "q": "2"}
+    assert out["u"].iloc[0] == "a b"
+    assert out["uri_host"].iloc[0] == "h.example" and out["uri_path"].iloc[0] == "/p"
+
+
+def test_csv_dissect_grok():
+    out = PROCESSORS["csv"](_b(line=['x,"y,z",3']), "line", ["c1", "c2", "c3"])
+    assert out["c2"].iloc[0] == "y,z" and out["c3"].iloc[0] == "3"
+    out = PROCESSORS["dissect"](
+        _b(log=["1.2.3.4 - alice [2024]"]), "log", "%{ip} - %{user} [%{year}]"
+    )
+    assert out["user"].iloc[0] == "alice" and out["year"].iloc[0] == "2024"
+    out = PROCESSORS["grok"](
+        _b(log=["status=200 bytes=512"]), "log",
+        "status=%{INT:status} bytes=%{INT:bytes}",
+    )
+    assert out["status"].iloc[0] == "200" and out["bytes"].iloc[0] == "512"
+
+
+def test_foreach_enrich_drop_bytes_date_append():
+    out = PROCESSORS["foreach"](
+        _b(tags=[["A", "B"], ["C"]]), "tags", "lowercase"
+    )
+    assert out["tags"].tolist() == [["a", "b"], ["c"]]
+    out = PROCESSORS["enrich"](
+        _b(code=["us", "de", "xx"]), "code", {"us": "США", "de": "Germany"}, "country"
+    )
+    assert out["country"].tolist()[1] == "Germany" and out["country"].iloc[2] is None
+    out = PROCESSORS["drop"](_b(v=[1, 5, 2]), lambda b: b["v"] > 2)
+    assert out["v"].tolist() == [1, 2]
+    out = PROCESSORS["bytes"](_b(sz=["1kb", "2mb", "7"]), "sz")
+    assert out["sz"].tolist() == [1024, 2 * 1024**2, 7]
+    out = PROCESSORS["append"](_b(xs=[["a"]]), "xs", "z")
+    assert out["xs"].iloc[0] == ["a", "z"]
+    out = PROCESSORS["date"](_b(ts=[0]), "ts", unit="s")
+    assert str(out["ts"].iloc[0]).startswith("1970-01-01")
+
+
+def test_apply_pipeline_on_dataset(ray_session, sf_dir):
+    import ray.data as rd
+
+    from raydex.ops.processors import apply_pipeline
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = apply_pipeline(ds, [("uppercase", {"field": "source"})]).to_pandas()
+    assert out["source"].str.isupper().all()

@@ -1,0 +1,175 @@
+"""Tests: extra filters, rank_eval, highlight, termvectors, suggest,
+rescore, simple_query_string, fieldcaps, reindex."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.analysis.extra_filters import (
+    asciifolding_filter,
+    char_group_tokenizer,
+    edge_ngram_filter,
+    length_filter,
+    make_custom_analyzer,
+    ngram_filter,
+    path_hierarchy_tokenizer,
+    pattern_replace_charfilter,
+    pattern_tokenizer,
+    reverse_filter,
+    shingle_filter,
+    truncate_filter,
+    unique_filter,
+)
+from raydex.index.segment import SegmentReader, build_segment
+from raydex.search.rank_eval import ndcg_at_k, precision_at_k, rank_eval, reciprocal_rank
+
+
+def test_ngram_edge_shingle():
+    assert ngram_filter(["ab"], 1, 2) == ["a", "b", "ab"]
+    assert edge_ngram_filter(["abc"], 1, 2) == ["a", "ab"]
+    assert shingle_filter(["a", "b", "c"], 2, 2) == ["a", "b", "c", "a b", "b c"]
+    assert shingle_filter(["a", "b"], 2, 2, output_unigrams=False) == ["a b"]
+
+
+def test_fold_misc_filters():
+    assert asciifolding_filter(["café", "Ünïcode"]) == ["cafe", "Unicode"]
+    assert length_filter(["a", "abc"], min_len=2) == ["abc"]
+    assert truncate_filter(["abcdef"], 3) == ["abc"]
+    assert reverse_filter(["abc"]) == ["cba"]
+    assert unique_filter(["a", "b", "a"]) == ["a", "b"]
+
+
+def test_custom_tokenizers():
+    tok = char_group_tokenizer("-_")
+    assert tok("a-b_c") == ["a", "b", "c"]
+    pt = pattern_tokenizer(r",\s*")
+    assert pt("a, b,c") == ["a", "b", "c"]
+    ph = path_hierarchy_tokenizer()
+    assert ph("/a/b/c") == ["/a", "/a/b", "/a/b/c"]
+    cf = pattern_replace_charfilter(r"\d+", "#")
+    an = make_custom_analyzer("test_custom", pattern_tokenizer(r"\s+"), [asciifolding_filter], [cf])
+    assert an("café 123 x") == ["cafe", "#", "x"]
+
+
+def test_rank_eval_metrics():
+    ranked = ["a", "b", "c", "d"]
+    rel = {"b", "d", "z"}
+    assert precision_at_k(ranked, rel, 2) == 0.5
+    assert reciprocal_rank(ranked, rel, 10) == 0.5
+    gains = {"a": 3, "b": 1}
+    assert 0 < ndcg_at_k(ranked, gains, 4) <= 1.0
+    assert ndcg_at_k(["a", "b"], gains, 2) == 1.0  # ideal order
+    res = rank_eval({1: ranked}, {1: {"b": 1, "d": 1}}, k=4)
+    assert res["metrics"]["recall_at_k"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def feat_seg(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("feat") / "seg")
+    docs = [
+        ("u0", "the search engine indexes web pages quickly"),
+        ("u1", "search quality relies on ranking and scoring"),
+        ("u2", "databases store rows and columns"),
+    ]
+    build_segment(d, [u for u, _ in docs], [t for _, t in docs], analyzer="standard_en")
+    return SegmentReader(d), docs
+
+
+def test_highlight(feat_seg):
+    from raydex.search.highlight import highlight
+
+    _, docs = feat_seg
+    frags = highlight(docs[0][1], {"search", "engine"}, "standard_en")
+    assert frags and "<em>search</em>" in frags[0] and "<em>engine</em>" in frags[0]
+    assert highlight("no hits here", {"zzz"}) == []
+
+
+def test_termvectors(feat_seg):
+    from raydex.search.termvectors import mtermvectors, term_vector
+
+    tv = term_vector("the dog and the dog", "standard_en")
+    assert tv["dog"]["term_freq"] == 2
+    assert tv["dog"]["positions"] == [1, 4]  # stop gaps preserved
+    assert "the" not in tv
+    assert len(mtermvectors(["a b", "c"])) == 2
+
+
+def test_suggest(feat_seg):
+    from raydex.search.suggest import phrase_suggest, term_suggest
+
+    r, _ = feat_seg
+    out = term_suggest(r, "serch")
+    assert out["serch"][0]["text"] == "search"
+    out = term_suggest(r, "search")
+    assert out["search"] == []  # exact term -> no suggestions
+    ph = phrase_suggest(r, "serch qualiti")
+    assert ph[0]["text"] == "search quality"
+
+
+def test_simple_query_string():
+    from raydex.search.query_string import parse_simple_query_string
+
+    q = parse_simple_query_string('+apple -banana "exact phrase" cat|dog plain')
+    b = q["bool"]
+    assert b["must"][0] == {"match": {"text": "apple"}}
+    assert b["must_not"][0] == {"match": {"text": "banana"}}
+    kinds = [list(c)[0] for c in b["should"]]
+    assert "match_phrase" in kinds and "bool" in kinds and "match" in kinds
+    assert parse_simple_query_string("") == {"match_all": {}}
+    q = parse_simple_query_string("a b", default_operator="and")
+    assert len(q["bool"]["must"]) == 2
+
+
+def test_rescore(tmp_path, ray_session):
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.rescore import rescore_hits
+    from raydex.search.scatter import LocalSearcher
+
+    t = make_pages_table(200, seed=23)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, source="text")
+    s = LocalSearcher(idx)
+    hits = s.search("search engine", k=10)
+    if hits:
+        res = rescore_hits(hits, s, {"match": {"text": "data"}}, window_size=5)
+        assert len(res) == len(hits)
+        scores = [h["score"] for h in res[: min(5, len(res))]]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_fieldcaps(sf_dir):
+    from raydex.index.fieldcaps import field_caps_for_parquet
+
+    caps = field_caps_for_parquet(
+        {"documents": f"{sf_dir}/documents.parquet", "events": f"{sf_dir}/events.parquet"}
+    )
+    assert "text" in caps and caps["n_chars"]["aggregatable"]
+    assert set(caps["event_id"]["indices"]) == {"events"}
+
+
+def test_reindex(tmp_path, ray_session, sf_dir):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raydex.ops.reindex import reindex
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    dest = str(tmp_path / "out")
+    out = reindex(
+        ds,
+        dest_dir=dest,
+        predicate=lambda t: pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False),
+        transform=lambda t: t.append_column(
+            "n2", pc.multiply(t["n_chars"], 2)
+        ),
+    )
+    back = rd.read_parquet(dest).to_pandas()
+    assert (back["lang"] == "en").all()
+    assert (back["n2"] == back["n_chars"] * 2).all()
+    # sliced run processes a strict subset
+    sl = reindex(ds, id_col="doc_id", slices=4, slice_id=0).count()
+    assert 0 < sl < ds.count()

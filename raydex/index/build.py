@@ -290,6 +290,16 @@ def _build_index_inner(
     else:
         ds = ray_ds
         lineage = ["<dataset>"]
+    # a Dataset snapshots its DataContext at creation — a caller-provided
+    # dataset may carry the default sort-shuffle strategy; override the
+    # captured context too, or the keys= repartition refuses to plan
+    from ray.data.context import ShuffleStrategy as _SS
+
+    dctx = getattr(ds, "context", None)
+    if dctx is not None:
+        dctx.shuffle_strategy = _SS.HASH_SHUFFLE
+        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        dctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
 
     prepared = ds.map_batches(
         _Prepare(num_partitions, source, skip),

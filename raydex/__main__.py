@@ -1,0 +1,125 @@
+"""raydex CLI — build / merge / search / count / suggest over an index.
+
+    python -m raydex build  --input pages.parquet --index /tmp/idx \
+        [--partitions 32] [--analyzer standard_en] [--source text|html|verify]
+        [--positions] [--resume]
+    python -m raydex merge  --index /tmp/idx
+    python -m raydex search --index /tmp/idx --query "web search" [--k 10]
+        [--operator or|and] [--dsl '{"bool": {...}}']
+    python -m raydex count  --index /tmp/idx --dsl '{"term": {"text": "web"}}'
+    python -m raydex stats  --index /tmp/idx
+
+Owns its Ray session (scripts only — library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 32)),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raydex")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--analyzer", default="standard_en")
+    b.add_argument("--source", default="text", choices=["text", "html", "verify"])
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--max-docs-per-segment", type=int, default=50_000)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--generation", type=int, default=1)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", default=None)
+    s.add_argument("--dsl", default=None)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--operator", default="or", choices=["or", "and"])
+    s.add_argument("--actors", type=int, default=0, help="0 = local in-process")
+
+    c = sub.add_parser("count")
+    c.add_argument("--index", required=True)
+    c.add_argument("--dsl", required=True)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "build":
+        _ray()
+        from raydex.index.build import build_index
+
+        man = build_index(
+            a.input, a.index, num_partitions=a.partitions, analyzer=a.analyzer,
+            source=a.source, resume=a.resume, store_positions=a.positions,
+            max_docs_per_segment=a.max_docs_per_segment,
+        )
+        print(json.dumps({k: man[k] for k in
+                          ("doc_count", "sum_dl", "num_partitions", "build_sec",
+                           "docs_per_sec", "resumed_partitions")}))
+    elif a.cmd == "merge":
+        _ray()
+        from raydex.index.merge import merge_index
+
+        merged = merge_index(a.index, generation=a.generation)
+        print(json.dumps({str(k): v for k, v in merged.items()}))
+    elif a.cmd == "search":
+        from raydex.search.scatter import LocalSearcher, RaySearcher
+
+        if a.actors > 0:
+            _ray()
+            searcher = RaySearcher(a.index, num_actors=a.actors)
+        else:
+            searcher = LocalSearcher(a.index)
+        if a.dsl:
+            hits = searcher.search_query(json.loads(a.dsl), k=a.k)
+        else:
+            hits = searcher.search(a.query or "", k=a.k, operator=a.operator)
+        for h in hits:
+            print(json.dumps(h))
+    elif a.cmd == "count":
+        from raydex.search.scatter import LocalSearcher
+
+        print(LocalSearcher(a.index).count(json.loads(a.dsl)))
+    elif a.cmd == "stats":
+        from raydex.index.build import load_index_manifest
+
+        man = load_index_manifest(a.index)
+        print(json.dumps({k: v for k, v in man.items() if k != "segments"} |
+                         {"segments": len(man["segments"])}, indent=1))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

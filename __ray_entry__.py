@@ -437,6 +437,40 @@ def q_bm25_brute_equals_wand(sf):
     return a
 
 
+def q_broadcast_join(sf):
+    """terms-lookup / enrich-style broadcast join: orders decorated with
+    the customer's market segment, counted per segment."""
+    from raydex.ops.aggs import terms_agg
+    from raydex.ops.joins import broadcast_join
+
+    cust = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(
+        _ds(sf, "orders", ["o_orderkey", "o_custkey"]), cust,
+        "o_custkey", "c_custkey", ["c_mktsegment"],
+    )
+    return terms_agg(joined, "c_mktsegment", size=10, count_name="n_orders")
+
+
+def q_hash_join(sf):
+    """Co-partitioned hash join (parent-join shape): orders x customer on
+    custkey, per-nation order counts."""
+    from raydex.ops.joins import copartition_join
+
+    out = copartition_join(
+        _ds(sf, "orders", ["o_orderkey", "o_custkey"]),
+        _ds(sf, "customer", ["c_custkey", "c_nationkey"]),
+        "o_custkey", "c_custkey",
+        ["o_orderkey", "o_custkey"], ["c_custkey", "c_nationkey"],
+        num_buckets=16,
+    )
+    agg = out.groupby("c_nationkey_r").count()
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(["c_nationkey", "n_orders"]),
+        batch_format="pyarrow",
+    )
+    return agg.sort("c_nationkey")
+
+
 def q_match_phrase_count(sf):
     """Exact-phrase doc count (`_count` with match_phrase) — SQL-checkable
     because documents.text is single-space word text."""
@@ -538,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_match": q_bm25_match,
         "bm25_conjunction": q_bm25_conjunction,
         "bm25_brute_equals_wand": q_bm25_brute_equals_wand,
+        "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
         "match_phrase_count": q_match_phrase_count,
         "match_phrase_top": q_match_phrase_top,
         "dsl_bool": q_dsl_bool,
@@ -652,6 +688,16 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_events": (
             "SELECT user_id, date_trunc('hour', ts) AS win, COUNT(*) AS n_events "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "broadcast_join": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY n_orders DESC, c_mktsegment LIMIT 10"
+        ),
+        "hash_join": (
+            "SELECT c_nationkey, COUNT(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         "match_phrase_count": (
             "SELECT COUNT(*) AS phrase_docs FROM documents "

@@ -68,6 +68,9 @@ _CHUNK_SCHEMA = pa.schema(
         ("blk_idsb", pa.list_(pa.int32())),
         ("blk_nb", pa.list_(pa.int32())),
         ("payload", pa.large_binary()),
+        ("has_pos", pa.bool_()),
+        ("blk_posnb", pa.list_(pa.int32())),
+        ("pos_payload", pa.large_binary()),
     ]
 )
 
@@ -158,11 +161,7 @@ class _ChunkSegment:
         out_rows = []
         for row in batch.to_pylist():
             reader = SegmentReader(row["seg_dir"])
-            if getattr(reader, "has_positions", False):
-                raise NotImplementedError(
-                    "merge of positional segments not implemented yet "
-                    "(positions.bin chunk splicing; planned round 2)"
-                )
+            has_pos = bool(getattr(reader, "has_positions", False))
             reader._merge_base = row["base"]
             payload, off, idsb, nbs, last = rebase_payload(reader)
             tnb = reader.term_nblocks.astype(np.int64)
@@ -179,6 +178,18 @@ class _ChunkSegment:
                     lo, hi = s + cs, s + ce
                     pb_lo = int(off[lo])
                     pb_hi = int(off[hi - 1] + nbs[hi - 1])
+                    if has_pos:
+                        # positions are DOC-RELATIVE: no rebase needed,
+                        # the chunk's byte slice rides along verbatim
+                        pp_lo = int(reader.blk_posoff[lo])
+                        pp_hi = int(
+                            reader.blk_posoff[hi - 1] + reader.blk_posnb[hi - 1]
+                        )
+                        pos_bytes = reader.pos_payload[pp_lo:pp_hi].tobytes()
+                        posnb = reader.blk_posnb[lo:hi].tolist()
+                    else:
+                        pos_bytes = b""
+                        posnb = []
                     out_rows.append(
                         {
                             "pb": part * self.num_buckets + int(buckets[t]),
@@ -195,6 +206,9 @@ class _ChunkSegment:
                             "blk_idsb": idsb[lo:hi].tolist(),
                             "blk_nb": nbs[lo:hi].tolist(),
                             "payload": payload[pb_lo:pb_hi].tobytes(),
+                            "has_pos": has_pos,
+                            "blk_posnb": posnb,
+                            "pos_payload": pos_bytes,
                         }
                     )
         if not out_rows:
@@ -221,13 +235,19 @@ class _WriteBucket:
         payloads = group["payload"].to_pylist()
         first_chunk = group["first_chunk"].to_pylist()
         term_cf = group["term_cf"].to_pylist()
+        has_pos = bool(group["has_pos"][0].as_py()) if group.num_rows else False
+        pos_payloads = group["pos_payload"].to_pylist() if has_pos else None
         lists = {
             c: group[c].to_pylist()
             for c in ("blk_n", "blk_last", "blk_maxtf", "blk_mindl", "blk_idsb", "blk_nb")
         }
+        if has_pos:
+            lists["blk_posnb"] = group["blk_posnb"].to_pylist()
         rows = []
         blob_parts: list[bytes] = []
+        pos_parts: list[bytes] = []
         pos = 0
+        pos_pos = 0
         i = 0
         n = len(terms)
         while i < n:
@@ -241,46 +261,56 @@ class _WriteBucket:
                 blob_parts.append(payloads[x])
             nbytes = int(np.sum(nbs))
             pos += nbytes
-            rows.append(
-                {
-                    "term": terms[i],
-                    "df": int(np.sum(cols["blk_n"])),
-                    "cf": int(sum(cf for x, cf in zip(range(i, j), term_cf[i:j]) if first_chunk[x])),
-                    "nblocks": len(nbs),
-                    "blk_n": cols["blk_n"],
-                    "blk_last": cols["blk_last"],
-                    "blk_maxtf": cols["blk_maxtf"],
-                    "blk_mindl": cols["blk_mindl"],
-                    "blk_off": offs,
-                    "blk_idsb": cols["blk_idsb"],
-                    "blk_nb": cols["blk_nb"],
-                }
-            )
+            row = {
+                "term": terms[i],
+                "df": int(np.sum(cols["blk_n"])),
+                "cf": int(sum(cf for x, cf in zip(range(i, j), term_cf[i:j]) if first_chunk[x])),
+                "nblocks": len(nbs),
+                "blk_n": cols["blk_n"],
+                "blk_last": cols["blk_last"],
+                "blk_maxtf": cols["blk_maxtf"],
+                "blk_mindl": cols["blk_mindl"],
+                "blk_off": offs,
+                "blk_idsb": cols["blk_idsb"],
+                "blk_nb": cols["blk_nb"],
+            }
+            if has_pos:
+                pnbs = cols["blk_posnb"]
+                row["blk_posoff"] = (
+                    np.cumsum(pnbs) - np.array(pnbs) + pos_pos
+                ).astype(np.int64).tolist() if pnbs else []
+                row["blk_posnb"] = pnbs
+                for x in range(i, j):
+                    pos_parts.append(pos_payloads[x])
+                pos_pos += int(np.sum(pnbs)) if pnbs else 0
+            rows.append(row)
             i = j
         bdir = os.path.join(self.out_dirs[part], f"bucket={bucket:03d}")
         os.makedirs(bdir, exist_ok=True)
-        tbl = pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("term", pa.string()),
-                    ("df", pa.int64()),
-                    ("cf", pa.int64()),
-                    ("nblocks", pa.int32()),
-                    ("blk_n", pa.list_(pa.int32())),
-                    ("blk_last", pa.list_(pa.int32())),
-                    ("blk_maxtf", pa.list_(pa.int32())),
-                    ("blk_mindl", pa.list_(pa.int32())),
-                    ("blk_off", pa.list_(pa.int64())),
-                    ("blk_idsb", pa.list_(pa.int32())),
-                    ("blk_nb", pa.list_(pa.int32())),
-                ]
-            ),
-        )
+        fields = [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("cf", pa.int64()),
+            ("nblocks", pa.int32()),
+            ("blk_n", pa.list_(pa.int32())),
+            ("blk_last", pa.list_(pa.int32())),
+            ("blk_maxtf", pa.list_(pa.int32())),
+            ("blk_mindl", pa.list_(pa.int32())),
+            ("blk_off", pa.list_(pa.int64())),
+            ("blk_idsb", pa.list_(pa.int32())),
+            ("blk_nb", pa.list_(pa.int32())),
+        ]
+        if has_pos:
+            fields += [("blk_posoff", pa.list_(pa.int64())), ("blk_posnb", pa.list_(pa.int32()))]
+        tbl = pa.Table.from_pylist(rows, schema=pa.schema(fields))
         pq.write_table(tbl, os.path.join(bdir, "terms.parquet"))
         with open(os.path.join(bdir, "postings.bin"), "wb") as f:
             for b in blob_parts:
                 f.write(b)
+        if has_pos:
+            with open(os.path.join(bdir, "positions.bin"), "wb") as f:
+                for b in pos_parts:
+                    f.write(b)
         return pa.table(
             {
                 "pb": pa.array([pb], pa.int64()),
@@ -332,6 +362,7 @@ def merge_partition_segments(
             "doc_count": int(sum(m["doc_count"] for m in seg_manifests)),
             "sum_dl": int(sum(m["sum_dl"] for m in seg_manifests)),
             "analyzer": seg_manifests[0]["analyzer"],
+            "positions": bool(seg_manifests[0].get("positions", False)),
             "input_fragments": sorted(
                 {f for m in seg_manifests for f in m.get("input_fragments", [])}
             ),
@@ -364,6 +395,7 @@ def merge_partition_segments(
             "layout": "bucketed",
             "buckets": buckets,
             "analyzer": meta["analyzer"],
+            "positions": meta.get("positions", False),
             "doc_count": meta["doc_count"],
             "sum_dl": meta["sum_dl"],
             "term_count": nterms,

@@ -256,12 +256,13 @@ class SegmentReader:
         with open(os.path.join(seg_dir, "manifest.json")) as f:
             manifest_probe = json.load(f)
         if manifest_probe.get("layout") == "bucketed":
-            t, self.payload = self._load_bucketed(seg_dir, manifest_probe)
+            t, self.payload, bucket_pos = self._load_bucketed(seg_dir, manifest_probe)
         else:
             t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
             self.payload = np.fromfile(
                 os.path.join(seg_dir, "postings.bin"), dtype=np.uint8
             )
+            bucket_pos = None
         self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
         self.df = t["df"].to_numpy()
         self.cf = t["cf"].to_numpy()
@@ -279,8 +280,12 @@ class SegmentReader:
         if self.has_positions:
             self.blk_posoff = flat("blk_posoff")
             self.blk_posnb = flat("blk_posnb")
-            self.pos_payload = np.fromfile(
-                os.path.join(seg_dir, "positions.bin"), dtype=np.uint8
+            self.pos_payload = (
+                bucket_pos
+                if bucket_pos is not None
+                else np.fromfile(
+                    os.path.join(seg_dir, "positions.bin"), dtype=np.uint8
+                )
             )
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.urls = d["url"]
@@ -297,6 +302,7 @@ class SegmentReader:
         term-sorted (raydex.index.merge). Concatenate bucket payloads
         (rebasing block offsets) and globally sort the term dict once."""
         tables, payloads, base = [], [], 0
+        pos_payloads, pos_base = [], 0
         for b in manifest["buckets"]:
             bt = pq.read_table(os.path.join(seg_dir, b, "terms.parquet"))
             bp = np.fromfile(os.path.join(seg_dir, b, "postings.bin"), dtype=np.uint8)
@@ -308,12 +314,32 @@ class SegmentReader:
                 bt = bt.set_column(
                     bt.schema.get_field_index("blk_off"), "blk_off", shifted
                 )
+            if "blk_posoff" in bt.schema.names:
+                pp_path = os.path.join(seg_dir, b, "positions.bin")
+                pp = (
+                    np.fromfile(pp_path, dtype=np.uint8)
+                    if os.path.exists(pp_path)
+                    else np.empty(0, dtype=np.uint8)
+                )
+                if pos_base:
+                    poff = bt["blk_posoff"].combine_chunks()
+                    shifted = pa.ListArray.from_arrays(
+                        poff.offsets, pc.add(poff.values, pos_base)
+                    )
+                    bt = bt.set_column(
+                        bt.schema.get_field_index("blk_posoff"), "blk_posoff", shifted
+                    )
+                pos_payloads.append(pp)
+                pos_base += pp.size
             tables.append(bt)
             payloads.append(bp)
             base += bp.size
         t = pa.concat_tables(tables).combine_chunks().sort_by("term")
         payload = np.concatenate(payloads) if payloads else np.empty(0, dtype=np.uint8)
-        return t, payload
+        pos_payload = (
+            np.concatenate(pos_payloads) if pos_payloads else None
+        )
+        return t, payload, pos_payload
 
     def lookup(self, term: str) -> int:
         """Sorted-term binary search; -1 if absent."""

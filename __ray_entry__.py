@@ -437,6 +437,22 @@ def q_bm25_brute_equals_wand(sf):
     return a
 
 
+def q_reindex_docs(sf):
+    """`_reindex` with query + script: english docs, computed text_len."""
+    import pyarrow.compute as pc
+
+    from raydex.ops.reindex import reindex
+
+    out = reindex(
+        _ds(sf, "documents", ["doc_id", "lang", "text"]),
+        predicate=lambda t: pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False),
+        transform=lambda t: pa.table(
+            {"doc_id": t["doc_id"], "text_len": pc.utf8_length(t["text"]).cast(pa.int64())}
+        ),
+    )
+    return out
+
+
 def q_broadcast_join(sf):
     """terms-lookup / enrich-style broadcast join: orders decorated with
     the customer's market segment, counted per segment."""
@@ -572,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_match": q_bm25_match,
         "bm25_conjunction": q_bm25_conjunction,
         "bm25_brute_equals_wand": q_bm25_brute_equals_wand,
+        "reindex_docs": q_reindex_docs,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
         "match_phrase_count": q_match_phrase_count,
@@ -688,6 +705,10 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_events": (
             "SELECT user_id, date_trunc('hour', ts) AS win, COUNT(*) AS n_events "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "reindex_docs": (
+            "SELECT doc_id, length(text) AS text_len FROM documents "
+            "WHERE lang = 'en'"
         ),
         "broadcast_join": (
             "SELECT c_mktsegment, COUNT(*) AS n_orders FROM orders "

@@ -141,7 +141,7 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling() -> None:
+def run_scaling(n_lo: int = 8, n_hi: int = 32) -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run(
@@ -150,22 +150,23 @@ def run_scaling() -> None:
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(n_lo), run(n_hi)
+    ratio = n_hi / n_lo
     thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
-    eff_build = (thr_hi / thr_lo) / (32 / 8)
-    eff_qps = (hi["bm25_qps"] / lo["bm25_qps"]) / (32 / 8)
+    eff_build = (thr_hi / thr_lo) / ratio
+    eff_qps = (hi["bm25_qps"] / lo["bm25_qps"]) / ratio
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency 8->32 cpus",
-                "docs_per_sec_8": thr_lo,
-                "docs_per_sec_32": thr_hi,
+                "metric": f"scaling efficiency {n_lo}->{n_hi} cpus",
+                f"docs_per_sec_{n_lo}": thr_lo,
+                f"docs_per_sec_{n_hi}": thr_hi,
                 "build_scaling_efficiency": round(eff_build, 3),
-                "bm25_qps_8": lo["bm25_qps"],
-                "bm25_qps_32": hi["bm25_qps"],
+                f"bm25_qps_{n_lo}": lo["bm25_qps"],
+                f"bm25_qps_{n_hi}": hi["bm25_qps"],
                 "qps_scaling_efficiency": round(eff_qps, 3),
-                "sec_8": lo["value"],
-                "sec_32": hi["value"],
+                f"sec_{n_lo}": lo["value"],
+                f"sec_{n_hi}": hi["value"],
             }
         )
     )
@@ -173,6 +174,11 @@ def run_scaling() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        i = sys.argv.index("--scaling")
+        pair = sys.argv[i + 1 : i + 3]
+        if len(pair) == 2 and all(p.isdigit() for p in pair):
+            run_scaling(int(pair[0]), int(pair[1]))
+        else:
+            run_scaling()
     else:
         print(json.dumps(run_bench()))

@@ -327,6 +327,13 @@ def _build_index_inner(
         for b in manifests.iter_batches(batch_format="pyarrow")
     ]
     mtable = pa.concat_tables(batches or [_manifest_schema_empty()])
+    if os.environ.get("RAYDEX_STATS"):
+        # per-stage wall/cpu/memory breakdown (ds.stats()) for profiling
+        try:
+            with open(os.path.join(index_dir, "build_stats.txt"), "w") as f:
+                f.write(manifests.stats())
+        except Exception:
+            pass
 
     segs = mtable.to_pylist()
     # merge with pre-existing (resumed) partitions

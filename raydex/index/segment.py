@@ -263,7 +263,15 @@ class SegmentReader:
                 os.path.join(seg_dir, "postings.bin"), dtype=np.uint8
             )
             bucket_pos = None
-        self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        # term dict stays an Arrow array (zero-copy from parquet); the
+        # np-object materialization is LAZY — point lookups bisect with
+        # per-probe .as_py() (O(log n) tiny allocations), so query actors
+        # serving match queries never pay the full-vocabulary
+        # python-string storm (measured: dominant startup cost at low
+        # cpu counts). Scan-based paths (prefix/wildcard/suggest/merge)
+        # touch .terms and materialize once.
+        self._terms_pa = t["term"].combine_chunks()
+        self._terms_np: np.ndarray | None = None
         self.df = t["df"].to_numpy()
         self.cf = t["cf"].to_numpy()
         self.term_nblocks = t["nblocks"].to_numpy()
@@ -341,11 +349,29 @@ class SegmentReader:
         )
         return t, payload, pos_payload
 
+    @property
+    def terms(self) -> np.ndarray:
+        if self._terms_np is None:
+            self._terms_np = np.asarray(self._terms_pa.to_pylist(), dtype=object)
+        return self._terms_np
+
+    @property
+    def nterms(self) -> int:
+        return len(self._terms_pa)
+
     def lookup(self, term: str) -> int:
-        """Sorted-term binary search; -1 if absent."""
-        i = int(np.searchsorted(self.terms, term))
-        if i < self.terms.size and self.terms[i] == term:
-            return i
+        """Sorted-term binary search; -1 if absent. Probes decode one
+        term per step — no full dict materialization."""
+        arr = self._terms_pa
+        lo, hi = 0, len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and arr[lo].as_py() == term:
+            return lo
         return -1
 
     def term_blocks(self, ti: int) -> slice:

@@ -119,6 +119,45 @@ def path_hierarchy_tokenizer(delimiter: str = "/"):
     return tok
 
 
+def synonym_filter(rules: dict[str, list[str]], expand: bool = True):
+    """`synonym` token filter (flat, non-graph): ``rules`` maps a token
+    to its synonyms. ``expand=True`` keeps the original AND emits the
+    synonyms at the same position (the reference's expand mode);
+    ``expand=False`` replaces (contract mode)."""
+
+    def f(tokens):
+        out = []
+        for t in tokens:
+            syns = rules.get(t)
+            if syns is None:
+                out.append(t)
+            elif expand:
+                out.append(t)
+                out.extend(syns)
+            else:
+                out.append(syns[0])
+        return out
+
+    return f
+
+
+def keyword_marker_filter(protected: set):
+    """Marks tokens that later stemming must not touch by wrapping the
+    stem step: use with ``make_stemming_filter``."""
+    return protected
+
+
+def make_stemming_filter(protected: set | None = None):
+    from raydex.analysis.stemmer import porter_stem
+
+    protected = protected or set()
+
+    def f(tokens):
+        return [t if t in protected else porter_stem(t) for t in tokens]
+
+    return f
+
+
 def make_custom_analyzer(name: str, tokenizer, token_filters=(), char_filters=()):
     """CustomAnalyzer analogue: char_filters* -> tokenizer -> filters*."""
 

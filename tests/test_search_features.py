@@ -52,6 +52,17 @@ def test_custom_tokenizers():
     assert an("café 123 x") == ["cafe", "#", "x"]
 
 
+def test_synonym_and_keyword_marker():
+    from raydex.analysis.extra_filters import make_stemming_filter, synonym_filter
+
+    syn = synonym_filter({"quick": ["fast", "rapid"]})
+    assert syn(["quick", "dog"]) == ["quick", "fast", "rapid", "dog"]
+    contract = synonym_filter({"quick": ["fast"]}, expand=False)
+    assert contract(["quick"]) == ["fast"]
+    stem = make_stemming_filter(protected={"running"})
+    assert stem(["running", "jumping"]) == ["running", "jump"]
+
+
 def test_rank_eval_metrics():
     ranked = ["a", "b", "c", "d"]
     rel = {"b", "d", "z"}

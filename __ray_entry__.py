@@ -480,8 +480,11 @@ def q_hash_join(sf):
         num_buckets=16,
     )
     agg = out.groupby("c_nationkey_r").count()
+    out_schema = pa.schema([("c_nationkey", pa.int32()), ("n_orders", pa.int64())])
     agg = agg.map_batches(
-        lambda t: t.rename_columns(["c_nationkey", "n_orders"]),
+        # groupby/count round-trips the key through pandas and widens
+        # int32 -> int64; cast back to the source column's dtype
+        lambda t: t.rename_columns(["c_nationkey", "n_orders"]).cast(out_schema),
         batch_format="pyarrow",
     )
     return agg.sort("c_nationkey")
@@ -611,7 +614,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stats_nchars": (
             "SELECT COUNT(n_chars) AS cnt, MIN(n_chars) AS min_v, "
-            "MAX(n_chars) AS max_v, SUM(n_chars) AS sum_v, "
+            "MAX(n_chars) AS max_v, CAST(SUM(n_chars) AS BIGINT) AS sum_v, "
             "SUM(n_chars) / CAST(COUNT(n_chars) AS DOUBLE) AS avg_v FROM documents"
         ),
         "extended_stats_nchars": (

@@ -35,7 +35,10 @@ from raydex.analysis.tokenizer import (
 
 _P_DOT, _P_APOS, _P_COMMA = "\x01", "\x02", "\x03"
 _SPLIT_CLASS = r"[^a-z0-9_\x01\x02\x03]+"
-_ASCII_RE = r"^[\x00-\x7F]*$"
+# \x01-\x03 are the joiner placeholder bytes — text that literally
+# contains them must take the Python fallback or the restore step would
+# corrupt it (they'd read back as '.', "'", ',' and wrongly join tokens)
+_ASCII_RE = r"^[\x00\x04-\x7F]*$"
 
 
 def _protect(arr: pa.Array) -> pa.Array:

@@ -236,6 +236,14 @@ def build_index(
 
     ``input_path`` may be a file/dir (read_parquet) or pre-built Dataset
     via ``ray_ds``. ``source``: 'text' | 'html' | 'verify'.
+
+    Path contract: ``index_dir`` must be visible at the SAME path from
+    every Ray worker and the driver — on one node any local dir works; on
+    a multi-node cluster it must be a shared mount (NFS/FUSE-mounted
+    object store). Segment files are written by workers and stitched into
+    a manifest by the driver, exactly like the reference's
+    shard-on-shared-nothing-disks model requires node-local paths per
+    shard; here the partition directory IS the shard directory.
     """
     import ray
     import ray.data as rd
@@ -279,6 +287,32 @@ def _build_index_inner(
     import pyarrow as pa
 
     os.makedirs(index_dir, exist_ok=True)
+    # Resume safety: record the routing-relevant build parameters once and
+    # fail fast if a resumed build would mix two layouts (e.g. a different
+    # num_partitions silently re-routes urls, dropping/duplicating docs).
+    params = {
+        "num_partitions": num_partitions,
+        "analyzer": analyzer,
+        "source": source,
+        "dedup": bool(dedup),
+        "max_docs_per_segment": max_docs_per_segment,
+        "store_positions": bool(store_positions),
+    }
+    params_path = os.path.join(index_dir, "build_params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prev = json.load(f)
+        if resume and prev != params:
+            diff = {k: (prev.get(k), v) for k, v in params.items() if prev.get(k) != v}
+            raise ValueError(
+                f"resume=True with different build parameters than the original "
+                f"build (old, new): {diff}; delete {index_dir} or match the "
+                f"original parameters"
+            )
+    ptmp = params_path + ".tmp"
+    with open(ptmp, "w") as f:
+        json.dump(params, f)
+    os.replace(ptmp, params_path)
     skip = frozenset(completed_partitions(index_dir)) if resume else frozenset()
 
     cols = ["url", "warc_ts", "text"]

@@ -330,7 +330,11 @@ def merge_partition_segments(
     """Merge the given segments per partition (``part -> [seg_id, ...]``)
     in ONE Ray Data shuffle across all partitions. Returns
     ``part -> merged seg_id``. Old segments are deleted and partition /
-    index manifests rewritten."""
+    index manifests rewritten.
+
+    Path contract (same as ``build_index``): ``index_dir`` must resolve
+    to the same filesystem on every worker and the driver — bucket files
+    are written by reduce tasks and manifested by the driver."""
     import ray.data as rd
 
     manifest = load_index_manifest(index_dir)
@@ -382,6 +386,7 @@ def merge_partition_segments(
     )
     bucket_rows = stats.to_pandas()
 
+    to_delete: list[str] = []
     for part, tmp in out_tmp.items():
         buckets = sorted(
             d for d in os.listdir(tmp) if d.startswith("bucket=")
@@ -409,10 +414,12 @@ def merge_partition_segments(
             json.dump(m, f)
         final = tmp[: -len(".tmp")]
         os.replace(tmp, final)
-        # drop merged inputs, update partition manifest
+        # update partition manifest; old segment dirs are deleted only AFTER
+        # the index manifest commit below (a crash in between must leave an
+        # openable index — the reference drops old segments only once the new
+        # commit point is durable, e.g. IndexFileDeleter semantics)
         part_dir = _part_dir(index_dir, part)
-        for sid in merges[part]:
-            shutil.rmtree(os.path.join(part_dir, sid), ignore_errors=True)
+        to_delete.extend(os.path.join(part_dir, sid) for sid in merges[part])
         pm_path = os.path.join(part_dir, PART_MANIFEST)
         if os.path.exists(pm_path):
             with open(pm_path) as f:
@@ -452,6 +459,9 @@ def merge_partition_segments(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    # new commit point durable -> now safe to drop the merged inputs
+    for d in to_delete:
+        shutil.rmtree(d, ignore_errors=True)
     return merged_ids
 
 

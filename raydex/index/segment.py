@@ -299,6 +299,10 @@ class SegmentReader:
         self.urls = d["url"]
         self.norms = d["norm"].to_numpy()
         self.dl_quant = byte4_to_int(self.norms)
+        # exact per-doc length for range filters; dl_quant stays the
+        # scoring length (SmallFloat rounds down above 40, so filtering
+        # on dl_quant would wrongly exclude e.g. raw dl 41 from gte=41)
+        self.dl = d["dl"].to_numpy()
         with open(os.path.join(seg_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.ndocs = self.manifest["doc_count"]

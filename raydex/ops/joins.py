@@ -91,13 +91,21 @@ def copartition_join(left_ds, right_ds, key_left: str, key_right: str,
         batch_format="pyarrow",
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    out_cols = [c for c in all_cols if c != key_right_out]
+    out_schema = pa.schema([(c, types[c]) for c in out_cols])
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        # pandas widens null-padded int columns to float64; cast the merge
+        # output back to the Arrow types recorded from the input schemas so
+        # downstream consumers (and the DuckDB oracle compare) see int32
+        # where the source had int32.
         l = g[g["_side"] == "l"][left_cols]
         r = g[g["_side"] == "r"][right_renamed]
         if l.empty or r.empty:
-            return pd.DataFrame(columns=[c for c in all_cols if c != key_right_out])
+            return out_schema.empty_table()
         out = l.merge(r, left_on=key_left, right_on=key_right_out, how="inner")
-        return out.drop(columns=[key_right_out])
+        out = out.drop(columns=[key_right_out])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
 
     both = left.union(right)
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -416,7 +416,7 @@ class SegmentEvaluator:
             return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, RangeQ):
             if q.fld == "dl":
-                vals = self.r.dl_quant
+                vals = self.r.dl  # exact length, not the SmallFloat-quantized one
             else:
                 vals = np.asarray(self.r.urls.to_pylist(), dtype=object)
             mask = np.ones(n, dtype=bool)

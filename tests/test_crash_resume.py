@@ -68,7 +68,11 @@ def test_kill_mid_build_then_resume(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-500:]
     m = load_index_manifest(idx)
-    assert sorted(m["resumed_partitions"]) == sorted(done_after_kill)
+    # A partition may complete between the snapshot and the SIGKILL landing,
+    # so the resume may legitimately skip MORE partitions than we snapshotted
+    # — assert subset, not equality (the content-identity oracle below is the
+    # real correctness check).
+    assert set(done_after_kill) <= set(m["resumed_partitions"])
     assert completed_partitions(idx) == set(range(6))
 
     # oracle: fresh un-interrupted build is content-identical

@@ -385,14 +385,14 @@ def q_minhash_pairs(sf):
 
     return minhash_lsh_pairs(
         _ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id"
-    )
+    ).sort(["id_a", "id_b"])
 
 
 def q_simhash_docs(sf):
-    from raydex.ops.dedup import simhash64
+    from raydex.ops.dedup import simhash64_batch
 
     def add(t: pa.Table) -> pa.Table:
-        hs = ["%016x" % simhash64(str(x)) for x in t["text"].to_pylist()]
+        hs = ["%016x" % h for h in simhash64_batch(t["text"].to_pylist())]
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, pa.string())})
 
     return _ds(sf, "documents", ["doc_id", "text"]).map_batches(add, batch_format="pyarrow")
@@ -404,7 +404,7 @@ def q_embedding_near_dup(sf):
     out = embedding_near_dup_pairs(
         _ds(sf, "embeddings"), "embedding", "vec_id", threshold=0.99
     )
-    return out.select(["id_a", "id_b"])
+    return out.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
 def q_lang_id_docs(sf):

@@ -14,6 +14,23 @@ All five flavors requested by the build brief, each Ray-Data-first:
 Hashing is murmur3-based (raydex.partition) — deterministic, seeded, no
 wall clock. Shuffles: one groupby per stage, always on a hash key;
 candidate verification happens inside the bucket group (no N^2).
+
+Scale contract (100 TB): the pair-producing operators return a
+``ray.data.Dataset`` — the pair list NEVER lands on the driver; callers
+``write_parquet`` it or feed it to a connected-components pass. Pair
+dedup (the same pair surfacing from several bands/buckets) is a keyed
+``groupby`` shuffle, not driver pandas. Degenerate LSH buckets (every
+doc identical → O(n²) candidate pairs) are guarded by
+``max_bucket_size``: oversized buckets emit STAR pairs (everything
+paired with the bucket's min id) — O(n) output that preserves
+connectivity for dedup-by-connected-components, documented reduced pair
+recall for analytics.
+
+Signature computation is batch-vectorized: per-batch flat shingle/token
+hashing (murmur3_hash_many), the (num_hashes × shingles) permutation
+matrix + per-doc ``np.minimum.reduceat``, FNV-style band folding — no
+per-document Python in the hot path. Hash coefficients are drawn once
+per actor in ``__init__``.
 """
 
 from __future__ import annotations
@@ -25,6 +42,16 @@ import pandas as pd
 import pyarrow as pa
 
 from raydex.partition import murmur3_hash_many
+
+_M61 = np.uint64(2305843009213693951)  # 2^61-1
+_FNV = np.uint64(1099511628211)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via a byte lookup table."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(x.shape + (8,))
+    return _POPCNT8[b].sum(axis=-1).astype(np.int64)
 
 
 def content_hash_column(texts) -> list[str]:
@@ -85,47 +112,104 @@ def _shingles(text: str, n: int = 3) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+def _minhash_coefficients(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """The k-wise hash family parameters — fixed seed, drawn ONCE."""
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, 2**31, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, 2**31, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signature(text: str, num_hashes: int, n: int = 3) -> np.ndarray:
-    """num_hashes 32-bit minhashes via seed-salted murmur3."""
+    """Scalar reference implementation (property-test oracle for the
+    batch path): num_hashes 32-bit minhashes via seed-salted murmur3."""
     sh = _shingles(text, n)
     if not sh:
         return np.full(num_hashes, np.iinfo(np.uint32).max, dtype=np.uint32)
     base = murmur3_hash_many(sh).astype(np.uint64) & np.uint64(0xFFFFFFFF)
-    # k-wise hashing: h_i(x) = (a_i * x + b_i) mod 2^61-1, truncated
-    rng = np.random.default_rng(1234)
-    a = rng.integers(1, 2**31, size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, 2**31, size=num_hashes, dtype=np.uint64)
-    M = np.uint64(2305843009213693951)  # 2^61-1
-    vals = (base[None, :] * a[:, None] + b[:, None]) % M
+    a, b = _minhash_coefficients(num_hashes)
+    vals = (base[None, :] * a[:, None] + b[:, None]) % _M61
     return vals.min(axis=1).astype(np.uint32)
 
 
+def minhash_signatures_batch(
+    texts: list[str], num_hashes: int, n: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Vectorized (ndocs, num_hashes) uint32 signature matrix.
+
+    One murmur3 pass over the batch's flat shingle list, one
+    (num_hashes × total_shingles) permutation product, per-doc min via
+    ``np.minimum.reduceat`` — identical values to ``minhash_signature``
+    row by row (tested)."""
+    ndocs = len(texts)
+    flat: list[str] = []
+    counts = np.empty(ndocs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        sh = _shingles(str(t), n)
+        counts[i] = len(sh)
+        flat.extend(sh)
+    sigs = np.full((ndocs, num_hashes), np.iinfo(np.uint32).max, dtype=np.uint32)
+    if not flat:
+        return sigs
+    base = murmur3_hash_many(flat).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    vals = (base[None, :] * a[:, None] + b[:, None]) % _M61  # (H, S)
+    nonempty = np.flatnonzero(counts)
+    starts = (np.cumsum(counts) - counts)[nonempty]
+    mins = np.minimum.reduceat(vals, starts, axis=1)  # (H, ndocs_nonempty)
+    sigs[nonempty] = mins.T.astype(np.uint32)
+    return sigs
+
+
 class _MinhashBatch:
-    """Actor-pool stage: hash params computed once per actor."""
+    """Actor-pool stage: hash params computed once per actor (__init__);
+    __call__ is fully batch-vectorized."""
 
     def __init__(self, text_col: str, id_col: str, num_hashes: int, bands: int, n: int):
         self.text_col, self.id_col = text_col, id_col
         self.num_hashes, self.bands, self.n = num_hashes, bands, n
         self.rows_per_band = num_hashes // bands
+        self.a, self.b = _minhash_coefficients(num_hashes)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
+        ids = t[self.id_col].to_numpy()
         texts = t[self.text_col].to_pylist()
-        out_id, out_band, out_sig = [], [], []
-        for i, txt in zip(ids, texts):
-            sig = minhash_signature(str(txt), self.num_hashes, self.n)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                out_id.append(i)
-                out_band.append(band)
-                out_sig.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+        sigs = minhash_signatures_batch(texts, self.num_hashes, self.n, self.a, self.b)
+        # band folding: FNV-mix the rows_per_band lanes of each band into
+        # one uint64 key (equality structure == equality of the lane
+        # vector, modulo negligible 64-bit collisions)
+        lanes = sigs.reshape(len(ids), self.bands, self.rows_per_band)
+        h = np.full((len(ids), self.bands), np.uint64(14695981039346656037))
+        for r in range(self.rows_per_band):
+            h = (h * _FNV) ^ lanes[:, :, r].astype(np.uint64)
+        nb = self.bands
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "sig": pa.array(out_sig, pa.string()),
+                "doc_id": pa.array(np.repeat(ids.astype(np.int64), nb)),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), len(ids))),
+                "sig": pa.array(h.ravel()),
             }
         )
+
+
+def _bucket_pairs_df(ids: np.ndarray, max_bucket_size: int) -> pd.DataFrame:
+    """All-pairs within a bucket, star-capped when degenerate."""
+    ids = np.unique(ids.astype(np.int64))
+    if ids.size < 2:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+    if ids.size > max_bucket_size:
+        # degenerate bucket (e.g. boilerplate duplicated n times): O(n)
+        # star pairs keep the connected component intact without the
+        # O(n²) pair explosion
+        return pd.DataFrame({"id_a": np.full(ids.size - 1, ids[0]), "id_b": ids[1:]})
+    iu = np.triu_indices(ids.size, k=1)
+    return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+
+
+def _dedup_pairs(pairs_ds):
+    """Distinct (id_a, id_b) via a keyed groupby — NO driver collect."""
+    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 def minhash_lsh_pairs(
@@ -137,17 +221,16 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.0,
     texts_lookup: dict | None = None,
+    max_bucket_size: int = 4096,
 ):
-    """Candidate near-dup pairs: (band, sig) groupby -> within-bucket
-    pairs, deduplicated, optionally Jaccard-verified against
-    ``texts_lookup`` (a broadcast {id: text} for the verify stage)."""
+    """Candidate near-dup pairs as a **Dataset**: (band, sig) groupby ->
+    within-bucket pairs, keyed-groupby deduplicated, optionally
+    Jaccard-verified against ``texts_lookup`` (a broadcast {id: text}
+    map applied inside map_batches). Nothing materializes on the driver;
+    callers ``write_parquet`` / ``take_all`` at their own scale."""
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
+        return _bucket_pairs_df(g["doc_id"].to_numpy(), max_bucket_size)
 
     pairs = (
         ds.map_batches(
@@ -157,19 +240,25 @@ def minhash_lsh_pairs(
         .groupby(["band", "sig"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    pdf = pairs.to_pandas()
-    if pdf.empty:
-        pdf = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-    pdf = pdf.drop_duplicates().sort_values(["id_a", "id_b"])
+    pairs = _dedup_pairs(pairs)
     if jaccard_threshold > 0 and texts_lookup is not None:
-        keep = []
-        for ra, rb in zip(pdf["id_a"], pdf["id_b"]):
-            j = ngram_jaccard(
-                str(texts_lookup[ra]), str(texts_lookup[rb]), n=shingle_n
-            )
-            keep.append(j >= jaccard_threshold)
-        pdf = pdf[np.array(keep, dtype=bool)] if len(keep) else pdf
-    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+        import ray
+
+        ref = ray.put(texts_lookup)
+
+        def verify(t: pa.Table) -> pa.Table:
+            lookup = ray.get(ref)
+            ia = t["id_a"].to_pylist()
+            ib = t["id_b"].to_pylist()
+            keep = [
+                ngram_jaccard(str(lookup[x]), str(lookup[y]), n=shingle_n)
+                >= jaccard_threshold
+                for x, y in zip(ia, ib)
+            ]
+            return t.filter(pa.array(np.array(keep, dtype=bool)))
+
+        pairs = pairs.map_batches(verify, batch_format="pyarrow")
+    return pairs
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -182,90 +271,121 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 # ---------------------------------------------------------------- simhash
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (murmur3-derived bits)."""
-    toks = text.split()
-    if not toks:
-        return 0
-    h1 = murmur3_hash_many(toks).astype(np.uint64) & np.uint64(0xFFFFFFFF)
-    h2 = murmur3_hash_many([t + "\x01" for t in toks]).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash per doc (murmur3-derived token bits).
+
+    One murmur3 pass over the batch's flat token list; per-doc ±1 bit
+    sums via ``np.add.reduceat``. Identical values to the scalar
+    definition (tested)."""
+    ndocs = len(texts)
+    flat: list[str] = []
+    counts = np.empty(ndocs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = str(t).split()
+        counts[i] = len(toks)
+        flat.extend(toks)
+    out = np.zeros(ndocs, dtype=np.uint64)
+    if not flat:
+        return out
+    h1 = murmur3_hash_many(flat).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    h2 = murmur3_hash_many([t + "\x01" for t in flat]).astype(np.uint64) & np.uint64(
+        0xFFFFFFFF
+    )
     h = (h1 << np.uint64(32)) | h2
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    shifts = np.arange(64, dtype=np.uint64)
+    pm = (2 * ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1)  # (T, 64)
+    nonempty = np.flatnonzero(counts)
+    starts = (np.cumsum(counts) - counts)[nonempty]
+    v = np.add.reduceat(pm, starts, axis=0)  # (ndocs_nonempty, 64)
+    packed = ((v > 0).astype(np.uint64) << shifts).sum(axis=1)
+    out[nonempty] = packed
+    return out
+
+
+def simhash64(text: str) -> int:
+    """Scalar convenience wrapper over the batch path."""
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_column(ds, text_col: str, out_col: str = "simhash"):
     def add(t: pa.Table) -> pa.Table:
-        vals = [simhash64(str(x)) for x in t[text_col].to_pylist()]
-        return t.append_column(out_col, pa.array(np.array(vals, dtype=np.uint64)))
+        vals = simhash64_batch(t[text_col].to_pylist())
+        return t.append_column(out_col, pa.array(vals))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def simhash_near_dup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
-    """Hamming-radius candidate pairs via the band pigeonhole trick:
-    with ``max_hamming+1`` bands, any two hashes within the radius share
-    at least one full band; groupby(band, band_value) then verify exact
-    hamming distance in-bucket."""
+def simhash_near_dup_pairs(
+    ds, text_col: str, id_col: str, max_hamming: int = 3, max_bucket_size: int = 4096
+):
+    """Hamming-radius candidate pairs as a **Dataset**, via the band
+    pigeonhole trick: with ``max_hamming+1`` bands, any two hashes
+    within the radius share at least one full band; groupby(band,
+    band_value), verify exact hamming distance in-bucket (vectorized
+    XOR + table popcount), keyed-groupby dedup."""
     nbands = max_hamming + 1
     band_bits = 64 // nbands
-    band_mask = (1 << band_bits) - 1
+    band_mask = np.uint64((1 << band_bits) - 1)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        hs = [simhash64(str(x)) for x in t[text_col].to_pylist()]
-        rid, rb, rv, rh = [], [], [], []
-        for i, h in zip(ids, hs):
-            for band in range(nbands):
-                rid.append(i)
-                rb.append(band)
-                rv.append((h >> (band * band_bits)) & band_mask)
-                rh.append(h)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        hs = simhash64_batch(t[text_col].to_pylist())  # (n,) uint64
+        shifts = (np.arange(nbands, dtype=np.uint64) * np.uint64(band_bits))
+        vals = (hs[:, None] >> shifts[None, :]) & band_mask  # (n, nbands)
         return pa.table(
             {
-                "doc_id": pa.array(rid, pa.int64()),
-                "band": pa.array(rb, pa.int32()),
-                "band_val": pa.array(rv, pa.int64()),
-                "simhash": pa.array(np.array(rh, dtype=np.uint64)),
+                "doc_id": pa.array(np.repeat(ids, nbands)),
+                "band": pa.array(np.tile(np.arange(nbands, dtype=np.int32), ids.size)),
+                "band_val": pa.array(vals.ravel().astype(np.int64)),
+                "simhash": pa.array(np.repeat(hs, nbands)),
             }
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
+        ids = rows["doc_id"].to_numpy().astype(np.int64)
         hs = rows["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.flatnonzero(d <= max_hamming):
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).astype("int64")
+        n = ids.size
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        if n > max_bucket_size:
+            # degenerate bucket: verify against the min-id doc only (star)
+            d = _popcount64(hs[0] ^ hs[1:])
+            sel = np.flatnonzero(d <= max_hamming)
+            return pd.DataFrame({"id_a": np.full(sel.size, ids[0]), "id_b": ids[1 + sel]})
+        iu = np.triu_indices(n, k=1)
+        d = _popcount64(hs[iu[0]] ^ hs[iu[1]])
+        sel = d <= max_hamming
+        return pd.DataFrame({"id_a": ids[iu[0][sel]], "id_b": ids[iu[1][sel]]})
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["band", "band_val"])
         .map_groups(verify, batch_format="pandas")
     )
-    pdf = pairs.to_pandas()
-    if pdf.empty:
-        pdf = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-    pdf = pdf.drop_duplicates().sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+    return _dedup_pairs(pairs)
 
 
 # ------------------------------------------------------------- embeddings
 
 
 def embedding_near_dup_pairs(
-    ds, vec_col: str, id_col: str, threshold: float = 0.95, num_planes: int = 8, seed: int = 7
+    ds,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 7,
+    max_bucket_size: int = 8192,
 ):
-    """Cosine near-dup via random-hyperplane LSH buckets + in-bucket
-    matmul verify. ``num_planes`` trades recall for bucket size; pairs
-    split across buckets are found because near-identical vectors share
-    sign patterns with high probability (document: approximate recall)."""
+    """Cosine near-dup pairs as a **Dataset** via random-hyperplane LSH
+    buckets + in-bucket matmul verify. ``num_planes`` trades recall for
+    bucket size; pairs split across buckets are found because
+    near-identical vectors share sign patterns with high probability
+    (document: approximate recall). Same-pair-in-many-buckets dedup is a
+    keyed groupby (keeps max — the cosine is identical anyway)."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
@@ -283,13 +403,33 @@ def embedding_near_dup_pairs(
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         v = np.asarray(list(g["vec"]), dtype=np.float64)
+        if ids.size < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
         norm = np.linalg.norm(v, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         u = v / norm
+        if ids.size > max_bucket_size:
+            # degenerate bucket: compare to the min-id vector only
+            sim = u[1:] @ u[0]
+            sel = np.flatnonzero(sim >= threshold)
+            return pd.DataFrame(
+                {
+                    "id_a": np.full(sel.size, ids[0]),
+                    "id_b": ids[1 + sel],
+                    "cosine": sim[sel],
+                }
+            )
         sim = u @ u.T
-        iu = np.triu_indices(len(ids), k=1)
+        iu = np.triu_indices(ids.size, k=1)
         mask = sim[iu] >= threshold
         return pd.DataFrame(
             {
@@ -304,14 +444,6 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    pdf = pairs.to_pandas()
-    if pdf.empty:
-        pdf = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "cosine": pd.Series(dtype="float64"),
-            }
-        )
-    pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

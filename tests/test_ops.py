@@ -135,7 +135,7 @@ def test_minhash_and_jaccard(ray_session):
     texts = {r["doc_id"]: r["text"] for r in rows}
     pairs = dedup.minhash_lsh_pairs(
         ds, "text", "doc_id", jaccard_threshold=0.5, texts_lookup=texts
-    ).to_pylist()
+    ).take_all()
     got = {(p["id_a"], p["id_b"]) for p in pairs}
     assert (2, 3) in got  # identical docs always pair
     assert (0, 1) in got  # near-identical pair found
@@ -156,7 +156,7 @@ def test_simhash(ray_session):
     d01 = bin(h0 ^ dedup.simhash64(rows[1]["text"])).count("1")
     pairs = dedup.simhash_near_dup_pairs(
         rd.from_items(rows), "text", "doc_id", max_hamming=max(3, d01)
-    ).to_pylist()
+    ).take_all()
     got = {(p["id_a"], p["id_b"]) for p in pairs}
     assert (0, 3) in got  # identical docs always found (distance 0)
     assert (0, 1) in got  # near-identical found within its radius
@@ -231,3 +231,48 @@ def test_multimodal_stub(ray_session):
     a = np.asarray(out.sort_values("media_id")["features"].tolist())
     b = np.asarray(out2.sort_values("media_id")["features"].tolist())
     np.testing.assert_array_equal(a, b)
+
+
+def test_minhash_batch_equals_scalar():
+    """The vectorized signature path is value-identical to the scalar
+    reference implementation, row by row (the refactor-identity gate)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "",
+        "one two",
+        "completely different content about ray data pipelines " * 3,
+    ]
+    a, b = dedup._minhash_coefficients(64)
+    batch = dedup.minhash_signatures_batch(texts, 64, 3, a, b)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(batch[i], dedup.minhash_signature(t, 64, 3))
+
+
+def test_simhash_batch_equals_scalar_defn():
+    """Batch simhash matches the per-doc definition (murmur3 token bits,
+    ±1 sums, sign pack) including empty docs."""
+    texts = ["alpha beta gamma", "", "alpha beta gamma delta " * 10, "x"]
+    got = dedup.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert got[i] == 0
+            continue
+        from raydex.partition import murmur3_hash_many
+        h1 = murmur3_hash_many(toks).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h2 = murmur3_hash_many([x + "\x01" for x in toks]).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h = (h1 << np.uint64(32)) | h2
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        want = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        assert int(got[i]) == want
+
+
+def test_bucket_pair_star_guard():
+    """Oversized buckets emit O(n) star pairs preserving connectivity."""
+    ids = np.arange(100, dtype=np.int64)
+    full = dedup._bucket_pairs_df(ids, max_bucket_size=200)
+    assert len(full) == 100 * 99 // 2
+    star = dedup._bucket_pairs_df(ids, max_bucket_size=50)
+    assert len(star) == 99
+    assert (star["id_a"] == 0).all()

@@ -540,6 +540,61 @@ def q_dsl_prefix_count(sf):
     return pa.table({"n_docs": pa.array([n], pa.int64())})
 
 
+def q_multi_match_count(sf):
+    """`multi_match` over [text, url] (url := str(doc_id)) — count is
+    SQL-checkable: token membership in text OR doc_id equality."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count(
+        {"multi_match": {"query": "batch 17", "fields": ["text", "url"]}}
+    )
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def q_match_bool_prefix_count(sf):
+    """`match_bool_prefix`: term 'batch' OR token prefix 'str'."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count({"match_bool_prefix": {"text": "batch str"}})
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def q_match_phrase_prefix_count(sf):
+    """`match_phrase_prefix`: 'batch' immediately followed by a token
+    starting 'str' (single-space word text keeps it SQL-checkable)."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count(
+        {"match_phrase_prefix": {"text": {"query": "batch str",
+                                          "max_expansions": 100000}}}
+    )
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def q_terms_set_count(sf):
+    """`terms_set` with minimum_should_match=2 over three terms."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count(
+        {"terms_set": {"text": {"terms": ["batch", "stream", "window"],
+                                "minimum_should_match": 2}}}
+    )
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
+def q_query_string_count(sf):
+    """`query_string` grammar: (batch AND stream) OR window."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count({"query_string": {"query": "(batch AND stream) OR window"}})
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
 def q_analyze_tokens(sf):
     """The `_analyze` API analogue (tokens for golden inputs)."""
     from raydex.analysis.tokenizer import get_analyzer
@@ -598,6 +653,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_top": q_match_phrase_top,
         "dsl_bool": q_dsl_bool,
         "dsl_prefix_count": q_dsl_prefix_count,
+        "multi_match_count": q_multi_match_count,
+        "match_bool_prefix_count": q_match_bool_prefix_count,
+        "match_phrase_prefix_count": q_match_phrase_prefix_count,
+        "terms_set_count": q_terms_set_count,
+        "query_string_count": q_query_string_count,
         "analyze_tokens": q_analyze_tokens,
     }
 
@@ -736,6 +796,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_docs FROM documents "
             "WHERE EXISTS (SELECT 1 FROM unnest(string_split(documents.text, ' ')) "
             "AS t(tok) WHERE tok LIKE 'sc%')"
+        ),
+        "multi_match_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "OR ' ' || text || ' ' LIKE '% 17 %' "
+            "OR CAST(doc_id AS VARCHAR) = '17'"
+        ),
+        "match_bool_prefix_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "OR EXISTS (SELECT 1 FROM unnest(string_split(documents.text, ' ')) "
+            "AS t(tok) WHERE tok LIKE 'str%')"
+        ),
+        "match_phrase_prefix_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch str%'"
+        ),
+        "terms_set_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents WHERE "
+            "(CASE WHEN ' ' || text || ' ' LIKE '% batch %' THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN ' ' || text || ' ' LIKE '% stream %' THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN ' ' || text || ' ' LIKE '% window %' THEN 1 ELSE 0 END) >= 2"
+        ),
+        "query_string_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE (' ' || text || ' ' LIKE '% batch %' "
+            "AND ' ' || text || ' ' LIKE '% stream %') "
+            "OR ' ' || text || ' ' LIKE '% window %'"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -307,6 +307,19 @@ class SegmentReader:
             self.manifest = json.load(f)
         self.ndocs = self.manifest["doc_count"]
         self.sum_dl = self.manifest["sum_dl"]
+        self._derived: dict[str, object] = {}
+
+    def derived_field(self, name: str):
+        """Lazy segment-local index over a stored column (the multi-field
+        / runtime-field analogue; raydex.search.fields). Built once per
+        reader — i.e. once per query actor."""
+        if name not in self._derived:
+            from raydex.search.fields import DerivedFieldIndex
+
+            if name != "url":
+                raise ValueError(f"no stored column for derived field {name!r}")
+            self._derived[name] = DerivedFieldIndex(self.urls.to_pylist())
+        return self._derived[name]
 
     @staticmethod
     def _load_bucketed(seg_dir: str, manifest: dict):

@@ -57,6 +57,7 @@ class MatchAll(Query):
 @dataclass
 class Term(Query):
     value: str = ""
+    fld: str = "text"
 
 
 @dataclass
@@ -69,6 +70,7 @@ class Match(Query):
     text: str = ""
     operator: str = "or"
     minimum_should_match: int = 0
+    fld: str = "text"
 
 
 @dataclass
@@ -117,6 +119,75 @@ class Exists(Query):
 
 
 @dataclass
+class MatchNone(Query):
+    pass
+
+
+@dataclass
+class MultiMatch(Query):
+    """`multi_match` (MultiMatchQueryBuilder.java:1): per-field match
+    queries combined best_fields (dis_max + tie_breaker) / most_fields
+    (sum) / phrase / bool_prefix. Fields may carry ^boost suffixes."""
+
+    text: str = ""
+    fields: tuple = ("text",)  # entries like "text" or "url^2"
+    type: str = "best_fields"
+    operator: str = "or"
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class MatchBoolPrefix(Query):
+    """`match_bool_prefix` (MatchBoolPrefixQueryBuilder.java:1): all
+    analyzed terms as bool.should term queries, the LAST as a prefix."""
+
+    text: str = ""
+    fld: str = "text"
+
+
+@dataclass
+class MatchPhrasePrefix(Query):
+    """`match_phrase_prefix` (MatchPhrasePrefixQueryBuilder.java):
+    exact phrase whose last term is a prefix, expanded to at most
+    ``max_expansions`` segment-local terms (Lucene MultiPhraseQuery)."""
+
+    text: str = ""
+    max_expansions: int = 50
+
+
+@dataclass
+class TermsSet(Query):
+    """`terms_set` (TermsSetQueryBuilder.java:1): scored like a bool of
+    term queries with a minimum-should-match count (here a constant —
+    the reference's minimum_should_match_field resolves per doc; a
+    per-doc field hook can be added the same way RangeQ reads dl)."""
+
+    values: tuple = ()
+    minimum_should_match: int = 1
+
+
+@dataclass
+class DistanceFeature(Query):
+    """`distance_feature` (DistanceFeatureQueryBuilder.java): matches
+    everything, scores boost * pivot / (pivot + |value - origin|) over a
+    stored numeric column (dl here)."""
+
+    fld: str = "dl"
+    origin: float = 0.0
+    pivot: float = 1.0
+
+
+@dataclass
+class ScriptQuery(Query):
+    """`script` query (ScriptQueryBuilder.java): a registered Python
+    predicate over the segment's stored columns — the scripting surface
+    maps to a function registry (SURVEY §2.9)."""
+
+    source: str = ""
+    params: tuple = ()  # tuple of (k, v) pairs (dataclass hashability)
+
+
+@dataclass
 class Bool(Query):
     must: tuple = ()
     should: tuple = ()
@@ -149,22 +220,23 @@ def parse_query(d: dict) -> Query:
     if kind == "match_all":
         return MatchAll(**({"boost": body.get("boost", 1.0)} if body else {}))
     if kind == "term":
-        v = body["text"] if isinstance(body, dict) else body
+        fld, v = _field_body(body)
         if isinstance(v, dict):
-            return Term(value=v["value"], boost=v.get("boost", 1.0))
-        return Term(value=v)
+            return Term(value=v["value"], fld=fld, boost=v.get("boost", 1.0))
+        return Term(value=v, fld=fld)
     if kind == "terms":
         return Terms(values=tuple(body["text"]), boost=body.get("boost", 1.0))
     if kind == "match":
-        v = body["text"] if isinstance(body, dict) else body
+        fld, v = _field_body(body)
         if isinstance(v, dict):
             return Match(
                 text=v["query"],
                 operator=v.get("operator", "or"),
                 minimum_should_match=int(v.get("minimum_should_match", 0)),
+                fld=fld,
                 boost=v.get("boost", 1.0),
             )
-        return Match(text=v)
+        return Match(text=v, fld=fld)
     if kind == "match_phrase":
         v = body["text"] if isinstance(body, dict) else body
         if isinstance(v, dict):
@@ -217,7 +289,107 @@ def parse_query(d: dict) -> Query:
             negative=parse_query(body["negative"]),
             negative_boost=body.get("negative_boost", 0.5),
         )
+    if kind == "match_none":
+        return MatchNone()
+    if kind == "multi_match":
+        return MultiMatch(
+            text=body["query"],
+            fields=tuple(body.get("fields", ["text"])),
+            type=body.get("type", "best_fields"),
+            operator=body.get("operator", "or"),
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "match_bool_prefix":
+        fld, v = _field_body(body)
+        if isinstance(v, dict):
+            return MatchBoolPrefix(text=v["query"], fld=fld, boost=v.get("boost", 1.0))
+        return MatchBoolPrefix(text=v, fld=fld)
+    if kind == "match_phrase_prefix":
+        v = body["text"] if isinstance(body, dict) else body
+        if isinstance(v, dict):
+            return MatchPhrasePrefix(
+                text=v["query"],
+                max_expansions=int(v.get("max_expansions", 50)),
+                boost=v.get("boost", 1.0),
+            )
+        return MatchPhrasePrefix(text=v)
+    if kind == "terms_set":
+        (fld, v), = body.items()
+        msm = v.get("minimum_should_match", 1)
+        return TermsSet(
+            values=tuple(v["terms"]),
+            minimum_should_match=msm if isinstance(msm, int) else 1,
+            boost=v.get("boost", 1.0),
+        )
+    if kind == "distance_feature":
+        return DistanceFeature(
+            fld=body.get("field", "dl"),
+            origin=float(body["origin"]),
+            pivot=float(body["pivot"]),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "script":
+        spec = body.get("script", body)
+        return ScriptQuery(
+            source=spec["source"],
+            params=tuple(sorted((spec.get("params") or {}).items())),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "wrapper":
+        # base64-encoded JSON query (WrapperQueryBuilder.java)
+        import base64
+        import json as _json
+
+        return parse_query(_json.loads(base64.b64decode(body["query"])))
+    if kind == "query_string":
+        from raydex.search.query_string import parse_query_string
+
+        return parse_query_string(
+            body["query"] if isinstance(body, dict) else body,
+            default_field=body.get("default_field", "text") if isinstance(body, dict) else "text",
+            default_operator=body.get("default_operator", "or") if isinstance(body, dict) else "or",
+        )
+    if kind == "simple_query_string":
+        from raydex.search.query_string import parse_simple_query_string
+
+        return parse_query(
+            parse_simple_query_string(
+                body["query"] if isinstance(body, dict) else body,
+                default_operator=body.get("default_operator", "or")
+                if isinstance(body, dict) else "or",
+            )
+        )
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+# script-query registry (the Painless-surface analogue, SURVEY §2.9):
+# name -> fn(cols: dict[str, np.ndarray], params: dict) -> bool mask.
+# cols provides 'url' (object array) and 'dl' (int array).
+SCRIPT_QUERIES: dict = {}
+
+
+def register_script_query(name: str, fn) -> None:
+    SCRIPT_QUERIES[name] = fn
+
+
+register_script_query(
+    "url_contains",
+    lambda cols, params: np.char.find(
+        cols["url"].astype(str), params.get("substr", "")
+    ) >= 0,
+)
+register_script_query(
+    "dl_mod", lambda cols, params: cols["dl"] % int(params.get("mod", 2)) == int(params.get("rem", 0))
+)
+
+
+def _field_body(body):
+    """('text'|'url', spec) from a {field: spec} DSL body."""
+    if isinstance(body, dict):
+        (fld, v), = body.items()
+        return fld, v
+    return "text", body
 
 
 def _as_list(x):
@@ -234,11 +406,18 @@ def collect_stat_terms(q: Query, analyzer) -> set[str]:
     leaves only — expansions are segment-local constant-score)."""
     out: set[str] = set()
     if isinstance(q, Term):
-        out.add(q.value)
+        if q.fld == "text":
+            out.add(q.value)
     elif isinstance(q, Terms):
         out.update(q.values)
     elif isinstance(q, (Match, MatchPhrase)):
+        if not isinstance(q, Match) or q.fld == "text":
+            out.update(analyzer(q.text))
+    elif isinstance(q, (MultiMatch, MatchBoolPrefix, MatchPhrasePrefix)):
+        # text-field scoring terms; url-field leaves score segment-local
         out.update(analyzer(q.text))
+    elif isinstance(q, TermsSet):
+        out.update(q.values)
     elif isinstance(q, Bool):
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
             out |= collect_stat_terms(sub, analyzer)
@@ -334,6 +513,54 @@ class SegmentEvaluator:
             mask[ids] = True
         return scores, mask
 
+    def _derived_term_leaf(self, field: str, term: str, boost: float):
+        """BM25 term leaf over a derived (stored-column) field with
+        SEGMENT-LOCAL stats — the query_then_fetch shard-local default
+        (raydex.search.fields docstring)."""
+        scores = np.zeros(self.n)
+        mask = np.zeros(self.n, dtype=bool)
+        fi = self.r.derived_field(field)
+        p = fi.postings.get(term)
+        if p is not None:
+            ids, tfs = p
+            denom = tf_norm_denom_add(fi.dl[ids], fi.avgdl)
+            scores[ids] = boost * term_score(
+                tfs, denom, float(_idf(fi.ndocs, ids.size))
+            )
+            mask[ids] = True
+        return scores, mask
+
+    def _field_term_leaf(self, field: str, term: str, boost: float):
+        if field == "text":
+            return self._term_leaf(term, boost)
+        return self._derived_term_leaf(field, term, boost)
+
+    def _field_analyze(self, field: str, text: str) -> list[str]:
+        if field == "text":
+            return self.analyzer(text)
+        from raydex.search.fields import tokenize_keywordish
+
+        return tokenize_keywordish(text)
+
+    def _field_match(self, field: str, text: str, operator: str,
+                     minimum_should_match: int, boost: float):
+        n = self.n
+        scores = np.zeros(n)
+        nmatch = np.zeros(n, dtype=np.int32)
+        terms = self._field_analyze(field, text)
+        for t in terms:
+            s, m = self._field_term_leaf(field, t, 1.0)
+            scores += s
+            nmatch += m
+        if operator == "and":
+            need = len(terms)
+            mask = nmatch >= need if need else np.zeros(n, dtype=bool)
+        elif minimum_should_match > 1:
+            mask = nmatch >= minimum_should_match
+        else:
+            mask = nmatch > 0
+        return boost * scores, mask
+
     def _const_terms(self, term_indices: list[int], boost: float):
         mask = np.zeros(self.n, dtype=bool)
         for ti in term_indices:
@@ -346,8 +573,10 @@ class SegmentEvaluator:
         n = self.n
         if isinstance(q, MatchAll):
             return np.full(n, q.boost), np.ones(n, dtype=bool)
+        if isinstance(q, MatchNone):
+            return np.zeros(n), np.zeros(n, dtype=bool)
         if isinstance(q, Term):
-            return self._term_leaf(q.value, q.boost)
+            return self._field_term_leaf(q.fld, q.value, q.boost)
         if isinstance(q, Terms):
             # bool.should of term clauses (reference terms query scoring:
             # constant score per matching term set)
@@ -359,23 +588,9 @@ class SegmentEvaluator:
                     mask[ids] = True
             return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, Match):
-            scores = np.zeros(n)
-            nmatch = np.zeros(n, dtype=np.int32)
-            terms = self.analyzer(q.text)
-            present = 0
-            for t in terms:
-                s, m = self._term_leaf(t, 1.0)
-                scores += s
-                nmatch += m
-                present += bool(m.any()) or (self.stats.df.get(t, 0) > 0)
-            if q.operator == "and":
-                need = len(terms)
-                mask = nmatch >= need if need else np.zeros(n, dtype=bool)
-            elif q.minimum_should_match > 1:
-                mask = nmatch >= q.minimum_should_match
-            else:
-                mask = nmatch > 0
-            return q.boost * scores, mask
+            return self._field_match(
+                q.fld, q.text, q.operator, q.minimum_should_match, q.boost
+            )
         if isinstance(q, MatchPhrase):
             from raydex.analysis.tokenizer import (
                 ENGLISH_STOP_SET,
@@ -448,6 +663,111 @@ class SegmentEvaluator:
             _, nm = self.eval(q.negative)
             scores = np.where(nm, ps * q.negative_boost, ps)
             return q.boost * scores, pm
+        if isinstance(q, MultiMatch):
+            per_field = []
+            for fspec in q.fields:
+                f, _, fb = fspec.partition("^")
+                fboost = float(fb) if fb else 1.0
+                if q.type == "phrase" and f == "text":
+                    s, m = self.eval(MatchPhrase(text=q.text))
+                elif q.type == "bool_prefix":
+                    s, m = self.eval(MatchBoolPrefix(text=q.text, fld=f))
+                else:
+                    s, m = self._field_match(f, q.text, q.operator, 0, 1.0)
+                per_field.append((fboost * s, m))
+            mask = np.zeros(n, dtype=bool)
+            for _, m in per_field:
+                mask |= m
+            stack = np.stack([s for s, _ in per_field])
+            if q.type == "most_fields":
+                combined = stack.sum(axis=0)
+            else:  # best_fields / phrase / bool_prefix: dis_max
+                mx = stack.max(axis=0)
+                combined = mx + q.tie_breaker * (stack.sum(axis=0) - mx)
+            return q.boost * combined, mask
+        if isinstance(q, MatchBoolPrefix):
+            terms = self._field_analyze(q.fld, q.text)
+            if not terms:
+                return np.zeros(n), np.zeros(n, dtype=bool)
+            scores = np.zeros(n)
+            mask = np.zeros(n, dtype=bool)
+            for t in terms[:-1]:
+                s, m = self._field_term_leaf(q.fld, t, 1.0)
+                scores += s
+                mask |= m
+            # last term: constant-score prefix (the reference's rewrite)
+            pmask = np.zeros(n, dtype=bool)
+            if q.fld == "text":
+                for ti in expand_prefix(self.r, terms[-1]):
+                    ids, _ = self.r.postings(ti)
+                    pmask[ids] = True
+            else:
+                fi = self.r.derived_field(q.fld)
+                for t in fi.expand_prefix(terms[-1]):
+                    pmask[fi.postings[t][0]] = True
+            scores += pmask
+            mask |= pmask
+            return q.boost * scores, mask
+        if isinstance(q, MatchPhrasePrefix):
+            from raydex.analysis.tokenizer import (
+                ENGLISH_STOP_SET,
+                standard_analyze_with_positions,
+            )
+            from raydex.search.phrase import phrase_frequencies
+
+            stop = ENGLISH_STOP_SET if self.analyzer.name == "standard_en" else None
+            terms, qpos = standard_analyze_with_positions(q.text, stop)
+            scores = np.zeros(n)
+            mask = np.zeros(n, dtype=bool)
+            if not terms:
+                return scores, mask
+            fixed = terms[:-1]
+            exp = expand_prefix(self.r, terms[-1])[: q.max_expansions]
+            if not exp:
+                return scores, mask
+            pf_total = np.zeros(n, dtype=np.int64)
+            exp_df = 0
+            for ti in exp:
+                exp_df += int(self.r.df[ti])
+                docs, pf = phrase_frequencies(
+                    self.r, fixed + [str(self.r.terms[ti])], qpos
+                )
+                if docs.size:
+                    pf_total[docs] += pf
+            docs = np.flatnonzero(pf_total)
+            if docs.size:
+                sum_idf = float(
+                    sum(_idf(self.stats.ndocs, max(self.stats.df.get(t, 0), 1))
+                        for t in fixed)
+                ) + float(_idf(self.stats.ndocs, max(exp_df, 1)))
+                denom = tf_norm_denom_add(self.r.dl_quant[docs], self.stats.avgdl)
+                scores[docs] = q.boost * term_score(pf_total[docs], denom, sum_idf)
+                mask[docs] = True
+            return scores, mask
+        if isinstance(q, TermsSet):
+            scores = np.zeros(n)
+            cnt = np.zeros(n, dtype=np.int32)
+            for v in q.values:
+                s, m = self._term_leaf(v, 1.0)
+                scores += s
+                cnt += m
+            mask = cnt >= max(1, q.minimum_should_match)
+            return q.boost * np.where(mask, scores, 0.0), mask
+        if isinstance(q, DistanceFeature):
+            vals = self.r.dl.astype(np.float64)
+            dist = np.abs(vals - q.origin)
+            scores = q.boost * (q.pivot / (q.pivot + dist))
+            return scores, np.ones(n, dtype=bool)
+        if isinstance(q, ScriptQuery):
+            fn = SCRIPT_QUERIES.get(q.source)
+            if fn is None:
+                raise ValueError(f"unregistered script query: {q.source!r}")
+            cols = {
+                "url": np.asarray(self.r.urls.to_pylist(), dtype=object),
+                "dl": self.r.dl,
+            }
+            mask = np.asarray(fn(cols, dict(q.params)), dtype=bool)
+            return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, Bool):
             scores = np.zeros(n)
             mask = np.ones(n, dtype=bool)

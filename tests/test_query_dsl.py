@@ -145,3 +145,100 @@ def test_searcher_integration(tmp_path, ray_session):
     nb = s.count({"bool": {"must": [{"term": {"text": "search"}}],
                            "must_not": [{"term": {"text": "engine"}}]}})
     assert 0 <= nb <= n
+
+
+# ------------------------- round-2 DSL surface (multi_match family etc.)
+
+
+@pytest.fixture(scope="module")
+def pseg(tmp_path_factory):
+    """Positions-enabled segment for phrase-prefix tests."""
+    d = str(tmp_path_factory.mktemp("dslp") / "seg")
+    build_segment(d, [u for u, _ in DOCS], [t for _, t in DOCS],
+                  analyzer="standard", store_positions=True)
+    return SegmentReader(d)
+
+
+def test_term_and_match_on_url_field(seg):
+    ev = _ev(seg)
+    assert _match_urls(seg, ev, {"term": {"url": "u00"}}) == ["u00"]
+    assert _match_urls(seg, ev, {"match": {"url": "u05"}}) == ["u05"]
+
+
+def test_multi_match_best_and_most_fields(seg):
+    ev = _ev(seg, ["apple"])
+    q = {"multi_match": {"query": "apple u02", "fields": ["text", "url"]}}
+    assert _match_urls(seg, ev, q) == ["u00", "u01", "u02"]
+    # most_fields sums instead of taking the max
+    qb = {"multi_match": {"query": "apple", "fields": ["text", "url"],
+                          "type": "most_fields"}}
+    ids, sc = ev.top_k(parse_query(qb), 10)
+    ids2, sc2 = ev.top_k(parse_query({"match": {"text": "apple"}}), 10)
+    assert sorted(ids.tolist()) == sorted(ids2.tolist())
+
+
+def test_match_bool_prefix(seg):
+    ev = _ev(seg, ["banana"])
+    q = {"match_bool_prefix": {"text": "banana appl"}}
+    assert _match_urls(seg, ev, q) == ["u00", "u01", "u02", "u04"]
+
+
+def test_match_phrase_prefix(pseg):
+    ev = _ev(pseg, ["apple"])
+    q = {"match_phrase_prefix": {"text": "apple ban"}}
+    assert _match_urls(pseg, ev, q) == ["u00"]
+    # single-term prefix phrase == prefix membership
+    q = {"match_phrase_prefix": {"text": "appl"}}
+    assert _match_urls(pseg, ev, q) == ["u00", "u01", "u04"]
+
+
+def test_terms_set(seg):
+    ev = _ev(seg, ["apple", "dog", "banana"])
+    q = {"terms_set": {"text": {"terms": ["apple", "dog", "banana"],
+                                "minimum_should_match": 2}}}
+    assert _match_urls(seg, ev, q) == ["u00", "u01", "u02"]
+    q3 = {"terms_set": {"text": {"terms": ["apple", "dog", "banana"],
+                                 "minimum_should_match": 3}}}
+    assert _match_urls(seg, ev, q3) == []
+
+
+def test_distance_feature_and_script_and_none(seg):
+    ev = _ev(seg)
+    ids, sc = ev.top_k(parse_query(
+        {"distance_feature": {"field": "dl", "origin": 2, "pivot": 1}}), 10)
+    # u04 has dl=2 -> distance 0 -> top score 1.0
+    assert seg.url_of(int(ids[0])) == "u04" and sc[0] == pytest.approx(1.0)
+    q = {"script": {"script": {"source": "dl_mod", "params": {"mod": 2, "rem": 0}}}}
+    assert _match_urls(seg, ev, q) == ["u04"]
+    q = {"script": {"script": {"source": "url_contains", "params": {"substr": "u0"}}}}
+    assert len(_match_urls(seg, ev, q)) == len(DOCS)
+    ids, _ = ev.top_k(parse_query({"match_none": {}}), 10)
+    assert ids.size == 0
+
+
+def test_wrapper_query(seg):
+    import base64
+    import json
+
+    ev = _ev(seg, ["apple"])
+    b64 = base64.b64encode(json.dumps({"term": {"text": "apple"}}).encode()).decode()
+    assert _match_urls(seg, ev, {"wrapper": {"query": b64}}) == ["u00", "u01"]
+
+
+def test_query_string_grammar(seg):
+    ev = _ev(seg, ["apple", "dog", "fig", "banana"])
+    qs = lambda s, **kw: {"query_string": {"query": s, **kw}}
+    assert _match_urls(seg, ev, qs("(apple AND dog) OR fig")) == ["u01", "u03"]
+    assert _match_urls(seg, ev, qs("url:u05")) == ["u05"]
+    assert _match_urls(seg, ev, qs("dog -apple")) == ["u02", "u05"]
+    assert _match_urls(seg, ev, qs("appl*")) == ["u00", "u01", "u04"]
+    assert _match_urls(seg, ev, qs("aple~1")) == ["u00", "u01"]
+    assert _match_urls(seg, ev, qs("apple banana", default_operator="and")) == ["u00"]
+
+
+def test_query_string_phrase(pseg):
+    ev = _ev(pseg, ["banana", "dog"])
+    q = {"query_string": {"query": '"banana dog"'}}
+    assert _match_urls(pseg, ev, q) == ["u02"]
+    q = {"query_string": {"query": '"dog banana"'}}
+    assert _match_urls(pseg, ev, q) == []

@@ -148,72 +148,106 @@ def rebase_payload(reader) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
     return out, new_off, new_idsb, new_nb, new_last
 
 
+def _list_arr(values: np.ndarray, bounds: np.ndarray, typ) -> pa.ListArray:
+    """ListArray over ``values`` with chunk boundaries ``bounds``
+    (len = nchunks+1). Chunks tile the flat array, so no reshuffling."""
+    return pa.ListArray.from_arrays(
+        pa.array(bounds.astype(np.int32), pa.int32()),
+        pa.array(values.astype(np.int32), typ.value_type),
+    )
+
+
+def _binary_arr(payload: np.ndarray, byte_bounds: np.ndarray) -> pa.Array:
+    """Zero-copy-ish LargeBinaryArray: chunks are contiguous slices of
+    ``payload``, so the value buffer IS the payload and only the int64
+    offsets are built."""
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        byte_bounds.size - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(byte_bounds, dtype=np.int64)),
+         pa.py_buffer(np.ascontiguousarray(payload))],
+    )
+
+
 class _ChunkSegment:
-    """Map stage: one input segment -> rebased, chunked term rows."""
+    """Map stage: one input segment -> rebased, chunked term rows.
+
+    Fully columnar: chunk boundaries are computed with numpy
+    (repeat/cumsum over term_nblocks), list columns are built as
+    ListArrays over the flat block arrays (chunks tile the block order),
+    and payload slices become LargeBinary offsets into the single rebased
+    payload — no per-term Python, no per-chunk bytes copies."""
 
     def __init__(self, num_buckets: int, max_blocks_per_chunk: int):
         self.num_buckets = num_buckets
         self.max_blocks = max_blocks_per_chunk
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _one(self, row: dict) -> pa.Table:
         from raydex.index.segment import SegmentReader
 
-        out_rows = []
-        for row in batch.to_pylist():
-            reader = SegmentReader(row["seg_dir"])
-            has_pos = bool(getattr(reader, "has_positions", False))
-            reader._merge_base = row["base"]
-            payload, off, idsb, nbs, last = rebase_payload(reader)
-            tnb = reader.term_nblocks.astype(np.int64)
-            tstart = np.cumsum(tnb) - tnb
-            buckets = (
-                murmur3_hash_many(reader.terms).astype(np.int64) % self.num_buckets
-            )
-            part = row["part"]
-            seg_ord = row["seg_ord"]
-            for t in range(reader.terms.size):
-                s, nb_t = int(tstart[t]), int(tnb[t])
-                for c, cs in enumerate(range(0, nb_t, self.max_blocks)):
-                    ce = min(cs + self.max_blocks, nb_t)
-                    lo, hi = s + cs, s + ce
-                    pb_lo = int(off[lo])
-                    pb_hi = int(off[hi - 1] + nbs[hi - 1])
-                    if has_pos:
-                        # positions are DOC-RELATIVE: no rebase needed,
-                        # the chunk's byte slice rides along verbatim
-                        pp_lo = int(reader.blk_posoff[lo])
-                        pp_hi = int(
-                            reader.blk_posoff[hi - 1] + reader.blk_posnb[hi - 1]
-                        )
-                        pos_bytes = reader.pos_payload[pp_lo:pp_hi].tobytes()
-                        posnb = reader.blk_posnb[lo:hi].tolist()
-                    else:
-                        pos_bytes = b""
-                        posnb = []
-                    out_rows.append(
-                        {
-                            "pb": part * self.num_buckets + int(buckets[t]),
-                            "part": part,
-                            "term": reader.terms[t],
-                            "seg_ord": seg_ord,
-                            "chunk_ord": c,
-                            "first_chunk": c == 0,
-                            "term_cf": int(reader.cf[t]),
-                            "blk_n": reader.blk_n[lo:hi].tolist(),
-                            "blk_last": last[lo:hi].tolist(),
-                            "blk_maxtf": reader.blk_maxtf[lo:hi].tolist(),
-                            "blk_mindl": reader.blk_mindl[lo:hi].tolist(),
-                            "blk_idsb": idsb[lo:hi].tolist(),
-                            "blk_nb": nbs[lo:hi].tolist(),
-                            "payload": payload[pb_lo:pb_hi].tobytes(),
-                            "has_pos": has_pos,
-                            "blk_posnb": posnb,
-                            "pos_payload": pos_bytes,
-                        }
-                    )
-        if not out_rows:
+        reader = SegmentReader(row["seg_dir"])
+        has_pos = bool(getattr(reader, "has_positions", False))
+        reader._merge_base = row["base"]
+        payload, off, idsb, nbs, last = rebase_payload(reader)
+        tnb = reader.term_nblocks.astype(np.int64)
+        T = tnb.size
+        if T == 0:
             return _CHUNK_SCHEMA.empty_table()
-        return pa.Table.from_pylist(out_rows, schema=_CHUNK_SCHEMA)
+        buckets = murmur3_hash_many(reader.terms).astype(np.int64) % self.num_buckets
+        part, seg_ord = row["part"], row["seg_ord"]
+
+        nchunks = -(-tnb // self.max_blocks)  # ceil per term
+        C = int(nchunks.sum())
+        cstart = np.cumsum(nchunks) - nchunks
+        term_idx = np.repeat(np.arange(T), nchunks)
+        chunk_ord = np.arange(C) - np.repeat(cstart, nchunks)
+        tstart = np.cumsum(tnb) - tnb
+        lo = tstart[term_idx] + chunk_ord * self.max_blocks
+        cnt = np.minimum(tnb[term_idx] - chunk_ord * self.max_blocks, self.max_blocks)
+        bounds = np.zeros(C + 1, dtype=np.int64)
+        np.cumsum(cnt, out=bounds[1:])  # == block order: chunks tile terms
+
+        total_bytes = int(nbs.sum())
+        byte_bounds = np.empty(C + 1, dtype=np.int64)
+        byte_bounds[:-1] = off[lo]
+        byte_bounds[-1] = total_bytes
+
+        cols = {
+            "pb": pa.array(part * self.num_buckets + buckets[term_idx], pa.int64()),
+            "part": pa.array(np.full(C, part, dtype=np.int32)),
+            "term": pa.array(np.repeat(reader.terms, nchunks)).cast(pa.string()),
+            "seg_ord": pa.array(np.full(C, seg_ord, dtype=np.int32)),
+            "chunk_ord": pa.array(chunk_ord.astype(np.int32)),
+            "first_chunk": pa.array(chunk_ord == 0),
+            "term_cf": pa.array(reader.cf[term_idx].astype(np.int64)),
+            "blk_n": _list_arr(reader.blk_n, bounds, pa.list_(pa.int32())),
+            "blk_last": _list_arr(last, bounds, pa.list_(pa.int32())),
+            "blk_maxtf": _list_arr(reader.blk_maxtf, bounds, pa.list_(pa.int32())),
+            "blk_mindl": _list_arr(reader.blk_mindl, bounds, pa.list_(pa.int32())),
+            "blk_idsb": _list_arr(idsb, bounds, pa.list_(pa.int32())),
+            "blk_nb": _list_arr(nbs, bounds, pa.list_(pa.int32())),
+            "payload": _binary_arr(payload, byte_bounds),
+            "has_pos": pa.array(np.full(C, has_pos)),
+        }
+        if has_pos:
+            # positions are DOC-RELATIVE: no rebase, slices ride verbatim
+            posnb = reader.blk_posnb.astype(np.int64)
+            pos_bounds = np.empty(C + 1, dtype=np.int64)
+            pos_bounds[:-1] = reader.blk_posoff[lo]
+            pos_bounds[-1] = int(posnb.sum())
+            cols["blk_posnb"] = _list_arr(posnb, bounds, pa.list_(pa.int32()))
+            cols["pos_payload"] = _binary_arr(reader.pos_payload, pos_bounds)
+        else:
+            zero = np.zeros(C + 1, dtype=np.int64)
+            cols["blk_posnb"] = _list_arr(np.empty(0, np.int64), zero, pa.list_(pa.int32()))
+            cols["pos_payload"] = _binary_arr(np.empty(0, np.uint8), zero)
+        return pa.table(cols).cast(_CHUNK_SCHEMA)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [self._one(row) for row in batch.to_pylist()]
+        if not outs:
+            return _CHUNK_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
 
 
 class _WriteBucket:
@@ -223,99 +257,111 @@ class _WriteBucket:
         self.out_dirs = out_dirs  # part -> merged seg dir (pre-created .tmp)
         self.num_buckets = num_buckets
 
+    @staticmethod
+    def _write_binary_column(col: pa.ChunkedArray, path: str) -> int:
+        """Concatenate a (Large)Binary column to a file in logical order.
+
+        After sort_by the array's value buffer is freshly materialized in
+        logical order, so when offsets are normalized the whole buffer is
+        one memcpy-free write; otherwise fall back to per-value buffers
+        (still no Python bytes objects)."""
+        total = 0
+        with open(path, "wb") as f:
+            for arr in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
+                if arr.null_count == 0 and arr.offset == 0:
+                    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                        : len(arr) + 1
+                    ]
+                    if offs[0] == 0 and arr.buffers()[2] is not None:
+                        f.write(memoryview(arr.buffers()[2])[: int(offs[-1])])
+                        total += int(offs[-1])
+                        continue
+                for v in arr:
+                    b = v.as_buffer()
+                    f.write(memoryview(b))
+                    total += len(b)
+        return total
+
     def __call__(self, group: pa.Table) -> pa.Table:
+        """Columnar reduce: term boundaries via run-length over the
+        sorted term column; per-term list columns are ListArrays over
+        the flat block arrays with reduceat-computed offsets; payload
+        files are buffer-level concatenations."""
         if group.num_rows == 0:
             return pa.table({"pb": pa.array([], pa.int64()), "nterms": pa.array([], pa.int64()), "nbytes": pa.array([], pa.int64())})
         pb = int(group["pb"][0].as_py())
         part, bucket = pb // self.num_buckets, pb % self.num_buckets
         group = group.sort_by(
             [("term", "ascending"), ("seg_ord", "ascending"), ("chunk_ord", "ascending")]
+        ).combine_chunks()
+        has_pos = bool(group["has_pos"][0].as_py())
+
+        # term run boundaries over the sorted chunk rows
+        enc = group["term"].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        nterms = starts.size
+        term_arr = pc.take(group["term"], pa.array(starts.astype(np.int64)))
+
+        chunk_lens = np.asarray(
+            pc.list_value_length(group["blk_n"].combine_chunks())
+        ).astype(np.int64)
+        per_term_nblocks = np.add.reduceat(chunk_lens, starts)
+        out_offsets = np.zeros(nterms + 1, dtype=np.int64)
+        np.cumsum(per_term_nblocks, out=out_offsets[1:])
+        block_starts = out_offsets[:-1]
+
+        def flat(c: str) -> np.ndarray:
+            return np.asarray(group[c].combine_chunks().flatten())
+
+        flat_n = flat("blk_n").astype(np.int64)
+        flat_nb = flat("blk_nb").astype(np.int64)
+        df = np.add.reduceat(flat_n, block_starts)
+        cf_chunk = np.asarray(group["term_cf"]).astype(np.int64) * np.asarray(
+            group["first_chunk"]
         )
-        terms = group["term"].to_pylist()
-        payloads = group["payload"].to_pylist()
-        first_chunk = group["first_chunk"].to_pylist()
-        term_cf = group["term_cf"].to_pylist()
-        has_pos = bool(group["has_pos"][0].as_py()) if group.num_rows else False
-        pos_payloads = group["pos_payload"].to_pylist() if has_pos else None
-        lists = {
-            c: group[c].to_pylist()
-            for c in ("blk_n", "blk_last", "blk_maxtf", "blk_mindl", "blk_idsb", "blk_nb")
+        cf = np.add.reduceat(cf_chunk, starts)
+        blk_off = np.cumsum(flat_nb) - flat_nb  # global byte offsets
+
+        def out_list(vals: np.ndarray, typ=pa.int32()) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array(out_offsets.astype(np.int32), pa.int32()),
+                pa.array(vals, typ),
+            )
+
+        cols = {
+            "term": term_arr.combine_chunks() if isinstance(term_arr, pa.ChunkedArray) else term_arr,
+            "df": pa.array(df, pa.int64()),
+            "cf": pa.array(cf, pa.int64()),
+            "nblocks": pa.array(per_term_nblocks.astype(np.int32)),
+            "blk_n": out_list(flat("blk_n").astype(np.int32)),
+            "blk_last": out_list(flat("blk_last").astype(np.int32)),
+            "blk_maxtf": out_list(flat("blk_maxtf").astype(np.int32)),
+            "blk_mindl": out_list(flat("blk_mindl").astype(np.int32)),
+            "blk_off": out_list(blk_off, pa.int64()),
+            "blk_idsb": out_list(flat("blk_idsb").astype(np.int32)),
+            "blk_nb": out_list(flat("blk_nb").astype(np.int32)),
         }
         if has_pos:
-            lists["blk_posnb"] = group["blk_posnb"].to_pylist()
-        rows = []
-        blob_parts: list[bytes] = []
-        pos_parts: list[bytes] = []
-        pos = 0
-        pos_pos = 0
-        i = 0
-        n = len(terms)
-        while i < n:
-            j = i
-            while j < n and terms[j] == terms[i]:
-                j += 1
-            cols = {c: sum((lists[c][x] for x in range(i, j)), []) for c in lists}
-            nbs = cols["blk_nb"]
-            offs = (np.cumsum(nbs) - np.array(nbs) + pos).tolist()
-            for x in range(i, j):
-                blob_parts.append(payloads[x])
-            nbytes = int(np.sum(nbs))
-            pos += nbytes
-            row = {
-                "term": terms[i],
-                "df": int(np.sum(cols["blk_n"])),
-                "cf": int(sum(cf for x, cf in zip(range(i, j), term_cf[i:j]) if first_chunk[x])),
-                "nblocks": len(nbs),
-                "blk_n": cols["blk_n"],
-                "blk_last": cols["blk_last"],
-                "blk_maxtf": cols["blk_maxtf"],
-                "blk_mindl": cols["blk_mindl"],
-                "blk_off": offs,
-                "blk_idsb": cols["blk_idsb"],
-                "blk_nb": cols["blk_nb"],
-            }
-            if has_pos:
-                pnbs = cols["blk_posnb"]
-                row["blk_posoff"] = (
-                    np.cumsum(pnbs) - np.array(pnbs) + pos_pos
-                ).astype(np.int64).tolist() if pnbs else []
-                row["blk_posnb"] = pnbs
-                for x in range(i, j):
-                    pos_parts.append(pos_payloads[x])
-                pos_pos += int(np.sum(pnbs)) if pnbs else 0
-            rows.append(row)
-            i = j
+            flat_pnb = flat("blk_posnb").astype(np.int64)
+            cols["blk_posoff"] = out_list(np.cumsum(flat_pnb) - flat_pnb, pa.int64())
+            cols["blk_posnb"] = out_list(flat_pnb.astype(np.int32))
+
         bdir = os.path.join(self.out_dirs[part], f"bucket={bucket:03d}")
         os.makedirs(bdir, exist_ok=True)
-        fields = [
-            ("term", pa.string()),
-            ("df", pa.int64()),
-            ("cf", pa.int64()),
-            ("nblocks", pa.int32()),
-            ("blk_n", pa.list_(pa.int32())),
-            ("blk_last", pa.list_(pa.int32())),
-            ("blk_maxtf", pa.list_(pa.int32())),
-            ("blk_mindl", pa.list_(pa.int32())),
-            ("blk_off", pa.list_(pa.int64())),
-            ("blk_idsb", pa.list_(pa.int32())),
-            ("blk_nb", pa.list_(pa.int32())),
-        ]
+        pq.write_table(pa.table(cols), os.path.join(bdir, "terms.parquet"))
+        nbytes = self._write_binary_column(
+            group["payload"], os.path.join(bdir, "postings.bin")
+        )
         if has_pos:
-            fields += [("blk_posoff", pa.list_(pa.int64())), ("blk_posnb", pa.list_(pa.int32()))]
-        tbl = pa.Table.from_pylist(rows, schema=pa.schema(fields))
-        pq.write_table(tbl, os.path.join(bdir, "terms.parquet"))
-        with open(os.path.join(bdir, "postings.bin"), "wb") as f:
-            for b in blob_parts:
-                f.write(b)
-        if has_pos:
-            with open(os.path.join(bdir, "positions.bin"), "wb") as f:
-                for b in pos_parts:
-                    f.write(b)
+            self._write_binary_column(
+                group["pos_payload"], os.path.join(bdir, "positions.bin")
+            )
         return pa.table(
             {
                 "pb": pa.array([pb], pa.int64()),
-                "nterms": pa.array([len(rows)], pa.int64()),
-                "nbytes": pa.array([pos], pa.int64()),
+                "nterms": pa.array([nterms], pa.int64()),
+                "nbytes": pa.array([nbytes], pa.int64()),
             }
         )
 

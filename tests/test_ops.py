@@ -276,3 +276,31 @@ def test_bucket_pair_star_guard():
     star = dedup._bucket_pairs_df(ids, max_bucket_size=50)
     assert len(star) == 99
     assert (star["id_a"] == 0).all()
+
+
+def test_ivf_index_prunes_io_and_matches_inflight(ray_session, sf_dir, tmp_path):
+    import os
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    q = np.asarray(first["embedding"].to_pylist()[:2], dtype=np.float64)
+    cents = similarity.train_centroids(emb, "embedding", num_centroids=16)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "embedding", "vec_id", idx, centroids=cents)
+    info = {}
+    got = similarity.knn_ivf_index(
+        idx, q, "embedding", "vec_id", k=5, nprobe=4, _probe_info=info
+    ).to_pandas()
+    want = similarity.knn_ivf(
+        emb, q, "embedding", "vec_id", k=5, centroids=cents, nprobe=4
+    ).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+    # I/O pruning: only the probed bucket partitions are read
+    assert len(info["buckets"]) <= 2 * 4  # <= nq * nprobe buckets
+    assert len(info["buckets"]) < info["num_buckets_total"]
+    probed = sum(os.path.getsize(p) for p in info["paths"])
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for d in os.listdir(idx) if d.startswith("bucket=")
+        for r, _, fs in os.walk(os.path.join(idx, d)) for f in fs
+    )
+    assert probed < total  # unprobed bytes never leave storage

@@ -141,6 +141,120 @@ def synonym_filter(rules: dict[str, list[str]], expand: bool = True):
     return f
 
 
+def synonym_graph_filter(rules: list[str], expand: bool = True):
+    """`synonym_graph` (CommonAnalysisPlugin.java:309): Solr-format rules
+    with MULTI-WORD sides — "sea biscuit, seabiscuit" (equivalence) or
+    "usa => united states" (explicit mapping). The token stream is
+    scanned for the LONGEST matching sequence; alternatives are emitted
+    flattened in place (the bag-of-terms projection of the token graph —
+    exact for match/bool scoring, approximate for phrase positions,
+    which matches the reference's guidance to use it at SEARCH time)."""
+    mapping: dict[tuple, list[list[str]]] = {}
+    for rule in rules:
+        if "=>" in rule:
+            lhs, rhs = rule.split("=>", 1)
+            outs = [s.split() for s in rhs.split(",") if s.strip()]
+            for s in lhs.split(","):
+                seq = tuple(s.split())
+                if seq:
+                    mapping[seq] = outs
+        else:
+            alts = [s.split() for s in rule.split(",") if s.strip()]
+            for s in alts:
+                mapping[tuple(s)] = alts if expand else [alts[0]]
+    max_len = max((len(k) for k in mapping), default=1)
+
+    def f(tokens):
+        out = []
+        i = 0
+        n = len(tokens)
+        while i < n:
+            for L in range(min(max_len, n - i), 0, -1):
+                seq = tuple(tokens[i : i + L])
+                alts = mapping.get(seq)
+                if alts is not None:
+                    seen = set()
+                    for alt in alts:
+                        key = tuple(alt)
+                        if key not in seen:
+                            seen.add(key)
+                            out.extend(alt)
+                    i += L
+                    break
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    return f
+
+
+_WDG_PART = regex.compile(
+    r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+"
+)
+
+
+def word_delimiter_graph_filter(
+    generate_word_parts: bool = True,
+    generate_number_parts: bool = True,
+    catenate_words: bool = False,
+    catenate_numbers: bool = False,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+):
+    """`word_delimiter_graph` (CommonAnalysisPlugin.java:314): split on
+    intra-token delimiters, case changes and letter/number transitions
+    ("PowerShot500-B" -> Power, Shot, 500, B), with the catenate options
+    emitting joined variants. Flattened emission order: original?, parts
+    in reading order, catenations."""
+
+    def f(tokens):
+        out = []
+        for t in tokens:
+            parts = _WDG_PART.findall(t)
+            if len(parts) <= 1 and not preserve_original:
+                out.extend(parts if parts else ([t] if t else []))
+                continue
+            if preserve_original:
+                out.append(t)
+            words = [p for p in parts if not p.isdigit()]
+            nums = [p for p in parts if p.isdigit()]
+            for p in parts:
+                if p.isdigit():
+                    if generate_number_parts:
+                        out.append(p)
+                elif generate_word_parts:
+                    out.append(p)
+            if catenate_words and len(words) > 1:
+                out.append("".join(words))
+            if catenate_numbers and len(nums) > 1:
+                out.append("".join(nums))
+            if catenate_all and len(parts) > 1:
+                out.append("".join(parts))
+        return out
+
+    return f
+
+
+def multiplexer_filter(filters: list):
+    """`multiplexer` (CommonAnalysisPlugin.java): run each token through
+    every sub-filter path, emitting all distinct variants at the token's
+    position. Pass an identity (lambda ts: ts) path to keep originals."""
+
+    def f(tokens):
+        out = []
+        for t in tokens:
+            seen = set()
+            for flt in filters:
+                for v in flt([t]):
+                    if v and v not in seen:
+                        seen.add(v)
+                        out.append(v)
+        return out
+
+    return f
+
+
 def keyword_marker_filter(protected: set):
     """Marks tokens that later stemming must not touch by wrapping the
     stem step: use with ``make_stemming_filter``."""

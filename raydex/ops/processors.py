@@ -265,6 +265,176 @@ def p_enrich(batch, field, lookup, target, default=None):
     return batch
 
 
+class IngestFailure(Exception):
+    """Raised by the `fail` processor (FailProcessor.java semantics)."""
+
+
+def p_sort(batch, field, order="asc", target=None):
+    """`sort` processor: sort a list-valued field in place."""
+    rev = order == "desc"
+    batch[target or field] = batch[field].map(lambda xs: sorted(xs, reverse=rev))
+    return batch
+
+
+def p_fail(batch, message, predicate=None):
+    """`fail` processor: abort the pipeline (optionally only when
+    ``predicate(batch)`` flags any row — the `if` condition analogue)."""
+    if predicate is None or bool(np.asarray(predicate(batch)).any()):
+        raise IngestFailure(message)
+    return batch
+
+
+def _nest(path: list[str], value):
+    for k in reversed(path):
+        value = {k: value}
+    return value
+
+
+def p_dot_expander(batch, field, path_separator="."):
+    """`dot_expander`: turn a dotted column 'a.b.c' into a dict-valued
+    column 'a' = {'b': {'c': v}}, merging into an existing dict column."""
+    root, rest = field.split(path_separator, 1)
+    path = rest.split(path_separator)
+
+    def merge(existing, v):
+        base = dict(existing) if isinstance(existing, dict) else {}
+        cur = base
+        for k in path[:-1]:
+            nxt = cur.get(k)
+            cur[k] = dict(nxt) if isinstance(nxt, dict) else {}
+            cur = cur[k]
+        cur[path[-1]] = v
+        return base
+
+    if root in batch.columns:
+        batch[root] = [merge(e, v) for e, v in zip(batch[root], batch[field])]
+    else:
+        batch[root] = [_nest(path, v) for v in batch[field]]
+    return batch.drop(columns=[field])
+
+
+def p_date_index_name(batch, field, date_rounding="d", index_name_prefix="",
+                      index_name_format=None, target="_index"):
+    """`date_index_name`: compute the destination index name from a date
+    field rounded to y/M/w/d/h/m/s (DateIndexNameProcessor.java)."""
+    freq = {"y": "Y", "M": "M", "w": "W", "d": "D", "h": "h", "m": "min", "s": "s"}[
+        date_rounding
+    ]
+    fmt = index_name_format or {
+        "y": "%Y", "M": "%Y-%m", "w": "%Y-%m-%d", "d": "%Y-%m-%d",
+        "h": "%Y-%m-%d-%H", "m": "%Y-%m-%d-%H-%M", "s": "%Y-%m-%d-%H-%M-%S",
+    }[date_rounding]
+    dt = pd.to_datetime(batch[field])
+    rounded = dt.dt.to_period(freq).dt.start_time
+    batch[target] = index_name_prefix + rounded.dt.strftime(fmt)
+    return batch
+
+
+# minimal public-suffix list for the registered_domain processor — the
+# reference bundles the full Mozilla PSL; this covers the common
+# multi-label suffixes and falls back to the last label
+_TWO_LABEL_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz", "co.in", "net.in", "org.in",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.sg", "com.hk", "co.kr", "co.za",
+}
+
+
+def p_registered_domain(batch, field, target_prefix=""):
+    """`registered_domain` (RegisteredDomainProcessor.java): split an
+    FQDN into top_level_domain / registered_domain / subdomain / domain
+    using a built-in suffix table (PSL subset)."""
+
+    def split(fqdn):
+        fqdn = str(fqdn).strip(".").lower()
+        labels = fqdn.split(".")
+        if len(labels) < 2:
+            return fqdn, None, None, None
+        two = ".".join(labels[-2:])
+        tld = two if two in _TWO_LABEL_SUFFIXES else labels[-1]
+        ntld = tld.count(".") + 1
+        if len(labels) <= ntld:
+            return fqdn, tld, None, None
+        reg = ".".join(labels[-(ntld + 1):])
+        sub = ".".join(labels[: -(ntld + 1)]) or None
+        return fqdn, tld, reg, sub
+
+    parts = batch[field].map(split)
+    batch[target_prefix + "domain"] = parts.map(lambda p: p[0])
+    batch[target_prefix + "top_level_domain"] = parts.map(lambda p: p[1])
+    batch[target_prefix + "registered_domain"] = parts.map(lambda p: p[2])
+    batch[target_prefix + "subdomain"] = parts.map(lambda p: p[3])
+    return batch
+
+
+def p_community_id(batch, source_ip="source_ip", source_port="source_port",
+                   dest_ip="dest_ip", dest_port="dest_port",
+                   iana_number="transport", seed=0, target="community_id"):
+    """`community_id` (CommunityIdProcessor.java): the Community ID v1
+    flow hash — '1:' + base64(sha1(seed . saddr . daddr . proto . 0 .
+    sport . dport)) with the endpoint pair canonically ordered
+    (corelight/community-id-spec). TCP(6)/UDP(17)/SCTP(132) tuples."""
+    import base64
+    import socket
+    import struct
+
+    def cid(sip, sp, dip, dp, proto):
+        try:
+            sa, da = socket.inet_aton(str(sip)), socket.inet_aton(str(dip))
+        except OSError:
+            return None
+        sp, dp, proto = int(sp), int(dp), int(proto)
+        if (sa, sp) > (da, dp):
+            sa, da, sp, dp = da, sa, dp, sp
+        h = hashlib.sha1()
+        h.update(struct.pack("!H", seed) + sa + da
+                 + struct.pack("!BBHH", proto, 0, sp, dp))
+        return "1:" + base64.b64encode(h.digest()).decode()
+
+    batch[target] = [
+        cid(a, b, c, d, e)
+        for a, b, c, d, e in zip(batch[source_ip], batch[source_port],
+                                 batch[dest_ip], batch[dest_port],
+                                 batch[iana_number])
+    ]
+    return batch
+
+
+def p_network_direction(batch, source_ip="source_ip", dest_ip="dest_ip",
+                        internal_networks=("10.0.0.0/8", "172.16.0.0/12",
+                                           "192.168.0.0/16"),
+                        target="network_direction"):
+    """`network_direction` (NetworkDirectionProcessor.java): classify a
+    flow as inbound/outbound/internal/external against the configured
+    internal CIDR ranges."""
+    import ipaddress
+
+    nets = [ipaddress.ip_network(n) for n in internal_networks]
+
+    def internal(ip):
+        try:
+            a = ipaddress.ip_address(str(ip))
+        except ValueError:
+            return False
+        return any(a in n for n in nets)
+
+    def direction(s, d):
+        si, di = internal(s), internal(d)
+        if si and di:
+            return "internal"
+        if si:
+            return "outbound"
+        if di:
+            return "inbound"
+        return "external"
+
+    batch[target] = [direction(s, d) for s, d in zip(batch[source_ip], batch[dest_ip])]
+    return batch
+
+
 PROCESSORS = {
     "set": p_set, "remove": p_remove, "rename": p_rename,
     "lowercase": p_lowercase, "uppercase": p_uppercase, "trim": p_trim,
@@ -275,6 +445,11 @@ PROCESSORS = {
     "append": p_append, "bytes": p_bytes, "date": p_date,
     "csv": p_csv, "dissect": p_dissect, "grok": p_grok,
     "foreach": p_foreach, "enrich": p_enrich,
+    "sort": p_sort, "fail": p_fail, "dot_expander": p_dot_expander,
+    "date_index_name": p_date_index_name,
+    "registered_domain": p_registered_domain,
+    "community_id": p_community_id,
+    "network_direction": p_network_direction,
 }
 
 

@@ -108,3 +108,94 @@ def test_apply_pipeline_on_dataset(ray_session, sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
     out = apply_pipeline(ds, [("uppercase", {"field": "source"})]).to_pandas()
     assert out["source"].str.isupper().all()
+
+
+def test_sort_fail_dot_expander():
+    from raydex.ops.processors import IngestFailure
+
+    out = PROCESSORS["sort"](_b(xs=[[3, 1, 2]]), "xs")
+    assert out["xs"].iloc[0] == [1, 2, 3]
+    out = PROCESSORS["sort"](_b(xs=[["a", "c", "b"]]), "xs", order="desc")
+    assert out["xs"].iloc[0] == ["c", "b", "a"]
+    with pytest.raises(IngestFailure, match="boom"):
+        PROCESSORS["fail"](_b(v=[1]), "boom")
+    # conditional fail: no matching row -> passes through
+    out = PROCESSORS["fail"](_b(v=[1, 2]), "boom", predicate=lambda b: b["v"] > 5)
+    assert out["v"].tolist() == [1, 2]
+    out = PROCESSORS["dot_expander"](_b(**{"a.b": [1, 2]}), "a.b")
+    assert out["a"].tolist() == [{"b": 1}, {"b": 2}]
+    b = _b(**{"a": [{"x": 0}], "a.b.c": [9]})
+    out = PROCESSORS["dot_expander"](b, "a.b.c")
+    assert out["a"].iloc[0] == {"x": 0, "b": {"c": 9}}
+
+
+def test_date_index_name():
+    out = PROCESSORS["date_index_name"](
+        _b(ts=["2026-08-17T10:30:00"]), "ts",
+        date_rounding="M", index_name_prefix="logs-",
+    )
+    assert out["_index"].iloc[0] == "logs-2026-08"
+    out = PROCESSORS["date_index_name"](_b(ts=["2026-08-17T10:30:00"]), "ts",
+                                        date_rounding="d")
+    assert out["_index"].iloc[0] == "2026-08-17"
+
+
+def test_registered_domain():
+    out = PROCESSORS["registered_domain"](
+        _b(host=["www.example.co.uk", "example.com", "localhost"]), "host"
+    )
+    assert out["registered_domain"].tolist()[:2] == ["example.co.uk", "example.com"]
+    assert out["top_level_domain"].tolist()[:2] == ["co.uk", "com"]
+    assert out["subdomain"].tolist()[0] == "www" and out["subdomain"].iloc[1] is None
+    assert out["registered_domain"].iloc[2] is None
+
+
+def test_community_id_and_network_direction():
+    # known vector from the community-id spec test set:
+    # 1.2.3.4:1122 -> 5.6.7.8:3344 tcp -> 1:wCb3OG7yAFWelaUydu0D+125CLM=
+    out = PROCESSORS["community_id"](
+        _b(source_ip=["1.2.3.4"], source_port=[1122],
+           dest_ip=["5.6.7.8"], dest_port=[3344], transport=[6]),
+    )
+    assert out["community_id"].iloc[0] == "1:wCb3OG7yAFWelaUydu0D+125CLM="
+    # symmetric: reversed direction hashes identically
+    rev = PROCESSORS["community_id"](
+        _b(source_ip=["5.6.7.8"], source_port=[3344],
+           dest_ip=["1.2.3.4"], dest_port=[1122], transport=[6]),
+    )
+    assert rev["community_id"].iloc[0] == out["community_id"].iloc[0]
+    out = PROCESSORS["network_direction"](
+        _b(source_ip=["10.0.0.1", "8.8.8.8", "10.0.0.1", "1.1.1.1"],
+           dest_ip=["10.0.0.2", "10.0.0.2", "8.8.8.8", "8.8.4.4"]),
+    )
+    assert out["network_direction"].tolist() == [
+        "internal", "inbound", "outbound", "external"
+    ]
+
+
+def test_graph_token_filters():
+    from raydex.analysis.extra_filters import (
+        multiplexer_filter,
+        synonym_graph_filter,
+        word_delimiter_graph_filter,
+    )
+
+    syn = synonym_graph_filter(["sea biscuit, seabiscuit", "usa => united states"])
+    assert syn(["i", "saw", "sea", "biscuit"]) == [
+        "i", "saw", "sea", "biscuit", "seabiscuit"
+    ]
+    assert syn(["made", "in", "usa"]) == ["made", "in", "united", "states"]
+    # contract mode replaces with the first alternative
+    syn2 = synonym_graph_filter(["sea biscuit, seabiscuit"], expand=False)
+    assert syn2(["sea", "biscuit", "won"]) == ["sea", "biscuit", "won"][:3]
+
+    wdg = word_delimiter_graph_filter()
+    assert wdg(["PowerShot500-B"]) == ["Power", "Shot", "500", "B"]
+    wdg_cat = word_delimiter_graph_filter(catenate_all=True, preserve_original=True)
+    assert wdg_cat(["Wi-Fi"]) == ["Wi-Fi", "Wi", "Fi", "WiFi"]
+
+    mux = multiplexer_filter([
+        lambda ts: ts,                       # identity path
+        lambda ts: [t.upper() for t in ts],  # uppercase path
+    ])
+    assert mux(["ab", "cd"]) == ["ab", "AB", "cd", "CD"]

@@ -547,6 +547,42 @@ def q_dsl_prefix_count(sf):
     return pa.table({"n_docs": pa.array([n], pa.int64())})
 
 
+def q_mad_nchars(sf):
+    from raydex.ops.more_aggs import median_absolute_deviation
+
+    return median_absolute_deviation(_ds(sf, "documents", ["n_chars"]), "n_chars")
+
+
+def q_adjacency_matrix_events(sf):
+    """`adjacency_matrix` over event_type filters (pairwise AND counts)."""
+    import pyarrow.compute as pc
+
+    from raydex.ops.more_aggs import adjacency_matrix
+
+    def is_type(v):
+        return lambda t: pc.equal(t["event_type"], v).to_numpy(zero_copy_only=False)
+
+    def high_value(t):
+        return pc.greater(t["value"], 50.0).to_numpy(zero_copy_only=False)
+
+    return adjacency_matrix(
+        _ds(sf, "events", ["event_type", "value"]),
+        {"click": is_type("click"), "view": is_type("view"), "high": high_value},
+    )
+
+
+def q_auto_date_histogram_events(sf):
+    from raydex.ops.more_aggs import auto_date_histogram
+
+    return auto_date_histogram(_ds(sf, "events", ["ts"]), "ts", target_buckets=10)
+
+
+def q_variable_width_histogram(sf):
+    from raydex.ops.more_aggs import variable_width_histogram
+
+    return variable_width_histogram(_ds(sf, "documents", ["n_chars"]), "n_chars", buckets=8)
+
+
 def q_multi_match_count(sf):
     """`multi_match` over [text, url] (url := str(doc_id)) — count is
     SQL-checkable: token membership in text OR doc_id equality."""
@@ -660,6 +696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_top": q_match_phrase_top,
         "dsl_bool": q_dsl_bool,
         "dsl_prefix_count": q_dsl_prefix_count,
+        "mad_nchars": q_mad_nchars,
+        "adjacency_matrix_events": q_adjacency_matrix_events,
+        "auto_date_histogram_events": q_auto_date_histogram_events,
+        "variable_width_histogram": q_variable_width_histogram,
         "multi_match_count": q_multi_match_count,
         "match_bool_prefix_count": q_match_bool_prefix_count,
         "match_phrase_prefix_count": q_match_phrase_prefix_count,
@@ -803,6 +843,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_docs FROM documents "
             "WHERE EXISTS (SELECT 1 FROM unnest(string_split(documents.text, ' ')) "
             "AS t(tok) WHERE tok LIKE 'sc%')"
+        ),
+        "mad_nchars": (
+            "SELECT CAST(mad(n_chars) AS DOUBLE) AS mad FROM documents"
+        ),
+        "adjacency_matrix_events": (
+            "SELECT key, doc_count FROM ("
+            "SELECT 'click' AS key, COUNT(*) AS doc_count FROM events WHERE event_type='click' "
+            "UNION ALL SELECT 'click&high', COUNT(*) FROM events WHERE event_type='click' AND value > 50.0 "
+            "UNION ALL SELECT 'click&view', COUNT(*) FROM events WHERE event_type='click' AND event_type='view' "
+            "UNION ALL SELECT 'high', COUNT(*) FROM events WHERE value > 50.0 "
+            "UNION ALL SELECT 'high&view', COUNT(*) FROM events WHERE value > 50.0 AND event_type='view' "
+            "UNION ALL SELECT 'view', COUNT(*) FROM events WHERE event_type='view'"
+            ") WHERE doc_count > 0 ORDER BY key"
         ),
         "multi_match_count": (
             "SELECT COUNT(*) AS n_docs FROM documents "

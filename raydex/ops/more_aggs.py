@@ -144,3 +144,161 @@ def sampler(ds, key_col: str, probability: float, seed: int = 0):
         return t.filter(pa.array(h / float(1 << 31) < probability))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _weighted_median(values: np.ndarray, counts: np.ndarray) -> float:
+    """Exact median of the expanded multiset (DuckDB/postgres convention:
+    mean of the two middle elements for even totals)."""
+    order = np.argsort(values)
+    v, c = values[order], counts[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    if n == 0:
+        return float("nan")
+    lo_rank, hi_rank = (n - 1) // 2, n // 2  # 0-based middle pair
+    lo = v[np.searchsorted(cum, lo_rank + 1)]
+    hi = v[np.searchsorted(cum, hi_rank + 1)]
+    return float((lo + hi) / 2.0)
+
+
+def median_absolute_deviation(ds, col: str, name: str = "mad"):
+    """`median_absolute_deviation` (…/metrics/MedianAbsoluteDeviationAggregationBuilder.java):
+    median(|x - median(x)|). EXACT here via ONE value-counts groupby —
+    the (value, count) table is small for real numeric columns, and both
+    medians are weighted medians over it (no second data pass; the
+    deviation multiset derives from the same table). The reference
+    approximates with a TDigest; exact beats approximate when the
+    distinct-value table fits the driver, else use percentiles_tdigest."""
+    vc = ds.groupby(col).count().to_pandas()
+    values = vc[col].to_numpy(dtype=np.float64)
+    counts = vc["count()"].to_numpy(dtype=np.int64)
+    m = _weighted_median(values, counts)
+    mad = _weighted_median(np.abs(values - m), counts)
+    return pa.table({name: pa.array([mad], pa.float64())})
+
+
+def auto_date_histogram(ds, ts_col: str, target_buckets: int = 10,
+                        count_name: str = "doc_count"):
+    """`auto_date_histogram` (…/bucket/histogram/AutoDateHistogramAggregationBuilder.java):
+    pick the smallest interval from the reference's rounding ladder that
+    yields <= target_buckets buckets over [min, max], then histogram.
+    Min/max are a cheap distributed aggregate; the ladder mirrors the
+    reference's seconds->years roundings."""
+    import pyarrow.compute as pc
+
+    mm = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "mn": pa.array([pc.min(t[ts_col]).cast(pa.int64()).as_py()], pa.int64()),
+                "mx": pa.array([pc.max(t[ts_col]).cast(pa.int64()).as_py()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if mm.empty:
+        return pa.table({"bucket_ts": pa.array([], pa.timestamp("us")),
+                         count_name: pa.array([], pa.int64()),
+                         "interval_us": pa.array([], pa.int64())})
+    lo, hi = int(mm["mn"].min()), int(mm["mx"].max())  # microseconds
+    S = 1_000_000
+    ladder_us = [
+        1 * S, 5 * S, 10 * S, 30 * S,
+        60 * S, 5 * 60 * S, 10 * 60 * S, 30 * 60 * S,
+        3600 * S, 3 * 3600 * S, 12 * 3600 * S,
+        86400 * S, 7 * 86400 * S,
+        30 * 86400 * S, 90 * 86400 * S,
+        365 * 86400 * S, 5 * 365 * 86400 * S, 10 * 365 * 86400 * S,
+        20 * 365 * 86400 * S, 50 * 365 * 86400 * S, 100 * 365 * 86400 * S,
+    ]
+    interval = next(
+        (iv for iv in ladder_us if (hi - lo) // iv + 1 <= target_buckets),
+        ladder_us[-1],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.int64()).to_numpy()
+        b = (us // interval) * interval
+        return pa.table({"bucket_us": pa.array(b, pa.int64())})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_us")
+        .count()
+        .to_pandas()
+        .sort_values("bucket_us")
+    )
+    return pa.table(
+        {
+            "bucket_ts": pa.array(out["bucket_us"].to_numpy(), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            count_name: pa.array(out["count()"].to_numpy(), pa.int64()),
+            "interval_us": pa.array(np.full(len(out), interval), pa.int64()),
+        }
+    )
+
+
+def variable_width_histogram(ds, col: str, buckets: int = 10,
+                             count_name: str = "doc_count"):
+    """`variable_width_histogram` (…/bucket/histogram/VariableWidthHistogramAggregationBuilder.java):
+    data-adaptive buckets. Deterministic re-expression: value-counts
+    groupby -> driver-side agglomerative 1D clustering (repeatedly merge
+    the two adjacent clusters whose weighted means are closest) down to
+    ``buckets`` clusters. Emits (min, key=centroid, max, doc_count)."""
+    vc = ds.groupby(col).count().to_pandas().sort_values(col)
+    v = vc[col].to_numpy(dtype=np.float64)
+    c = vc["count()"].to_numpy(dtype=np.float64)
+    if v.size == 0:
+        return pa.table({"min": pa.array([], pa.float64()), "key": pa.array([], pa.float64()),
+                         "max": pa.array([], pa.float64()), count_name: pa.array([], pa.int64())})
+    mins, maxs, sums, cnts = v.copy(), v.copy(), v * c, c.copy()
+    while mins.size > buckets:
+        means = sums / cnts
+        gaps = means[1:] - means[:-1]
+        i = int(np.argmin(gaps))  # leftmost-min tie-break: deterministic
+        sums[i] += sums[i + 1]
+        cnts[i] += cnts[i + 1]
+        maxs[i] = maxs[i + 1]
+        keep = np.ones(mins.size, dtype=bool)
+        keep[i + 1] = False
+        mins, maxs, sums, cnts = mins[keep], maxs[keep], sums[keep], cnts[keep]
+    return pa.table(
+        {
+            "min": pa.array(mins, pa.float64()),
+            "key": pa.array(sums / cnts, pa.float64()),
+            "max": pa.array(maxs, pa.float64()),
+            count_name: pa.array(cnts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def adjacency_matrix(ds, filters: dict, count_name: str = "doc_count",
+                     separator: str = "&"):
+    """`adjacency_matrix` (…/bucket/adjacency/AdjacencyMatrixAggregationBuilder.java):
+    doc counts for each named filter and each pairwise intersection.
+    ``filters`` maps name -> fn(batch: pa.Table) -> bool mask. Partial
+    counts per batch (vectorized mask ANDs), summed on the driver —
+    output is |F| + |F|(|F|-1)/2 rows regardless of data size."""
+    names = sorted(filters)
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = {n: np.asarray(filters[n](t), dtype=bool) for n in names}
+        keys, counts = [], []
+        for i, a in enumerate(names):
+            keys.append(a)
+            counts.append(int(masks[a].sum()))
+            for b in names[i + 1:]:
+                keys.append(a + separator + b)
+                counts.append(int((masks[a] & masks[b]).sum()))
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("key", as_index=False)["n"].sum()
+    g = g[g["n"] > 0].sort_values("key")
+    return pa.table(
+        {
+            "key": pa.array(g["key"].tolist(), pa.string()),
+            count_name: pa.array(g["n"].tolist(), pa.int64()),
+        }
+    )

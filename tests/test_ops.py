@@ -304,3 +304,28 @@ def test_ivf_index_prunes_io_and_matches_inflight(ray_session, sf_dir, tmp_path)
         for r, _, fs in os.walk(os.path.join(idx, d)) for f in fs
     )
     assert probed < total  # unprobed bytes never leave storage
+
+
+def test_mad_and_variable_width_and_auto_date(docs_ds, con, ray_session, sf_dir):
+    from raydex.ops.more_aggs import (
+        auto_date_histogram,
+        median_absolute_deviation,
+        variable_width_histogram,
+    )
+
+    got = median_absolute_deviation(docs_ds, "n_chars").to_pylist()[0]["mad"]
+    want = con.execute("SELECT mad(n_chars) FROM documents").fetchone()[0]
+    assert got == pytest.approx(float(want))
+
+    vw = variable_width_histogram(docs_ds, "n_chars", buckets=6).to_pandas()
+    assert len(vw) == 6
+    total = con.execute("SELECT COUNT(n_chars) FROM documents").fetchone()[0]
+    assert vw["doc_count"].sum() == total
+    assert (vw["min"] <= vw["key"]).all() and (vw["key"] <= vw["max"]).all()
+    assert vw["min"].is_monotonic_increasing
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    adh = auto_date_histogram(ev, "ts", target_buckets=10).to_pandas()
+    assert 1 <= len(adh) <= 10
+    n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert adh["doc_count"].sum() == n_events

@@ -638,6 +638,20 @@ def q_query_string_count(sf):
     return pa.table({"n_docs": pa.array([n], pa.int64())})
 
 
+def q_span_near_count(sf):
+    """`span_near` (ordered, slop=1): 'batch' then 'stream' with at most
+    one token between — SQL-checkable with a regex over the word text."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count(
+        {"span_near": {"clauses": [{"span_term": {"text": "batch"}},
+                                   {"span_term": {"text": "stream"}}],
+                       "slop": 1, "in_order": True}}
+    )
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
 def q_analyze_tokens(sf):
     """The `_analyze` API analogue (tokens for golden inputs)."""
     from raydex.analysis.tokenizer import get_analyzer
@@ -705,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_prefix_count": q_match_phrase_prefix_count,
         "terms_set_count": q_terms_set_count,
         "query_string_count": q_query_string_count,
+        "span_near_count": q_span_near_count,
         "analyze_tokens": q_analyze_tokens,
     }
 
@@ -884,6 +899,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (' ' || text || ' ' LIKE '% batch %' "
             "AND ' ' || text || ' ' LIKE '% stream %') "
             "OR ' ' || text || ' ' LIKE '% window %'"
+        ),
+        "span_near_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE regexp_matches(' ' || text || ' ', ' batch ([^ ]+ )?stream ')"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -188,6 +188,16 @@ class ScriptQuery(Query):
 
 
 @dataclass
+class SpanDSL(Query):
+    """Span-family / intervals node (evaluated by raydex.search.spans;
+    constant-score per matching doc, the multi-term rewrite convention).
+    ``node`` holds the raw span-language dict; an `intervals` node is
+    lowered at eval time (the analyzer lives on the evaluator)."""
+
+    node: dict = field(default_factory=dict)
+
+
+@dataclass
 class Bool(Query):
     must: tuple = ()
     should: tuple = ()
@@ -291,6 +301,9 @@ def parse_query(d: dict) -> Query:
         )
     if kind == "match_none":
         return MatchNone()
+    if kind in ("span_term", "span_near", "span_or", "span_not", "span_first",
+                "intervals"):
+        return SpanDSL(node={kind: body})
     if kind == "multi_match":
         return MultiMatch(
             text=body["query"],
@@ -758,6 +771,18 @@ class SegmentEvaluator:
             dist = np.abs(vals - q.origin)
             scores = q.boost * (q.pivot / (q.pivot + dist))
             return scores, np.ones(n, dtype=bool)
+        if isinstance(q, SpanDSL):
+            from raydex.search.spans import eval_spans, intervals_to_span
+
+            node = q.node
+            if "intervals" in node:
+                (fld, rule), = node["intervals"].items()
+                node = intervals_to_span(rule, self.analyzer)
+            docmap = eval_spans(self.r, node, self.analyzer)
+            mask = np.zeros(n, dtype=bool)
+            if docmap:
+                mask[np.fromiter(docmap.keys(), dtype=np.int64, count=len(docmap))] = True
+            return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, ScriptQuery):
             fn = SCRIPT_QUERIES.get(q.source)
             if fn is None:

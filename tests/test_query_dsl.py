@@ -242,3 +242,52 @@ def test_query_string_phrase(pseg):
     assert _match_urls(pseg, ev, q) == ["u02"]
     q = {"query_string": {"query": '"dog banana"'}}
     assert _match_urls(pseg, ev, q) == []
+
+
+def test_span_queries(pseg):
+    ev = _ev(pseg)
+    # docs: u00 "apple banana cherry", u01 "apple apple dog",
+    #       u02 "banana dog elephant", u03 "cherry elephant fig"
+    q = {"span_near": {"clauses": [{"span_term": {"text": "apple"}},
+                                   {"span_term": {"text": "cherry"}}],
+                       "slop": 1, "in_order": True}}
+    assert _match_urls(pseg, ev, q) == ["u00"]  # gap of 1 (banana)
+    q0 = {"span_near": {"clauses": [{"span_term": {"text": "apple"}},
+                                    {"span_term": {"text": "cherry"}}],
+                        "slop": 0, "in_order": True}}
+    assert _match_urls(pseg, ev, q0) == []  # adjacent required
+    # unordered within window
+    qu = {"span_near": {"clauses": [{"span_term": {"text": "cherry"}},
+                                    {"span_term": {"text": "banana"}}],
+                        "slop": 1, "in_order": False}}
+    assert _match_urls(pseg, ev, qu) == ["u00"]
+    # span_or
+    qo = {"span_or": {"clauses": [{"span_term": {"text": "fig"}},
+                                  {"span_term": {"text": "elephant"}}]}}
+    assert _match_urls(pseg, ev, qo) == ["u02", "u03"]
+    # span_first: 'dog' ending within the first 2 positions — u02
+    # ("banana dog …", dog@1) and u05 ("dog dog dog", dog@0,1); u01's
+    # dog@2 ends at 3 and is excluded
+    qf = {"span_first": {"match": {"span_term": {"text": "dog"}}, "end": 2}}
+    assert _match_urls(pseg, ev, qf) == ["u02", "u05"]
+    # span_not: banana not followed-adjacent by dog -> keeps u00's banana
+    qn = {"span_not": {"include": {"span_term": {"text": "banana"}},
+                       "exclude": {"span_near": {"clauses": [
+                           {"span_term": {"text": "banana"}},
+                           {"span_term": {"text": "dog"}}], "slop": 0,
+                           "in_order": True}}}}
+    assert "u00" in _match_urls(pseg, ev, qn)
+
+
+def test_intervals_query(pseg):
+    ev = _ev(pseg)
+    q = {"intervals": {"text": {"match": {"query": "apple cherry",
+                                          "max_gaps": 1, "ordered": True}}}}
+    assert _match_urls(pseg, ev, q) == ["u00"]
+    q = {"intervals": {"text": {"any_of": {"intervals": [
+        {"match": {"query": "fig"}}, {"match": {"query": "apricot"}}]}}}}
+    assert _match_urls(pseg, ev, q) == ["u03", "u04"]
+    q = {"intervals": {"text": {"all_of": {"intervals": [
+        {"match": {"query": "banana"}}, {"match": {"query": "dog"}}],
+        "max_gaps": 0, "ordered": True}}}}
+    assert _match_urls(pseg, ev, q) == ["u02"]

@@ -70,3 +70,89 @@ def highlight_hits(hits, corpus_lookup, query_text: str,
         text = corpus_lookup.get(h["url"], "")
         out.append({**h, "highlight": highlight(text, terms, analyzer, **kw)})
     return out
+
+
+def _sentence_bounds(text: str, max_len: int):
+    """Sentence-ish passage boundaries (BreakIterator analogue): split
+    after . ! ? followed by whitespace; long sentences re-split at
+    max_len."""
+    bounds = []
+    start = 0
+    for m in regex.finditer(r"[.!?]\s+", text):
+        bounds.append((start, m.end()))
+        start = m.end()
+    if start < len(text):
+        bounds.append((start, len(text)))
+    out = []
+    for s, e in bounds:
+        while e - s > max_len:
+            cut = text.rfind(" ", s, s + max_len)
+            cut = cut if cut > s else s + max_len
+            out.append((s, cut))
+            s = cut
+        out.append((s, e))
+    return out
+
+
+def unified_highlight(
+    text: str,
+    query_terms: set[str],
+    phrases: list[list[str]] | None = None,
+    analyzer: str = "standard_en",
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    fragment_size: int = 150,
+    number_of_fragments: int = 3,
+    term_weights: dict | None = None,
+) -> list[str]:
+    """Unified-highlighter analogue (``UnifiedHighlighter.java``):
+    sentence-bounded PASSAGES scored like the reference's PassageScorer
+    (sum of per-unique-term weights — idf-shaped via ``term_weights``,
+    default 1.0 — with phrase hits counted as whole units), top passages
+    returned with every hit tagged. Phrase members only highlight when
+    the full phrase matches consecutively in token order."""
+    an = get_analyzer(analyzer)
+    toks = []  # (start, end, analyzed token)
+    for m in _FINDTOK.finditer(text):
+        out = an(m.group(0))
+        toks.append((m.start(), m.end(), out[0] if out else None))
+    hit_spans = []  # (char_start, char_end, term)
+    for s, e, t in toks:
+        if t is not None and t in query_terms:
+            hit_spans.append((s, e, t))
+    for ph in phrases or []:
+        L = len(ph)
+        for i in range(len(toks) - L + 1):
+            window = toks[i : i + L]
+            if [w[2] for w in window] == list(ph):
+                hit_spans.append((window[0][0], window[-1][1], " ".join(ph)))
+    if not hit_spans:
+        return []
+    hit_spans.sort()
+    weights = term_weights or {}
+    passages = []
+    for lo, hi in _sentence_bounds(text, fragment_size):
+        inside = [(a, b, t) for a, b, t in hit_spans if a >= lo and b <= hi]
+        if not inside:
+            continue
+        score = sum(weights.get(t, 1.0) for t in {t for _, _, t in inside})
+        passages.append((score, lo, hi, inside))
+    passages.sort(key=lambda p: (-p[0], p[1]))
+    frags = []
+    for score, lo, hi, inside in passages[:number_of_fragments]:
+        # merge overlapping hit spans (phrase + member) keeping the widest
+        merged = []
+        for a, b, _ in sorted(inside):
+            if merged and a < merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
+        out = []
+        pos = lo
+        for a, b in merged:
+            out.append(text[pos:a])
+            out.append(pre_tag + text[a:b] + post_tag)
+            pos = b
+        out.append(text[pos:hi])
+        frags.append("".join(out).strip())
+    return frags

@@ -65,3 +65,88 @@ def phrase_suggest(reader, text: str, max_edits: int = 1, size: int = 3,
             seen.add(o["text"])
             out.append(o)
     return out[:size]
+
+
+def completion_suggest(reader, prefix: str, size: int = 5) -> list[dict]:
+    """`completion` suggester analogue (``search/suggest/completion/``):
+    prefix-ranked completions from the term dictionary, weight = df
+    (the FST-with-weights shape re-expressed over the sorted term dict
+    — same contract: top-N completions for a prefix by weight)."""
+    from raydex.search.query import expand_prefix
+
+    idx = expand_prefix(reader, prefix.lower())
+    cands = sorted(
+        ((int(reader.df[i]), str(reader.terms[i])) for i in idx),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return [{"text": t, "weight": w} for w, t in cands[:size]]
+
+
+def phrase_suggest_lm(reader, text: str, max_edits: int = 1,
+                      num_candidates: int = 5, size: int = 3,
+                      backoff: float = 0.4, analyzer=None) -> list[dict]:
+    """`phrase` suggester with the reference's real shape
+    (``PhraseSuggester.java``: per-term candidate generation + a
+    word-LM rescore; the default smoothing is StupidBackoff(0.4)):
+
+        score(w1..wn) = prod_i P(w_i | w_{i-1})
+        P(w|v) = bigram(v,w)/unigram(v)  if bigram seen
+               = backoff * unigram(w)/N  otherwise
+
+    Bigram frequencies come from the POSITIONAL index
+    (phrase_frequencies of the pair) — the same statistics the
+    reference reads from a shingled field. Beam search over per-slot
+    candidates keeps it linear in input length."""
+    from raydex.search.phrase import phrase_frequencies
+
+    toks = analyzer(text) if analyzer else text.lower().split()
+    if not toks:
+        return []
+    total_cf = max(int(reader.cf.sum()), 1)
+
+    def unigram(t: str) -> int:
+        ti = reader.lookup(t)
+        return int(reader.cf[ti]) if ti >= 0 else 0
+
+    def bigram(a: str, b: str) -> int:
+        try:
+            docs, pf = phrase_frequencies(reader, [a, b], [0, 1])
+        except ValueError:  # no positions stored
+            return 0
+        return int(pf.sum()) if docs.size else 0
+
+    def candidates(tok: str) -> list[str]:
+        out = [tok] if reader.lookup(tok) >= 0 else []
+        sugg = term_suggest(reader, tok, max_edits=max_edits, size=num_candidates)
+        out += [s["text"] for s in sugg.get(tok, [])]
+        return out or [tok]
+
+    import math
+
+    beams = [([], 0.0)]  # (words, log score)
+    for i, tok in enumerate(toks):
+        nxt = []
+        for words, lp in beams:
+            for cand in candidates(tok):
+                u = unigram(cand)
+                if i == 0 or not words:
+                    p = max(u, 0.5) / total_cf
+                else:
+                    bg = bigram(words[-1], cand)
+                    prev_u = unigram(words[-1])
+                    if bg > 0 and prev_u > 0:
+                        p = bg / prev_u
+                    else:
+                        p = backoff * max(u, 0.5) / total_cf
+                nxt.append((words + [cand], lp + math.log(p)))
+        nxt.sort(key=lambda x: (-x[1], x[0]))
+        beams = nxt[: max(size, num_candidates)]
+    seen, out = set(), []
+    for words, lp in beams:
+        s = " ".join(words)
+        if s not in seen:
+            seen.add(s)
+            out.append({"text": s, "score": float(math.exp(lp / max(len(words), 1)))})
+        if len(out) >= size:
+            break
+    return out

@@ -184,3 +184,67 @@ def test_reindex(tmp_path, ray_session, sf_dir):
     # sliced run processes a strict subset
     sl = reindex(ds, id_col="doc_id", slices=4, slice_id=0).count()
     assert 0 < sl < ds.count()
+
+
+@pytest.fixture(scope="module")
+def feat_pseg(tmp_path_factory):
+    """Positions-enabled segment for the LM phrase suggester."""
+    d = str(tmp_path_factory.mktemp("featp") / "seg")
+    docs = [
+        ("u0", "the search engine indexes web pages quickly"),
+        ("u1", "search engine quality relies on ranking and scoring"),
+        ("u2", "databases store rows and columns"),
+        ("u3", "the search engine ranks pages"),
+    ]
+    build_segment(d, [u for u, _ in docs], [t for _, t in docs],
+                  analyzer="standard_en", store_positions=True)
+    return SegmentReader(d), docs
+
+
+def test_completion_suggest(feat_seg):
+    from raydex.search.suggest import completion_suggest
+
+    r, _ = feat_seg
+    out = completion_suggest(r, "s")
+    assert out and out[0]["text"] in ("search", "scoring", "store")
+    assert out[0]["weight"] >= out[-1]["weight"]  # weight-ranked
+    assert completion_suggest(r, "zzz") == []
+    texts = [o["text"] for o in completion_suggest(r, "se")]
+    assert texts == ["search"]
+
+
+def test_phrase_suggest_lm(feat_pseg):
+    from raydex.search.suggest import phrase_suggest_lm
+
+    r, _ = feat_pseg
+    out = phrase_suggest_lm(r, "serch engin")
+    assert out[0]["text"] == "search engine"
+    # bigram LM prefers the corpus collocation over a rarer pairing
+    out = phrase_suggest_lm(r, "search engin")
+    assert out[0]["text"] == "search engine"
+    # already-correct input survives as the top suggestion
+    out = phrase_suggest_lm(r, "search engine")
+    assert out[0]["text"] == "search engine"
+
+
+def test_unified_highlight(feat_seg):
+    from raydex.search.highlight import unified_highlight
+
+    _, docs = feat_seg
+    text = docs[0][1] + ". " + docs[1][1] + "."
+    frags = unified_highlight(text, {"search", "engine"}, analyzer="standard_en",
+                              number_of_fragments=2)
+    assert frags and "<em>search</em>" in frags[0]
+    # passage with BOTH terms scores above the one with a single term
+    assert "<em>engine</em>" in frags[0]
+    # phrase hits tag the whole phrase as one unit
+    frags = unified_highlight(
+        text, set(), phrases=[["search", "engine"]], analyzer="standard_en"
+    )
+    assert any("<em>search engine" in f for f in frags)
+    # idf-shaped weighting flips passage order
+    frags = unified_highlight(text, {"quality", "web"}, analyzer="standard_en",
+                              term_weights={"quality": 5.0, "web": 1.0},
+                              number_of_fragments=1)
+    assert "<em>quality</em>" in frags[0]
+    assert unified_highlight("nothing here", {"zzz"}) == []

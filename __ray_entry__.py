@@ -638,6 +638,47 @@ def q_query_string_count(sf):
     return pa.table({"n_docs": pa.array([n], pa.int64())})
 
 
+def q_percolate_counts(sf):
+    """Percolate (reverse search): stream documents against registered
+    queries, count matches per query — each query is LIKE-expressible."""
+    from raydex.search.percolate import percolate
+
+    queries = {
+        "q_batch": {"match": {"text": "batch"}},
+        "q_batch_no_stream": {"bool": {"must": [{"term": {"text": "batch"}}],
+                                       "must_not": [{"term": {"text": "stream"}}]}},
+        "q_phrase": {"match_phrase": {"text": "batch stream"}},
+    }
+    out = percolate(
+        _ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id", queries,
+        analyzer="standard",
+    )
+    agg = out.groupby("query_id").count()
+    return agg.map_batches(
+        lambda t: t.rename_columns(["query_id", "n_docs"]), batch_format="pyarrow"
+    ).sort("query_id")
+
+
+def q_nested_lineitems_count(sf):
+    """`nested` query: orders having ONE lineitem with quantity > 45 AND
+    discount < 0.05 on the SAME line (the co-located sub-doc semantics a
+    flattened mapping loses). Children nested via one keyed shuffle."""
+    import pyarrow.compute as pc
+
+    from raydex.ops.nested import nest, nested_count
+
+    li = _ds(sf, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
+    nested = nest(li, "l_orderkey", ["l_quantity", "l_discount"])
+
+    def pred(flat: pa.StructArray):
+        q = pc.greater(flat.field("l_quantity"), 45.0)
+        d = pc.less(flat.field("l_discount"), 0.05)
+        return pc.and_(q, d).to_numpy(zero_copy_only=False)
+
+    n = nested_count(nested, "children", pred)
+    return pa.table({"n_orders": pa.array([n], pa.int64())})
+
+
 def q_span_near_count(sf):
     """`span_near` (ordered, slop=1): 'batch' then 'stream' with at most
     one token between — SQL-checkable with a regex over the word text."""
@@ -720,6 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_set_count": q_terms_set_count,
         "query_string_count": q_query_string_count,
         "span_near_count": q_span_near_count,
+        "nested_lineitems_count": q_nested_lineitems_count,
+        "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
     }
 
@@ -903,6 +946,21 @@ def oracle_sql() -> dict[str, str]:
         "span_near_count": (
             "SELECT COUNT(*) AS n_docs FROM documents "
             "WHERE regexp_matches(' ' || text || ' ', ' batch ([^ ]+ )?stream ')"
+        ),
+        "nested_lineitems_count": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem "
+            "WHERE l_quantity > 45.0 AND l_discount < 0.05"
+        ),
+        "percolate_counts": (
+            "SELECT query_id, n_docs FROM ("
+            "SELECT 'q_batch' AS query_id, COUNT(*) AS n_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "UNION ALL SELECT 'q_batch_no_stream', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND ' ' || text || ' ' NOT LIKE '% stream %' "
+            "UNION ALL SELECT 'q_phrase', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch stream %'"
+            ") ORDER BY query_id"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

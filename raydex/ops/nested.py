@@ -1,0 +1,113 @@
+"""Nested documents: mapper + query (SURVEY §2.5).
+
+The reference stores nested sub-documents as adjacent Lucene docs in
+the same segment and `nested` queries match a parent when ONE sub-doc
+satisfies all inner conditions (``server/src/main/java/org/elasticsearch/
+index/query/NestedQueryBuilder.java``, ``index/mapper/NestedObjectMapper``)
+— the property a flattened object mapping loses (cross-object matches).
+
+Ray-Data-first re-expression:
+
+- ``nest``: children co-located with their parent via ONE keyed
+  hash-shuffle (the same routing primitive as the index build), then a
+  per-block columnar fold into a ``list<struct>`` column — the
+  block-adjacency analogue of the reference's doc-adjacency.
+- ``nested_filter``: fully vectorized — flatten the list column, run
+  the inner predicate over the flat sub-doc struct array, reduce
+  per-parent match counts with offset-difference sums; parents kept
+  when matches >= min_matches. No per-row Python.
+
+Scale: one shuffle keyed on the parent key; each block folds its own
+complete key groups; the nested column never materializes on the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def nest(child_ds, parent_key: str, child_fields: list[str],
+         nested_col: str = "children", num_blocks: int | None = None):
+    """One row per parent: (parent_key, nested_col=list<struct>).
+
+    Children are hash-routed by ``parent_key`` so every block holds
+    complete groups, then each block folds columnar (sort + run-length
+    offsets + ListArray over the struct of child fields)."""
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    # a Dataset snapshots its DataContext at creation — override the
+    # captured one too or the keys= repartition refuses to plan
+    dctx = getattr(child_ds, "context", None)
+    if dctx is not None:
+        dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        dctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    try:
+        nb = num_blocks or 2 * ncpu
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        parent_key: pa.array([], t.schema.field(parent_key).type),
+                        nested_col: pa.array(
+                            [],
+                            pa.list_(pa.struct(
+                                [(f, t.schema.field(f).type) for f in child_fields]
+                            )),
+                        ),
+                    }
+                )
+            t = t.sort_by(parent_key)
+            keys = t[parent_key].combine_chunks()
+            kn = keys.to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.r_[True, kn[1:] != kn[:-1]])
+            offsets = np.r_[starts, t.num_rows].astype(np.int32)
+            struct = pa.StructArray.from_arrays(
+                [t[f].combine_chunks() for f in child_fields], child_fields
+            )
+            nested = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+            return pa.table(
+                {parent_key: pc.take(keys, pa.array(starts.astype(np.int64))),
+                 nested_col: nested}
+            )
+
+        return child_ds.repartition(num_blocks=nb, keys=[parent_key]).map_batches(
+            fold, batch_format="pyarrow", batch_size=None
+        )
+    finally:
+        ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators = saved
+
+
+def nested_filter(ds, nested_col: str, inner_pred, min_matches: int = 1):
+    """Keep parents where >= min_matches sub-docs satisfy
+    ``inner_pred(flat_struct_array) -> bool mask`` — the `nested` query:
+    all inner conditions evaluated on the SAME sub-doc."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        col = t[nested_col].combine_chunks()
+        flat = col.flatten()
+        mask_flat = np.asarray(inner_pred(flat), dtype=np.int64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        # per-parent match counts via offset-difference of the cumsum
+        cs = np.r_[0, np.cumsum(mask_flat)]
+        base = offs[0]
+        matches = cs[offs[1:] - base] - cs[offs[:-1] - base]
+        return t.filter(pa.array(matches >= min_matches))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nested_count(ds, nested_col: str, inner_pred, min_matches: int = 1) -> int:
+    """`_count` with a nested query."""
+    return nested_filter(ds, nested_col, inner_pred, min_matches).count()

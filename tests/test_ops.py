@@ -329,3 +329,52 @@ def test_mad_and_variable_width_and_auto_date(docs_ds, con, ray_session, sf_dir)
     assert 1 <= len(adh) <= 10
     n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
     assert adh["doc_count"].sum() == n_events
+
+
+def test_nested_query_semantics(ray_session):
+    """The nested property: conditions must hold on the SAME sub-doc."""
+    import pyarrow.compute as pc
+
+    from raydex.ops.nested import nest, nested_count, nested_filter
+
+    # parent 1: one child satisfies both; parent 2: conditions split
+    # across children (flattened mapping would wrongly match parent 2)
+    rows = [
+        {"pk": 1, "a": 10, "b": 1},
+        {"pk": 1, "a": 0, "b": 0},
+        {"pk": 2, "a": 10, "b": 0},
+        {"pk": 2, "a": 0, "b": 1},
+        {"pk": 3, "a": 0, "b": 0},
+    ]
+    nested = nest(rd.from_items(rows), "pk", ["a", "b"])
+
+    def pred(flat):
+        return pc.and_(
+            pc.greater(flat.field("a"), 5), pc.greater(flat.field("b"), 0)
+        ).to_numpy(zero_copy_only=False)
+
+    kept = nested_filter(nested, "children", pred).to_pandas()
+    assert kept["pk"].tolist() == [1]
+    assert nested_count(nested, "children", pred) == 1
+    # min_matches honors the count of matching sub-docs
+    def any_a(flat):
+        return pc.greater(flat.field("a"), -1).to_numpy(zero_copy_only=False)
+    assert nested_count(nested, "children", any_a, min_matches=2) == 2  # pk 1,2
+
+
+def test_nested_gate_vs_duckdb(ray_session, sf_dir, con_li):
+    import __ray_entry__ as e
+
+    got = e.q_nested_lineitems_count(sf_dir).to_pydict()["n_orders"][0]
+    want = con_li.execute(
+        "SELECT COUNT(DISTINCT l_orderkey) FROM lineitem "
+        "WHERE l_quantity > 45.0 AND l_discount < 0.05"
+    ).fetchone()[0]
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def con_li(sf_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    return c

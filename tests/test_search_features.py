@@ -248,3 +248,30 @@ def test_unified_highlight(feat_seg):
                               number_of_fragments=1)
     assert "<em>quality</em>" in frags[0]
     assert unified_highlight("nothing here", {"zzz"}) == []
+
+
+def test_percolate(ray_session):
+    import ray.data as rd
+
+    from raydex.search.percolate import percolate
+
+    docs = [
+        {"doc_id": 0, "text": "ray data streaming pipelines"},
+        {"doc_id": 1, "text": "cats and dogs"},
+        {"doc_id": 2, "text": "streaming video platform"},
+        {"doc_id": 3, "text": "data lake storage"},
+    ]
+    queries = {
+        "q_stream": {"match": {"text": "streaming"}},
+        "q_data_no_lake": {"bool": {"must": [{"term": {"text": "data"}}],
+                                    "must_not": [{"term": {"text": "lake"}}]}},
+        "q_phrase": {"match_phrase": {"text": "data streaming"}},
+        "q_all": {"match_all": {}},
+    }
+    out = percolate(rd.from_items(docs), "text", "doc_id", queries).to_pandas()
+    got = {(r.doc_id, r.query_id) for r in out.itertuples()}
+    assert ("q_stream" in {q for d, q in got if d == 0})
+    assert (2, "q_stream") in got and (1, "q_stream") not in got
+    assert (0, "q_data_no_lake") in got and (3, "q_data_no_lake") not in got
+    assert (0, "q_phrase") in got and (2, "q_phrase") not in got
+    assert {d for d, q in got if q == "q_all"} == {0, 1, 2, 3}

@@ -767,8 +767,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_oracle_sql() -> str:
+    """Recompute the detect_lang heuristic in SQL (markers pulled from
+    the implementation so the oracle can't drift)."""
+    from raydex.ops.text import _LANG_MARKERS
+
+    def m(words):
+        lst = ",".join(f"'{w}'" for w in sorted(words))
+        return (
+            "len(list_intersect(list_distinct(string_split(lower(text),' ')), "
+            f"[{lst}]))"
+        )
+
+    M = {k: m(v) for k, v in _LANG_MARKERS.items()}
+    cjk = r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]"
+    han = r"[\x{4E00}-\x{9FFF}]"
+    kana = r"[\x{3040}-\x{30FF}]"
+    return (
+        "SELECT doc_id, CASE "
+        f"WHEN regexp_matches(text, '{cjk}') THEN "
+        f"CASE WHEN regexp_matches(text, '{han}') AND NOT regexp_matches(text, '{kana}') "
+        "THEN 'zh' ELSE 'ja' END "
+        f"WHEN {M['en']} = 0 AND {M['de']} = 0 AND {M['fr']} = 0 AND {M['es']} = 0 "
+        "THEN 'unknown' "
+        f"WHEN {M['en']} >= {M['de']} AND {M['en']} >= {M['fr']} AND {M['en']} >= {M['es']} THEN 'en' "
+        f"WHEN {M['de']} >= {M['fr']} AND {M['de']} >= {M['es']} THEN 'de' "
+        f"WHEN {M['fr']} >= {M['es']} THEN 'fr' "
+        "ELSE 'es' END AS lang_pred FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id_docs": _lang_id_oracle_sql(),
         "terms_lang": (
             "SELECT lang, COUNT(*) AS doc_count FROM documents "
             "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 5"

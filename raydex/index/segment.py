@@ -314,11 +314,15 @@ class SegmentReader:
         / runtime-field analogue; raydex.search.fields). Built once per
         reader — i.e. once per query actor."""
         if name not in self._derived:
-            from raydex.search.fields import DerivedFieldIndex
+            from raydex.search.fields import RUNTIME_FIELDS, DerivedFieldIndex
 
-            if name != "url":
-                raise ValueError(f"no stored column for derived field {name!r}")
-            self._derived[name] = DerivedFieldIndex(self.urls.to_pylist())
+            fn = RUNTIME_FIELDS.get(name)
+            if fn is None:
+                raise ValueError(
+                    f"no stored column or registered runtime field {name!r} "
+                    f"(register_runtime_field)"
+                )
+            self._derived[name] = DerivedFieldIndex(fn(self))
         return self._derived[name]
 
     @staticmethod

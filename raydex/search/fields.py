@@ -30,6 +30,20 @@ def tokenize_keywordish(value: str) -> list[str]:
     return [t for t in _SPLIT.split(str(value).lower()) if t]
 
 
+# runtime-field registry (es/script/*FieldScript analogue): name ->
+# fn(reader) -> list of string values (one per doc), indexed lazily on
+# first query via DerivedFieldIndex. The built-in 'url' field is the
+# stored column itself.
+RUNTIME_FIELDS: dict = {"url": lambda reader: reader.urls.to_pylist()}
+
+
+def register_runtime_field(name: str, fn) -> None:
+    """Register a query-time computed field: ``fn(reader)`` returns one
+    string per doc, derived from stored columns (urls/dl). The field is
+    then queryable via term/match/prefix leaves like any keyword field."""
+    RUNTIME_FIELDS[name] = fn
+
+
 class DerivedFieldIndex:
     """Segment-local inverted index over one stored string column."""
 

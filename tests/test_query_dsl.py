@@ -291,3 +291,20 @@ def test_intervals_query(pseg):
         {"match": {"query": "banana"}}, {"match": {"query": "dog"}}],
         "max_gaps": 0, "ordered": True}}}}
     assert _match_urls(pseg, ev, q) == ["u02"]
+
+
+def test_runtime_field_registry(seg):
+    """Runtime fields: query-time computed keyword fields over stored
+    columns (es/script/*FieldScript analogue)."""
+    from raydex.search.fields import register_runtime_field
+
+    # a 'parity' field computed from the stored doc length
+    register_runtime_field(
+        "parity", lambda r: ["even" if d % 2 == 0 else "odd" for d in r.dl]
+    )
+    ev = _ev(seg)
+    # u04 'applesauce apricot' has dl=2 (even); the rest dl=3 (odd)
+    assert _match_urls(seg, ev, {"term": {"parity": "even"}}) == ["u04"]
+    assert len(_match_urls(seg, ev, {"term": {"parity": "odd"}})) == 5
+    with pytest.raises(ValueError, match="runtime field"):
+        ev.eval(parse_query({"term": {"nope": "x"}}))

@@ -87,3 +87,53 @@ def test_choose_merges_policy(ray_session, tmp_path):
     m = load_index_manifest(idx)
     # merged segment appears, inputs gone
     assert any(r["seg_id"].startswith("mseg-") for r in m["segments"])
+
+
+def test_crash_before_manifest_commit_leaves_index_openable(
+    tmp_path, ray_session, monkeypatch
+):
+    """A crash after bucket writes but BEFORE the index-manifest commit
+    must leave the OLD index fully openable (old segments are deleted
+    only after the new commit point is durable)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from raydex.corpus import make_pages_table
+    from raydex.index import merge as merge_mod
+    from raydex.index.build import build_index, load_index_manifest
+    from raydex.search.scatter import LocalSearcher
+
+    t = make_pages_table(400, seed=23)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, source="text", max_docs_per_segment=100)
+    before = LocalSearcher(idx).search("web search", k=5)
+    m = load_index_manifest(idx)
+    plan = {}
+    for r in m["segments"]:
+        plan.setdefault(r["part"], []).append(r["seg_id"])
+    old_dirs = [
+        _os.path.join(idx, f"part={part:05d}", sid)
+        for part, sids in plan.items() for sid in sids
+    ]
+
+    real_replace = _os.replace
+
+    def exploding_replace(src, dst):
+        if dst.endswith("index_manifest.json"):
+            raise RuntimeError("simulated crash at commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(merge_mod.os, "replace", exploding_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_mod.merge_partition_segments(idx, plan)
+    monkeypatch.undo()
+
+    # old segment dirs survive and the old manifest still opens cleanly
+    assert all(_os.path.isdir(d) for d in old_dirs)
+    after = LocalSearcher(idx).search("web search", k=5)
+    assert [(h["url"], h["score"]) for h in before] == [
+        (h["url"], h["score"]) for h in after
+    ]

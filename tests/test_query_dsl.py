@@ -308,3 +308,23 @@ def test_runtime_field_registry(seg):
     assert len(_match_urls(seg, ev, {"term": {"parity": "odd"}})) == 5
     with pytest.raises(ValueError, match="runtime field"):
         ev.eval(parse_query({"term": {"nope": "x"}}))
+
+
+def test_point_get_and_mget(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.get import get_doc, mget
+
+    t = make_pages_table(200, seed=29)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=4, source="text", max_docs_per_segment=50)
+    urls = t["url"].to_pylist()
+    hit = get_doc(idx, urls[17])
+    assert hit is not None and hit["url"] == urls[17] and hit["dl"] > 0
+    assert get_doc(idx, "https://nope.example/x") is None
+    got = mget(idx, [urls[0], "https://nope.example/x", urls[123]])
+    assert got[0]["url"] == urls[0] and got[1] is None and got[2]["url"] == urls[123]

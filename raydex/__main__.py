@@ -70,6 +70,18 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)
 
+    g = sub.add_parser("get")
+    g.add_argument("--index", required=True)
+    g.add_argument("--id", required=True, nargs="+",
+                   help="one or more document ids (urls)")
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--text", required=True)
+    sg.add_argument("--mode", default="term",
+                    choices=["term", "phrase", "completion"])
+    sg.add_argument("--size", type=int, default=5)
+
     a = p.parse_args(argv)
 
     if a.cmd == "build":
@@ -114,6 +126,28 @@ def main(argv=None) -> int:
         man = load_index_manifest(a.index)
         print(json.dumps({k: v for k, v in man.items() if k != "segments"} |
                          {"segments": len(man["segments"])}, indent=1))
+    elif a.cmd == "get":
+        from raydex.search.get import mget
+
+        for row in mget(a.index, a.id):
+            print(json.dumps(row if row is None or "text" not in row
+                             else {**row, "text": row["text"][:200]}))
+    elif a.cmd == "suggest":
+        from raydex.index.build import segment_dirs
+        from raydex.index.segment import SegmentReader
+        from raydex.search.suggest import (
+            completion_suggest,
+            phrase_suggest_lm,
+            term_suggest,
+        )
+
+        r = SegmentReader(segment_dirs(a.index)[0])
+        if a.mode == "term":
+            print(json.dumps(term_suggest(r, a.text, size=a.size)))
+        elif a.mode == "phrase":
+            print(json.dumps(phrase_suggest_lm(r, a.text, size=a.size)))
+        else:
+            print(json.dumps(completion_suggest(r, a.text, size=a.size)))
     import ray
 
     if ray.is_initialized():

@@ -91,7 +91,9 @@ def run_bench() -> dict:
     num_replicas = max(2, num_cpus // 2)
     searcher = ReplicatedSearcher(idx, num_replicas=num_replicas)
     pairs = list(zip(q["query_text"].to_pylist(), q["k"].to_pylist()))
-    # warm EVERY replica (segment load is per-actor, untimed)
+    # await EVERY replica's constructor (one laggard otherwise gates the
+    # timed batch), then warm the code path
+    searcher.wait_ready()
     searcher.search_batch(pairs[: max(4, num_replicas)])
     t0 = time.perf_counter()
     searcher.search_batch(pairs)
@@ -114,6 +116,15 @@ def run_bench() -> dict:
         "text", "doc_id", keep="ids",
     ).count()
     timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    from raydex.ops.dedup import minhash_lsh_pairs
+
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "text", "doc_id",
+    ).count()
+    timings["minhash_lsh"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     import pyarrow.parquet as pq

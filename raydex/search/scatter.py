@@ -226,6 +226,15 @@ class ReplicatedSearcher(SearcherBase):
         # global df is exact from any single replica (it sees all segments)
         self._df_actor = self.actors[0]
 
+    def wait_ready(self) -> None:
+        """Block until EVERY replica finished loading its readers.
+
+        Constructors run concurrently; a query batch that happens to skip
+        a replica (e.g. a stopword-only query) would otherwise hit a
+        still-constructing actor mid-measurement — one laggard
+        constructor gates the whole batch (measured: a 10x QPS cliff)."""
+        self._ray.get([a.term_stats.remote([]) for a in self.actors])
+
     def search_batch(self, queries: list[tuple[str, int]], method: str = "auto"):
         analyzed = [self.analyze(q) for q, _ in queries]
         uniq = sorted({t for ts in analyzed for t in ts})

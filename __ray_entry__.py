@@ -800,6 +800,17 @@ def _lang_id_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
+        # GOLDEN oracle: the _analyze inputs are fixed strings, so the
+        # expected UAX#29 token stream is input-deterministic and encoded
+        # as a VALUES table (the reference's analysis goldens, SURVEY §5)
+        "analyze_tokens": (
+            "SELECT CAST(case_id AS BIGINT) AS case_id, "
+            "CAST(position AS BIGINT) AS position, token FROM (VALUES "
+            "(0, 0, 'wi'), (0, 1, 'fi'), (0, 2, '3.14'), (0, 3, 'o''neil''s'), "
+            "(1, 0, 'quick'), (1, 1, 'brown'), (1, 2, 'fox'), "
+            "(2, 0, '日'), (2, 1, '本'), (2, 2, '語'), (2, 3, 'テキスト')"
+            ") AS t(case_id, position, token)"
+        ),
         "terms_lang": (
             "SELECT lang, COUNT(*) AS doc_count FROM documents "
             "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 5"

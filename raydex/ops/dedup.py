@@ -64,9 +64,11 @@ def exact_dedup(ds, text_col: str, id_col: str, keep: str = "rows"):
     map_batches(add md5) -> groupby(hash) native Min aggregate (map-side
     combine; NO per-group python). ``keep='ids'`` returns just the
     winning ids (one shuffle); ``keep='rows'`` additionally broadcasts
-    the (sorted) winner-id array and filters the input — at 100 TB the
-    winner set may not fit one node, in which case use keep='ids' and a
-    partitioned join instead.
+    the (sorted) winner-id array and filters the input — fastest when
+    the winner set fits one node; ``keep='rows_partitioned'`` resolves
+    membership via a bucketed SEMI join instead (raydex.ops.joins
+    .semi_join) — the 100 TB path: the winner set never lands on the
+    driver.
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -85,6 +87,13 @@ def exact_dedup(ds, text_col: str, id_col: str, keep: str = "rows"):
         return winners.map_batches(
             lambda t: pa.table({id_col: t["_win"]}), batch_format="pyarrow"
         )
+    if keep == "rows_partitioned":
+        from raydex.ops.joins import semi_join
+
+        win_ids = winners.map_batches(
+            lambda t: pa.table({id_col: t["_win"]}), batch_format="pyarrow"
+        )
+        return semi_join(ds, win_ids, id_col, id_col)
     import ray
 
     win_ids = np.sort(

@@ -109,3 +109,61 @@ def copartition_join(left_ds, right_ds, key_left: str, key_right: str,
 
     both = left.union(right)
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def semi_join(left_ds, right_ds, key_left: str, key_right: str,
+              num_buckets: int = 64, anti: bool = False):
+    """Partitioned SEMI join: keep left rows whose key appears on the
+    right (``anti=True`` inverts — the bool.filter / must_not shapes at
+    scale). Both sides bucketed by murmur3(key) % B; membership resolved
+    inside the bucket group with a numpy isin — neither side ever lands
+    on the driver (the scale path when the right side is too big to
+    broadcast)."""
+    lsch = left_ds.schema()
+    out_schema = pa.schema(list(zip(lsch.names, lsch.types)))
+    left_cols = list(lsch.names)
+
+    def tag(side: str, key: str, keep_cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            keys = [str(v) for v in t[key].to_pylist()]
+            b = murmur3_hash_many(keys).astype(np.int64) % num_buckets
+            arrays = {c: t[c] for c in keep_cols}
+            arrays["_k"] = t[key].cast(pa.string()) if t[key].type != pa.string() else t[key]
+            out = pa.table(arrays)
+            out = out.append_column("_bucket", pa.array(b.astype(np.int32)))
+            return out.append_column("_side", pa.array([side] * t.num_rows))
+
+        return f
+
+    left = left_ds.map_batches(tag("l", key_left, left_cols), batch_format="pyarrow")
+    # right side ships ONLY its key
+    right = right_ds.map_batches(
+        lambda t, _f=tag("r", key_right, []): _f(t), batch_format="pyarrow"
+    )
+
+    def filter_bucket(g: pd.DataFrame) -> pa.Table:
+        l = g[g["_side"] == "l"]
+        rkeys = g.loc[g["_side"] == "r", "_k"].unique()
+        if l.empty:
+            return out_schema.empty_table()
+        mask = l["_k"].isin(rkeys).to_numpy()
+        if anti:
+            mask = ~mask
+        kept = l.loc[mask, left_cols]
+        if kept.empty:
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(kept, preserve_index=False).cast(out_schema)
+
+    # align schemas for the union: left carries its columns, right only _k
+    def pad_right(t: pa.Table) -> pa.Table:
+        arrays = {}
+        for c, typ in zip(lsch.names, lsch.types):
+            arrays[c] = pa.nulls(t.num_rows, type=typ)
+        arrays["_k"] = t["_k"]
+        out = pa.table(arrays)
+        out = out.append_column("_bucket", t["_bucket"])
+        return out.append_column("_side", t["_side"])
+
+    right = right.map_batches(pad_right, batch_format="pyarrow")
+    both = left.union(right)
+    return both.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")

@@ -81,22 +81,26 @@ class MatchPhrase(Query):
 @dataclass
 class Prefix(Query):
     value: str = ""
+    fld: str = "text"
 
 
 @dataclass
 class Wildcard(Query):
     pattern: str = ""  # * and ? wildcards
+    fld: str = "text"
 
 
 @dataclass
 class Regexp(Query):
     pattern: str = ""
+    fld: str = "text"
 
 
 @dataclass
 class Fuzzy(Query):
     value: str = ""
     fuzziness: int = 2
+    fld: str = "text"
 
 
 @dataclass
@@ -253,19 +257,19 @@ def parse_query(d: dict) -> Query:
             return MatchPhrase(text=v["query"], boost=v.get("boost", 1.0))
         return MatchPhrase(text=v)
     if kind == "prefix":
-        v = body["text"] if isinstance(body, dict) else body
-        return Prefix(value=v if isinstance(v, str) else v["value"])
+        fld, v = _field_body(body)
+        return Prefix(value=v if isinstance(v, str) else v["value"], fld=fld)
     if kind == "wildcard":
-        v = body["text"] if isinstance(body, dict) else body
-        return Wildcard(pattern=v if isinstance(v, str) else v["value"])
+        fld, v = _field_body(body)
+        return Wildcard(pattern=v if isinstance(v, str) else v["value"], fld=fld)
     if kind == "regexp":
-        v = body["text"] if isinstance(body, dict) else body
-        return Regexp(pattern=v if isinstance(v, str) else v["value"])
+        fld, v = _field_body(body)
+        return Regexp(pattern=v if isinstance(v, str) else v["value"], fld=fld)
     if kind == "fuzzy":
-        v = body["text"] if isinstance(body, dict) else body
+        fld, v = _field_body(body)
         if isinstance(v, dict):
-            return Fuzzy(value=v["value"], fuzziness=int(v.get("fuzziness", 2)))
-        return Fuzzy(value=v)
+            return Fuzzy(value=v["value"], fuzziness=int(v.get("fuzziness", 2)), fld=fld)
+        return Fuzzy(value=v, fld=fld)
     if kind == "ids":
         return Ids(values=tuple(body["values"]))
     if kind == "range":
@@ -574,6 +578,16 @@ class SegmentEvaluator:
             mask = nmatch > 0
         return boost * scores, mask
 
+    def _derived_const(self, field: str, expander, boost: float):
+        """Constant-score multi-term expansion over a derived field."""
+        fi = self.r.derived_field(field)
+        mask = np.zeros(self.n, dtype=bool)
+        for t in expander(fi):
+            p = fi.postings.get(t)
+            if p is not None:
+                mask[p[0]] = True
+        return np.where(mask, boost, 0.0), mask
+
     def _const_terms(self, term_indices: list[int], boost: float):
         mask = np.zeros(self.n, dtype=bool)
         for ti in term_indices:
@@ -628,12 +642,37 @@ class SegmentEvaluator:
                     mask[docs] = True
             return scores, mask
         if isinstance(q, Prefix):
+            if q.fld != "text":
+                return self._derived_const(q.fld, lambda fi: fi.expand_prefix(q.value), q.boost)
             return self._const_terms(expand_prefix(self.r, q.value), q.boost)
         if isinstance(q, Wildcard):
+            if q.fld != "text":
+                import regex as _rx
+
+                pat = "".join(".*" if c == "*" else "." if c == "?" else _rx.escape(c)
+                              for c in q.pattern)
+                rx = _rx.compile("^" + pat + "$")
+                return self._derived_const(
+                    q.fld, lambda fi: [t for t in fi.terms if rx.match(t)], q.boost
+                )
             return self._const_terms(expand_wildcard(self.r, q.pattern), q.boost)
         if isinstance(q, Regexp):
+            if q.fld != "text":
+                import regex as _rx
+
+                rx = _rx.compile("^(?:" + q.pattern + ")$")
+                return self._derived_const(
+                    q.fld, lambda fi: [t for t in fi.terms if rx.match(t)], q.boost
+                )
             return self._const_terms(expand_regexp(self.r, q.pattern), q.boost)
         if isinstance(q, Fuzzy):
+            if q.fld != "text":
+                return self._derived_const(
+                    q.fld,
+                    lambda fi: [t for t in fi.terms
+                                if _edit_distance_le(q.value, t, q.fuzziness)],
+                    q.boost,
+                )
             return self._const_terms(
                 expand_fuzzy(self.r, q.value, q.fuzziness), q.boost
             )

@@ -378,3 +378,22 @@ def con_li(sf_dir):
     c = duckdb.connect()
     c.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
     return c
+
+
+def test_semi_join_and_partitioned_dedup(docs_ds, con, ray_session, sf_dir):
+    from raydex.ops.joins import semi_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    en = docs.filter(lambda r: r["lang"] == "en")
+    kept = semi_join(docs, en, "doc_id", "doc_id").to_pandas()
+    want = con.execute("SELECT doc_id FROM documents WHERE lang='en'").df()
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+    assert set(kept.columns) == {"doc_id", "lang"}
+    anti = semi_join(docs, en, "doc_id", "doc_id", anti=True).to_pandas()
+    assert sorted(anti["doc_id"]) == sorted(
+        con.execute("SELECT doc_id FROM documents WHERE lang<>'en'").df()["doc_id"]
+    )
+    # partitioned rows dedup == broadcast rows dedup
+    a = dedup.exact_dedup(docs_ds, "text", "doc_id", keep="rows").to_pandas()
+    b = dedup.exact_dedup(docs_ds, "text", "doc_id", keep="rows_partitioned").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])

@@ -328,3 +328,17 @@ def test_point_get_and_mget(tmp_path, ray_session):
     assert get_doc(idx, "https://nope.example/x") is None
     got = mget(idx, [urls[0], "https://nope.example/x", urls[123]])
     assert got[0]["url"] == urls[0] and got[1] is None and got[2]["url"] == urls[123]
+
+
+def test_expansions_on_url_field(seg):
+    ev = _ev(seg)
+    assert _match_urls(seg, ev, {"prefix": {"url": "u0"}}) == sorted(
+        u for u, _ in DOCS
+    )
+    assert _match_urls(seg, ev, {"wildcard": {"url": "u0?"}}) == sorted(
+        u for u, _ in DOCS
+    )
+    assert _match_urls(seg, ev, {"regexp": {"url": "u0[12]"}}) == ["u01", "u02"]
+    assert _match_urls(seg, ev, {"fuzzy": {"url": {"value": "u00", "fuzziness": 1}}}) == sorted(
+        u for u, _ in DOCS
+    )

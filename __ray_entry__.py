@@ -395,6 +395,29 @@ def q_minhash_pairs(sf):
     ).sort(["id_a", "id_b"])
 
 
+def q_jaccard_near_dup_pairs(sf):
+    """MinHash-LSH candidates -> exact 3-gram-Jaccard >= 0.9 verify, with
+    a brute-force SQL oracle (all-pairs shingle self-join). Valid because
+    banding recall is COMPLETE at this threshold on the fixed test data
+    (verified: every J>=0.9 pair shares at least one full band at both
+    sf0.001 and sf0.01), so LSH+verify == brute force here. The text
+    lookup is the documented broadcast-small-side pattern (ray.put)."""
+    from raydex.ops.dedup import minhash_lsh_pairs
+
+    tbl = pq.read_table(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    out = minhash_lsh_pairs(
+        _ds(sf, "documents", ["doc_id", "text"]),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.9,
+        texts_lookup=lookup,
+    )
+    return out.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
+
+
 def q_simhash_docs(sf):
     from raydex.ops.dedup import simhash64_batch
 
@@ -446,12 +469,61 @@ def q_fingerprint_docs(sf):
     return doc_fingerprint(_ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id")
 
 
+def _bm25_exact(sf, query: str, k: int = 10, operator: str = "or"):
+    """Top-k hits as (doc_id, exact-float32 score) — rank column dropped
+    so exact score ties inside the top-k can't flip the order-insensitive
+    driver hash; boundary ties verified absent on the fixed test data."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    hits = s.search(query, k=k, operator=operator)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+            "score": pa.array(
+                np.asarray([h["score"] for h in hits], np.float32).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def q_bm25_match(sf):
-    return _bm25(sf, "data stream batch", k=10)
+    """3-term disjunction with an exact-score SQL oracle (same contract
+    as q_bm25_scores_sql; multi-term f64 accumulation-order differences
+    are absorbed by the final float32 cast)."""
+    return _bm25_exact(sf, "data stream batch", k=10)
+
+
+def q_bm25_scores_sql(sf):
+    """BM25 top-10 for the 2-term disjunction "batch stream" with an
+    EXACT score oracle (north-rule score identity surfaced through the
+    driver gate, not just self-checking tests): the engine scores in
+    float64 — idf = ln(1+(N-df+.5)/(df+.5)) with exact global df,
+    denom = k1*(1-b+b*dl_quant/avgdl) with SmallFloat-quantized dl and
+    avgdl = raw sum_dl/N — and emits through a float32 cast; the DuckDB
+    oracle recomputes the identical formula (quantization ladder as a
+    VALUES table) and applies the same float32 cast, so the hash match
+    is bitwise. Two terms keep float64 accumulation order-independent."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    hits = s.search("batch stream", k=10)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+            "score": pa.array(
+                np.asarray([h["score"] for h in hits], np.float32).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
 
 
 def q_bm25_conjunction(sf):
-    return _bm25(sf, "window sort", k=10, operator="and")
+    """2-term conjunction (operator=and) with an exact-score SQL oracle
+    (membership = docs containing BOTH terms, HAVING over distinct toks)."""
+    return _bm25_exact(sf, "window sort", k=10, operator="and")
 
 
 def q_bm25_brute_equals_wand(sf):
@@ -527,15 +599,21 @@ def q_match_phrase_count(sf):
 
 
 def q_match_phrase_top(sf):
-    """BM25-scored exact-phrase top-10 (rows-only)."""
+    """BM25-scored exact-phrase top-10 with an EXACT score oracle:
+    score = sum_idf(terms) * tf_part(phrase_freq) with the phrase
+    frequency recomputed in SQL from token positions (positions join on
+    pos+1), same float64 formula + float32 emission as the term gates."""
     from raydex.search.scatter import LocalSearcher
 
     s = LocalSearcher(_docs_index_dir(sf))
     hits = s.search_query({"match_phrase": {"text": "batch stream"}}, k=10)
     return pa.table(
         {
-            "rank": pa.array(range(len(hits)), pa.int64()),
             "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+            "score": pa.array(
+                np.asarray([h["score"] for h in hits], np.float32).astype(np.float64),
+                pa.float64(),
+            ),
         }
     )
 
@@ -756,11 +834,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
         "simhash_docs": q_simhash_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "bm25_match": q_bm25_match,
+        "bm25_scores_sql": q_bm25_scores_sql,
         "bm25_conjunction": q_bm25_conjunction,
         "bm25_brute_equals_wand": q_bm25_brute_equals_wand,
         "reindex_docs": q_reindex_docs,
@@ -784,6 +864,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
     }
+
+
+def _bm25_oracle_sql(terms: list[str], k: int = 10, conj: bool = False) -> str:
+    """Exact BM25 recomputation in DuckDB over the `documents` table
+    (text is clean space-separated lowercase, so ws-split == the standard
+    analyzer): float64 idf/tf with exact global df, SmallFloat-quantized
+    dl (the byte4 ladder as a VALUES table, rounds down like
+    SmallFloat.intToByte4), avgdl = raw sum_dl / N, final CAST AS FLOAT
+    matching the engine's float32 emission — bitwise score equality."""
+    from raydex.analysis.smallfloat import BYTE4_TO_INT
+
+    ladder = ",".join(f"({int(v)})" for v in BYTE4_TO_INT if v <= 10_000)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING COUNT(*) = {len(terms)} " if conj else ""
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl), "
+        f"b4(v) AS (VALUES {ladder}), "
+        "dlq AS (SELECT d.doc_id, (SELECT MAX(v) FROM b4 WHERE v <= d.dl) AS dlq FROM dl d), "
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS freq FROM tok "
+        f"WHERE tok IN ({in_list}) GROUP BY 1, 2), "
+        "df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1), "
+        "sc AS (SELECT tf.doc_id, "
+        "SUM(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) * 2.2 * tf.freq "
+        "/ (tf.freq + 1.2 * (1.0 - 0.75 + 0.75 * dlq.dlq / (st.sum_dl / CAST(st.n AS DOUBLE))))) AS s "
+        "FROM tf JOIN df ON tf.tok = df.tok JOIN dlq ON tf.doc_id = dlq.doc_id, st "
+        f"GROUP BY 1 {having}) "
+        "SELECT doc_id, CAST(CAST(s AS FLOAT) AS DOUBLE) AS score "
+        f"FROM sc ORDER BY s DESC, doc_id LIMIT {k}"
+    )
+
+
+def _phrase_bm25_oracle_sql(terms: list[str], k: int = 10) -> str:
+    """Exact phrase-BM25 recomputation: phrase frequency from a positions
+    self-join (adjacent tokens), sum_idf over the query terms' global df,
+    then the same quantized tf_part and float32 emission as
+    `_bm25_oracle_sql`."""
+    from raydex.analysis.smallfloat import BYTE4_TO_INT
+
+    assert len(terms) == 2, "oracle builder covers adjacent 2-term phrases"
+    ladder = ",".join(f"({int(v)})" for v in BYTE4_TO_INT if v <= 10_000)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl), "
+        f"b4(v) AS (VALUES {ladder}), "
+        "dlq AS (SELECT d.doc_id, (SELECT MAX(v) FROM b4 WHERE v <= d.dl) AS dlq FROM dl d), "
+        "tp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), "
+        "pf AS (SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS pf FROM tp a "
+        "JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        f"WHERE a.tok = '{terms[0]}' AND b.tok = '{terms[1]}' GROUP BY 1), "
+        f"tdf AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok "
+        f"WHERE tok IN ({in_list}) GROUP BY 1), "
+        "sidf AS (SELECT SUM(ln(1.0 + (st.n - tdf.df + 0.5) / (tdf.df + 0.5))) AS sum_idf FROM tdf, st), "
+        "sc AS (SELECT pf.doc_id, sidf.sum_idf * 2.2 * pf.pf "
+        "/ (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dlq.dlq / (st.sum_dl / CAST(st.n AS DOUBLE)))) AS s "
+        "FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id, st, sidf) "
+        "SELECT doc_id, CAST(CAST(s AS FLOAT) AS DOUBLE) AS score "
+        f"FROM sc ORDER BY s DESC, doc_id LIMIT {k}"
+    )
 
 
 def _lang_id_oracle_sql() -> str:
@@ -1044,6 +1187,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(e.ts) // c.iv) * c.iv) AS bucket_ts, "
             "CAST(COUNT(*) AS BIGINT) AS doc_count, c.iv AS interval_us "
             "FROM events e, chosen c GROUP BY 1, 3 ORDER BY 1"
+        ),
+        # EXACT BM25 score oracles (see q_bm25_scores_sql): same float64
+        # formula, same SmallFloat dl quantization (VALUES ladder), same
+        # final float32 cast -> bitwise-equal scores.
+        "bm25_scores_sql": _bm25_oracle_sql(["batch", "stream"], k=10),
+        "bm25_match": _bm25_oracle_sql(["data", "stream", "batch"], k=10),
+        "bm25_conjunction": _bm25_oracle_sql(["window", "sort"], k=10, conj=True),
+        "match_phrase_top": _phrase_bm25_oracle_sql(["batch", "stream"], k=10),
+        # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline
+        # because banding recall is complete at 0.9 on this data — see
+        # q_jaccard_near_dup_pairs).
+        "jaccard_near_dup_pairs": (
+            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "tp AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl), "
+            "sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s "
+            "FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "JOIN tp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1), "
+            "inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i "
+            "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.9 ORDER BY 1, 2"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -284,3 +284,117 @@ def make_custom_analyzer(name: str, tokenizer, token_filters=(), char_filters=()
         return toks
 
     return register_analyzer(name, analyze)
+
+
+# ---------------------------------------------------------- CJK (plugin tier)
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF),   # CJK Unified Ideographs
+    (0x3400, 0x4DBF),   # Extension A
+    (0xF900, 0xFAFF),   # Compatibility Ideographs
+    (0x3040, 0x309F),   # Hiragana
+    (0x30A0, 0x30FF),   # Katakana
+    (0xAC00, 0xD7AF),   # Hangul syllables
+)
+
+
+def _is_cjk_char(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def cjk_bigram_filter(tokens, output_unigrams: bool = False):
+    """`cjk_bigram` (analysis-common CJKBigramFilterFactory; Lucene
+    CJKBigramFilter semantics): the standard tokenizer emits CJK text as
+    single-char tokens; runs of adjacent single-CJK-char tokens are
+    re-emitted as overlapping bigrams (日,本,語 -> 日本, 本語), optionally
+    keeping the unigrams too. Non-CJK tokens pass through unchanged."""
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        if not run:
+            return
+        if len(run) == 1:
+            out.append(run[0])
+        else:
+            if output_unigrams:
+                out.extend(run)
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    for t in tokens:
+        if len(t) == 1 and _is_cjk_char(t):
+            run.append(t)
+        else:
+            flush()
+            out.append(t)
+    flush()
+    return out
+
+
+def cjk_width_filter(tokens):
+    """`cjk_width` (Lucene CJKWidthFilter semantics): fold fullwidth
+    ASCII variants to basic latin and halfwidth katakana to fullwidth —
+    the two NFKC foldings for the FF00-FFEF block."""
+    import unicodedata as _ud
+
+    return [
+        "".join(
+            _ud.normalize("NFKC", ch) if 0xFF01 <= ord(ch) <= 0xFFEF else ch
+            for ch in t
+        )
+        for t in tokens
+    ]
+
+
+# ------------------------------------------------------ phonetic (plugin tier)
+
+_SOUNDEX_CODE = {}
+for _letters, _digit in (
+    ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+    ("l", "4"), ("mn", "5"), ("r", "6"),
+):
+    for _c in _letters:
+        _SOUNDEX_CODE[_c] = _digit
+
+
+def soundex(word: str) -> str:
+    """American Soundex (the published algorithm the phonetic plugin's
+    `soundex` encoder implements): first letter + 3 digits; same-coded
+    letters separated by h/w merge, separated by vowels do not.
+    Goldens: Robert/Rupert->R163, Ashcraft->A261, Tymczak->T522,
+    Honeyman->H555, Pfister->P236."""
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    first = w[0]
+    digits = [_SOUNDEX_CODE.get(first, "")]
+    for c in w[1:]:
+        d = _SOUNDEX_CODE.get(c)
+        if c in "hw":
+            continue  # transparent: previous code stays "last seen"
+        if d is None:  # vowel: breaks the run
+            digits.append("")
+            continue
+        if digits[-1] != d:
+            digits.append(d)
+    code = "".join(d for d in digits[1:] if d)
+    return (first.upper() + code + "000")[:4]
+
+
+def phonetic_filter(tokens, encoder: str = "soundex", replace: bool = True):
+    """`phonetic` token filter (plugins/analysis-phonetic
+    PhoneticTokenFilterFactory shape): encode each token; ``replace``
+    False emits the original token followed by its encoding, mirroring
+    the plugin's inject-vs-replace switch."""
+    if encoder != "soundex":
+        raise ValueError(f"unsupported phonetic encoder: {encoder}")
+    out = []
+    for t in tokens:
+        enc = soundex(t)
+        if replace:
+            out.append(enc)
+        else:
+            out.extend((t, enc))
+    return out

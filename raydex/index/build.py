@@ -263,9 +263,13 @@ def build_index(
         ctx.max_hash_shuffle_aggregators,
     )
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = float(
+        os.environ.get("RAYDEX_SHUFFLE_CPU_PER_PART", "0.25")
+    )
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    ctx.max_hash_shuffle_aggregators = int(
+        os.environ.get("RAYDEX_SHUFFLE_AGGS", str(max(2, ncpu // 2)))
+    )
     try:
         return _build_index_inner(
             input_path, index_dir, num_partitions, analyzer, source, dedup,

@@ -31,23 +31,47 @@ BLOCK_SIZE = 128
 _MAX_VARINT_BYTES = 5  # values < 2**35
 
 
-def varint_encode(vals: np.ndarray) -> np.ndarray:
-    """LEB128-encode non-negative int array -> uint8 array."""
+def _varint_lens(vals: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte count; one pass when everything fits a byte."""
+    v = np.asarray(vals)
+    if v.size == 0:
+        return np.empty(0, dtype=np.int64)
+    vmax = int(v.max())
+    if vmax < 128:
+        return np.ones(v.size, dtype=np.int64)
+    n = 1 + (v >= 128).astype(np.int64)
+    if vmax >= 128**2:
+        n += v >= 128**2
+    if vmax >= 128**3:
+        n += v >= 128**3
+    if vmax >= 128**4:
+        n += v >= 128**4
+    return n
+
+
+def varint_encode(vals: np.ndarray, lens: np.ndarray | None = None) -> np.ndarray:
+    """LEB128-encode non-negative int array -> uint8 array.
+
+    ``lens`` (from ``_varint_lens``) may be passed to avoid recomputing
+    byte counts. Fast path: when every value is < 128 the encoding IS the
+    byte cast — one pass, no matrix (tf and in-block delta arrays are
+    almost always in this regime, and the matrix path's 5-column
+    materialization was the codec's main memory traffic)."""
     v = np.asarray(vals, dtype=np.uint64)
     n = v.size
     if n == 0:
         return np.empty(0, dtype=np.uint8)
-    nbytes = (
-        1
-        + (v >= 128).astype(np.int64)
-        + (v >= 128**2)
-        + (v >= 128**3)
-        + (v >= 128**4)
-    )
-    mat = np.empty((n, _MAX_VARINT_BYTES), dtype=np.uint8)
-    for j in range(_MAX_VARINT_BYTES):
+    vmax = int(v.max())
+    if vmax < 128:
+        return v.astype(np.uint8)
+    nbytes = lens if lens is not None else _varint_lens(v)
+    kmax = 1
+    while kmax < _MAX_VARINT_BYTES and vmax >= 128**kmax:
+        kmax += 1
+    mat = np.empty((n, kmax), dtype=np.uint8)
+    for j in range(kmax):
         mat[:, j] = ((v >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
-    cols = np.arange(_MAX_VARINT_BYTES)
+    cols = np.arange(kmax)
     valid = cols[None, :] < nbytes[:, None]
     cont = cols[None, :] < (nbytes - 1)[:, None]
     mat = np.where(cont, mat | 0x80, mat)
@@ -138,22 +162,10 @@ def encode_postings(
     deltas[1:] = docids[1:] - docids[:-1]
     deltas[is_block_start] = docids[is_block_start]
 
-    ids_bytes = varint_encode(deltas)
-    tf_bytes = varint_encode(tfs)
-    ids_len_per = (
-        1
-        + (deltas >= 128).astype(np.int64)
-        + (deltas >= 128**2)
-        + (deltas >= 128**3)
-        + (deltas >= 128**4)
-    )
-    tf_len_per = (
-        1
-        + (tfs >= 128).astype(np.int64)
-        + (tfs >= 128**2)
-        + (tfs >= 128**3)
-        + (tfs >= 128**4)
-    )
+    ids_len_per = _varint_lens(deltas)
+    tf_len_per = _varint_lens(tfs)
+    ids_bytes = varint_encode(deltas, ids_len_per)
+    tf_bytes = varint_encode(tfs, tf_len_per)
 
     block_starts = np.flatnonzero(is_block_start)
     nblocks = block_starts.size

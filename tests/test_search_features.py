@@ -275,3 +275,27 @@ def test_percolate(ray_session):
     assert (0, "q_data_no_lake") in got and (3, "q_data_no_lake") not in got
     assert (0, "q_phrase") in got and (2, "q_phrase") not in got
     assert {d for d, q in got if q == "q_all"} == {0, 1, 2, 3}
+
+
+def test_cjk_and_phonetic_filters():
+    from raydex.analysis.extra_filters import (
+        cjk_bigram_filter,
+        cjk_width_filter,
+        phonetic_filter,
+        soundex,
+    )
+
+    # Lucene CJKBigramFilter semantics on standard-tokenizer output
+    assert cjk_bigram_filter(["日", "本", "語", "text"]) == ["日本", "本語", "text"]
+    assert cjk_bigram_filter(["日", "本"], output_unigrams=True) == ["日", "本", "日本"]
+    assert cjk_bigram_filter(["語"]) == ["語"]  # lone CJK char passes through
+    assert cjk_width_filter(["ｔｅｓｔ", "ｶﾀｶﾅ"]) == ["test", "カタカナ"]
+    # published American-Soundex goldens (h/w merge + vowel break rules)
+    for w, code in [
+        ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+        ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Honeyman", "H555"),
+        ("Pfister", "P236"), ("Jackson", "J250"),
+    ]:
+        assert soundex(w) == code, (w, soundex(w))
+    assert phonetic_filter(["smith", "smyth"]) == ["S530", "S530"]
+    assert phonetic_filter(["smith"], replace=False) == ["smith", "S530"]

@@ -456,6 +456,34 @@ def q_embedding_near_dup(sf):
     return out.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
+def q_decontaminate_docs(sf):
+    """Benchmark decontamination: flag docs whose 8-gram overlap with a
+    'benchmark' set (every 100th doc's text, derived deterministically
+    from the table) exceeds 0.5 — the broadcast-small-side hygiene op a
+    training pipeline runs before an index build. Exact SQL oracle (the
+    8-grams are reproducible via list slicing)."""
+    from raydex.ops.text import benchmark_ngram_set, decontaminate
+
+    tbl = pq.read_table(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bench_texts = [
+        t
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if i % 100 == 0
+    ]
+    grams = benchmark_ngram_set(bench_texts, n=8)
+    out = decontaminate(
+        _ds(sf, "documents", ["doc_id", "text"]),
+        "text",
+        "doc_id",
+        grams,
+        n=8,
+        threshold=0.5,
+    )
+    return out.sort("doc_id")
+
+
 def q_lang_id_docs(sf):
     from raydex.ops.text import lang_id
 
@@ -838,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_docs": q_lang_id_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "bm25_match": q_bm25_match,
         "bm25_scores_sql": q_bm25_scores_sql,
@@ -1198,6 +1227,20 @@ def oracle_sql() -> dict[str, str]:
         # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline
         # because banding recall is complete at 0.9 on this data — see
         # q_jaccard_near_dup_pairs).
+        "decontaminate_docs": (
+            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "g AS (SELECT tl.doc_id, array_to_string(tl.l[r.i:r.i+7], ' ') AS s "
+            "FROM tl, LATERAL (SELECT unnest(range(1, greatest(len(tl.l) - 6, 2))) AS i) r "
+            "WHERE len(tl.l) >= 8), "
+            "bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 100 = 0), "
+            "agg AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_total, "
+            "CAST(SUM(CASE WHEN g.s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS ngram_hits "
+            "FROM g GROUP BY 1) "
+            "SELECT doc_id, ngram_total, ngram_hits, "
+            "CAST(ngram_hits AS DOUBLE) / greatest(ngram_total, 1) AS contamination, "
+            "CAST(ngram_hits AS DOUBLE) / greatest(ngram_total, 1) >= 0.5 AS contaminated "
+            "FROM agg ORDER BY doc_id"
+        ),
         "jaccard_near_dup_pairs": (
             "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
             "tp AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl), "

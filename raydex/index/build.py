@@ -263,10 +263,18 @@ def build_index(
         ctx.max_hash_shuffle_aggregators,
     )
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = float(
-        os.environ.get("RAYDEX_SHUFFLE_CPU_PER_PART", "0.25")
-    )
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # Aggregator actors reserve (override x partitions/aggregator) CPUs
+    # EACH (ray.data hash_shuffle.py _get_aggregator_ray_remote_args), so
+    # a fixed per-partition override deadlocks small clusters: at 4 CPUs
+    # with 128 partitions, 0.25 -> 16-CPU actors that never schedule.
+    # Scale it so the WHOLE aggregator pool reserves <= half the cluster.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = float(
+        os.environ.get(
+            "RAYDEX_SHUFFLE_CPU_PER_PART",
+            min(0.25, ncpu / (2.0 * max(num_partitions, 1))),
+        )
+    )
     ctx.max_hash_shuffle_aggregators = int(
         os.environ.get("RAYDEX_SHUFFLE_AGGS", str(max(2, ncpu // 2)))
     )

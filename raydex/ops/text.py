@@ -181,3 +181,70 @@ def doc_fingerprint(ds, text_col: str, id_col: str, window: int = 8, keep: int =
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds,
+    text_col: str,
+    id_col: str,
+    benchmark_ngrams: set[str],
+    n: int = 8,
+    threshold: float = 0.5,
+):
+    """Benchmark decontamination (the training-data hygiene op): flag
+    documents whose token ``n``-gram overlap with a benchmark/eval set
+    exceeds ``threshold``.
+
+    The benchmark n-gram set is the broadcast small side (``ray.put``
+    once, read per task — never re-shipped per batch); each batch is a
+    vectorized membership test over its shingles. Emits
+    (id, ngram_total, ngram_hits, contamination, contaminated) per doc;
+    callers filter/route on ``contaminated``. At 100 TB the documents
+    stream; only the benchmark set is resident per worker.
+
+    Shape mirrors the reference's terms-lookup broadcast pattern
+    (es/index/query/TermsQueryBuilder.java fetch path) applied to the
+    open-data decontamination recipe (n-gram collision vs eval sets).
+    """
+    import ray
+
+    ref = ray.put(frozenset(benchmark_ngrams))
+
+    def flag(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        ids = t[id_col].to_pylist()
+        totals = np.empty(len(ids), dtype=np.int64)
+        hits = np.empty(len(ids), dtype=np.int64)
+        for i, s in enumerate(t[text_col].to_pylist()):
+            toks = str(s).split()
+            if len(toks) < n:
+                grams = [" ".join(toks)] if toks else []
+            else:
+                grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            totals[i] = len(grams)
+            hits[i] = sum(1 for g in grams if g in bench)
+        ratio = hits / np.maximum(totals, 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "ngram_total": pa.array(totals),
+                "ngram_hits": pa.array(hits),
+                "contamination": pa.array(ratio, pa.float64()),
+                "contaminated": pa.array(ratio >= threshold),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def benchmark_ngram_set(texts, n: int = 8) -> set[str]:
+    """Build the benchmark-side n-gram set (driver-side small input)."""
+    out: set[str] = set()
+    for s in texts:
+        toks = str(s).split()
+        if len(toks) < n:
+            if toks:
+                out.add(" ".join(toks))
+        else:
+            out.update(" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1))
+    return out

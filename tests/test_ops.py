@@ -397,3 +397,23 @@ def test_semi_join_and_partitioned_dedup(docs_ds, con, ray_session, sf_dir):
     a = dedup.exact_dedup(docs_ds, "text", "doc_id", keep="rows").to_pandas()
     b = dedup.exact_dedup(docs_ds, "text", "doc_id", keep="rows_partitioned").to_pandas()
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_decontaminate(ray_session, sf_dir):
+    import ray.data as rd
+
+    from raydex.ops.text import benchmark_ngram_set, decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = ds.to_pandas()
+    bench_texts = df[df.doc_id % 100 == 0]["text"].tolist()
+    grams = benchmark_ngram_set(bench_texts, n=8)
+    out = decontaminate(ds, "text", "doc_id", grams, n=8, threshold=0.5).to_pandas()
+    assert len(out) == len(df)
+    # every benchmark doc is fully contaminated with itself
+    bench_rows = out[out.doc_id % 100 == 0]
+    assert (bench_rows["contamination"] == 1.0).all()
+    assert bool(bench_rows["contaminated"].all())
+    # overlap counts are bounded by totals, ratio in [0, 1]
+    assert (out["ngram_hits"] <= out["ngram_total"]).all()
+    assert out["contamination"].between(0.0, 1.0).all()

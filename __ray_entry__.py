@@ -720,6 +720,21 @@ def q_multi_match_count(sf):
     return pa.table({"n_docs": pa.array([n], pa.int64())})
 
 
+def q_combined_fields_count(sf):
+    """`combined_fields` (BM25F pseudo-field) over [text, url] with
+    operator=and — membership is SQL-checkable: 'batch' in text tokens
+    AND ('17' in text tokens OR doc_id = 17)."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    n = s.count(
+        {"combined_fields": {"query": "batch 17",
+                             "fields": ["text", "url"],
+                             "operator": "and"}}
+    )
+    return pa.table({"n_docs": pa.array([n], pa.int64())})
+
+
 def q_match_bool_prefix_count(sf):
     """`match_bool_prefix`: term 'batch' OR token prefix 'str'."""
     from raydex.search.scatter import LocalSearcher
@@ -884,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_date_histogram_events": q_auto_date_histogram_events,
         "variable_width_histogram": q_variable_width_histogram,
         "multi_match_count": q_multi_match_count,
+        "combined_fields_count": q_combined_fields_count,
         "match_bool_prefix_count": q_match_bool_prefix_count,
         "match_phrase_prefix_count": q_match_phrase_prefix_count,
         "terms_set_count": q_terms_set_count,
@@ -1153,6 +1169,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ' ' || text || ' ' LIKE '% batch %' "
             "OR ' ' || text || ' ' LIKE '% 17 %' "
             "OR CAST(doc_id AS VARCHAR) = '17'"
+        ),
+        "combined_fields_count": (
+            "SELECT COUNT(*) AS n_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND (' ' || text || ' ' LIKE '% 17 %' "
+            "OR CAST(doc_id AS VARCHAR) = '17')"
         ),
         "match_bool_prefix_count": (
             "SELECT COUNT(*) AS n_docs FROM documents "

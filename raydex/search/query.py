@@ -141,6 +141,23 @@ class MultiMatch(Query):
 
 
 @dataclass
+class CombinedFields(Query):
+    """`combined_fields` (CombinedFieldsQueryBuilder.java:1, Lucene
+    CombinedFieldQuery): BM25F over a merged pseudo-field — per-term tf
+    is the weighted sum of per-field tfs, doc length is the weighted sum
+    of per-field lengths, idf from the union doc-freq. Stats are
+    segment-local (the reference's query_then_fetch shard-local default
+    for non-primary fields); field weights are `^w` suffixes (the
+    reference validates w >= 1). The reference requires one shared
+    analyzer across fields; here the query text is analyzed with the
+    index's text analyzer and looked up per field."""
+
+    text: str = ""
+    fields: tuple = ("text",)
+    operator: str = "or"
+
+
+@dataclass
 class MatchBoolPrefix(Query):
     """`match_bool_prefix` (MatchBoolPrefixQueryBuilder.java:1): all
     analyzed terms as bool.should term queries, the LAST as a prefix."""
@@ -317,6 +334,13 @@ def parse_query(d: dict) -> Query:
             tie_breaker=float(body.get("tie_breaker", 0.0)),
             boost=body.get("boost", 1.0),
         )
+    if kind == "combined_fields":
+        return CombinedFields(
+            text=body["query"],
+            fields=tuple(body.get("fields", ["text"])),
+            operator=body.get("operator", "or"),
+            boost=body.get("boost", 1.0),
+        )
     if kind == "match_bool_prefix":
         fld, v = _field_body(body)
         if isinstance(v, dict):
@@ -430,7 +454,8 @@ def collect_stat_terms(q: Query, analyzer) -> set[str]:
     elif isinstance(q, (Match, MatchPhrase)):
         if not isinstance(q, Match) or q.fld == "text":
             out.update(analyzer(q.text))
-    elif isinstance(q, (MultiMatch, MatchBoolPrefix, MatchPhrasePrefix)):
+    elif isinstance(q, (MultiMatch, CombinedFields, MatchBoolPrefix,
+                        MatchPhrasePrefix)):
         # text-field scoring terms; url-field leaves score segment-local
         out.update(analyzer(q.text))
     elif isinstance(q, TermsSet):
@@ -737,6 +762,52 @@ class SegmentEvaluator:
                 mx = stack.max(axis=0)
                 combined = mx + q.tie_breaker * (stack.sum(axis=0) - mx)
             return q.boost * combined, mask
+        if isinstance(q, CombinedFields):
+            from raydex.search.bm25 import B, K1
+            from raydex.search.bm25 import idf as _idfc
+
+            specs = []
+            norm = np.zeros(n)
+            for fspec in q.fields:
+                f, _, fb = fspec.partition("^")
+                w = float(fb) if fb else 1.0
+                dl_f = (
+                    self.r.dl if f == "text" else self.r.derived_field(f).dl
+                )
+                norm += w * dl_f.astype(np.float64)
+                specs.append((f, w))
+            avgnorm = float(norm.mean()) if n else 1.0
+            denom_add = K1 * (1.0 - B + B * norm / max(avgnorm, 1e-9))
+            terms = self.analyzer(q.text)
+            scores = np.zeros(n)
+            nmatch = np.zeros(n, dtype=np.int32)
+            for t in terms:
+                tfc = np.zeros(n)
+                for f, w in specs:
+                    if f == "text":
+                        ti = self.r.lookup(t)
+                        if ti >= 0:
+                            ids, tfs = self.r.postings(ti)
+                            tfc[ids] += w * tfs
+                    else:
+                        p = self.r.derived_field(f).postings.get(t)
+                        if p is not None:
+                            tfc[p[0]] += w * p[1]
+                m = tfc > 0
+                df = int(m.sum())
+                if df:
+                    scores[m] += (
+                        float(_idfc(n, df))
+                        * (K1 + 1.0)
+                        * tfc[m]
+                        / (tfc[m] + denom_add[m])
+                    )
+                nmatch += m
+            if q.operator == "and":
+                mask = nmatch >= len(terms) if terms else np.zeros(n, dtype=bool)
+            else:
+                mask = nmatch > 0
+            return q.boost * scores, mask
         if isinstance(q, MatchBoolPrefix):
             terms = self._field_analyze(q.fld, q.text)
             if not terms:

@@ -177,6 +177,41 @@ def test_multi_match_best_and_most_fields(seg):
     assert sorted(ids.tolist()) == sorted(ids2.tolist())
 
 
+def test_combined_fields(seg):
+    import numpy as np
+
+    from raydex.search.bm25 import B, K1, idf
+
+    ev = _ev(seg, ["apple"])
+    # membership: union across fields; operator=and intersects
+    q = {"combined_fields": {"query": "apple u02", "fields": ["text", "url"]}}
+    assert _match_urls(seg, ev, q) == ["u00", "u01", "u02"]
+    qand = {"combined_fields": {"query": "apple dog",
+                                "fields": ["text", "url"],
+                                "operator": "and"}}
+    assert _match_urls(seg, ev, qand) == ["u01"]
+    # BM25F arithmetic by hand for the single term 'dog' over text+url:
+    # tf pools across fields, norm = dl_text + dl_url, idf from union df
+    ids, sc = ev.top_k(parse_query(
+        {"combined_fields": {"query": "dog", "fields": ["text", "url"]}}), 10)
+    dl_url = np.ones(seg.ndocs)  # every url is one keywordish token
+    norm = seg.dl.astype(float) + dl_url
+    denom = K1 * (1 - B + B * norm / norm.mean())
+    tfc = np.zeros(seg.ndocs)
+    ti = seg.lookup("dog")
+    pids, ptfs = seg.postings(ti)
+    tfc[pids] += ptfs
+    expect = idf(seg.ndocs, 3) * (K1 + 1) * tfc / (tfc + denom)
+    order = np.argsort(-expect[expect > 0])
+    np.testing.assert_allclose(sorted(sc, reverse=True),
+                               sorted(expect[expect > 0], reverse=True))
+    # field weight ^2 doubles the url tf contribution -> changes ranking
+    qw = {"combined_fields": {"query": "u05 dog",
+                              "fields": ["text", "url^2"]}}
+    idsw, scw = ev.top_k(parse_query(qw), 10)
+    assert seg.url_of(int(idsw[0])) == "u05"
+
+
 def test_match_bool_prefix(seg):
     ev = _ev(seg, ["banana"])
     q = {"match_bool_prefix": {"text": "banana appl"}}

@@ -484,6 +484,30 @@ def q_decontaminate_docs(sf):
     return out.sort("doc_id")
 
 
+def q_pii_redact_docs(sf):
+    """PII scrub over a deterministically PII-augmented text column
+    (email/ip/ssn/phone derived from doc_id so the oracle can build the
+    identical input); counts + redacted text are exact-checkable."""
+    from raydex.ops.text import pii_redact
+
+    def synth(df):
+        d = df["doc_id"]
+        df = df.copy()
+        df["text"] = (
+            df["text"].astype(str)
+            + " contact user" + d.astype(str)
+            + "@mail.example.com ip 10.0." + (d % 256).astype(str)
+            + ".7 ssn 123-45-" + (d % 10000).astype(str).str.zfill(4)
+            + " call +1-202-555-" + (d % 10000).astype(str).str.zfill(4)
+        )
+        return df
+
+    ds = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pandas"
+    )
+    return pii_redact(ds, "text", "doc_id").sort("doc_id")
+
+
 def q_lang_id_docs(sf):
     from raydex.ops.text import lang_id
 
@@ -881,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_docs": q_lang_id_docs,
+        "pii_redact_docs": q_pii_redact_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "bm25_match": q_bm25_match,
@@ -974,6 +999,34 @@ def _phrase_bm25_oracle_sql(terms: list[str], k: int = 10) -> str:
     )
 
 
+def _pii_oracle_sql() -> str:
+    """Step-wise mirror of raydex.ops.text.pii_redact: counts are taken
+    on the string as it stood BEFORE that pattern's replacement, in the
+    same fixed order (patterns are RE2-compatible by construction)."""
+    from raydex.ops.text import _PII_PATTERNS
+
+    (e_n, e_p, e_r), (i_n, i_p, i_r), (s_n, s_p, s_r), (p_n, p_p, p_r) = _PII_PATTERNS
+    synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return (
+        f"WITH s0 AS (SELECT doc_id, {synth} AS t0 FROM documents), "
+        f"s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t0, '{e_p}')) AS BIGINT) AS n_{e_n}, "
+        f"regexp_replace(t0, '{e_p}', '{e_r}', 'g') AS t1 FROM s0), "
+        f"s2 AS (SELECT doc_id, n_{e_n}, CAST(len(regexp_extract_all(t1, '{i_p}')) AS BIGINT) AS n_{i_n}, "
+        f"regexp_replace(t1, '{i_p}', '{i_r}', 'g') AS t2 FROM s1), "
+        f"s3 AS (SELECT doc_id, n_{e_n}, n_{i_n}, CAST(len(regexp_extract_all(t2, '{s_p}')) AS BIGINT) AS n_{s_n}, "
+        f"regexp_replace(t2, '{s_p}', '{s_r}', 'g') AS t3 FROM s2), "
+        f"s4 AS (SELECT doc_id, n_{e_n}, n_{i_n}, n_{s_n}, CAST(len(regexp_extract_all(t3, '{p_p}')) AS BIGINT) AS n_{p_n}, "
+        f"regexp_replace(t3, '{p_p}', '{p_r}', 'g') AS redacted FROM s3) "
+        f"SELECT doc_id, redacted, n_{e_n}, n_{i_n}, n_{s_n}, n_{p_n} "
+        f"FROM s4 ORDER BY doc_id"
+    )
+
+
 def _lang_id_oracle_sql() -> str:
     """Recompute the detect_lang heuristic in SQL (markers pulled from
     the implementation so the oracle can't drift)."""
@@ -1007,6 +1060,7 @@ def _lang_id_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
+        "pii_redact_docs": _pii_oracle_sql(),
         # GOLDEN oracle: the _analyze inputs are fixed strings, so the
         # expected UAX#29 token stream is input-deterministic and encoded
         # as a VALUES table (the reference's analysis goldens, SURVEY §5)

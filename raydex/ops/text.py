@@ -248,3 +248,46 @@ def benchmark_ngram_set(texts, n: int = 8) -> set[str]:
         else:
             out.update(" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1))
     return out
+
+
+# PII scrubbing (training-data hygiene). Patterns are RE2-compatible so
+# the DuckDB oracle can run the IDENTICAL regexes; applied in a fixed
+# order (email -> ipv4 -> ssn -> phone) because the later patterns can
+# overlap digit runs the earlier ones already consumed.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phones", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(ds, text_col: str, id_col: str):
+    """Redact emails / IPv4s / SSNs / phone numbers from ``text_col``,
+    emitting (id, redacted, n_emails, n_ipv4, n_ssn, n_phones).
+
+    Vectorized per batch via pandas ``str.count`` / ``str.replace`` over
+    compiled patterns (compiled once at module import — the per-worker
+    compile-once rule, SURVEY §2.4). Streams: no shuffle, no driver
+    collect; at 100 TB this is a pure map stage.
+
+    Reference analogue: the gsub/remove ingest processors
+    (modules/ingest-common/.../GsubProcessor.java) specialized to the
+    open-data PII-scrub recipe.
+    """
+    def scrub(df):
+        import pandas as _pd
+
+        s = df[text_col].astype(str)
+        out = {id_col: df[id_col]}
+        counts = {}
+        # pandas vectorized str kernels take pattern STRINGS; re's
+        # module-level compile cache makes this compile-once per worker
+        for name, pat, repl in _PII_PATTERNS:
+            counts["n_" + name] = s.str.count(pat).astype("int64")
+            s = s.str.replace(pat, repl, regex=True)
+        out["redacted"] = s
+        out.update(counts)
+        return _pd.DataFrame(out)
+
+    return ds.map_batches(scrub, batch_format="pandas")

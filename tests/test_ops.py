@@ -417,3 +417,33 @@ def test_decontaminate(ray_session, sf_dir):
     # overlap counts are bounded by totals, ratio in [0, 1]
     assert (out["ngram_hits"] <= out["ngram_total"]).all()
     assert out["contamination"].between(0.0, 1.0).all()
+
+
+def test_pii_redact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raydex.ops.text import pii_redact
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a.b+c@ex.co and 10.1.2.3 then 123-45-6789 or +1-202-555-0100",
+                "no pii here at all",
+                "two mails x@y.io z@w.ai one ip 255.255.255.255",
+            ],
+        }
+    )
+    out = (
+        pii_redact(rd.from_pandas(rows), "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "redacted"] == "mail <EMAIL> and <IP> then <SSN> or <PHONE>"
+    assert list(out.loc[0, ["n_emails", "n_ipv4", "n_ssn", "n_phones"]]) == [1, 1, 1, 1]
+    assert out.loc[1, "redacted"] == "no pii here at all"
+    assert out.loc[1, ["n_emails", "n_ipv4", "n_ssn", "n_phones"]].sum() == 0
+    assert list(out.loc[2, ["n_emails", "n_ipv4"]]) == [2, 1]
+    assert "<EMAIL>" in out.loc[2, "redacted"] and "<IP>" in out.loc[2, "redacted"]

@@ -484,6 +484,23 @@ def q_decontaminate_docs(sf):
     return out.sort("doc_id")
 
 
+def q_stratified_sample_docs(sf):
+    """Deterministic source-mixing downsample: src0 dropped, src1 kept
+    at 25%, src2 at 50%, src3 at 75%, everything else kept. The keep
+    decision is a pure hash of doc_id, so the SQL oracle reproduces the
+    exact sample."""
+    from raydex.ops.text import stratified_sample
+
+    out = stratified_sample(
+        _ds(sf, "documents", ["doc_id", "source"]),
+        "source",
+        "doc_id",
+        {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75},
+        default_rate=1.0,
+    )
+    return out.select_columns(["doc_id", "source"]).sort("doc_id")
+
+
 def q_pii_redact_docs(sf):
     """PII scrub over a deterministically PII-augmented text column
     (email/ip/ssn/phone derived from doc_id so the oracle can build the
@@ -906,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_docs": q_lang_id_docs,
         "pii_redact_docs": q_pii_redact_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "bm25_match": q_bm25_match,
@@ -1061,6 +1079,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
         "pii_redact_docs": _pii_oracle_sql(),
+        # keep-hash contract documented in raydex.ops.text.stratified_sample
+        "stratified_sample_docs": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761) "
+            "% 4294967296 % 1000000 < "
+            "CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000 "
+            "WHEN 'src2' THEN 500000 WHEN 'src3' THEN 750000 "
+            "ELSE 1000000 END "
+            "ORDER BY doc_id"
+        ),
         # GOLDEN oracle: the _analyze inputs are fixed strings, so the
         # expected UAX#29 token stream is input-deterministic and encoded
         # as a VALUES table (the reference's analysis goldens, SURVEY §5)

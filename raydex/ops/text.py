@@ -291,3 +291,44 @@ def pii_redact(ds, text_col: str, id_col: str):
         return _pd.DataFrame(out)
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+def stratified_sample(
+    ds,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: int = 0,
+):
+    """Deterministic per-stratum downsampling — the source-mixing /
+    rebalancing step of a training-data pipeline (keep p_s of stratum s).
+
+    Keep decision is a pure function of the row id (Knuth multiplicative
+    hash over the low 32 bits, optionally salted), NOT an RNG: reruns,
+    resumes and the SQL oracle all reproduce the identical sample. A
+    pure map-side filter — no shuffle, no driver state; the rate table
+    is a tiny closure dict (broadcast once with the function).
+
+    SQL-oracle contract (documented so the oracle stays in lockstep):
+    keep iff ((id % 2^32 + salt) * 2654435761) % 2^32 % 1000000 <
+    rate * 1e6.
+    """
+    import pyarrow.compute as pc
+
+    thresh = {
+        s: np.int64(min(max(r, 0.0), 1.0) * 1_000_000) for s, r in rates.items()
+    }
+    dflt = np.int64(min(max(default_rate, 0.0), 1.0) * 1_000_000)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % 2**32 + np.uint64(salt)) * np.uint64(2654435761)) % 2**32
+        bucket = (h % np.uint64(1_000_000)).astype(np.int64)
+        strata = t[strata_col].to_pylist()
+        lim = np.fromiter(
+            (thresh.get(s, dflt) for s in strata), dtype=np.int64, count=len(strata)
+        )
+        return t.filter(pa.array(bucket < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -447,3 +447,34 @@ def test_pii_redact(ray_session):
     assert out.loc[1, ["n_emails", "n_ipv4", "n_ssn", "n_phones"]].sum() == 0
     assert list(out.loc[2, ["n_emails", "n_ipv4"]]) == [2, 1]
     assert "<EMAIL>" in out.loc[2, "redacted"] and "<IP>" in out.loc[2, "redacted"]
+
+
+def test_stratified_sample(ray_session, sf_dir):
+    import ray.data as rd
+
+    from raydex.ops.text import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    full = ds.to_pandas()
+    out = stratified_sample(
+        ds, "source", "doc_id", {"src0": 0.0, "src1": 1.0}, default_rate=0.5
+    ).to_pandas()
+    assert (out["source"] != "src0").all()  # rate 0 drops all
+    n1 = (full["source"] == "src1").sum()
+    assert (out["source"] == "src1").sum() == n1  # rate 1 keeps all
+    # default 0.5 keeps a strict, deterministic subset
+    rest = out[~out["source"].isin(["src0", "src1"])]
+    rest_full = full[~full["source"].isin(["src0", "src1"])]
+    assert 0 < len(rest) < len(rest_full)
+    # deterministic: second run identical
+    out2 = stratified_sample(
+        ds, "source", "doc_id", {"src0": 0.0, "src1": 1.0}, default_rate=0.5
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # salt changes the sample but not the per-stratum guarantee
+    out3 = stratified_sample(
+        ds, "source", "doc_id", {"src0": 0.0, "src1": 1.0},
+        default_rate=0.5, salt=99,
+    ).to_pandas()
+    assert sorted(out3["doc_id"]) != sorted(out["doc_id"])
+    assert (out3["source"] != "src0").all()

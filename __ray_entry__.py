@@ -484,6 +484,15 @@ def q_decontaminate_docs(sf):
     return out.sort("doc_id")
 
 
+def q_repetition_docs(sf):
+    """Duplicate-bigram repetition ratio per doc (quality filter rule)."""
+    from raydex.ops.text import repetition_stats
+
+    return repetition_stats(
+        _ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id", n=2
+    ).sort("doc_id")
+
+
 def q_stratified_sample_docs(sf):
     """Deterministic source-mixing downsample: src0 dropped, src1 kept
     at 25%, src2 at 50%, src3 at 75%, everything else kept. The keep
@@ -924,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": q_lang_id_docs,
         "pii_redact_docs": q_pii_redact_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "repetition_docs": q_repetition_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "bm25_match": q_bm25_match,
@@ -1079,6 +1089,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
         "pii_redact_docs": _pii_oracle_sql(),
+        "repetition_docs": (
+            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "g AS (SELECT tl.doc_id, array_to_string(tl.l[r.i:r.i+1], ' ') AS s "
+            "FROM tl, LATERAL (SELECT unnest(range(1, greatest(len(tl.l) - 0, 2))) AS i) r "
+            "WHERE len(tl.l) >= 2), "
+            "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_total, "
+            "CAST(COUNT(DISTINCT s) AS BIGINT) AS ngram_distinct FROM g GROUP BY 1) "
+            "SELECT doc_id, ngram_total, ngram_distinct, "
+            "1.0 - CAST(ngram_distinct AS DOUBLE) / greatest(ngram_total, 1) AS dup_frac "
+            "FROM agg ORDER BY doc_id"
+        ),
         # keep-hash contract documented in raydex.ops.text.stratified_sample
         "stratified_sample_docs": (
             "SELECT doc_id, source FROM documents "

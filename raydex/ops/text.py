@@ -332,3 +332,37 @@ def stratified_sample(
         return t.filter(pa.array(bucket < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str, id_col: str, n: int = 2):
+    """Repetition-ratio quality signal (the duplicate-n-gram rule of
+    published web-corpus filters): per doc, the fraction of token
+    ``n``-grams that are repeats of an earlier one. High values mark
+    boilerplate / spam for downstream filtering. Pure map stage —
+    streams at any scale; exact-SQL-checkable (distinct vs total
+    n-gram counts)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        total = np.zeros(len(ids), dtype=np.int64)
+        distinct = np.zeros(len(ids), dtype=np.int64)
+        for i, s in enumerate(t[text_col].to_pylist()):
+            toks = str(s).split()
+            grams = (
+                [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                if len(toks) >= n
+                else ([" ".join(toks)] if toks else [])
+            )
+            total[i] = len(grams)
+            distinct[i] = len(set(grams))
+        dup = 1.0 - distinct / np.maximum(total, 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "ngram_total": pa.array(total),
+                "ngram_distinct": pa.array(distinct),
+                "dup_frac": pa.array(dup, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -478,3 +478,29 @@ def test_stratified_sample(ray_session, sf_dir):
     ).to_pandas()
     assert sorted(out3["doc_id"]) != sorted(out["doc_id"])
     assert (out3["source"] != "src0").all()
+
+
+def test_repetition_stats(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raydex.ops.text import repetition_stats
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b a b a b",        # bigrams: ab ba ab ba ab -> 5 total 2 distinct
+                "w x y z",             # all distinct
+                "solo",                # < n tokens -> single unigram fallback
+            ],
+        }
+    )
+    out = (
+        repetition_stats(rd.from_pandas(rows), "text", "doc_id", n=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["ngram_total"]) == [5, 3, 1]
+    assert list(out["ngram_distinct"]) == [2, 3, 1]
+    assert abs(out.loc[0, "dup_frac"] - 0.6) < 1e-12
+    assert out.loc[1, "dup_frac"] == 0.0

@@ -331,7 +331,16 @@ def _build_index_inner(
     if source in ("html", "verify"):
         cols = ["url", "warc_ts", "html"] + (["text"] if source == "verify" else [])
     if ray_ds is None:
-        ds = rd.read_parquet(input_path, columns=cols)
+        # `_bulk`'s native wire format is NDJSON (one doc per line —
+        # TransportBulkAction.java:88); parquet stays the columnar fast
+        # path (column pruning at the read)
+        p0 = input_path if isinstance(input_path, str) else input_path[0]
+        if p0.endswith((".json", ".ndjson", ".jsonl")):
+            ds = rd.read_json(
+                input_path, file_extensions=["json", "jsonl", "ndjson"]
+            ).select_columns(cols)
+        else:
+            ds = rd.read_parquet(input_path, columns=cols)
         lineage = [input_path] if isinstance(input_path, str) else list(input_path)
     else:
         ds = ray_ds

@@ -186,3 +186,32 @@ def weighted_avg(ds, value_col: str, weight_col: str, name: str = "weighted_avg"
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return pa.table({name: pa.array([float(parts["vw"].sum()) / float(parts["w"].sum())])})
+
+
+# custom-agg registry (SearchPlugin#getAggregations analogue,
+# es/plugins/SearchPlugin.java): name -> fn(ds, **kwargs) -> Dataset or
+# Table. Plugins register whole-pipeline aggregations built from Ray
+# Data primitives; `run_agg` is the dispatch used by callers that take
+# agg specs as data (the _search "aggs" body analogue).
+AGG_REGISTRY: dict = {}
+
+
+def register_agg(name: str, fn) -> None:
+    AGG_REGISTRY[name] = fn
+
+
+def run_agg(name: str, ds, **kwargs):
+    if name not in AGG_REGISTRY:
+        raise ValueError(f"unknown agg: {name} (register_agg)")
+    return AGG_REGISTRY[name](ds, **kwargs)
+
+
+for _n, _f in [
+    ("terms", terms_agg), ("stats", stats_agg),
+    ("extended_stats", extended_stats_agg), ("value_count", value_count_agg),
+    ("cardinality", cardinality_exact), ("range", range_agg),
+    ("histogram", histogram_agg), ("date_histogram", date_histogram_agg),
+    ("composite", composite_agg), ("top_hits", top_hits),
+    ("weighted_avg", weighted_avg),
+]:
+    register_agg(_n, _f)

@@ -401,7 +401,20 @@ def parse_query(d: dict) -> Query:
                 if isinstance(body, dict) else "or",
             )
         )
+    if kind in QUERY_PARSERS:
+        return QUERY_PARSERS[kind](body)
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+# custom query-kind registry (SearchPlugin#getQueries analogue,
+# es/plugins/SearchPlugin.java): kind -> fn(body) -> Query tree. The
+# returned tree reuses the built-in leaves, so a plugin query composes
+# bool/term/script nodes instead of registering an evaluator.
+QUERY_PARSERS: dict = {}
+
+
+def register_query(kind: str, parse_fn) -> None:
+    QUERY_PARSERS[kind] = parse_fn
 
 
 # script-query registry (the Painless-surface analogue, SURVEY §2.9):

@@ -504,3 +504,30 @@ def test_repetition_stats(ray_session):
     assert list(out["ngram_distinct"]) == [2, 3, 1]
     assert abs(out.loc[0, "dup_frac"] - 0.6) < 1e-12
     assert out.loc[1, "dup_frac"] == 0.0
+
+
+def test_query_and_agg_registries(ray_session, sf_dir):
+    import ray.data as rd
+
+    from raydex.ops.aggs import register_agg, run_agg
+    from raydex.search.query import Term, parse_query, register_query
+
+    # SearchPlugin#getQueries analogue: a plugin kind composing builtins
+    register_query("only_u01", lambda body: Term(fld="url", value="u01"))
+    q = parse_query({"only_u01": {}})
+    assert isinstance(q, Term) and q.value == "u01"
+
+    # SearchPlugin#getAggregations analogue + spec-driven dispatch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    out = run_agg("terms", ds, key="lang", size=3).to_pandas()
+    assert len(out) == 3 and (out["doc_count"] > 0).all()
+
+    register_agg("n_rows", lambda d: d.count())
+    assert run_agg("n_rows", ds) == ds.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_agg("nope", ds)
+    with _pytest.raises(ValueError):
+        parse_query({"never_registered_kind": {}})

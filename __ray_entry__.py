@@ -484,6 +484,22 @@ def q_decontaminate_docs(sf):
     return out.sort("doc_id")
 
 
+def q_date_math_range_events(sf):
+    """Date-math range filter (`now-10d/d` .. `now/d` upper-rounded)
+    anchored at a fixed 'now' so the SQL oracle derives the identical
+    bounds; semantics of RangeQueryBuilder's date branch."""
+    from raydex.ops.datemath import date_range_filter
+
+    out = date_range_filter(
+        _ds(sf, "events", ["event_id", "ts"]),
+        "ts",
+        gte="now-10d/d",
+        lte="now/d",
+        now="2024-01-20T12:00:00",
+    )
+    return out.sort("event_id")
+
+
 def q_repetition_docs(sf):
     """Duplicate-bigram repetition ratio per doc (quality filter rule)."""
     from raydex.ops.text import repetition_stats
@@ -934,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": q_pii_redact_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "repetition_docs": q_repetition_docs,
+        "date_math_range_events": q_date_math_range_events,
         "decontaminate_docs": q_decontaminate_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "bm25_match": q_bm25_match,
@@ -1089,6 +1106,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id_docs": _lang_id_oracle_sql(),
         "pii_redact_docs": _pii_oracle_sql(),
+        # bounds = date_math('now-10d/d','now/d' roundup) at the fixed
+        # anchor 2024-01-20T12:00 -> [2024-01-10, 2024-01-20 23:59:59.999]
+        "date_math_range_events": (
+            "SELECT event_id, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-20 23:59:59.999' "
+            "ORDER BY event_id"
+        ),
         "repetition_docs": (
             "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
             "g AS (SELECT tl.doc_id, array_to_string(tl.l[r.i:r.i+1], ' ') AS s "

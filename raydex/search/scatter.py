@@ -147,6 +147,22 @@ def merge_top_k(per_segment, k: int):
     return out
 
 
+# index.max_result_window (es/index/IndexSettings.java:90-91): deep
+# from+size paging is capped; past it the reference demands search_after
+MAX_RESULT_WINDOW = 10_000
+
+
+def _window(k: int, from_: int) -> int:
+    if from_ < 0:
+        raise ValueError("from_ must be >= 0")
+    if from_ + k > MAX_RESULT_WINDOW:
+        raise ValueError(
+            f"from+size {from_ + k} exceeds max_result_window "
+            f"{MAX_RESULT_WINDOW}; use search_after for deep paging"
+        )
+    return from_ + k
+
+
 class SearcherBase:
     def __init__(self, index_dir: str):
         from raydex.index.build import load_index_manifest, segment_dirs
@@ -169,16 +185,18 @@ class LocalSearcher(SearcherBase):
         self.group = SegmentGroup(self.seg_dirs, list(range(len(self.seg_dirs))))
 
     def search(self, query_text: str, k: int = 10, method: str = "auto",
-               operator: str = "or", minimum_should_match: int = 0):
+               operator: str = "or", minimum_should_match: int = 0,
+               from_: int = 0):
+        w = _window(k, from_)
         terms = self.analyze(query_text)
         if not terms:
             return []
         df = self.group.term_stats(terms)
         per_seg = self.group.top_k(
-            terms, k, self.ndocs, self.sum_dl, df, method, operator,
+            terms, w, self.ndocs, self.sum_dl, df, method, operator,
             minimum_should_match,
         )
-        return merge_top_k(per_seg, k)
+        return merge_top_k(per_seg, w)[from_:]
 
     def _query_stats(self, qdict: dict) -> dict[str, int]:
         from raydex.search.query import collect_stat_terms, parse_query
@@ -186,13 +204,14 @@ class LocalSearcher(SearcherBase):
         terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
         return self.group.term_stats(terms)
 
-    def search_query(self, qdict: dict, k: int = 10):
+    def search_query(self, qdict: dict, k: int = 10, from_: int = 0):
         """Structured DSL search (`POST _search {"query": ...}` analogue)."""
+        w = _window(k, from_)
         df = self._query_stats(qdict)
         per_seg = self.group.query_top_k(
-            qdict, k, self.ndocs, self.sum_dl, df, self.manifest["analyzer"]
+            qdict, w, self.ndocs, self.sum_dl, df, self.manifest["analyzer"]
         )
-        return merge_top_k(per_seg, k)
+        return merge_top_k(per_seg, w)[from_:]
 
     def count(self, qdict: dict) -> int:
         """The `_count` API analogue."""
@@ -294,32 +313,35 @@ class RaySearcher(SearcherBase):
         return df
 
     def search(self, query_text: str, k: int = 10, method: str = "auto",
-               operator: str = "or", minimum_should_match: int = 0):
+               operator: str = "or", minimum_should_match: int = 0,
+               from_: int = 0):
+        w = _window(k, from_)
         terms = self.analyze(query_text)
         if not terms:
             return []
         df = self._stats(terms)
         refs = [
-            a.top_k.remote(terms, k, self.ndocs, self.sum_dl, df, method,
+            a.top_k.remote(terms, w, self.ndocs, self.sum_dl, df, method,
                            operator, minimum_should_match)
             for a in self.actors
         ]
         per_seg = [seg for actor_out in self._ray.get(refs) for seg in actor_out]
-        return merge_top_k(per_seg, k)
+        return merge_top_k(per_seg, w)[from_:]
 
-    def search_query(self, qdict: dict, k: int = 10):
+    def search_query(self, qdict: dict, k: int = 10, from_: int = 0):
         """Structured DSL search, scatter-gathered over the actor pool."""
         from raydex.search.query import collect_stat_terms, parse_query
 
+        w = _window(k, from_)
         terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
         df = self._stats(terms) if terms else {}
         refs = [
-            a.query_top_k.remote(qdict, k, self.ndocs, self.sum_dl, df,
+            a.query_top_k.remote(qdict, w, self.ndocs, self.sum_dl, df,
                                  self.manifest["analyzer"])
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
-        return merge_top_k(per_seg, k)
+        return merge_top_k(per_seg, w)[from_:]
 
     def count(self, qdict: dict) -> int:
         from raydex.search.query import collect_stat_terms, parse_query

@@ -531,3 +531,33 @@ def test_query_and_agg_registries(ray_session, sf_dir):
         run_agg("nope", ds)
     with _pytest.raises(ValueError):
         parse_query({"never_registered_kind": {}})
+
+
+def test_date_math_and_range_filter(ray_session, sf_dir):
+    import pandas as pd
+    import ray.data as rd
+
+    from raydex.ops.datemath import date_range_filter, parse_date_math
+
+    now = pd.Timestamp("2026-08-17T13:45:30.123")
+    assert parse_date_math("now-7d/d", now) == pd.Timestamp("2026-08-10")
+    assert parse_date_math("now/w", now) == pd.Timestamp("2026-08-17")  # ISO Monday
+    assert parse_date_math("now/M", now, roundup=True) == pd.Timestamp(
+        "2026-08-31 23:59:59.999"
+    )
+    assert parse_date_math("2026-01-31||+1M/d", now) == pd.Timestamp("2026-02-28")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_date_math("now^d", now)
+    with _pytest.raises(ValueError):
+        parse_date_math("now-7d")  # now anchor requires explicit now=
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    full = ds.to_pandas()
+    anchor = full["ts"].max()
+    out = date_range_filter(ds, "ts", gte="now-3d/d", now=anchor).to_pandas()
+    lo = parse_date_math("now-3d/d", anchor)
+    expect = full[full["ts"] >= lo]
+    assert sorted(out["event_id"]) == sorted(expect["event_id"])
+    assert 0 < len(out) < len(full)

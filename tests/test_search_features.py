@@ -299,3 +299,25 @@ def test_cjk_and_phonetic_filters():
         assert soundex(w) == code, (w, soundex(w))
     assert phonetic_filter(["smith", "smyth"]) == ["S530", "S530"]
     assert phonetic_filter(["smith"], replace=False) == ["smith", "S530"]
+
+
+def test_from_size_window(tmp_path, ray_session):
+    from raydex.corpus import pages_path
+    from raydex.index.build import build_index
+    from raydex.search.scatter import MAX_RESULT_WINDOW, LocalSearcher
+
+    idx = str(tmp_path / "idx_window")
+    build_index(pages_path(300, seed=42), idx, num_partitions=2)
+    s = LocalSearcher(idx)
+    top10 = s.search("web search engine", k=10)
+    page2 = s.search("web search engine", k=5, from_=5)
+    assert [r["url"] for r in page2] == [r["url"] for r in top10[5:10]]
+    d = s.search_query({"match": {"text": "web search"}}, k=4, from_=2)
+    d_all = s.search_query({"match": {"text": "web search"}}, k=6)
+    assert [r["url"] for r in d] == [r["url"] for r in d_all[2:6]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.search("web", k=10, from_=MAX_RESULT_WINDOW)
+    with _pytest.raises(ValueError):
+        s.search("web", k=10, from_=-1)

@@ -60,6 +60,8 @@ def main(argv=None) -> int:
     s.add_argument("--query", default=None)
     s.add_argument("--dsl", default=None)
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--from", dest="from_", type=int, default=0,
+                   help="paging offset (from+k capped at max_result_window)")
     s.add_argument("--operator", default="or", choices=["or", "and"])
     s.add_argument("--actors", type=int, default=0, help="0 = local in-process")
 
@@ -74,6 +76,10 @@ def main(argv=None) -> int:
     g.add_argument("--index", required=True)
     g.add_argument("--id", required=True, nargs="+",
                    help="one or more document ids (urls)")
+
+    an = sub.add_parser("analyze")
+    an.add_argument("--text", required=True)
+    an.add_argument("--analyzer", default="standard_en")
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
@@ -111,9 +117,10 @@ def main(argv=None) -> int:
         else:
             searcher = LocalSearcher(a.index)
         if a.dsl:
-            hits = searcher.search_query(json.loads(a.dsl), k=a.k)
+            hits = searcher.search_query(json.loads(a.dsl), k=a.k, from_=a.from_)
         else:
-            hits = searcher.search(a.query or "", k=a.k, operator=a.operator)
+            hits = searcher.search(a.query or "", k=a.k, operator=a.operator,
+                                   from_=a.from_)
         for h in hits:
             print(json.dumps(h))
     elif a.cmd == "count":
@@ -132,6 +139,11 @@ def main(argv=None) -> int:
         for row in mget(a.index, a.id):
             print(json.dumps(row if row is None or "text" not in row
                              else {**row, "text": row["text"][:200]}))
+    elif a.cmd == "analyze":
+        # the `_analyze` API analogue (es/action/admin/indices/analyze)
+        from raydex.analysis.tokenizer import get_analyzer
+
+        print(json.dumps({"tokens": get_analyzer(a.analyzer)(a.text)}))
     elif a.cmd == "suggest":
         from raydex.index.build import segment_dirs
         from raydex.index.segment import SegmentReader

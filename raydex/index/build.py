@@ -348,13 +348,19 @@ def _build_index_inner(
     # a Dataset snapshots its DataContext at creation — a caller-provided
     # dataset may carry the default sort-shuffle strategy; override the
     # captured context too, or the keys= repartition refuses to plan
-    from ray.data.context import ShuffleStrategy as _SS
+    from ray.data.context import DataContext as _DC, ShuffleStrategy as _SS
 
     dctx = getattr(ds, "context", None)
     if dctx is not None:
+        cur = _DC.get_current()
         dctx.shuffle_strategy = _SS.HASH_SHUFFLE
-        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
-        dctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+        # mirror the scaled values build_index computed on the current
+        # context (a hardcoded per-partition CPU here deadlocks small
+        # clusters the same way the outer default would)
+        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+            cur.hash_shuffle_operator_actor_num_cpus_per_partition_override
+        )
+        dctx.max_hash_shuffle_aggregators = cur.max_hash_shuffle_aggregators
 
     prepared = ds.map_batches(
         _Prepare(num_partitions, source, skip),

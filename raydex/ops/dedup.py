@@ -212,20 +212,35 @@ def _keyed_blocks(ds, keys: list[str]):
     from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()
-    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators)
+    saved = (
+        ctx.shuffle_strategy,
+        ctx.max_hash_shuffle_aggregators,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+    )
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nb = max(16, ncpu)
     # small aggregator pool: each hash shuffle spins an actor pool whose
     # startup is a FIXED cost (~seconds); pair datasets are orders of
     # magnitude smaller than the corpus, so a handful of aggregators is
-    # plenty and the spin-up dominates otherwise
+    # plenty and the spin-up dominates otherwise. Cap each pool's TOTAL
+    # CPU reservation at ncpu/4: near-dup pipelines chain TWO hash
+    # shuffles, and Ray's default (half the cluster per pool) deadlocks
+    # a 4-cpu cluster with both pools pending plus the read task.
     for c in (ctx, getattr(ds, "context", None)):
         if c is not None:
             c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
             c.max_hash_shuffle_aggregators = max(2, min(8, ncpu // 4))
+            c.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+                ncpu / (4.0 * nb)
+            )
     try:
-        return ds.repartition(num_blocks=max(16, ncpu), keys=keys)
+        return ds.repartition(num_blocks=nb, keys=keys)
     finally:
-        ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators = saved
+        (
+            ctx.shuffle_strategy,
+            ctx.max_hash_shuffle_aggregators,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ) = saved
 
 
 def _group_bounds(*key_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -276,6 +276,47 @@ class ReplicatedSearcher(SearcherBase):
                 out.append(merge_top_k(self._ray.get(r), k))
         return out
 
+    def search_batch_adaptive(self, queries: list[tuple[str, int]],
+                              method: str = "auto"):
+        """Adaptive replica selection — the reference's ARS
+        (ResponseCollectorService.java:175, OperationRouting.java:185):
+        each query goes to the replica minimizing
+        ``EWMA(service time) x (outstanding + 1)``; the EWMA updates on
+        completion (alpha=0.3). Under a straggling replica this shifts
+        load away instead of blindly round-robining; results are
+        identical to ``search_batch`` (same index on every replica)."""
+        import time as _time
+
+        analyzed = [self.analyze(q) for q, _ in queries]
+        uniq = sorted({t for ts in analyzed for t in ts})
+        gdf = self._ray.get(self._df_actor.term_stats.remote(uniq)) if uniq else {}
+        n = len(self.actors)
+        ewma = getattr(self, "_ars_ewma", None)
+        if ewma is None:
+            ewma = self._ars_ewma = [1e-3] * n
+        outstanding = [0] * n
+        alpha = 0.3
+        pending: dict = {}
+        out: list = [None] * len(queries)
+        for i, (terms, (_, k)) in enumerate(zip(analyzed, queries)):
+            if not terms:
+                out[i] = []
+                continue
+            df = {t: gdf.get(t, 0) for t in terms}
+            r = min(range(n), key=lambda j: ewma[j] * (outstanding[j] + 1))
+            ref = self.actors[r].top_k.remote(
+                terms, k, self.ndocs, self.sum_dl, df, method
+            )
+            pending[ref] = (i, r, _time.perf_counter())
+            outstanding[r] += 1
+        while pending:
+            done, _ = self._ray.wait(list(pending), num_returns=1)
+            i, r, t0 = pending.pop(done[0])
+            ewma[r] = (1 - alpha) * ewma[r] + alpha * (_time.perf_counter() - t0)
+            outstanding[r] -= 1
+            out[i] = merge_top_k(self._ray.get(done[0]), queries[i][1])
+        return out
+
 
 class RaySearcher(SearcherBase):
     """Actor-pool scatter-gather searcher.

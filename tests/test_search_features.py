@@ -321,3 +321,30 @@ def test_from_size_window(tmp_path, ray_session):
         s.search("web", k=10, from_=MAX_RESULT_WINDOW)
     with _pytest.raises(ValueError):
         s.search("web", k=10, from_=-1)
+
+
+def test_replicated_searcher_and_ars(tmp_path, ray_session):
+    """Replica read scaling: every replica holds the full index, so
+    round-robin and adaptive-replica-selection dispatch must return
+    identical results; ARS keeps an EWMA per replica."""
+    from raydex.corpus import pages_path
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher, ReplicatedSearcher
+
+    idx = str(tmp_path / "idx_repl")
+    build_index(pages_path(300, seed=42), idx, num_partitions=2)
+    rs = ReplicatedSearcher(idx, num_replicas=2, cpus_per_replica=1)
+    rs.wait_ready()
+    queries = [("web search engine", 5), ("data batch", 3),
+               ("the and of", 5), ("page content", 4)]
+    rr = rs.search_batch(queries)
+    ars = rs.search_batch_adaptive(queries)
+    assert [[(h["url"], round(h["score"], 5)) for h in q] for q in rr] == \
+           [[(h["url"], round(h["score"], 5)) for h in q] for q in ars]
+    # and both match the single-process searcher
+    ls = LocalSearcher(idx)
+    solo = [ls.search(q, k=k) for q, k in queries]
+    assert [[h["url"] for h in q] for q in rr] == \
+           [[h["url"] for h in q] for q in solo]
+    # EWMA state recorded for every replica that served work
+    assert len(rs._ars_ewma) == 2 and all(e > 0 for e in rs._ars_ewma)

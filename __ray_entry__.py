@@ -762,6 +762,42 @@ def q_adjacency_matrix_events(sf):
     )
 
 
+def q_date_range_orders(sf):
+    from raydex.ops.aggs import date_range_agg
+
+    return date_range_agg(
+        _ds(sf, "orders", ["o_orderdate"]),
+        "o_orderdate",
+        [("a_early", None, "1997-01-01"),
+         ("b_mid", "1997-01-01", "1999-01-01"),
+         ("c_late", "1999-01-01", None)],
+    )
+
+
+def q_ip_range_events(sf):
+    """ip_range agg over a deterministic per-user IPv4 derived from
+    user_id (testdata has no IP column; the same derivation runs in the
+    SQL oracle). The dotted-quad parse + CIDR bucketing is the op under
+    test."""
+    import pyarrow.compute as pc
+
+    from raydex.ops.aggs import ip_range_agg
+
+    def derive(t):
+        u = t["user_id"].to_numpy()
+        octs = [(u * m) % 256 for m in (37, 101, 181)]
+        a, b, c = (pc.cast(pa.array(o), pa.string()) for o in octs)
+        ip = pc.binary_join_element_wise("10", a, b, c, ".")
+        return pa.table({"ip": ip})
+
+    ds = _ds(sf, "events", ["user_id"]).map_batches(derive, batch_format="pyarrow")
+    return ip_range_agg(
+        ds, "ip",
+        [("a_lower_half", "10.0.0.0/9"),
+         ("b_upper_half", "10.128.0.0", None)],
+    )
+
+
 def q_auto_date_histogram_events(sf):
     from raydex.ops.more_aggs import auto_date_histogram
 
@@ -967,6 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_nchars": q_mad_nchars,
         "adjacency_matrix_events": q_adjacency_matrix_events,
         "auto_date_histogram_events": q_auto_date_histogram_events,
+        "date_range_orders": q_date_range_orders,
+        "ip_range_events": q_ip_range_events,
         "variable_width_histogram": q_variable_width_histogram,
         "multi_match_count": q_multi_match_count,
         "combined_fields_count": q_combined_fields_count,
@@ -1281,6 +1319,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mad_nchars": (
             "SELECT CAST(mad(n_chars) AS DOUBLE) AS mad FROM documents"
+        ),
+        "date_range_orders": (
+            "SELECT bucket, COUNT(*) AS doc_count FROM (SELECT CASE "
+            "WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'a_early' "
+            "WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 'b_mid' "
+            "ELSE 'c_late' END AS bucket FROM orders) "
+            "GROUP BY bucket ORDER BY bucket"
+        ),
+        "ip_range_events": (
+            # same user_id -> 10.a.b.c derivation; /9 mask = first octet
+            # pair < 10.128.0.0, i.e. a < 128
+            "SELECT bucket, COUNT(*) AS doc_count FROM (SELECT CASE "
+            "WHEN (user_id * 37) % 256 < 128 THEN 'a_lower_half' "
+            "ELSE 'b_upper_half' END AS bucket FROM events) "
+            "GROUP BY bucket ORDER BY bucket"
         ),
         "adjacency_matrix_events": (
             "SELECT key, doc_count FROM ("

@@ -81,6 +81,19 @@ def main(argv=None) -> int:
     an.add_argument("--text", required=True)
     an.add_argument("--analyzer", default="standard_en")
 
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--repo", required=True)
+    sn.add_argument("--name", required=True)
+
+    rs = sub.add_parser("restore")
+    rs.add_argument("--repo", required=True)
+    rs.add_argument("--name", required=True)
+    rs.add_argument("--dest", required=True)
+
+    sl = sub.add_parser("snapshots")
+    sl.add_argument("--repo", required=True)
+
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
     sg.add_argument("--text", required=True)
@@ -144,6 +157,21 @@ def main(argv=None) -> int:
         from raydex.analysis.tokenizer import get_analyzer
 
         print(json.dumps({"tokens": get_analyzer(a.analyzer)(a.text)}))
+    elif a.cmd == "snapshot":
+        from raydex.index.snapshot import create_snapshot
+
+        meta = create_snapshot(a.index, a.repo, a.name)
+        print(json.dumps({k: meta[k] for k in
+                          ("name", "stored_blobs", "reused_blobs")}))
+    elif a.cmd == "restore":
+        from raydex.index.snapshot import restore_snapshot
+
+        meta = restore_snapshot(a.repo, a.name, a.dest)
+        print(json.dumps({"name": meta["name"], "files": len(meta["files"])}))
+    elif a.cmd == "snapshots":
+        from raydex.index.snapshot import list_snapshots
+
+        print(json.dumps(list_snapshots(a.repo)))
     elif a.cmd == "suggest":
         from raydex.index.build import segment_dirs
         from raydex.index.segment import SegmentReader

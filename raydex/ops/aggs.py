@@ -119,6 +119,92 @@ def range_agg(ds, col: str, edges: list[float], count_name: str = "doc_count"):
     return out.sort("bucket")
 
 
+def date_range_agg(ds, ts_col: str, ranges: list[tuple], count_name: str = "doc_count"):
+    """`date_range` bucket agg (DateRangeAggregationBuilder.java):
+    half-open [from, to) buckets over a timestamp column; ranges are
+    (key, from_iso|None, to_iso|None). Same partial/shuffled-merge shape
+    as `range_agg`."""
+    bounds = []
+    for key, lo, hi in ranges:
+        lo_ns = np.datetime64(lo) if lo is not None else None
+        hi_ns = np.datetime64(hi) if hi is not None else None
+        bounds.append((key, lo_ns, hi_ns))
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[ts_col].to_numpy()
+        keys, cnts = [], []
+        for key, lo, hi in bounds:
+            m = np.ones(len(x), dtype=bool)
+            if lo is not None:
+                m &= x >= lo
+            if hi is not None:
+                m &= x < hi
+            keys.append(key)
+            cnts.append(int(m.sum()))
+        return pa.table({"bucket": pa.array(keys), count_name: pa.array(cnts, pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("bucket").sum(count_name)
+    out = out.map_batches(
+        lambda t: t.rename_columns(["bucket", count_name]), batch_format="pyarrow"
+    )
+    return out.sort("bucket")
+
+
+def _ipv4_to_u32(arr: pa.ChunkedArray) -> np.ndarray:
+    """Vectorized dotted-quad -> uint32 (no per-row Python parse)."""
+    parts = pc.split_pattern(arr, ".")
+    flat = pc.list_flatten(parts).cast(pa.int64()).to_numpy()
+    octets = flat.reshape(-1, 4).astype(np.uint64)
+    return (
+        (octets[:, 0] << 24) | (octets[:, 1] << 16)
+        | (octets[:, 2] << 8) | octets[:, 3]
+    ).astype(np.uint32)
+
+
+def ip_range_agg(ds, ip_col: str, ranges: list[tuple], count_name: str = "doc_count"):
+    """`ip_range` bucket agg (IpRangeAggregationBuilder.java): buckets
+    are (key, from_ip|None, to_ip|None) half-open on the numeric IPv4
+    value, or (key, "a.b.c.d/nn") CIDR masks (the reference expands a
+    mask to its [network, broadcast+1) range)."""
+    bounds = []
+    for r in ranges:
+        if len(r) == 2 and "/" in str(r[1]):
+            key, cidr = r
+            base, nbits = cidr.split("/")
+            lo = int(_ipv4_to_u32(pa.chunked_array([pa.array([base])]))[0])
+            width = 32 - int(nbits)
+            lo = (lo >> width) << width
+            hi = lo + (1 << width)
+            # a range ending at 2^32 (e.g. 128.0.0.0/1) is open-ended
+            bounds.append((key, np.uint32(lo),
+                           np.uint32(hi) if hi < (1 << 32) else None))
+        else:
+            key, lo, hi = r
+            one = lambda s: np.uint32(
+                _ipv4_to_u32(pa.chunked_array([pa.array([s])]))[0]
+            ) if s is not None else None
+            bounds.append((key, one(lo), one(hi)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _ipv4_to_u32(t[ip_col])
+        keys, cnts = [], []
+        for key, lo, hi in bounds:
+            m = np.ones(len(x), dtype=bool)
+            if lo is not None:
+                m &= x >= lo
+            if hi is not None:
+                m &= x < hi
+            keys.append(key)
+            cnts.append(int(m.sum()))
+        return pa.table({"bucket": pa.array(keys), count_name: pa.array(cnts, pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("bucket").sum(count_name)
+    out = out.map_batches(
+        lambda t: t.rename_columns(["bucket", count_name]), batch_format="pyarrow"
+    )
+    return out.sort("bucket")
+
+
 def histogram_agg(ds, col: str, interval: float, count_name: str = "doc_count"):
     """`histogram`: bucket key = floor(x/interval)*interval."""
 

@@ -209,6 +209,29 @@ class ScriptQuery(Query):
 
 
 @dataclass
+class ScriptScore(Query):
+    """`script_score` (ScriptScoreQueryBuilder.java): match the inner
+    query's docs, replace the score with a registered score script over
+    (raw score, stored columns); negative scripted scores error out, as
+    the reference enforces."""
+
+    inner: Query = None
+    source: str = ""
+    params: tuple = ()
+    min_score: float = float("-inf")
+
+
+@dataclass
+class Pinned(Query):
+    """`pinned` (x-pack search-business-rules PinnedQueryBuilder):
+    promote the listed ids (urls) above all organic hits, in list
+    order, keeping organic BM25 order below them."""
+
+    ids: tuple = ()
+    organic: Query = None
+
+
+@dataclass
 class SpanDSL(Query):
     """Span-family / intervals node (evaluated by raydex.search.spans;
     constant-score per matching doc, the multi-term rewrite convention).
@@ -323,7 +346,8 @@ def parse_query(d: dict) -> Query:
     if kind == "match_none":
         return MatchNone()
     if kind in ("span_term", "span_near", "span_or", "span_not", "span_first",
-                "intervals"):
+                "span_within", "span_containing", "span_multi",
+                "field_masking_span", "intervals"):
         return SpanDSL(node={kind: body})
     if kind == "multi_match":
         return MultiMatch(
@@ -377,6 +401,20 @@ def parse_query(d: dict) -> Query:
             params=tuple(sorted((spec.get("params") or {}).items())),
             boost=body.get("boost", 1.0),
         )
+    if kind == "script_score":
+        spec = body.get("script", {})
+        return ScriptScore(
+            inner=parse_query(body["query"]),
+            source=spec.get("source", ""),
+            params=tuple(sorted((spec.get("params") or {}).items())),
+            min_score=float(body.get("min_score", float("-inf"))),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "pinned":
+        return Pinned(
+            ids=tuple(body.get("ids", [])),
+            organic=parse_query(body["organic"]),
+        )
     if kind == "wrapper":
         # base64-encoded JSON query (WrapperQueryBuilder.java)
         import base64
@@ -425,6 +463,31 @@ SCRIPT_QUERIES: dict = {}
 
 def register_script_query(name: str, fn) -> None:
     SCRIPT_QUERIES[name] = fn
+
+
+# score-script registry (ScoreScript context analogue): name ->
+# fn(scores: np.ndarray, cols: dict[str, np.ndarray], params) -> scores.
+SCORE_SCRIPTS: dict = {}
+
+# pinned hits sit above any achievable BM25 score (the reference uses a
+# float ladder just under Float.MAX_VALUE); integers <= 2^24 stay exact
+# through the float32 score path, and BM25 never approaches 2^23
+_PINNED_BASE = float(2**24)
+_PINNED_STEP = 16.0
+
+
+def register_score_script(name: str, fn) -> None:
+    SCORE_SCRIPTS[name] = fn
+
+
+register_score_script(
+    "saturation_dl",
+    lambda scores, cols, params: scores
+    * (cols["dl"] / (cols["dl"] + float(params.get("pivot", 10.0)))),
+)
+register_score_script(
+    "times_param", lambda scores, cols, params: scores * float(params.get("f", 1.0))
+)
 
 
 register_script_query(
@@ -906,6 +969,35 @@ class SegmentEvaluator:
             if docmap:
                 mask[np.fromiter(docmap.keys(), dtype=np.int64, count=len(docmap))] = True
             return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, ScriptScore):
+            base, mask = self.eval(q.inner)
+            fn = SCORE_SCRIPTS.get(q.source)
+            if fn is None:
+                raise ValueError(f"unregistered score script: {q.source!r}")
+            cols = {
+                "url": np.asarray(self.r.urls.to_pylist(), dtype=object),
+                "dl": self.r.dl,
+            }
+            scores = np.asarray(fn(base, cols, dict(q.params)), dtype=np.float64)
+            if mask.any() and float(scores[mask].min()) < 0:
+                # ScriptScoreQuery.java rejects negative scores outright
+                raise ValueError("script_score produced a negative score")
+            if q.min_score > float("-inf"):
+                mask = mask & (scores >= q.min_score)
+            return q.boost * np.where(mask, scores, 0.0), mask
+        if isinstance(q, Pinned):
+            base, mask = self.eval(q.organic)
+            urls = self.r.urls.to_pylist()
+            pos = {u: i for i, u in enumerate(q.ids)}
+            scores = np.where(mask, base, 0.0)
+            for d, u in enumerate(urls):
+                p = pos.get(u)
+                if p is not None:
+                    # PinnedQueryBuilder: pinned docs outrank every
+                    # organic hit, earlier ids first (decreasing ladder)
+                    scores[d] = _PINNED_BASE - p * _PINNED_STEP
+                    mask[d] = True
+            return scores, mask
         if isinstance(q, ScriptQuery):
             fn = SCRIPT_QUERIES.get(q.source)
             if fn is None:

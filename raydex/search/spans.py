@@ -30,7 +30,10 @@ import numpy as np
 
 def term_doc_spans(reader, term: str) -> dict[int, np.ndarray]:
     """doc -> (n,2) span array for one term (width-1 spans)."""
-    ti = reader.lookup(term)
+    return _ti_doc_spans(reader, reader.lookup(term))
+
+
+def _ti_doc_spans(reader, ti: int) -> dict[int, np.ndarray]:
     if ti < 0:
         return {}
     ids, tfs, pos, off = reader.postings_with_positions(ti)
@@ -171,6 +174,63 @@ def eval_spans(reader, node: dict, analyzer=None) -> dict[int, np.ndarray]:
             if kept.size:
                 out[d] = kept
         return out
+    if kind in ("span_within", "span_containing"):
+        # SpanWithinQueryBuilder / SpanContainingQueryBuilder: within
+        # keeps little spans enclosed by some big span; containing keeps
+        # big spans that enclose some little span.
+        little = eval_spans(reader, body["little"], analyzer)
+        big = eval_spans(reader, body["big"], analyzer)
+        out = {}
+        for d in set(little) & set(big):
+            l, b = little[d], big[d]
+            if kind == "span_within":
+                keep = [
+                    s for s in l
+                    if ((b[:, 0] <= s[0]) & (b[:, 1] >= s[1])).any()
+                ]
+            else:
+                keep = [
+                    s for s in b
+                    if ((l[:, 0] >= s[0]) & (l[:, 1] <= s[1])).any()
+                ]
+            if keep:
+                out[d] = np.array(keep, dtype=np.int64)
+        return out
+    if kind == "span_multi":
+        # SpanMultiTermQueryBuilder: expand the wrapped multi-term query
+        # (prefix/wildcard/regexp/fuzzy) against the term dictionary and
+        # take the span_or of the matching terms' width-1 spans.
+        from raydex.search.query import (
+            expand_fuzzy,
+            expand_prefix,
+            expand_regexp,
+            expand_wildcard,
+        )
+
+        (mk, mb), = body["match"].items()
+        val = mb["text"] if isinstance(mb, dict) and "text" in mb else mb
+        if isinstance(val, dict):
+            val = val.get("value", val.get("query"))
+        if mk == "prefix":
+            tis = expand_prefix(reader, val)
+        elif mk == "wildcard":
+            tis = expand_wildcard(reader, val)
+        elif mk == "regexp":
+            tis = expand_regexp(reader, val)
+        elif mk == "fuzzy":
+            tis = expand_fuzzy(reader, val, 2)
+        else:
+            raise ValueError(f"span_multi cannot wrap {mk!r}")
+        out: dict[int, np.ndarray] = {}
+        for ti in tis:
+            for d, s in _ti_doc_spans(reader, ti).items():
+                out[d] = _merge_spans(out.get(d, np.empty((0, 2), np.int64)), s)
+        return out
+    if kind == "field_masking_span":
+        # SpanFieldMaskingQueryBuilder: report the inner span as if it
+        # came from another field. The index is single-text-field, so the
+        # mask is an identity re-label — evaluate the inner span.
+        return eval_spans(reader, body["query"], analyzer)
     raise ValueError(f"unsupported span kind: {kind}")
 
 

@@ -561,3 +561,34 @@ def test_date_math_and_range_filter(ray_session, sf_dir):
     expect = full[full["ts"] >= lo]
     assert sorted(out["event_id"]) == sorted(expect["event_id"])
     assert 0 < len(out) < len(full)
+
+
+def test_date_range_and_ip_range_aggs(ray_session):
+    import numpy as np
+
+    ts = np.array(["2020-01-05", "2020-02-10", "2020-03-15", "2020-03-20"],
+                  dtype="datetime64[us]")
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts)}))
+    out = aggs.date_range_agg(
+        ds, "ts",
+        [("jan", None, "2020-02-01"),
+         ("feb_mar", "2020-02-01", "2020-04-01"),
+         ("q1", "2020-01-01", "2020-04-01")],  # overlapping bucket
+    ).to_pandas().set_index("bucket")["doc_count"]
+    assert out["jan"] == 1 and out["feb_mar"] == 3 and out["q1"] == 4
+
+    ips = ["10.0.0.1", "10.127.255.255", "10.128.0.0", "192.168.1.9"]
+    ds = rd.from_arrow(pa.table({"ip": pa.array(ips)}))
+    out = aggs.ip_range_agg(
+        ds, "ip",
+        [("ten_lower", "10.0.0.0/9"),       # CIDR [10.0.0.0, 10.128.0.0)
+         ("ten_upper", "10.128.0.0", "11.0.0.0"),
+         ("all_above", "10.0.0.0", None)],
+    ).to_pandas().set_index("bucket")["doc_count"]
+    assert out["ten_lower"] == 2 and out["ten_upper"] == 1
+    assert out["all_above"] == 4
+    # /32 mask = exact host
+    host = aggs.ip_range_agg(
+        ds, "ip", [("one", "10.128.0.0/32")]
+    ).to_pandas()
+    assert host["doc_count"].iloc[0] == 1

@@ -377,3 +377,72 @@ def test_expansions_on_url_field(seg):
     assert _match_urls(seg, ev, {"fuzzy": {"url": {"value": "u00", "fuzziness": 1}}}) == sorted(
         u for u, _ in DOCS
     )
+
+
+def test_span_within_containing(pseg):
+    ev = _ev(pseg)
+    big = {"span_near": {"clauses": [{"span_term": {"text": "apple"}},
+                                     {"span_term": {"text": "cherry"}}],
+                         "slop": 1, "in_order": True}}
+    # u00 "apple banana cherry": big span [0,3) encloses banana@[1,2)
+    qw = {"span_within": {"little": {"span_term": {"text": "banana"}},
+                          "big": big}}
+    assert _match_urls(pseg, ev, qw) == ["u00"]
+    qc = {"span_containing": {"little": {"span_term": {"text": "banana"}},
+                              "big": big}}
+    assert _match_urls(pseg, ev, qc) == ["u00"]
+    # banana in u02 has no enclosing big span
+    qn = {"span_within": {"little": {"span_term": {"text": "dog"}},
+                          "big": big}}
+    assert _match_urls(pseg, ev, qn) == []
+
+
+def test_span_multi_and_field_masking(pseg):
+    ev = _ev(pseg)
+    qm = {"span_multi": {"match": {"prefix": {"text": "app"}}}}
+    assert _match_urls(pseg, ev, qm) == ["u00", "u01", "u04"]
+    # span_multi composes inside span_near: app* directly before 'dog'
+    qnear = {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": "app"}}}},
+        {"span_term": {"text": "dog"}}], "slop": 0, "in_order": True}}
+    assert _match_urls(pseg, ev, qnear) == ["u01"]
+    qf = {"field_masking_span": {"query": {"span_term": {"text": "dog"}},
+                                 "field": "other"}}
+    assert _match_urls(pseg, ev, qf) == ["u01", "u02", "u05"]
+
+
+def test_script_score_query(seg):
+    ev = _ev(seg, ["apple"])
+    base_ids, base_sc = ev.top_k(parse_query({"match": {"text": "apple"}}), 10)
+    q = {"script_score": {"query": {"match": {"text": "apple"}},
+                          "script": {"source": "times_param",
+                                     "params": {"f": 2.0}}}}
+    ids, sc = ev.top_k(parse_query(q), 10)
+    assert ids.tolist() == base_ids.tolist()
+    np.testing.assert_allclose(sc, 2.0 * base_sc)
+    # min_score drops docs scoring below the bar
+    lo = {"script_score": {"query": {"match": {"text": "apple"}},
+                           "script": {"source": "times_param",
+                                      "params": {"f": 1.0}},
+                           "min_score": float(base_sc[0])}}
+    ids2, _ = ev.top_k(parse_query(lo), 10)
+    assert ids2.tolist() == [int(base_ids[0])]
+    # negative scores are rejected (ScriptScoreQuery.java contract)
+    with pytest.raises(ValueError):
+        ev.top_k(parse_query(
+            {"script_score": {"query": {"match": {"text": "apple"}},
+                              "script": {"source": "times_param",
+                                         "params": {"f": -1.0}}}}), 10)
+
+
+def test_pinned_query(seg):
+    ev = _ev(seg, ["dog"])
+    q = {"pinned": {"ids": ["u03", "u05"],
+                    "organic": {"match": {"text": "dog"}}}}
+    ids, sc = ev.top_k(parse_query(q), 10)
+    urls = [seg.url_of(d) for d in ids]
+    # pinned first in list order (u03 never matches organically), then
+    # the organic dog hits by BM25
+    assert urls[:2] == ["u03", "u05"]
+    assert set(urls[2:]) == {"u01", "u02"}
+    assert sc[0] > sc[1] > sc[2]

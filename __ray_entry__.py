@@ -762,6 +762,14 @@ def q_adjacency_matrix_events(sf):
     )
 
 
+def q_dup_windows_docs(sf):
+    from raydex.ops.dedup import duplicated_window_stats
+
+    return duplicated_window_stats(
+        _ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id", k=8
+    )
+
+
 def q_date_range_orders(sf):
     from raydex.ops.aggs import date_range_agg
 
@@ -1003,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_nchars": q_mad_nchars,
         "adjacency_matrix_events": q_adjacency_matrix_events,
         "auto_date_histogram_events": q_auto_date_histogram_events,
+        "dup_windows_docs": q_dup_windows_docs,
         "date_range_orders": q_date_range_orders,
         "ip_range_events": q_ip_range_events,
         "variable_width_histogram": q_variable_width_histogram,
@@ -1319,6 +1328,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mad_nchars": (
             "SELECT CAST(mad(n_chars) AS DOUBLE) AS mad FROM documents"
+        ),
+        "dup_windows_docs": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), win AS (SELECT doc_id, "
+            "array_to_string(t[i : i+7], ' ') AS w FROM toks, "
+            "UNNEST(generate_series(1, greatest(len(t)-7, 0))) AS g(i)), "
+            "wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM win GROUP BY 1, 2), "
+            "dup AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wc GROUP BY 1) "
+            "SELECT wc.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_windows, "
+            "CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_windows, "
+            "CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS DOUBLE) "
+            "/ GREATEST(SUM(cnt), 1) AS dup_fraction "
+            "FROM wc JOIN dup USING (w) GROUP BY wc.doc_id ORDER BY wc.doc_id"
         ),
         "date_range_orders": (
             "SELECT bucket, COUNT(*) AS doc_count FROM (SELECT CASE "

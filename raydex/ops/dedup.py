@@ -590,3 +590,117 @@ def embedding_near_dup_pairs(
     return _keyed_blocks(pairs, ["id_a", "id_b"]).map_batches(
         uniqc, batch_format="pyarrow", batch_size=None
     )
+
+
+# ------------------------------------------------- duplicated windows
+
+
+def _window_pairs(t: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
+    """Explode one batch into (w, id) rows — every k-token window of
+    every doc, fully vectorized: split once, build windows by joining k
+    shifted views of the flat token array, mask windows that straddle a
+    doc boundary."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(t[text_col], " ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy()  # len = nrows + 1
+    m = len(flat)
+    if m < k:
+        return pa.table({"w": pa.array([], pa.string()),
+                         id_col: pa.array([], t[id_col].type)})
+    # window starting at flat position j is valid iff j+k <= end of the
+    # doc containing j
+    starts = np.arange(m - k + 1)
+    doc_of = np.searchsorted(offs, starts, side="right") - 1
+    valid = starts + k <= offs[doc_of + 1]
+    shifted = [flat.slice(j, m - k + 1) for j in range(k)]
+    windows = pc.binary_join_element_wise(*shifted, " ")
+    mask = pa.array(valid)
+    ids = pc.take(t[id_col], pa.array(doc_of[valid]))
+    out = pa.table({"w": pc.filter(windows, mask), id_col: ids})
+    # local combine: (w, id) -> cnt inside the batch (map-side partial —
+    # cuts shuffle rows before the one hash exchange on w)
+    wnp = np.asarray(out["w"].to_pylist(), dtype=object)
+    inp = out[id_col].to_numpy()
+    order = np.lexsort((inp, wnp))
+    wnp, inp = wnp[order], inp[order]
+    starts, ends = _group_bounds(wnp, inp)
+    return pa.table({
+        "w": pa.array(wnp[starts]),
+        id_col: pa.array(inp[starts]),
+        "cnt": pa.array(ends - starts, pa.int64()),
+    })
+
+
+def duplicated_window_stats(ds, text_col: str, id_col: str, k: int = 8):
+    """Substring-level dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): for every doc, the fraction of
+    its k-token windows whose exact text also occurs in ANOTHER doc.
+
+    Pipeline (all distributed, no driver collect):
+      explode + local (w, id)->cnt combine           [map]
+      -> hash partition by w                         [ONE wide shuffle]
+      -> in-block: merge (w,id) partials, mark cross-doc dup,
+         fold to per-doc partials                    [map]
+      -> groupby(id).sum                             [small shuffle]
+
+    Docs shorter than k tokens emit no windows and are absent from the
+    result (the SQL-oracle convention). The window STRING is the
+    groupby key — exact; at 100 TB swap in a 128-bit window hash as the
+    key (collision-safe), which drops shuffle bytes ~10x without
+    changing the algebra.
+    """
+    pairs = ds.map_batches(
+        lambda t: _window_pairs(t, text_col, id_col, k),
+        batch_format="pyarrow",
+    )
+
+    def mark_and_partial(t: pa.Table) -> pa.Table:
+        # block holds ALL rows of every window value it contains (hash
+        # partitioned by w): merge the map-side (w, id, cnt) partials,
+        # then a window is duplicated iff its run spans >= 2 docs — all
+        # vectorized, folded straight to per-doc partials
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_windows": pa.array([], pa.int64()),
+                             "dup_windows": pa.array([], pa.int64())})
+        w = np.asarray(t["w"].to_pylist(), dtype=object)
+        ids = t[id_col].to_numpy()
+        cnt = t["cnt"].to_numpy()
+        order = np.lexsort((ids, w))
+        w, ids, cnt = w[order], ids[order], cnt[order]
+        ws, we = _group_bounds(w, ids)  # (w, id) runs -> merge partials
+        ids, cnt = ids[ws], np.add.reduceat(cnt, ws)
+        w = w[ws]
+        starts, ends = _group_bounds(w)
+        sizes = ends - starts
+        dup = np.repeat(sizes >= 2, sizes)
+        order2 = np.argsort(ids, kind="mergesort")
+        ids, cnt, dup = ids[order2], cnt[order2], dup[order2]
+        uniq, ustarts = np.unique(ids, return_index=True)
+        n_win = np.add.reduceat(cnt, ustarts)
+        d_win = np.add.reduceat(np.where(dup, cnt, 0), ustarts)
+        return pa.table({
+            id_col: pa.array(uniq),
+            "n_windows": pa.array(n_win, pa.int64()),
+            "dup_windows": pa.array(d_win, pa.int64()),
+        })
+
+    out = (
+        _keyed_blocks(pairs, ["w"])
+        .map_batches(mark_and_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(id_col)
+        .sum(["n_windows", "dup_windows"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([id_col, "n_windows", "dup_windows"])
+        frac = t["dup_windows"].to_numpy() / np.maximum(
+            t["n_windows"].to_numpy(), 1
+        )
+        return t.append_column("dup_fraction", pa.array(frac, pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(id_col)

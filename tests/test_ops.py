@@ -592,3 +592,27 @@ def test_date_range_and_ip_range_aggs(ray_session):
         ds, "ip", [("one", "10.128.0.0/32")]
     ).to_pandas()
     assert host["doc_count"].iloc[0] == 1
+
+
+def test_duplicated_window_stats(ray_session):
+    """Substring-level dedup (duplicated k-token windows) vs a brute
+    in-memory oracle."""
+    docs = [
+        (0, "a b c d e f"),
+        (1, "x y z a b c d"),
+        (2, "q r s t"),
+        (3, "a b"),           # shorter than k -> absent from output
+        (4, "m m m m m"),     # self-repetition only: NOT cross-doc dup
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [d for d, _ in docs],
+                                 "text": [t for _, t in docs]}))
+    out = dedup.duplicated_window_stats(ds, "text", "doc_id", k=3) \
+        .to_pandas().set_index("doc_id")
+    # doc0 windows: abc bcd cde def; abc+bcd shared with doc1
+    assert out.loc[0, "n_windows"] == 4 and out.loc[0, "dup_windows"] == 2
+    assert out.loc[1, "n_windows"] == 5 and out.loc[1, "dup_windows"] == 2
+    assert out.loc[2, "dup_windows"] == 0
+    assert 3 not in out.index
+    # "m m m" repeats within one doc but appears in no other doc
+    assert out.loc[4, "n_windows"] == 3 and out.loc[4, "dup_windows"] == 0
+    assert out.loc[0, "dup_fraction"] == pytest.approx(0.5)

@@ -142,10 +142,13 @@ def main(argv=None) -> int:
         print(LocalSearcher(a.index).count(json.loads(a.dsl)))
     elif a.cmd == "stats":
         from raydex.index.build import load_index_manifest
+        from raydex.search.scatter import resolve_index_dirs
 
-        man = load_index_manifest(a.index)
-        print(json.dumps({k: v for k, v in man.items() if k != "segments"} |
-                         {"segments": len(man["segments"])}, indent=1))
+        for d in resolve_index_dirs(a.index):
+            man = load_index_manifest(d)
+            print(json.dumps({"index": d}
+                             | {k: v for k, v in man.items() if k != "segments"}
+                             | {"segments": len(man["segments"])}, indent=1))
     elif a.cmd == "get":
         from raydex.search.get import mget
 

@@ -314,6 +314,8 @@ def parse_query(d: dict) -> Query:
         return Ids(values=tuple(body["values"]))
     if kind == "range":
         (fld, spec), = body.items()
+        if not isinstance(spec, dict):
+            raise ValueError(f"range body for {fld!r} must be an object, got {spec!r}")
         fld = "dl" if fld in ("dl", "length") else "url"
         return RangeQ(fld=fld, **{k: spec[k] for k in ("gte", "gt", "lte", "lt") if k in spec})
     if kind == "exists":
@@ -453,6 +455,17 @@ QUERY_PARSERS: dict = {}
 
 def register_query(kind: str, parse_fn) -> None:
     QUERY_PARSERS[kind] = parse_fn
+
+
+def validate_query(qdict: dict) -> dict:
+    """`_validate/query` API (es/action/admin/indices/validate/query):
+    parse-only check returning {valid, explanation | error} — no
+    execution, so it is safe on any index."""
+    try:
+        q = parse_query(qdict)
+    except Exception as e:  # parse surface: ValueError/KeyError/TypeError
+        return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+    return {"valid": True, "explanation": repr(q)}
 
 
 # script-query registry (the Painless-surface analogue, SURVEY §2.9):

@@ -163,13 +163,51 @@ def _window(k: int, from_: int) -> int:
     return from_ + k
 
 
+def resolve_index_dirs(expr) -> list[str]:
+    """Index-expression resolution (the reference's
+    ``IndexNameExpressionResolver``): a list, or a comma-separated
+    string, each element optionally a glob pattern (`logs-*`). Every
+    element must match at least one index directory."""
+    import glob as _glob
+
+    parts = list(expr) if isinstance(expr, (list, tuple)) else str(expr).split(",")
+    out: list[str] = []
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        matches = sorted(_glob.glob(p)) if any(c in p for c in "*?[") else [p]
+        if not matches:
+            raise ValueError(f"no index matches pattern: {p!r}")
+        out.extend(m for m in matches if m not in out)
+    if not out:
+        raise ValueError(f"empty index expression: {expr!r}")
+    return out
+
+
 class SearcherBase:
-    def __init__(self, index_dir: str):
+    """One or several indexes (`/idx1,idx2/_search` semantics): segment
+    lists concatenate, doc_count/sum_dl/df sum across indexes — global
+    IDF over the union, the dfs_query_then_fetch-consistent mode."""
+
+    def __init__(self, index_dir):
         from raydex.index.build import load_index_manifest, segment_dirs
 
-        self.manifest = load_index_manifest(index_dir)
+        dirs = resolve_index_dirs(index_dir)
+        manifests = [load_index_manifest(d) for d in dirs]
+        analyzers = {m["analyzer"] for m in manifests}
+        if len(analyzers) > 1:
+            raise ValueError(
+                f"multi-index search requires one shared analyzer, got {analyzers}"
+            )
+        self.manifest = dict(manifests[0])
+        if len(dirs) > 1:
+            self.manifest["doc_count"] = sum(m["doc_count"] for m in manifests)
+            self.manifest["sum_dl"] = sum(m["sum_dl"] for m in manifests)
         self.analyzer = get_analyzer(self.manifest["analyzer"])
-        self.seg_dirs = segment_dirs(index_dir, self.manifest)
+        self.seg_dirs = [
+            s for d, m in zip(dirs, manifests) for s in segment_dirs(d, m)
+        ]
         self.ndocs = self.manifest["doc_count"]
         self.sum_dl = self.manifest["sum_dl"]
 

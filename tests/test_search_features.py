@@ -348,3 +348,71 @@ def test_replicated_searcher_and_ars(tmp_path, ray_session):
            [[h["url"] for h in q] for q in solo]
     # EWMA state recorded for every replica that served work
     assert len(rs._ars_ewma) == 2 and all(e > 0 for e in rs._ars_ewma)
+
+
+def test_validate_query():
+    from raydex.search.query import validate_query
+
+    ok = validate_query({"bool": {"must": [{"match": {"text": "apple"}}]}})
+    assert ok["valid"] and "explanation" in ok
+    bad = validate_query({"no_such_query": {"text": "x"}})
+    assert not bad["valid"] and "error" in bad
+    # malformed body (range with no field dict)
+    bad2 = validate_query({"range": {"dl": "oops"}})
+    assert not bad2["valid"]
+
+
+def test_multi_index_search(tmp_path, ray_session):
+    """/idx1,idx2/_search: union hits with IDF computed over the union —
+    identical scores to one index built over all docs."""
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher, resolve_index_dirs
+
+    t = make_pages_table(300, seed=77)
+    # _id (url) dedup is per-index — drop cross-split duplicates up front
+    # so the union index and the single index see identical corpora.
+    seen, keep = set(), []
+    for i, u in enumerate(t.column("url").to_pylist()):
+        if u not in seen:
+            seen.add(u)
+            keep.append(i)
+    t = t.take(keep)
+    half = t.num_rows // 2
+    a, b = t.slice(0, half), t.slice(half)
+    pa_, pb_ = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(a, pa_)
+    pq.write_table(b, pb_)
+    pall = str(tmp_path / "all.parquet")
+    pq.write_table(t, pall)
+    ia, ib, iall = (str(tmp_path / n) for n in ("idx_a", "idx_b", "idx_all"))
+    build_index(pa_, ia, num_partitions=2, source="text")
+    build_index(pb_, ib, num_partitions=2, source="text")
+    build_index(pall, iall, num_partitions=2, source="text")
+
+    multi = LocalSearcher(f"{ia},{ib}")
+    single = LocalSearcher(iall)
+    assert multi.ndocs == single.ndocs and multi.sum_dl == single.sum_dl
+
+    for q in ("search engine", "data", "the quick"):
+        hm = multi.search(q, k=10)
+        hs = single.search(q, k=10)
+        assert [round(h["score"], 5) for h in hm] == [
+            round(h["score"], 5) for h in hs
+        ]
+        assert {h["url"] for h in hm} == {h["url"] for h in hs}
+
+    # glob expression resolution
+    dirs = resolve_index_dirs(str(tmp_path / "idx_*"))
+    assert dirs == sorted([ia, ib, iall])
+    with pytest.raises(ValueError):
+        resolve_index_dirs(str(tmp_path / "nomatch-*"))
+
+    # analyzer mismatch rejected
+    import json, os
+
+    man = json.load(open(os.path.join(ib, "index_manifest.json")))
+    man["analyzer"] = "whitespace"
+    json.dump(man, open(os.path.join(ib, "index_manifest.json"), "w"))
+    with pytest.raises(ValueError):
+        LocalSearcher(f"{ia},{ib}")

@@ -111,6 +111,10 @@ def run_bench() -> dict:
         t_query = min(t_query, time.perf_counter() - t0)
     timings["bm25_100_queries"] = round(t_query, 3)
     qps = len(pairs) / t_query
+    # release the replica actors' CPU reservations — they otherwise
+    # starve the Dataset pipelines below (4 replicas + two chained
+    # hash-shuffle aggregator pools = 0 free cpus on an 8-cpu run)
+    searcher.shutdown()
 
     # ---- representative ops over the sf tables
     from raydex.ops.aggs import terms_agg

@@ -292,6 +292,18 @@ class ReplicatedSearcher(SearcherBase):
         constructor gates the whole batch (measured: a 10x QPS cliff)."""
         self._ray.get([a.term_stats.remote([]) for a in self.actors])
 
+    def shutdown(self) -> None:
+        """Release the replica actors and their CPU reservations.
+
+        Long-lived replicas holding ``num_replicas`` CPUs starve any
+        Dataset pipeline launched afterwards in the same session — on an
+        8-cpu cluster, 4 replicas + two chained hash-shuffle aggregator
+        pools left ZERO cpus for map tasks (measured deadlock). Call
+        this when the serving phase ends."""
+        for a in self.actors:
+            self._ray.kill(a)
+        self.actors = []
+
     def search_batch(self, queries: list[tuple[str, int]], method: str = "auto"):
         analyzed = [self.analyze(q) for q, _ in queries]
         uniq = sorted({t for ts in analyzed for t in ts})
@@ -382,6 +394,13 @@ class RaySearcher(SearcherBase):
                 )
             )
         self._ray = ray
+
+    def shutdown(self) -> None:
+        """Release the scatter actors' CPU reservations (see
+        ReplicatedSearcher.shutdown)."""
+        for a in self.actors:
+            self._ray.kill(a)
+        self.actors = []
 
     def _stats(self, terms: list[str]) -> dict[str, int]:
         partials = self._ray.get([a.term_stats.remote(terms) for a in self.actors])

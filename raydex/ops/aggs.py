@@ -150,15 +150,53 @@ def date_range_agg(ds, ts_col: str, ranges: list[tuple], count_name: str = "doc_
     return out.sort("bucket")
 
 
-def _ipv4_to_u32(arr: pa.ChunkedArray) -> np.ndarray:
-    """Vectorized dotted-quad -> uint32 (no per-row Python parse)."""
-    parts = pc.split_pattern(arr, ".")
-    flat = pc.list_flatten(parts).cast(pa.int64()).to_numpy()
-    octets = flat.reshape(-1, 4).astype(np.uint64)
-    return (
+def _ipv4_to_u32(arr: pa.ChunkedArray, strict: bool = True):
+    """Vectorized dotted-quad -> uint32 (no per-row Python parse).
+
+    strict=True raises on any null / non-4-octet row (callers converting
+    literals). strict=False returns ``(vals, valid)`` where malformed or
+    null rows have valid=False and an arbitrary value — the agg routes
+    them to no bucket instead of silently shifting later rows (a single
+    bad row would otherwise corrupt the flat reshape)."""
+    if isinstance(arr, pa.Array):
+        arr = pa.chunked_array([arr])
+    parts = pc.split_pattern(pc.fill_null(arr.cast(pa.string()), ""), ".")
+    lens = pc.list_value_length(parts).to_numpy()
+    ok = lens == 4
+    if strict and not ok.all():
+        raise ValueError("malformed IPv4 literal")
+    if not ok.all():
+        # rebuild with bad rows replaced by 0.0.0.0 so the reshape holds
+        keep = pa.array(ok)
+        fixed = pc.if_else(keep, arr.combine_chunks(), pa.scalar("0.0.0.0"))
+        parts = pc.split_pattern(fixed, ".")
+    flat = pc.list_flatten(parts)
+    try:
+        nums = flat.cast(pa.int64())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        # non-numeric octet somewhere (e.g. "a.b.c.d")
+        if strict:
+            raise ValueError("malformed IPv4 literal")
+        import pandas as pd
+
+        s = pd.to_numeric(pd.Series(flat.to_pylist()), errors="coerce")
+        bad_rows = np.unique(np.nonzero(s.isna().to_numpy())[0] // 4)
+        ok[bad_rows] = False
+        nums = pa.array(s.fillna(0).astype(np.int64))
+    vals_np = nums.to_numpy(zero_copy_only=False)
+    rng_ok = (vals_np >= 0) & (vals_np <= 255)
+    if not rng_ok.all():
+        if strict:
+            raise ValueError("IPv4 octet out of range")
+        ok &= rng_ok.reshape(-1, 4).all(axis=1)
+    octets = np.clip(vals_np, 0, 255).reshape(-1, 4).astype(np.uint64)
+    vals = (
         (octets[:, 0] << 24) | (octets[:, 1] << 16)
         | (octets[:, 2] << 8) | octets[:, 3]
     ).astype(np.uint32)
+    if strict:
+        return vals
+    return vals, ok
 
 
 def ip_range_agg(ds, ip_col: str, ranges: list[tuple], count_name: str = "doc_count"):
@@ -186,10 +224,10 @@ def ip_range_agg(ds, ip_col: str, ranges: list[tuple], count_name: str = "doc_co
             bounds.append((key, one(lo), one(hi)))
 
     def partial(t: pa.Table) -> pa.Table:
-        x = _ipv4_to_u32(t[ip_col])
+        x, valid = _ipv4_to_u32(t[ip_col], strict=False)
         keys, cnts = [], []
         for key, lo, hi in bounds:
-            m = np.ones(len(x), dtype=bool)
+            m = valid.copy()
             if lo is not None:
                 m &= x >= lo
             if hi is not None:

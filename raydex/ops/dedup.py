@@ -610,7 +610,8 @@ def _window_pairs(t: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
     m = len(flat)
     if m < k:
         return pa.table({"w": pa.array([], pa.string()),
-                         id_col: pa.array([], t[id_col].type)})
+                         id_col: pa.array([], t[id_col].type),
+                         "cnt": pa.array([], pa.int64())})
     # window starting at flat position j is valid iff j+k <= end of the
     # doc containing j
     starts = np.arange(m - k + 1)

@@ -560,6 +560,12 @@ def collect_stat_terms(q: Query, analyzer) -> set[str]:
     elif isinstance(q, Boosting):
         out |= collect_stat_terms(q.positive, analyzer)
         out |= collect_stat_terms(q.negative, analyzer)
+    elif isinstance(q, ScriptScore):
+        if q.inner is not None:
+            out |= collect_stat_terms(q.inner, analyzer)
+    elif isinstance(q, Pinned):
+        if q.organic is not None:
+            out |= collect_stat_terms(q.organic, analyzer)
     return out
 
 
@@ -865,13 +871,26 @@ class SegmentEvaluator:
                 )
                 norm += w * dl_f.astype(np.float64)
                 specs.append((f, w))
-            avgnorm = float(norm.mean()) if n else 1.0
-            denom_add = K1 * (1.0 - B + B * norm / max(avgnorm, 1e-9))
+            # GLOBAL norm/idf stats where collected (the engine's
+            # dfs_query_then_fetch contract — Match uses the same): the
+            # text field contributes the coordinator-collected avgdl and
+            # per-term global df; derived fields fall back to
+            # segment-local averages (fields.py documents the caveat).
+            gstats = self.stats
+            avg_norm = 0.0
+            for f, w in specs:
+                if f == "text":
+                    avg_norm += w * float(gstats.avgdl)
+                else:
+                    fi = self.r.derived_field(f)
+                    avg_norm += w * float(fi.avgdl)
+            denom_add = K1 * (1.0 - B + B * norm / max(avg_norm, 1e-9))
             terms = self.analyzer(q.text)
             scores = np.zeros(n)
             nmatch = np.zeros(n, dtype=np.int32)
             for t in terms:
                 tfc = np.zeros(n)
+                seg_df_other = 0
                 for f, w in specs:
                     if f == "text":
                         ti = self.r.lookup(t)
@@ -882,11 +901,15 @@ class SegmentEvaluator:
                         p = self.r.derived_field(f).postings.get(t)
                         if p is not None:
                             tfc[p[0]] += w * p[1]
+                            seg_df_other = max(seg_df_other, p[0].size)
                 m = tfc > 0
-                df = int(m.sum())
-                if df:
+                # pooled df = max over fields (Lucene CombinedFieldQuery
+                # merges term states taking the max docFreq); text df is
+                # global, other fields segment-local
+                df = max(gstats.df.get(t, 0), seg_df_other)
+                if df and m.any():
                     scores[m] += (
-                        float(_idfc(n, df))
+                        float(_idfc(max(gstats.ndocs, df), df))
                         * (K1 + 1.0)
                         * tfc[m]
                         / (tfc[m] + denom_add[m])

@@ -303,8 +303,17 @@ class ReplicatedSearcher(SearcherBase):
         for a in self.actors:
             self._ray.kill(a)
         self.actors = []
+        self._df_actor = None
+
+    def _check_live(self) -> None:
+        if not self.actors or self._df_actor is None:
+            raise RuntimeError(
+                "ReplicatedSearcher has been shut down — create a new "
+                "searcher; shutdown() released the replica actors"
+            )
 
     def search_batch(self, queries: list[tuple[str, int]], method: str = "auto"):
+        self._check_live()
         analyzed = [self.analyze(q) for q, _ in queries]
         uniq = sorted({t for ts in analyzed for t in ts})
         gdf = self._ray.get(self._df_actor.term_stats.remote(uniq)) if uniq else {}
@@ -337,6 +346,7 @@ class ReplicatedSearcher(SearcherBase):
         identical to ``search_batch`` (same index on every replica)."""
         import time as _time
 
+        self._check_live()
         analyzed = [self.analyze(q) for q, _ in queries]
         uniq = sorted({t for ts in analyzed for t in ts})
         gdf = self._ray.get(self._df_actor.term_stats.remote(uniq)) if uniq else {}

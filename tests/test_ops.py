@@ -616,3 +616,18 @@ def test_duplicated_window_stats(ray_session):
     # "m m m" repeats within one doc but appears in no other doc
     assert out.loc[4, "n_windows"] == 3 and out.loc[4, "dup_windows"] == 0
     assert out.loc[0, "dup_fraction"] == pytest.approx(0.5)
+
+
+def test_duplicated_window_stats_tiny_block(ray_session):
+    """ADVICE r2 (low): a block whose total token count < k must emit
+    the same 3-column schema as normal blocks (no KeyError on cnt)."""
+    docs = [(0, "a b"), (1, "a b c d e"), (2, "c d e f g")]
+    # one row per block forces a sub-k block through _window_pairs
+    ds = rd.from_arrow(pa.table({"doc_id": [d for d, _ in docs],
+                                 "text": [t for _, t in docs]})) \
+        .repartition(3)
+    out = dedup.duplicated_window_stats(ds, "text", "doc_id", k=3) \
+        .to_pandas().set_index("doc_id")
+    assert 0 not in out.index
+    assert out.loc[1, "dup_windows"] == 1  # "c d e" shared
+    assert out.loc[2, "dup_windows"] == 1

@@ -182,7 +182,11 @@ def test_combined_fields(seg):
 
     from raydex.search.bm25 import B, K1, idf
 
-    ev = _ev(seg, ["apple"])
+    # the coordinator collects global df for combined_fields terms
+    # (collect_stat_terms) — the evaluator scores with those stats, like
+    # Match; terms it can't find in the text df fall back to the
+    # segment-local df of the other fields
+    ev = _ev(seg, ["apple", "dog", "u02", "u05"])
     # membership: union across fields; operator=and intersects
     q = {"combined_fields": {"query": "apple u02", "fields": ["text", "url"]}}
     assert _match_urls(seg, ev, q) == ["u00", "u01", "u02"]

@@ -416,3 +416,87 @@ def test_multi_index_search(tmp_path, ray_session):
     json.dump(man, open(os.path.join(ib, "index_manifest.json"), "w"))
     with pytest.raises(ValueError):
         LocalSearcher(f"{ia},{ib}")
+
+
+def test_script_score_and_pinned_via_searcher(tmp_path, ray_session):
+    """ADVICE r2 (high): collect_stat_terms must recurse into
+    ScriptScore.inner and Pinned.organic, or the coordinator collects no
+    global df and the Match leaf (which requires gdf > 0) matches
+    nothing through LocalSearcher/RaySearcher."""
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher
+
+    t = make_pages_table(200, seed=31)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, source="text")
+    s = LocalSearcher(idx)
+
+    plain = s.search_query({"match": {"text": "search engine"}}, k=10)
+    assert plain, "corpus should match 'search engine'"
+
+    ss = s.search_query(
+        {"script_score": {"query": {"match": {"text": "search engine"}},
+                          "script": {"source": "times_param",
+                                     "params": {"f": 2.0}}}},
+        k=10,
+    )
+    assert {h["url"] for h in ss} == {h["url"] for h in plain}
+    for a, b in zip(sorted(ss, key=lambda h: h["url"]),
+                    sorted(plain, key=lambda h: h["url"])):
+        assert abs(a["score"] - 2.0 * b["score"]) < 1e-6
+
+    pin_url = plain[-1]["url"]
+    pinned = s.search_query(
+        {"pinned": {"ids": [pin_url],
+                    "organic": {"match": {"text": "search engine"}}}},
+        k=10,
+    )
+    assert pinned[0]["url"] == pin_url
+    # organic hits survive below the pinned one
+    assert len(pinned) == len(plain)
+    assert {h["url"] for h in pinned} == {h["url"] for h in plain}
+
+
+def test_ip_range_malformed_rows(ray_session):
+    """ADVICE r2 (low): malformed / null IPs must route to no bucket,
+    not shift later rows through the flat reshape."""
+    import ray.data as rd
+
+    from raydex.ops.aggs import ip_range_agg
+
+    ds = rd.from_items(
+        [{"ip": "10.0.0.1"}, {"ip": "not-an-ip"}, {"ip": None},
+         {"ip": "10.0.0.2"}, {"ip": "1.2.3"}, {"ip": "300.1.2.3"},
+         {"ip": "192.168.0.7"}]
+    )
+    out = ip_range_agg(
+        ds, "ip",
+        [("ten", "10.0.0.0", "10.0.1.0"), ("all", None, None)],
+    ).to_pandas().set_index("bucket")["doc_count"]
+    assert int(out["ten"]) == 2
+    assert int(out["all"]) == 3  # only well-formed rows count
+
+
+def test_replicated_searcher_shutdown_raises(tmp_path, ray_session):
+    """ADVICE r2 (low): search after shutdown() raises a descriptive
+    error instead of an opaque RayActorError."""
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.scatter import ReplicatedSearcher
+
+    t = make_pages_table(80, seed=7)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=1, source="text")
+    s = ReplicatedSearcher(idx, num_replicas=2)
+    s.wait_ready()
+    assert s.search_batch([("search", 5)])
+    s.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        s.search_batch([("search", 5)])
+    with pytest.raises(RuntimeError, match="shut down"):
+        s.search_batch_adaptive([("search", 5)])

@@ -956,75 +956,200 @@ def q_analyze_tokens(sf):
     return pa.Table.from_pylist(rows)
 
 
+# ------------------------------------------------- consolidated suites
+# The driver gates the FIRST 50 queries() keys (r2 ran exactly 50 of the
+# 67 registered, leaving 17 operator families pytest-only). These suite
+# gates merge same-shaped gates into one tagged table each — every
+# sub-operator keeps its own oracle branch inside a UNION ALL / join —
+# so the whole §2 surface fits the driver window.
+
+
+def q_metric_aggs_nchars(sf):
+    """stats + extended_stats + median_absolute_deviation + value_count
+    in one single-row gate (was 4 gates; each column keeps its exact
+    SQL mirror)."""
+    import pyarrow.compute as pc
+
+    from raydex.ops.aggs import extended_stats_agg, stats_agg, value_count_agg
+    from raydex.ops.more_aggs import median_absolute_deviation
+
+    st = stats_agg(_ds(sf, "documents", ["n_chars"]), "n_chars")
+    ext = extended_stats_agg(_ds(sf, "documents", ["n_chars"]), "n_chars")
+    mad = median_absolute_deviation(_ds(sf, "documents", ["n_chars"]), "n_chars")
+    vc = value_count_agg(_ds(sf, "documents", ["source"]), "source")
+    return pa.table(
+        {
+            "cnt": st["cnt"],
+            "min_v": st["min_v"],
+            "max_v": st["max_v"],
+            "sum_v": st["sum_v"],
+            "avg_v": st["avg_v"],
+            # float moments rounded to dodge summation-order ULP
+            "ext_sum_v": pc.round(ext["sum_v"], 3),
+            "ext_avg_v": pc.round(ext["avg_v"], 6),
+            "mad": mad["mad"].cast(pa.float64()),
+            "value_count": vc["value_count"],
+        }
+    )
+
+
+def q_dsl_count_suite(sf):
+    """Nine `_count` DSL gates over the docs index as one (kind, n_docs)
+    table — match_phrase, prefix, multi_match, combined_fields,
+    match_bool_prefix, match_phrase_prefix, terms_set, query_string,
+    span_near — each kind's count reproduced by its own SQL branch."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    cases = [
+        ("a_match_phrase", {"match_phrase": {"text": "batch stream"}}),
+        ("b_prefix", {"prefix": {"text": "sc"}}),
+        ("c_multi_match",
+         {"multi_match": {"query": "batch 17", "fields": ["text", "url"]}}),
+        ("d_combined_fields",
+         {"combined_fields": {"query": "batch 17",
+                              "fields": ["text", "url"],
+                              "operator": "and"}}),
+        ("e_match_bool_prefix", {"match_bool_prefix": {"text": "batch str"}}),
+        ("f_match_phrase_prefix",
+         {"match_phrase_prefix": {"text": {"query": "batch str",
+                                           "max_expansions": 100000}}}),
+        ("g_terms_set",
+         {"terms_set": {"text": {"terms": ["batch", "stream", "window"],
+                                 "minimum_should_match": 2}}}),
+        ("h_query_string",
+         {"query_string": {"query": "(batch AND stream) OR window"}}),
+        ("i_span_near",
+         {"span_near": {"clauses": [{"span_term": {"text": "batch"}},
+                                    {"span_term": {"text": "stream"}}],
+                        "slop": 1, "in_order": True}}),
+    ]
+    return pa.table(
+        {
+            "kind": pa.array([k for k, _ in cases], pa.string()),
+            "n_docs": pa.array([s.count(q) for _, q in cases], pa.int64()),
+        }
+    )
+
+
+def q_filter_semi_anti_events(sf):
+    """bool.filter (semi) + bool.must_not (anti) over events as one
+    tagged union (was 2 gates)."""
+    import pyarrow.compute as pc
+
+    def semi(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "signup"])),
+            pc.greater_equal(t["value"], 50.0),
+        )
+        m = pc.and_(m, pc.is_valid(t["props"]))
+        out = t.select(["event_id", "event_type"]).filter(m)
+        return out.add_column(0, "tag", pa.array(["semi"] * len(out), pa.string()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.is_in(t["event_type"], value_set=pa.array(["error", "click"])))
+        out = t.select(["event_id", "event_type"]).filter(m)
+        return out.add_column(0, "tag", pa.array(["anti"] * len(out), pa.string()))
+
+    a = _ds(sf, "events").map_batches(semi, batch_format="pyarrow")
+    b = _ds(sf, "events").map_batches(anti, batch_format="pyarrow")
+    return a.union(b)
+
+
+def q_sort_page_orders(sf):
+    """top_hits page 1 + search_after page 2 as one tagged table
+    (was 2 gates; the cursor predicate on page-1's bottom key is the
+    operator under test)."""
+    import pyarrow.compute as pc
+
+    def tag(page):
+        def f(t: pa.Table) -> pa.Table:
+            return t.add_column(
+                0, "page", pa.array([page] * len(t), pa.int64())
+            )
+        return f
+
+    p1 = q_sort_limit_orders(sf).map_batches(tag(1), batch_format="pyarrow")
+    p2 = q_search_after_orders(sf).map_batches(tag(2), batch_format="pyarrow")
+    return p1.union(p2)
+
+
+def q_text_quality_docs(sf):
+    """quality_features + repetition_stats + lang_id joined on doc_id
+    (was 3 gates; each column set keeps its exact SQL mirror)."""
+    q = q_quality_docs(sf).to_pandas()
+    r = q_repetition_docs(sf).to_pandas()
+    l = q_lang_id_docs(sf).to_pandas()
+    out = q.merge(r, on="doc_id").merge(l, on="doc_id")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_signature_docs(sf):
+    """simhash64 + winnowed fingerprint per doc as one table (both are
+    property-tested hash signatures; rows-only driver check)."""
+    s = q_simhash_docs(sf).to_pandas()
+    f = q_fingerprint_docs(sf).to_pandas()
+    return s.merge(f, on="doc_id").sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    """48 gates covering every SURVEY §2 operator family — the driver
+    runs the first 50 keys, so EVERY family gets a CORRECTNESS row.
+    r2's 67 keys were consolidated: 9 `_count` DSL gates -> the tagged
+    dsl_count_suite; 4 single-row metric aggs -> metric_aggs_nchars;
+    semi/anti filters, sort+cursor pages, text-quality trio, and the two
+    hash-signature gates merged pairwise; terms_source / bm25_match
+    dropped as duplicates of terms_lang / bm25_scores_sql; the
+    WAND==brute self-check lives in tests/test_wand.py."""
     return {
         "terms_lang": q_terms_lang,
-        "terms_source": q_terms_source,
-        "stats_nchars": q_stats_nchars,
-        "extended_stats_nchars": q_extended_stats_nchars,
-        "value_count": q_value_count,
+        "metric_aggs_nchars": q_metric_aggs_nchars,
         "cardinality_source": q_cardinality_source,
         "cardinality_users_hll": q_cardinality_users_hll,
         "range_nchars": q_range_nchars,
         "histogram_nchars": q_histogram_nchars,
         "date_histogram_events": q_date_histogram_events,
+        "auto_date_histogram_events": q_auto_date_histogram_events,
+        "variable_width_histogram": q_variable_width_histogram,
+        "date_range_orders": q_date_range_orders,
+        "ip_range_events": q_ip_range_events,
         "composite_orders": q_composite_orders,
         "collapse_orders": q_collapse_orders,
-        "sort_limit_orders": q_sort_limit_orders,
-        "search_after_orders": q_search_after_orders,
-        "filter_bool_events": q_filter_bool_events,
-        "filter_must_not_events": q_filter_must_not_events,
+        "sort_page_orders": q_sort_page_orders,
+        "adjacency_matrix_events": q_adjacency_matrix_events,
+        "filter_semi_anti_events": q_filter_semi_anti_events,
         "exists_props": q_exists_props,
         "term_filter_docs": q_term_filter_docs,
         "ingest_pipeline_docs": q_ingest_pipeline_docs,
         "json_extract_events": q_json_extract_events,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dup_windows_docs": q_dup_windows_docs,
         "token_counts_docs": q_token_counts_docs,
         "top_terms_docs": q_top_terms_docs,
-        "quality_docs": q_quality_docs,
+        "text_quality_docs": q_text_quality_docs,
         "pricing_summary": q_pricing_summary,
         "tumbling_window_events": q_tumbling_window_events,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
-        "simhash_docs": q_simhash_docs,
+        "signature_docs": q_signature_docs,
         "embedding_near_dup": q_embedding_near_dup,
-        "lang_id_docs": q_lang_id_docs,
         "pii_redact_docs": q_pii_redact_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
-        "repetition_docs": q_repetition_docs,
         "date_math_range_events": q_date_math_range_events,
         "decontaminate_docs": q_decontaminate_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "bm25_match": q_bm25_match,
         "bm25_scores_sql": q_bm25_scores_sql,
         "bm25_conjunction": q_bm25_conjunction,
-        "bm25_brute_equals_wand": q_bm25_brute_equals_wand,
-        "reindex_docs": q_reindex_docs,
-        "broadcast_join": q_broadcast_join,
-        "hash_join": q_hash_join,
-        "match_phrase_count": q_match_phrase_count,
         "match_phrase_top": q_match_phrase_top,
         "dsl_bool": q_dsl_bool,
-        "dsl_prefix_count": q_dsl_prefix_count,
-        "mad_nchars": q_mad_nchars,
-        "adjacency_matrix_events": q_adjacency_matrix_events,
-        "auto_date_histogram_events": q_auto_date_histogram_events,
-        "dup_windows_docs": q_dup_windows_docs,
-        "date_range_orders": q_date_range_orders,
-        "ip_range_events": q_ip_range_events,
-        "variable_width_histogram": q_variable_width_histogram,
-        "multi_match_count": q_multi_match_count,
-        "combined_fields_count": q_combined_fields_count,
-        "match_bool_prefix_count": q_match_bool_prefix_count,
-        "match_phrase_prefix_count": q_match_phrase_prefix_count,
-        "terms_set_count": q_terms_set_count,
-        "query_string_count": q_query_string_count,
-        "span_near_count": q_span_near_count,
+        "dsl_count_suite": q_dsl_count_suite,
         "nested_lineitems_count": q_nested_lineitems_count,
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
+        "reindex_docs": q_reindex_docs,
+        "broadcast_join": q_broadcast_join,
+        "hash_join": q_hash_join,
     }
 
 
@@ -1151,7 +1276,6 @@ def _lang_id_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "lang_id_docs": _lang_id_oracle_sql(),
         "pii_redact_docs": _pii_oracle_sql(),
         # bounds = date_math('now-10d/d','now/d' roundup) at the fixed
         # anchor 2024-01-20T12:00 -> [2024-01-10, 2024-01-20 23:59:59.999]
@@ -1160,17 +1284,6 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
             "AND ts <= TIMESTAMP '2024-01-20 23:59:59.999' "
             "ORDER BY event_id"
-        ),
-        "repetition_docs": (
-            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
-            "g AS (SELECT tl.doc_id, array_to_string(tl.l[r.i:r.i+1], ' ') AS s "
-            "FROM tl, LATERAL (SELECT unnest(range(1, greatest(len(tl.l) - 0, 2))) AS i) r "
-            "WHERE len(tl.l) >= 2), "
-            "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_total, "
-            "CAST(COUNT(DISTINCT s) AS BIGINT) AS ngram_distinct FROM g GROUP BY 1) "
-            "SELECT doc_id, ngram_total, ngram_distinct, "
-            "1.0 - CAST(ngram_distinct AS DOUBLE) / greatest(ngram_total, 1) AS dup_frac "
-            "FROM agg ORDER BY doc_id"
         ),
         # keep-hash contract documented in raydex.ops.text.stratified_sample
         "stratified_sample_docs": (
@@ -1197,22 +1310,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, COUNT(*) AS doc_count FROM documents "
             "GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 5"
         ),
-        "terms_source": (
-            "SELECT source, COUNT(*) AS doc_count FROM documents "
-            "GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"
-        ),
-        "stats_nchars": (
+        "metric_aggs_nchars": (
             "SELECT COUNT(n_chars) AS cnt, MIN(n_chars) AS min_v, "
             "MAX(n_chars) AS max_v, CAST(SUM(n_chars) AS BIGINT) AS sum_v, "
-            "SUM(n_chars) / CAST(COUNT(n_chars) AS DOUBLE) AS avg_v FROM documents"
+            "SUM(n_chars) / CAST(COUNT(n_chars) AS DOUBLE) AS avg_v, "
+            "ROUND(CAST(SUM(n_chars) AS DOUBLE), 3) AS ext_sum_v, "
+            "ROUND(SUM(n_chars) / CAST(COUNT(n_chars) AS DOUBLE), 6) AS ext_avg_v, "
+            "CAST(mad(n_chars) AS DOUBLE) AS mad, "
+            "COUNT(source) AS value_count FROM documents"
         ),
-        "extended_stats_nchars": (
-            "SELECT COUNT(n_chars) AS cnt, "
-            "ROUND(CAST(SUM(n_chars) AS DOUBLE), 3) AS sum_v, "
-            "ROUND(SUM(n_chars) / CAST(COUNT(n_chars) AS DOUBLE), 6) AS avg_v "
-            "FROM documents"
-        ),
-        "value_count": "SELECT COUNT(source) AS value_count FROM documents",
         "cardinality_source": (
             "SELECT COUNT(DISTINCT source) AS cardinality FROM documents"
         ),
@@ -1239,20 +1345,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM orders QUALIFY ROW_NUMBER() OVER "
             "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1"
         ),
-        "sort_limit_orders": (
-            "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        "sort_page_orders": (
+            "SELECT CAST(1 AS BIGINT) AS page, * FROM "
+            "(SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) "
+            "UNION ALL SELECT CAST(2 AS BIGINT), * FROM "
+            "(SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+            "LIMIT 100 OFFSET 100)"
         ),
-        "search_after_orders": (
-            "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey "
-            "LIMIT 100 OFFSET 100"
-        ),
-        "filter_bool_events": (
-            "SELECT event_id, event_type, value FROM events WHERE "
+        "filter_semi_anti_events": (
+            "SELECT 'semi' AS tag, event_id, event_type FROM events WHERE "
             "event_type IN ('purchase','signup') AND value >= 50 "
-            "AND props IS NOT NULL"
-        ),
-        "filter_must_not_events": (
-            "SELECT event_id, event_type FROM events "
+            "AND props IS NOT NULL "
+            "UNION ALL SELECT 'anti', event_id, event_type FROM events "
             "WHERE event_type NOT IN ('error','click')"
         ),
         "exists_props": (
@@ -1284,9 +1388,22 @@ def oracle_sql() -> dict[str, str]:
             "AS token FROM documents) GROUP BY token "
             "ORDER BY cnt DESC, token LIMIT 20"
         ),
-        "quality_docs": (
-            "SELECT doc_id, length(text) AS char_len, "
-            "len(string_split(text, ' ')) AS word_count FROM documents"
+        "text_quality_docs": (
+            "WITH q AS (SELECT doc_id, length(text) AS char_len, "
+            "len(string_split(text, ' ')) AS word_count FROM documents), "
+            "tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "g AS (SELECT tl.doc_id, array_to_string(tl.l[r.i:r.i+1], ' ') AS s "
+            "FROM tl, LATERAL (SELECT unnest(range(1, greatest(len(tl.l) - 0, 2))) AS i) r "
+            "WHERE len(tl.l) >= 2), "
+            "rep AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_total, "
+            "CAST(COUNT(DISTINCT s) AS BIGINT) AS ngram_distinct FROM g GROUP BY 1), "
+            "lang AS (" + _lang_id_oracle_sql() + ") "
+            "SELECT q.doc_id, q.char_len, q.word_count, "
+            "rep.ngram_total, rep.ngram_distinct, "
+            "1.0 - CAST(rep.ngram_distinct AS DOUBLE) / greatest(rep.ngram_total, 1) AS dup_frac, "
+            "lang.lang_pred "
+            "FROM q JOIN rep USING (doc_id) JOIN lang USING (doc_id) "
+            "ORDER BY q.doc_id"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
@@ -1312,22 +1429,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
-        "match_phrase_count": (
-            "SELECT COUNT(*) AS phrase_docs FROM documents "
-            "WHERE ' ' || text || ' ' LIKE '% batch stream %'"
-        ),
         "dsl_bool": (
             "SELECT COUNT(*) AS n_docs FROM documents "
             "WHERE ' ' || text || ' ' LIKE '% batch %' "
             "AND ' ' || text || ' ' NOT LIKE '% stream %'"
-        ),
-        "dsl_prefix_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents "
-            "WHERE EXISTS (SELECT 1 FROM unnest(string_split(documents.text, ' ')) "
-            "AS t(tok) WHERE tok LIKE 'sc%')"
-        ),
-        "mad_nchars": (
-            "SELECT CAST(mad(n_chars) AS DOUBLE) AS mad FROM documents"
         ),
         "dup_windows_docs": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
@@ -1367,43 +1472,40 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'view', COUNT(*) FROM events WHERE event_type='view'"
             ") WHERE doc_count > 0 ORDER BY key"
         ),
-        "multi_match_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents "
+        # one branch per DSL kind (the pre-r3 per-kind count oracles,
+        # UNION ALLed under the kind tag of q_dsl_count_suite)
+        "dsl_count_suite": (
+            "SELECT kind, n_docs FROM ("
+            "SELECT 'a_match_phrase' AS kind, COUNT(*) AS n_docs FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch stream %' "
+            "UNION ALL SELECT 'b_prefix', COUNT(*) FROM documents "
+            "WHERE EXISTS (SELECT 1 FROM unnest(string_split(documents.text, ' ')) "
+            "AS t(tok) WHERE tok LIKE 'sc%') "
+            "UNION ALL SELECT 'c_multi_match', COUNT(*) FROM documents "
             "WHERE ' ' || text || ' ' LIKE '% batch %' "
             "OR ' ' || text || ' ' LIKE '% 17 %' "
-            "OR CAST(doc_id AS VARCHAR) = '17'"
-        ),
-        "combined_fields_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents "
+            "OR CAST(doc_id AS VARCHAR) = '17' "
+            "UNION ALL SELECT 'd_combined_fields', COUNT(*) FROM documents "
             "WHERE ' ' || text || ' ' LIKE '% batch %' "
             "AND (' ' || text || ' ' LIKE '% 17 %' "
-            "OR CAST(doc_id AS VARCHAR) = '17')"
-        ),
-        "match_bool_prefix_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents "
+            "OR CAST(doc_id AS VARCHAR) = '17') "
+            "UNION ALL SELECT 'e_match_bool_prefix', COUNT(*) FROM documents "
             "WHERE ' ' || text || ' ' LIKE '% batch %' "
             "OR EXISTS (SELECT 1 FROM unnest(string_split(documents.text, ' ')) "
-            "AS t(tok) WHERE tok LIKE 'str%')"
-        ),
-        "match_phrase_prefix_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents "
-            "WHERE ' ' || text || ' ' LIKE '% batch str%'"
-        ),
-        "terms_set_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents WHERE "
+            "AS t(tok) WHERE tok LIKE 'str%') "
+            "UNION ALL SELECT 'f_match_phrase_prefix', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch str%' "
+            "UNION ALL SELECT 'g_terms_set', COUNT(*) FROM documents WHERE "
             "(CASE WHEN ' ' || text || ' ' LIKE '% batch %' THEN 1 ELSE 0 END) "
             "+ (CASE WHEN ' ' || text || ' ' LIKE '% stream %' THEN 1 ELSE 0 END) "
-            "+ (CASE WHEN ' ' || text || ' ' LIKE '% window %' THEN 1 ELSE 0 END) >= 2"
-        ),
-        "query_string_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents "
+            "+ (CASE WHEN ' ' || text || ' ' LIKE '% window %' THEN 1 ELSE 0 END) >= 2 "
+            "UNION ALL SELECT 'h_query_string', COUNT(*) FROM documents "
             "WHERE (' ' || text || ' ' LIKE '% batch %' "
             "AND ' ' || text || ' ' LIKE '% stream %') "
-            "OR ' ' || text || ' ' LIKE '% window %'"
-        ),
-        "span_near_count": (
-            "SELECT COUNT(*) AS n_docs FROM documents "
+            "OR ' ' || text || ' ' LIKE '% window %' "
+            "UNION ALL SELECT 'i_span_near', COUNT(*) FROM documents "
             "WHERE regexp_matches(' ' || text || ' ', ' batch ([^ ]+ )?stream ')"
+            ") ORDER BY kind"
         ),
         "nested_lineitems_count": (
             "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem "
@@ -1446,7 +1548,6 @@ def oracle_sql() -> dict[str, str]:
         # formula, same SmallFloat dl quantization (VALUES ladder), same
         # final float32 cast -> bitwise-equal scores.
         "bm25_scores_sql": _bm25_oracle_sql(["batch", "stream"], k=10),
-        "bm25_match": _bm25_oracle_sql(["data", "stream", "batch"], k=10),
         "bm25_conjunction": _bm25_oracle_sql(["window", "sort"], k=10, conj=True),
         "match_phrase_top": _phrase_bm25_oracle_sql(["batch", "stream"], k=10),
         # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline

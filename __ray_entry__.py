@@ -35,10 +35,11 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v2_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v3_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.index.build import build_index
+    from raydex.index.segment import FieldSpec
 
     def to_pages(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -54,10 +55,14 @@ def _docs_index_dir(sf_dir: str) -> str:
         to_pages, batch_format="pyarrow"
     )
     # plain `standard` analyzer (no stop removal) + positions: keeps the
-    # whitespace-token documents table SQL-checkable for phrase counts
+    # whitespace-token documents table SQL-checkable for phrase counts.
+    # `url` is an index-time mapped field (multi-field mappings): its own
+    # postings + norms + GLOBAL df/avgdl, so multi_match/combined_fields
+    # score real index-time fields, not query-time derived ones.
     build_index(None, idx, num_partitions=8, analyzer="standard",
                 source="text", dedup=False, ray_ds=ds, resume=True,
-                store_positions=True)
+                store_positions=True,
+                fields=[FieldSpec("url", source="url", analyzer="keywordish")])
     return idx
 
 
@@ -712,6 +717,31 @@ def q_match_phrase_top(sf):
     )
 
 
+def q_multi_match_fields_top(sf):
+    """multi_match best_fields over TWO index-time mapped fields (text +
+    url) with an EXACT score oracle: the text side is the usual BM25 sum
+    with global df/avgdl; the url side is a keywordish-analyzed mapped
+    field whose every doc has dl=1 (url = str(doc_id)), so its BM25 term
+    score reduces to the pure idf — both recomputed in SQL, combined
+    with GREATEST (best_fields, tie_breaker=0), float32-emitted."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    hits = s.search_query(
+        {"multi_match": {"query": "batch 17", "fields": ["text", "url"]}},
+        k=10,
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+            "score": pa.array(
+                np.asarray([h["score"] for h in hits], np.float32).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def q_dsl_bool(sf):
     """Structured bool query over the docs index: must + must_not
     (SQL-checkable via LIKE on padded whitespace text)."""
@@ -1142,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores_sql": q_bm25_scores_sql,
         "bm25_conjunction": q_bm25_conjunction,
         "match_phrase_top": q_match_phrase_top,
+        "multi_match_fields_top": q_multi_match_fields_top,
         "dsl_bool": q_dsl_bool,
         "dsl_count_suite": q_dsl_count_suite,
         "nested_lineitems_count": q_nested_lineitems_count,
@@ -1213,6 +1244,47 @@ def _phrase_bm25_oracle_sql(terms: list[str], k: int = 10) -> str:
         "FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id, st, sidf) "
         "SELECT doc_id, CAST(CAST(s AS FLOAT) AS DOUBLE) AS score "
         f"FROM sc ORDER BY s DESC, doc_id LIMIT {k}"
+    )
+
+
+def _multi_match_fields_oracle_sql(terms: list[str], k: int = 10) -> str:
+    """Exact multi_match best_fields score oracle over the two
+    INDEX-TIME fields (text, url). Text side = `_bm25_oracle_sql`'s CTE
+    chain. Url side: url = str(doc_id), keywordish-analyzed -> one token
+    per doc, so dl=1, global avgdl=1.0 and the engine's float64 chain
+    reduces to ln-idf * 2.2 / 2.2 (mirrored literally so the float32
+    cast is bitwise). best_fields = GREATEST over the per-field sums."""
+    from raydex.analysis.smallfloat import BYTE4_TO_INT
+
+    ladder = ",".join(f"({int(v)})" for v in BYTE4_TO_INT if v <= 10_000)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    uvals = ", ".join(f"('{t}')" for t in terms)
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl), "
+        f"b4(v) AS (VALUES {ladder}), "
+        "dlq AS (SELECT d.doc_id, (SELECT MAX(v) FROM b4 WHERE v <= d.dl) AS dlq FROM dl d), "
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS freq FROM tok "
+        f"WHERE tok IN ({in_list}) GROUP BY 1, 2), "
+        "df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1), "
+        "ts AS (SELECT tf.doc_id, "
+        "SUM(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) * 2.2 * tf.freq "
+        "/ (tf.freq + 1.2 * (1.0 - 0.75 + 0.75 * dlq.dlq / (st.sum_dl / CAST(st.n AS DOUBLE))))) AS s "
+        "FROM tf JOIN df ON tf.tok = df.tok JOIN dlq ON tf.doc_id = dlq.doc_id, st "
+        "GROUP BY 1), "
+        f"uterm(t) AS (VALUES {uvals}), "
+        "um AS (SELECT d.doc_id, u.t FROM documents d "
+        "JOIN uterm u ON CAST(d.doc_id AS VARCHAR) = u.t), "
+        "udf AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM um GROUP BY 1), "
+        "us AS (SELECT um.doc_id, "
+        "SUM(ln(1.0 + (st.n - udf.df + 0.5) / (udf.df + 0.5)) * 2.2 / 2.2) AS s "
+        "FROM um JOIN udf USING (t), st GROUP BY 1), "
+        "allsc AS (SELECT COALESCE(ts.doc_id, us.doc_id) AS doc_id, "
+        "GREATEST(COALESCE(ts.s, 0), COALESCE(us.s, 0)) AS s "
+        "FROM ts FULL OUTER JOIN us ON ts.doc_id = us.doc_id) "
+        "SELECT doc_id, CAST(CAST(s AS FLOAT) AS DOUBLE) AS score "
+        f"FROM allsc ORDER BY s DESC, doc_id LIMIT {k}"
     )
 
 
@@ -1548,6 +1620,9 @@ def oracle_sql() -> dict[str, str]:
         # formula, same SmallFloat dl quantization (VALUES ladder), same
         # final float32 cast -> bitwise-equal scores.
         "bm25_scores_sql": _bm25_oracle_sql(["batch", "stream"], k=10),
+        "multi_match_fields_top": _multi_match_fields_oracle_sql(
+            ["batch", "17"], k=10
+        ),
         "bm25_conjunction": _bm25_oracle_sql(["window", "sort"], k=10, conj=True),
         "match_phrase_top": _phrase_bm25_oracle_sql(["batch", "stream"], k=10),
         # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline

@@ -132,6 +132,17 @@ def keyword_analyze(text: str) -> list[str]:
     return [text] if text else []
 
 
+# "keywordish": lowercase + split on non-alphanumeric — the simple-analyzer
+# shape used for url-ish auxiliary fields (raydex.search.fields uses the
+# same function, so an index-time `url` field ranks identically to the
+# query-time derived one)
+_KEYWORDISH_RE = _stdre.compile(r"[^a-z0-9]+")
+
+
+def keywordish_analyze(text: str) -> list[str]:
+    return [t for t in _KEYWORDISH_RE.split(str(text).lower()) if t]
+
+
 class Analyzer:
     """A named analyzer = tokenizer fn + optional stop set.
 
@@ -189,3 +200,4 @@ register_analyzer(
 register_analyzer("simple", simple_analyze)
 register_analyzer("whitespace", whitespace_analyze)
 register_analyzer("keyword", keyword_analyze)
+register_analyzer("keywordish", keywordish_analyze)

@@ -70,10 +70,14 @@ class _Prepare:
     the text column (the per-row invariant from BASELINE.json).
     """
 
-    def __init__(self, num_partitions: int, source: str, skip_parts: frozenset[int]):
+    def __init__(self, num_partitions: int, source: str, skip_parts: frozenset[int],
+                 carry_cols: tuple[str, ...] = ()):
         self.num_partitions = num_partitions
         self.source = source
         self.skip_parts = skip_parts
+        # extra source columns for index-time mapped fields: shuffled
+        # alongside text (they are url/lang-sized, not html-sized)
+        self.carry_cols = carry_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from raydex.analysis.html_strip import extract_text_many
@@ -90,14 +94,16 @@ class _Prepare:
                         raise ValueError(f"extracted text != text column for url={u!r}")
             texts = pa.array(extracted, type=pa.large_string())
         part = route_partitions(urls, self.num_partitions)
-        out = pa.table(
-            {
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "text": texts,
-                "part": pa.array(part, type=pa.int32()),
-            }
-        )
+        cols = {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "text": texts,
+            "part": pa.array(part, type=pa.int32()),
+        }
+        for c in self.carry_cols:
+            if c not in cols:
+                cols[c] = batch[c]
+        out = pa.table(cols)
         if self.skip_parts:
             mask = np.isin(part, np.fromiter(self.skip_parts, dtype=np.int32), invert=True)
             out = out.filter(pa.array(mask))
@@ -108,13 +114,14 @@ class _BuildPartition:
     """Per-group (one partition) segment cutter. Runs inside the shuffle."""
 
     def __init__(self, index_dir, analyzer, max_docs_per_segment, dedup, lineage,
-                 store_positions=False):
+                 store_positions=False, fields=None):
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.max_docs = max_docs_per_segment
         self.dedup = dedup
         self.lineage = lineage
         self.store_positions = store_positions
+        self.fields = fields or []  # list[FieldSpec]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Build every partition present in the (hash-partitioned) batch.
@@ -149,6 +156,10 @@ class _BuildPartition:
             idx = np.arange(urls.size)
         texts = group["text"].take(pa.array(idx))  # stays Arrow (zero-copy path)
         kept_urls = [str(u) for u in urls[idx]]
+        field_vals = {
+            spec.name: group[spec.source].take(pa.array(idx))
+            for spec in self.fields
+        }
 
         part_dir = _part_dir(self.index_dir, p)
         os.makedirs(part_dir, exist_ok=True)
@@ -170,6 +181,9 @@ class _BuildPartition:
                     input_fragments=self.lineage,
                     seg_id=seg_id,
                     store_positions=self.store_positions,
+                    extra_fields=[
+                        (spec, field_vals[spec.name][lo:hi]) for spec in self.fields
+                    ],
                 )
             rows.append(
                 {
@@ -180,6 +194,9 @@ class _BuildPartition:
                     "term_count": m["term_count"],
                     "max_df": m["max_df"],
                     "content_hash": m["content_hash"],
+                    "field_sum_dl": json.dumps(
+                        {f: fm["sum_dl"] for f, fm in m.get("fields", {}).items()}
+                    ),
                 }
             )
         wall = time.perf_counter() - t0
@@ -212,6 +229,7 @@ _MANIFEST_SCHEMA = pa.schema(
         ("term_count", pa.int64()),
         ("max_df", pa.int64()),
         ("content_hash", pa.string()),
+        ("field_sum_dl", pa.string()),  # JSON {field: sum_dl} for mapped fields
     ]
 )
 
@@ -231,11 +249,16 @@ def build_index(
     resume: bool = False,
     ray_ds=None,
     store_positions: bool = False,
+    fields=None,
 ) -> dict:
     """Run the build; returns the index manifest dict.
 
     ``input_path`` may be a file/dir (read_parquet) or pre-built Dataset
     via ``ray_ds``. ``source``: 'text' | 'html' | 'verify'.
+    ``fields``: optional list of :class:`raydex.index.segment.FieldSpec`
+    — index-time mapped fields beyond the primary text field (the
+    reference's multi-field mappings, ``MapperService.java``); their
+    source columns are pruned at the read and shuffled with the text.
 
     Path contract: ``index_dir`` must be visible at the SAME path from
     every Ray worker and the driver — on one node any local dir works; on
@@ -283,6 +306,7 @@ def build_index(
             input_path, index_dir, num_partitions, analyzer, source, dedup,
             max_docs_per_segment, resume, ray_ds, rd, ncpu,
             t0=time.perf_counter(), store_positions=store_positions,
+            fields=fields,
         )
     finally:
         (
@@ -295,9 +319,11 @@ def build_index(
 def _build_index_inner(
     input_path, index_dir, num_partitions, analyzer, source, dedup,
     max_docs_per_segment, resume, ray_ds, rd, ncpu, t0, store_positions=False,
+    fields=None,
 ) -> dict:
     import pyarrow as pa
 
+    fields = list(fields or [])
     os.makedirs(index_dir, exist_ok=True)
     # Resume safety: record the routing-relevant build parameters once and
     # fail fast if a resumed build would mix two layouts (e.g. a different
@@ -309,11 +335,13 @@ def _build_index_inner(
         "dedup": bool(dedup),
         "max_docs_per_segment": max_docs_per_segment,
         "store_positions": bool(store_positions),
+        "fields": [s.to_json() for s in fields],
     }
     params_path = os.path.join(index_dir, "build_params.json")
     if os.path.exists(params_path):
         with open(params_path) as f:
             prev = json.load(f)
+        prev.setdefault("fields", [])  # pre-multi-field indexes
         if resume and prev != params:
             diff = {k: (prev.get(k), v) for k, v in params.items() if prev.get(k) != v}
             raise ValueError(
@@ -330,6 +358,10 @@ def _build_index_inner(
     cols = ["url", "warc_ts", "text"]
     if source in ("html", "verify"):
         cols = ["url", "warc_ts", "html"] + (["text"] if source == "verify" else [])
+    carry = tuple(
+        dict.fromkeys(s.source for s in fields if s.source not in cols)
+    )
+    cols = cols + list(carry)
     if ray_ds is None:
         # `_bulk`'s native wire format is NDJSON (one doc per line —
         # TransportBulkAction.java:88); parquet stays the columnar fast
@@ -363,12 +395,13 @@ def _build_index_inner(
         dctx.max_hash_shuffle_aggregators = cur.max_hash_shuffle_aggregators
 
     prepared = ds.map_batches(
-        _Prepare(num_partitions, source, skip),
+        _Prepare(num_partitions, source, skip, carry_cols=carry),
         batch_format="pyarrow",
         batch_size=2048,
     )
     builder = _BuildPartition(index_dir, analyzer, max_docs_per_segment, dedup,
-                              lineage, store_positions=store_positions)
+                              lineage, store_positions=store_positions,
+                              fields=fields)
 
     def build_partition(batch: pa.Table) -> pa.Table:
         return builder(batch)
@@ -420,9 +453,18 @@ def _build_index_inner(
                     "term_count": m["term_count"],
                     "max_df": m["max_df"],
                     "content_hash": m["content_hash"],
+                    "field_sum_dl": json.dumps(
+                        {f: fm["sum_dl"] for f, fm in m.get("fields", {}).items()}
+                    ),
                 }
             )
     segs.sort(key=lambda r: (r["part"], r["seg_id"]))
+    # exact GLOBAL per-field sum_dl (the per-field avgdl numerator) — the
+    # dfs_query_then_fetch-style stats multi_match/combined_fields score with
+    field_sum_dl: dict[str, int] = {}
+    for r in segs:
+        for f, v in json.loads(r.get("field_sum_dl") or "{}").items():
+            field_sum_dl[f] = field_sum_dl.get(f, 0) + int(v)
     manifest = {
         "index_dir": index_dir,
         "analyzer": analyzer,
@@ -430,6 +472,12 @@ def _build_index_inner(
         "num_partitions": num_partitions,
         "doc_count": int(sum(r["doc_count"] for r in segs)),
         "sum_dl": int(sum(r["sum_dl"] for r in segs)),
+        "fields": {
+            s.name: {"source": s.source, "analyzer": s.analyzer,
+                     "positions": bool(s.store_positions),
+                     "sum_dl": field_sum_dl.get(s.name, 0)}
+            for s in fields
+        },
         "segments": segs,
         "lineage": lineage,
         "build_sec": round(time.perf_counter() - t0, 3),

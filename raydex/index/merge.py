@@ -402,6 +402,16 @@ def merge_partition_segments(
             sd = os.path.join(part_dir, sid)
             with open(os.path.join(sd, "manifest.json")) as f:
                 sm = json.load(f)
+            if sm.get("fields"):
+                # multi-field segments carry per-field sub-indexes; the
+                # term-hash-shuffle merge currently covers the primary
+                # field only — refuse instead of silently dropping fields
+                raise NotImplementedError(
+                    f"segment {sid} has index-time mapped fields "
+                    f"{sorted(sm['fields'])}; merge of per-field "
+                    f"sub-indexes is not implemented — merge each field "
+                    f"layout separately or rebuild"
+                )
             descs.append({"part": part, "seg_dir": sd, "seg_ord": ord_, "base": base})
             base += sm["doc_count"]
             doc_tables.append(pq.read_table(os.path.join(sd, "docs.parquet")))

@@ -34,9 +34,42 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from dataclasses import dataclass
+
 from raydex.analysis.smallfloat import byte4_to_int, int_to_byte4
 from raydex.analysis.tokenizer import get_analyzer
 from raydex.index.postings import encode_postings
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """An index-time mapped field (the reference's per-field mapper,
+    ``server/.../index/mapper/TextFieldMapper.java:81-99`` /
+    ``KeywordFieldMapper.java``): one source column indexed with its own
+    analyzer into its own postings + norms. The primary ``text`` field is
+    implicit; extra fields live under ``<seg>/field=<name>/`` in the full
+    segment layout, so every query feature (WAND, phrase, expansion)
+    works per field unchanged."""
+
+    name: str
+    source: str
+    analyzer: str = "keywordish"
+    store_positions: bool = False
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "source": self.source,
+            "analyzer": self.analyzer,
+            "store_positions": bool(self.store_positions),
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FieldSpec":
+        return FieldSpec(
+            d["name"], d["source"], d.get("analyzer", "keywordish"),
+            bool(d.get("store_positions", False)),
+        )
 
 
 def _list_col(flat: np.ndarray, counts: np.ndarray, typ: pa.DataType) -> pa.ListArray:
@@ -53,6 +86,7 @@ def build_segment(
     input_fragments: list[str] | None = None,
     seg_id: str | None = None,
     store_positions: bool = False,
+    extra_fields: list[tuple["FieldSpec", object]] | None = None,
 ) -> dict:
     """Tokenize docs, build the inverted index, write one segment.
 
@@ -62,7 +96,51 @@ def build_segment(
     stop-filter gaps preserved) — the reference `text` field's
     ``DOCS_AND_FREQS_AND_POSITIONS`` option
     (``TextFieldMapper.java:99``), enabling phrase queries.
+
+    ``extra_fields``: [(FieldSpec, values)] — each builds a complete
+    per-field sub-index under ``<seg>/field=<name>/`` (own term dict,
+    postings, norms, manifest) over the SAME doc ordinals, mirroring the
+    reference's one-Lucene-field-per-mapper model. The whole segment
+    (primary + fields) commits with ONE atomic rename.
     """
+    seg_id = seg_id or ("seg-" + uuid.uuid4().hex[:12])
+    tmp = out_dir + ".tmp"
+    manifest = _build_field_index(
+        tmp, urls, texts, analyzer, input_fragments, seg_id, store_positions
+    )
+    fields_meta: dict[str, dict] = {}
+    for spec, values in extra_fields or []:
+        fdir = os.path.join(tmp, f"field={spec.name}")
+        fm = _build_field_index(
+            fdir, urls, values, spec.analyzer, input_fragments,
+            f"{seg_id}-f-{spec.name}", spec.store_positions,
+        )
+        fields_meta[spec.name] = {
+            "analyzer": spec.analyzer,
+            "source": spec.source,
+            "positions": bool(spec.store_positions),
+            "sum_dl": fm["sum_dl"],
+            "term_count": fm["term_count"],
+        }
+    if fields_meta:
+        manifest["fields"] = fields_meta
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+    os.replace(tmp, out_dir)  # atomic completion (primary + all fields)
+    return manifest
+
+
+def _build_field_index(
+    tmp: str,
+    urls: list[str],
+    texts,
+    analyzer: str,
+    input_fragments: list[str] | None,
+    seg_id: str,
+    store_positions: bool,
+) -> dict:
+    """Build one field's full index layout into ``tmp`` (no rename —
+    the caller owns the atomic commit)."""
     t0 = time.perf_counter()
     an = get_analyzer(analyzer)
     ndocs = len(urls)
@@ -80,15 +158,11 @@ def build_segment(
         inverse, terms = encode_terms(flat_tokens)
         dl = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
     else:
-        tokens = (
-            an.analyze_many(texts.to_pylist())
-            if hasattr(texts, "to_pylist")
-            else an.analyze_many(texts)
-        )
+        vals = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
+        vals = ["" if v is None else str(v) for v in vals]
+        tokens = an.analyze_many(vals)
         if store_positions:
-            tok_pos = an.analyze_many_with_positions(
-                texts.to_pylist() if hasattr(texts, "to_pylist") else texts
-            )
+            tok_pos = an.analyze_many_with_positions(vals)
             tokens = [tp[0] for tp in tok_pos]
             pos_lists = [tp[1] for tp in tok_pos]
         dl = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=ndocs)
@@ -185,8 +259,6 @@ def build_segment(
             ),
         }
 
-    seg_id = seg_id or ("seg-" + uuid.uuid4().hex[:12])
-    tmp = out_dir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
 
     terms_tbl = pa.table(
@@ -238,7 +310,6 @@ def build_segment(
     }
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, out_dir)  # atomic completion
     return manifest
 
 
@@ -308,6 +379,26 @@ class SegmentReader:
         self.ndocs = self.manifest["doc_count"]
         self.sum_dl = self.manifest["sum_dl"]
         self._derived: dict[str, object] = {}
+        self.fields_meta: dict = self.manifest.get("fields", {})
+        self._field_readers: dict[str, SegmentReader | None] = {}
+
+    def field(self, name: str) -> "SegmentReader | None":
+        """Index-time mapped field's sub-reader (full SegmentReader over
+        ``<seg>/field=<name>/``), or None if the segment was built without
+        that field (callers fall back to the derived/runtime-field path).
+        The primary analyzed field answers to 'text'."""
+        if name == "text":
+            return self
+        fr = self._field_readers.get(name, False)
+        if fr is False:
+            fd = os.path.join(self.seg_dir, f"field={name}")
+            fr = (
+                SegmentReader(fd)
+                if name in self.fields_meta and os.path.isdir(fd)
+                else None
+            )
+            self._field_readers[name] = fr
+        return fr
 
     def derived_field(self, name: str):
         """Lazy segment-local index over a stored column (the multi-field

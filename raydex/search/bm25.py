@@ -34,15 +34,33 @@ B = 0.75
 @dataclass(frozen=True)
 class GlobalStats:
     """Exact corpus-level stats (computed from segment manifests —
-    the dfs_query_then_fetch-style global df/avgdl, SURVEY.md §3.2)."""
+    the dfs_query_then_fetch-style global df/avgdl, SURVEY.md §3.2).
+
+    ``fdf``/``field_sum_dl`` extend the same contract to index-time
+    mapped fields (multi-field mappings): ``fdf`` keys are
+    ``(field, term)`` pairs, ``field_sum_dl`` maps field name to its
+    global length sum. ``None`` means "not collected" — evaluators fall
+    back to segment-local field stats (the query_then_fetch default)."""
 
     ndocs: int
     sum_dl: int
-    df: dict[str, int]  # per query term, global df
+    df: dict[str, int]  # per query term, global df (primary text field)
+    fdf: dict | None = None  # {(field, term): global df}
+    field_sum_dl: dict | None = None  # {field: global sum_dl}
 
     @property
     def avgdl(self) -> float:
         return self.sum_dl / self.ndocs if self.ndocs else 1.0
+
+    def field_avgdl(self, field: str) -> float | None:
+        if self.field_sum_dl is None or field not in self.field_sum_dl:
+            return None
+        return self.field_sum_dl[field] / self.ndocs if self.ndocs else 1.0
+
+    def field_df(self, field: str, term: str) -> int | None:
+        if self.fdf is None:
+            return None
+        return self.fdf.get((field, term), 0)
 
 
 def idf(ndocs: int, df: np.ndarray | int) -> np.ndarray | float:

@@ -19,15 +19,8 @@ is only wired for the primary text field, the dfs_ mode analogue).
 from __future__ import annotations
 
 import numpy as np
-import regex as _regex
 
-_SPLIT = _regex.compile(r"[^a-z0-9]+")
-
-
-def tokenize_keywordish(value: str) -> list[str]:
-    """lowercase, split on non-alphanumeric — the simple-analyzer shape
-    used for url-ish auxiliary fields."""
-    return [t for t in _SPLIT.split(str(value).lower()) if t]
+from raydex.analysis.tokenizer import keywordish_analyze as tokenize_keywordish
 
 
 # runtime-field registry (es/script/*FieldScript analogue): name ->

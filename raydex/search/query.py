@@ -531,42 +531,73 @@ def _as_list(x):
 # ----------------------------------------------------- term collection
 
 
-def collect_stat_terms(q: Query, analyzer) -> set[str]:
-    """Terms whose GLOBAL df the coordinator must collect (scoring
-    leaves only — expansions are segment-local constant-score)."""
-    out: set[str] = set()
+def collect_field_stat_terms(q: Query, analyze_field) -> set[tuple[str, str]]:
+    """(field, term) pairs whose GLOBAL df the coordinator must collect
+    (scoring leaves only — multi-term expansions are segment-local
+    constant-score). ``analyze_field(field, text) -> tokens`` applies the
+    field's own search analyzer (the reference per-field analyzer
+    contract, ``MatchQueryParser.java:110``). Non-text pairs are served
+    by index-time mapped fields; derived/runtime fields keep scoring
+    segment-local and are simply never collected."""
+    out: set[tuple[str, str]] = set()
     if isinstance(q, Term):
-        if q.fld == "text":
-            out.add(q.value)
+        out.add((q.fld, q.value))
     elif isinstance(q, Terms):
-        out.update(q.values)
-    elif isinstance(q, (Match, MatchPhrase)):
-        if not isinstance(q, Match) or q.fld == "text":
-            out.update(analyzer(q.text))
-    elif isinstance(q, (MultiMatch, CombinedFields, MatchBoolPrefix,
-                        MatchPhrasePrefix)):
-        # text-field scoring terms; url-field leaves score segment-local
-        out.update(analyzer(q.text))
+        out.update(("text", v) for v in q.values)
+    elif isinstance(q, Match):
+        out.update((q.fld, t) for t in analyze_field(q.fld, q.text))
+    elif isinstance(q, MatchPhrase):
+        out.update(("text", t) for t in analyze_field("text", q.text))
+    elif isinstance(q, MultiMatch):
+        for fspec in q.fields:
+            f = fspec.partition("^")[0]
+            out.update((f, t) for t in analyze_field(f, q.text))
+    elif isinstance(q, CombinedFields):
+        # query text analyzed ONCE with the index's text analyzer, the
+        # shared-analyzer contract of CombinedFieldsQueryBuilder
+        toks = analyze_field("text", q.text)
+        for fspec in q.fields:
+            f = fspec.partition("^")[0]
+            out.update((f, t) for t in toks)
+    elif isinstance(q, MatchBoolPrefix):
+        toks = analyze_field(q.fld, q.text)
+        out.update((q.fld, t) for t in toks[:-1])  # last term = prefix
+    elif isinstance(q, MatchPhrasePrefix):
+        toks = analyze_field("text", q.text)
+        out.update(("text", t) for t in toks[:-1])
     elif isinstance(q, TermsSet):
-        out.update(q.values)
+        out.update(("text", v) for v in q.values)
     elif isinstance(q, Bool):
         for sub in (*q.must, *q.should, *q.must_not, *q.filter):
-            out |= collect_stat_terms(sub, analyzer)
+            out |= collect_field_stat_terms(sub, analyze_field)
     elif isinstance(q, ConstantScore):
-        out |= collect_stat_terms(q.filter_q, analyzer)
+        out |= collect_field_stat_terms(q.filter_q, analyze_field)
     elif isinstance(q, DisMax):
         for sub in q.queries:
-            out |= collect_stat_terms(sub, analyzer)
+            out |= collect_field_stat_terms(sub, analyze_field)
     elif isinstance(q, Boosting):
-        out |= collect_stat_terms(q.positive, analyzer)
-        out |= collect_stat_terms(q.negative, analyzer)
+        out |= collect_field_stat_terms(q.positive, analyze_field)
+        out |= collect_field_stat_terms(q.negative, analyze_field)
     elif isinstance(q, ScriptScore):
         if q.inner is not None:
-            out |= collect_stat_terms(q.inner, analyzer)
+            out |= collect_field_stat_terms(q.inner, analyze_field)
     elif isinstance(q, Pinned):
         if q.organic is not None:
-            out |= collect_stat_terms(q.organic, analyzer)
+            out |= collect_field_stat_terms(q.organic, analyze_field)
     return out
+
+
+def collect_stat_terms(q: Query, analyzer) -> set[str]:
+    """Primary-text-field terms needing global df (back-compat wrapper
+    over :func:`collect_field_stat_terms`)."""
+    from raydex.search.fields import tokenize_keywordish
+
+    def analyze_field(field, text):
+        return analyzer(text) if field == "text" else tokenize_keywordish(text)
+
+    return {
+        t for f, t in collect_field_stat_terms(q, analyze_field) if f == "text"
+    }
 
 
 # ------------------------------------------------------------ expansion
@@ -650,6 +681,34 @@ class SegmentEvaluator:
             mask[ids] = True
         return scores, mask
 
+    def _field_reader(self, field: str):
+        """Index-time mapped field's sub-reader, or None (then the
+        derived/runtime-field fallback applies)."""
+        f = getattr(self.r, "field", None)
+        return f(field) if f is not None else None
+
+    def _indexed_term_leaf(self, field: str, fr, term: str, boost: float):
+        """BM25 term leaf over an index-time mapped field: GLOBAL df and
+        avgdl when the coordinator collected them (the same
+        dfs_query_then_fetch contract as the primary text field),
+        segment-local otherwise."""
+        scores = np.zeros(self.n)
+        mask = np.zeros(self.n, dtype=bool)
+        ti = fr.lookup(term)
+        if ti >= 0:
+            gdf = self.stats.field_df(field, term)
+            df = gdf if gdf else int(fr.df[ti])
+            avgdl = self.stats.field_avgdl(field)
+            if avgdl is None:
+                avgdl = fr.sum_dl / fr.ndocs if fr.ndocs else 1.0
+            ids, tfs = fr.postings(ti)
+            denom = tf_norm_denom_add(fr.dl_quant[ids], avgdl)
+            scores[ids] = boost * term_score(
+                tfs, denom, float(_idf(self.stats.ndocs, df))
+            )
+            mask[ids] = True
+        return scores, mask
+
     def _derived_term_leaf(self, field: str, term: str, boost: float):
         """BM25 term leaf over a derived (stored-column) field with
         SEGMENT-LOCAL stats — the query_then_fetch shard-local default
@@ -670,11 +729,19 @@ class SegmentEvaluator:
     def _field_term_leaf(self, field: str, term: str, boost: float):
         if field == "text":
             return self._term_leaf(term, boost)
+        fr = self._field_reader(field)
+        if fr is not None:
+            return self._indexed_term_leaf(field, fr, term, boost)
         return self._derived_term_leaf(field, term, boost)
 
     def _field_analyze(self, field: str, text: str) -> list[str]:
         if field == "text":
             return self.analyzer(text)
+        fr = self._field_reader(field)
+        if fr is not None:
+            from raydex.analysis.tokenizer import get_analyzer
+
+            return get_analyzer(fr.manifest["analyzer"])(text)
         from raydex.search.fields import tokenize_keywordish
 
         return tokenize_keywordish(text)
@@ -708,13 +775,24 @@ class SegmentEvaluator:
                 mask[p[0]] = True
         return np.where(mask, boost, 0.0), mask
 
-    def _const_terms(self, term_indices: list[int], boost: float):
+    def _const_terms(self, term_indices: list[int], boost: float, reader=None):
+        r = reader if reader is not None else self.r
         mask = np.zeros(self.n, dtype=bool)
         for ti in term_indices:
-            ids, _ = self.r.postings(ti)
+            ids, _ = r.postings(ti)
             mask[ids] = True
         scores = np.where(mask, boost, 0.0)
         return scores, mask
+
+    def _field_expand_const(self, fld: str, expand_indexed, expand_derived,
+                            boost: float):
+        """Constant-score multi-term expansion on a non-text field:
+        index-time field when present (full term dict), derived fallback
+        otherwise."""
+        fr = self._field_reader(fld)
+        if fr is not None:
+            return self._const_terms(expand_indexed(fr), boost, reader=fr)
+        return self._derived_const(fld, expand_derived, boost)
 
     def eval(self, q: Query):
         n = self.n
@@ -763,7 +841,12 @@ class SegmentEvaluator:
             return scores, mask
         if isinstance(q, Prefix):
             if q.fld != "text":
-                return self._derived_const(q.fld, lambda fi: fi.expand_prefix(q.value), q.boost)
+                return self._field_expand_const(
+                    q.fld,
+                    lambda fr: expand_prefix(fr, q.value),
+                    lambda fi: fi.expand_prefix(q.value),
+                    q.boost,
+                )
             return self._const_terms(expand_prefix(self.r, q.value), q.boost)
         if isinstance(q, Wildcard):
             if q.fld != "text":
@@ -772,8 +855,11 @@ class SegmentEvaluator:
                 pat = "".join(".*" if c == "*" else "." if c == "?" else _rx.escape(c)
                               for c in q.pattern)
                 rx = _rx.compile("^" + pat + "$")
-                return self._derived_const(
-                    q.fld, lambda fi: [t for t in fi.terms if rx.match(t)], q.boost
+                return self._field_expand_const(
+                    q.fld,
+                    lambda fr: expand_wildcard(fr, q.pattern),
+                    lambda fi: [t for t in fi.terms if rx.match(t)],
+                    q.boost,
                 )
             return self._const_terms(expand_wildcard(self.r, q.pattern), q.boost)
         if isinstance(q, Regexp):
@@ -781,14 +867,18 @@ class SegmentEvaluator:
                 import regex as _rx
 
                 rx = _rx.compile("^(?:" + q.pattern + ")$")
-                return self._derived_const(
-                    q.fld, lambda fi: [t for t in fi.terms if rx.match(t)], q.boost
+                return self._field_expand_const(
+                    q.fld,
+                    lambda fr: expand_regexp(fr, q.pattern),
+                    lambda fi: [t for t in fi.terms if rx.match(t)],
+                    q.boost,
                 )
             return self._const_terms(expand_regexp(self.r, q.pattern), q.boost)
         if isinstance(q, Fuzzy):
             if q.fld != "text":
-                return self._derived_const(
+                return self._field_expand_const(
                     q.fld,
+                    lambda fr: expand_fuzzy(fr, q.value, q.fuzziness),
                     lambda fi: [t for t in fi.terms
                                 if _edit_distance_le(q.value, t, q.fuzziness)],
                     q.boost,
@@ -861,52 +951,71 @@ class SegmentEvaluator:
             from raydex.search.bm25 import B, K1
             from raydex.search.bm25 import idf as _idfc
 
-            specs = []
+            specs = []  # (field, weight, indexed-field reader or None)
             norm = np.zeros(n)
             for fspec in q.fields:
                 f, _, fb = fspec.partition("^")
                 w = float(fb) if fb else 1.0
-                dl_f = (
-                    self.r.dl if f == "text" else self.r.derived_field(f).dl
-                )
+                fr = None if f == "text" else self._field_reader(f)
+                if f == "text":
+                    dl_f = self.r.dl
+                elif fr is not None:
+                    dl_f = fr.dl
+                else:
+                    dl_f = self.r.derived_field(f).dl
                 norm += w * dl_f.astype(np.float64)
-                specs.append((f, w))
+                specs.append((f, w, fr))
             # GLOBAL norm/idf stats where collected (the engine's
             # dfs_query_then_fetch contract — Match uses the same): the
-            # text field contributes the coordinator-collected avgdl and
-            # per-term global df; derived fields fall back to
-            # segment-local averages (fields.py documents the caveat).
+            # text field and index-time mapped fields contribute the
+            # coordinator-collected avgdl and per-term global df; derived
+            # fields fall back to segment-local averages (fields.py
+            # documents the caveat).
             gstats = self.stats
             avg_norm = 0.0
-            for f, w in specs:
+            for f, w, fr in specs:
                 if f == "text":
                     avg_norm += w * float(gstats.avgdl)
+                elif fr is not None:
+                    g = gstats.field_avgdl(f)
+                    avg_norm += w * float(
+                        g if g is not None
+                        else (fr.sum_dl / fr.ndocs if fr.ndocs else 1.0)
+                    )
                 else:
-                    fi = self.r.derived_field(f)
-                    avg_norm += w * float(fi.avgdl)
+                    avg_norm += w * float(self.r.derived_field(f).avgdl)
             denom_add = K1 * (1.0 - B + B * norm / max(avg_norm, 1e-9))
             terms = self.analyzer(q.text)
             scores = np.zeros(n)
             nmatch = np.zeros(n, dtype=np.int32)
             for t in terms:
                 tfc = np.zeros(n)
-                seg_df_other = 0
-                for f, w in specs:
+                df_other = 0
+                for f, w, fr in specs:
                     if f == "text":
                         ti = self.r.lookup(t)
                         if ti >= 0:
                             ids, tfs = self.r.postings(ti)
                             tfc[ids] += w * tfs
+                    elif fr is not None:
+                        ti = fr.lookup(t)
+                        if ti >= 0:
+                            ids, tfs = fr.postings(ti)
+                            tfc[ids] += w * tfs
+                            gdf = gstats.field_df(f, t)
+                            df_other = max(
+                                df_other, gdf if gdf else int(fr.df[ti])
+                            )
                     else:
                         p = self.r.derived_field(f).postings.get(t)
                         if p is not None:
                             tfc[p[0]] += w * p[1]
-                            seg_df_other = max(seg_df_other, p[0].size)
+                            df_other = max(df_other, p[0].size)
                 m = tfc > 0
                 # pooled df = max over fields (Lucene CombinedFieldQuery
-                # merges term states taking the max docFreq); text df is
-                # global, other fields segment-local
-                df = max(gstats.df.get(t, 0), seg_df_other)
+                # merges term states taking the max docFreq); text and
+                # index-time fields use global df, derived segment-local
+                df = max(gstats.df.get(t, 0), df_other)
                 if df and m.any():
                     scores[m] += (
                         float(_idfc(max(gstats.ndocs, df), df))
@@ -935,6 +1044,10 @@ class SegmentEvaluator:
             if q.fld == "text":
                 for ti in expand_prefix(self.r, terms[-1]):
                     ids, _ = self.r.postings(ti)
+                    pmask[ids] = True
+            elif (fr := self._field_reader(q.fld)) is not None:
+                for ti in expand_prefix(fr, terms[-1]):
+                    ids, _ = fr.postings(ti)
                     pmask[ids] = True
             else:
                 fi = self.r.derived_field(q.fld)

@@ -44,6 +44,21 @@ class SegmentGroup:
                     out[t] += int(r.df[ti])
         return out
 
+    def field_term_stats(self, pairs: list[tuple[str, str]]) -> dict:
+        """Global df for (field, term) pairs over index-time mapped
+        fields (multi-field stats collection; text pairs are served by
+        :meth:`term_stats`). Fields absent from a segment contribute 0."""
+        out = {tuple(p): 0 for p in pairs}
+        for r in self.readers:
+            for f, t in out.keys():
+                fr = r.field(f) if hasattr(r, "field") else None
+                if fr is None:
+                    continue
+                ti = fr.lookup(t)
+                if ti >= 0:
+                    out[(f, t)] += int(fr.df[ti])
+        return out
+
     def top_k(
         self,
         terms: list[str],
@@ -94,12 +109,15 @@ class SegmentGroup:
         return out
 
     def query_top_k(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
-                    df: dict[str, int], analyzer_name: str):
+                    df: dict[str, int], analyzer_name: str,
+                    fdf: dict | None = None,
+                    field_sum_dl: dict | None = None):
         """Structured query-DSL evaluation (raydex.search.query)."""
         from raydex.analysis.tokenizer import get_analyzer
         from raydex.search.query import SegmentEvaluator, parse_query
 
-        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df)
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
+                            fdf=fdf, field_sum_dl=field_sum_dl)
         q = parse_query(qdict)
         an = get_analyzer(analyzer_name)
         out = []
@@ -111,11 +129,14 @@ class SegmentGroup:
         return out
 
     def query_count(self, qdict: dict, ndocs: int, sum_dl: int,
-                    df: dict[str, int], analyzer_name: str) -> int:
+                    df: dict[str, int], analyzer_name: str,
+                    fdf: dict | None = None,
+                    field_sum_dl: dict | None = None) -> int:
         from raydex.analysis.tokenizer import get_analyzer
         from raydex.search.query import SegmentEvaluator, parse_query
 
-        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df)
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
+                            fdf=fdf, field_sum_dl=field_sum_dl)
         q = parse_query(qdict)
         an = get_analyzer(analyzer_name)
         return sum(
@@ -210,9 +231,43 @@ class SearcherBase:
         ]
         self.ndocs = self.manifest["doc_count"]
         self.sum_dl = self.manifest["sum_dl"]
+        # index-time mapped fields: union per-field specs, sum global dl
+        self.fields_meta: dict = {}
+        for m in manifests:
+            for f, meta in (m.get("fields") or {}).items():
+                agg = self.fields_meta.get(f)
+                if agg is None:
+                    self.fields_meta[f] = dict(meta)
+                else:
+                    agg["sum_dl"] = agg.get("sum_dl", 0) + meta.get("sum_dl", 0)
+        self.field_sum_dl = {
+            f: meta.get("sum_dl", 0) for f, meta in self.fields_meta.items()
+        }
 
     def analyze(self, query_text: str) -> list[str]:
         return self.analyzer(query_text)
+
+    def analyze_field(self, field: str, text: str) -> list[str]:
+        """Per-field search analysis: the field's own index-time analyzer
+        when mapped, keywordish fallback for derived fields."""
+        if field == "text":
+            return self.analyzer(text)
+        meta = self.fields_meta.get(field)
+        if meta:
+            return get_analyzer(meta["analyzer"])(text)
+        from raydex.search.fields import tokenize_keywordish
+
+        return tokenize_keywordish(text)
+
+    def _collect_stats_spec(self, qdict: dict):
+        """(text terms, field pairs) the coordinator must collect."""
+        from raydex.search.query import collect_field_stat_terms, parse_query
+
+        pairs = collect_field_stat_terms(parse_query(qdict), self.analyze_field)
+        text_terms = sorted(t for f, t in pairs if f == "text")
+        fpairs = sorted((f, t) for f, t in pairs
+                        if f != "text" and f in self.fields_meta)
+        return text_terms, fpairs
 
 
 class LocalSearcher(SearcherBase):
@@ -236,26 +291,28 @@ class LocalSearcher(SearcherBase):
         )
         return merge_top_k(per_seg, w)[from_:]
 
-    def _query_stats(self, qdict: dict) -> dict[str, int]:
-        from raydex.search.query import collect_stat_terms, parse_query
-
-        terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
-        return self.group.term_stats(terms)
+    def _query_stats(self, qdict: dict):
+        text_terms, fpairs = self._collect_stats_spec(qdict)
+        df = self.group.term_stats(text_terms)
+        fdf = self.group.field_term_stats(fpairs) if fpairs else {}
+        return df, fdf
 
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0):
         """Structured DSL search (`POST _search {"query": ...}` analogue)."""
         w = _window(k, from_)
-        df = self._query_stats(qdict)
+        df, fdf = self._query_stats(qdict)
         per_seg = self.group.query_top_k(
-            qdict, w, self.ndocs, self.sum_dl, df, self.manifest["analyzer"]
+            qdict, w, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
+            fdf=fdf, field_sum_dl=self.field_sum_dl,
         )
         return merge_top_k(per_seg, w)[from_:]
 
     def count(self, qdict: dict) -> int:
         """The `_count` API analogue."""
-        df = self._query_stats(qdict)
+        df, fdf = self._query_stats(qdict)
         return self.group.query_count(
-            qdict, self.ndocs, self.sum_dl, df, self.manifest["analyzer"]
+            qdict, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
+            fdf=fdf, field_sum_dl=self.field_sum_dl,
         )
 
 
@@ -436,29 +493,41 @@ class RaySearcher(SearcherBase):
         per_seg = [seg for actor_out in self._ray.get(refs) for seg in actor_out]
         return merge_top_k(per_seg, w)[from_:]
 
+    def _field_stats(self, fpairs) -> dict:
+        if not fpairs:
+            return {}
+        partials = self._ray.get(
+            [a.field_term_stats.remote(fpairs) for a in self.actors]
+        )
+        fdf = dict.fromkeys((tuple(p) for p in fpairs), 0)
+        for p in partials:
+            for k, v in p.items():
+                fdf[k] += v
+        return fdf
+
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0):
         """Structured DSL search, scatter-gathered over the actor pool."""
-        from raydex.search.query import collect_stat_terms, parse_query
-
         w = _window(k, from_)
-        terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
+        terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
+        fdf = self._field_stats(fpairs)
         refs = [
             a.query_top_k.remote(qdict, w, self.ndocs, self.sum_dl, df,
-                                 self.manifest["analyzer"])
+                                 self.manifest["analyzer"],
+                                 fdf=fdf, field_sum_dl=self.field_sum_dl)
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
         return merge_top_k(per_seg, w)[from_:]
 
     def count(self, qdict: dict) -> int:
-        from raydex.search.query import collect_stat_terms, parse_query
-
-        terms = sorted(collect_stat_terms(parse_query(qdict), self.analyzer))
+        terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
+        fdf = self._field_stats(fpairs)
         refs = [
             a.query_count.remote(qdict, self.ndocs, self.sum_dl, df,
-                                 self.manifest["analyzer"])
+                                 self.manifest["analyzer"],
+                                 fdf=fdf, field_sum_dl=self.field_sum_dl)
             for a in self.actors
         ]
         return sum(self._ray.get(refs))

@@ -1,0 +1,199 @@
+"""Index-time multi-field mappings: per-field postings + global stats.
+
+The reference indexes every mapped field into its own Lucene field with
+its own analyzer (``server/.../index/mapper/MapperService.java``,
+``TextFieldMapper.java:81-99``, ``KeywordFieldMapper.java``); here each
+FieldSpec builds a complete per-field sub-index under
+``<seg>/field=<name>/`` and the coordinator collects per-(field, term)
+GLOBAL df + per-field global avgdl, so multi_match / combined_fields /
+term-on-field rank identically across segment layouts.
+"""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.analysis.smallfloat import byte4_to_int, int_to_byte4
+from raydex.analysis.tokenizer import keywordish_analyze, standard_analyze
+from raydex.index.build import build_index, segment_dirs
+from raydex.index.segment import FieldSpec, SegmentReader
+from raydex.search.scatter import LocalSearcher
+
+K1, B = 1.2, 0.75
+
+
+def _corpus():
+    rows = []
+    for i in range(60):
+        words = ["alpha"] * (i % 3 + 1) + ["beta"] * (i % 2) + [f"tok{i % 7}"]
+        rows.append(
+            {
+                "url": f"site-{i % 5}.example/page/{i}",
+                "warc_ts": i,
+                "text": " ".join(words),
+                "lang": ["en", "de", "fr"][i % 3],
+            }
+        )
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows]).cast(
+                pa.timestamp("us")
+            ),
+            "text": pa.array([r["text"] for r in rows], pa.large_string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+
+
+FIELDS = [
+    FieldSpec("url", source="url", analyzer="keywordish"),
+    FieldSpec("lang", source="lang", analyzer="keyword"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    t = _corpus()
+    p = str(tmp_path_factory.mktemp("mf_pages") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=3, analyzer="standard", source="text",
+        max_docs_per_segment=10, fields=FIELDS,
+    )
+    return idx, m, t
+
+
+def _bm25_oracle(values, analyze, query_tokens, ndocs):
+    """Per-doc BM25 over one field with exact global stats (float64,
+    quantized dl) — the same formula the engine must produce."""
+    toks = [analyze(v) for v in values]
+    dl = np.array([len(x) for x in toks], dtype=np.int64)
+    dl_q = byte4_to_int(int_to_byte4(dl)).astype(np.float64)
+    avgdl = dl.sum() / ndocs
+    scores = np.zeros(ndocs)
+    for t in query_tokens:
+        tf = np.array([x.count(t) for x in toks], dtype=np.float64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (ndocs - df + 0.5) / (df + 0.5))
+        denom = K1 * (1.0 - B + B * dl_q / avgdl)
+        m = tf > 0
+        scores[m] += idf * (K1 + 1.0) * tf[m] / (tf[m] + denom[m])
+    return scores
+
+
+def test_field_layout_and_manifest(built):
+    idx, m, t = built
+    assert set(m["fields"]) == {"url", "lang"}
+    # global per-field sum_dl matches a direct recount
+    url_sum = sum(len(keywordish_analyze(u)) for u in t["url"].to_pylist())
+    assert m["fields"]["url"]["sum_dl"] == url_sum
+    assert m["fields"]["lang"]["sum_dl"] == len(t)  # keyword: 1 token/doc
+    for sd in segment_dirs(idx, m):
+        r = SegmentReader(sd)
+        fr = r.field("url")
+        assert fr is not None and fr.ndocs == r.ndocs
+        assert r.field("lang").ndocs == r.ndocs
+        assert r.field("nope") is None
+        # per-field doc ordinals align with the primary field
+        for d in range(r.ndocs):
+            assert keywordish_analyze(r.url_of(d))[0] in set(
+                str(fr.terms[i]) for i in range(fr.nterms)
+            )
+
+
+def test_term_on_indexed_field_uses_global_stats(built):
+    idx, m, t = built
+    s = LocalSearcher(idx)
+    urls = t["url"].to_pylist()
+    ndocs = m["doc_count"]
+    oracle = _bm25_oracle(urls, keywordish_analyze, ["page"], ndocs)
+    hits = s.search_query({"term": {"url": "page"}}, k=ndocs)
+    got = {h["url"]: h["score"] for h in hits}
+    # every doc matches 'page'; scores must equal the GLOBAL-stats oracle
+    assert len(got) == ndocs
+    by_url = dict(zip(urls, oracle))
+    for u, sc in got.items():
+        assert sc == pytest.approx(np.float32(by_url[u]), abs=0)
+
+
+def test_multi_match_over_indexed_fields(built):
+    idx, m, t = built
+    s = LocalSearcher(idx)
+    urls, texts = t["url"].to_pylist(), t["text"].to_pylist()
+    ndocs = m["doc_count"]
+    q = "alpha page"
+    text_sc = _bm25_oracle(texts, standard_analyze, standard_analyze(q), ndocs)
+    url_sc = _bm25_oracle(urls, keywordish_analyze, keywordish_analyze(q), ndocs)
+    best = np.maximum(text_sc, url_sc)
+    hits = s.search_query(
+        {"multi_match": {"query": q, "fields": ["text", "url"]}}, k=ndocs
+    )
+    got = {h["url"]: h["score"] for h in hits}
+    by_url = dict(zip(urls, best))
+    assert len(got) == ndocs
+    for u, sc in got.items():
+        assert sc == pytest.approx(np.float32(by_url[u]), abs=0)
+
+
+def test_match_on_keyword_field_and_counts(built):
+    idx, m, t = built
+    s = LocalSearcher(idx)
+    langs = t["lang"].to_pylist()
+    n_en = sum(1 for x in langs if x == "en")
+    assert s.count({"term": {"lang": "en"}}) == n_en
+    # keyword analyzer: the whole query string is ONE term
+    assert s.count({"match": {"lang": "en"}}) == n_en
+    assert s.count({"match": {"lang": "zz"}}) == 0
+    # prefix expansion over the indexed field's term dict
+    assert s.count({"prefix": {"url": "site"}}) == len(langs)
+
+
+def test_indexed_matches_derived_membership(built, ray_session, tmp_path_factory):
+    """The index-time url field must accept exactly the docs the derived
+    (query-time) url field accepted — membership parity, better stats."""
+    idx, m, t = built
+    p = str(tmp_path_factory.mktemp("mf_pages2") / "pages.parquet")
+    pq.write_table(t, p)
+    idx2 = str(tmp_path_factory.mktemp("mf_idx2") / "index")
+    build_index(p, idx2, num_partitions=3, analyzer="standard",
+                source="text", max_docs_per_segment=10)
+    s_idx, s_drv = LocalSearcher(idx), LocalSearcher(idx2)
+    for q in (
+        {"multi_match": {"query": "alpha page", "fields": ["text", "url"]}},
+        {"combined_fields": {"query": "alpha page", "fields": ["text", "url"]}},
+        {"term": {"url": "example"}},
+    ):
+        assert s_idx.count(q) == s_drv.count(q)
+
+
+def test_ray_searcher_parity(built, ray_session):
+    from raydex.search.scatter import RaySearcher
+
+    idx, m, t = built
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        q = {"multi_match": {"query": "alpha page", "fields": ["text", "url"]}}
+        local = LocalSearcher(idx).search_query(q, k=15)
+        dist = rs.search_query(q, k=15)
+        assert [(h["url"], h["score"]) for h in local] == [
+            (h["url"], h["score"]) for h in dist
+        ]
+    finally:
+        rs.shutdown()
+
+
+def test_resume_param_guard_includes_fields(built, tmp_path_factory):
+    idx, m, t = built
+    p = str(tmp_path_factory.mktemp("mf_pages3") / "pages.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="different build parameters"):
+        build_index(p, idx, num_partitions=3, analyzer="standard",
+                    source="text", max_docs_per_segment=10, resume=True)

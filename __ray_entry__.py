@@ -405,20 +405,17 @@ def q_jaccard_near_dup_pairs(sf):
     a brute-force SQL oracle (all-pairs shingle self-join). Valid because
     banding recall is COMPLETE at this threshold on the fixed test data
     (verified: every J>=0.9 pair shares at least one full band at both
-    sf0.001 and sf0.01), so LSH+verify == brute force here. The text
-    lookup is the documented broadcast-small-side pattern (ray.put)."""
+    sf0.001 and sf0.01), so LSH+verify == brute force here. Pair texts
+    are fetched by CO-PARTITIONED join (texts_ds) — the 100 TB verify
+    path; the whole-corpus ray.put broadcast is gone."""
     from raydex.ops.dedup import minhash_lsh_pairs
 
-    tbl = pq.read_table(
-        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
     out = minhash_lsh_pairs(
         _ds(sf, "documents", ["doc_id", "text"]),
         "text",
         "doc_id",
         jaccard_threshold=0.9,
-        texts_lookup=lookup,
+        texts_ds=_ds(sf, "documents", ["doc_id", "text"]),
     )
     return out.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 

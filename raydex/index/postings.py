@@ -216,6 +216,27 @@ def decode_block(
     return np.cumsum(ids), tfs
 
 
+def _reassemble(vals: np.ndarray, ns: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[b0 deltas, b0 tfs, b1 deltas, b1 tfs, ...] -> (docids, tfs)."""
+    nb = ns.size
+    total = int(ns.sum())
+    tfs = np.empty(total, dtype=np.int64)
+    vstart = np.cumsum(2 * ns) - 2 * ns
+    out_start = np.cumsum(ns) - ns
+    take_ids = _spans(vstart, ns)
+    take_tfs = _spans(vstart + ns, ns)
+    deltas = vals[take_ids]
+    tfs[:] = vals[take_tfs]
+    # per-block cumsum: each block's first delta is its absolute docid, so
+    # subtract the running total accumulated before the block starts
+    csum = np.cumsum(deltas)
+    corr = np.zeros(nb, dtype=np.int64)
+    if nb > 1:
+        corr[1:] = csum[out_start[1:] - 1]
+    docids = csum - np.repeat(corr, ns)
+    return docids, tfs
+
+
 def decode_term(
     payload: np.ndarray,
     offsets: np.ndarray,
@@ -233,23 +254,26 @@ def decode_term(
     ns = np.asarray(ns, dtype=np.int64)
     start, end = int(offsets[0]), int(offsets[-1] + nbytes[-1])
     vals = varint_decode(payload[start:end])
-    nb = ns.size
-    total = int(ns.sum())
-    docids = np.empty(total, dtype=np.int64)
-    tfs = np.empty(total, dtype=np.int64)
-    # positions of each block's deltas/tfs inside `vals`
-    vstart = np.cumsum(2 * ns) - 2 * ns
-    out_start = np.cumsum(ns) - ns
-    take_ids = _spans(vstart, ns)
-    take_tfs = _spans(vstart + ns, ns)
-    deltas = vals[take_ids]
-    tfs[:] = vals[take_tfs]
-    # per-block cumsum: each block's first delta is its absolute docid, so
-    # subtract the running total accumulated before the block starts
-    csum = np.cumsum(deltas)
-    blk_first = out_start  # index of first element of each block
-    corr = np.zeros(nb, dtype=np.int64)
-    if nb > 1:
-        corr[1:] = csum[blk_first[1:] - 1]
-    docids = csum - np.repeat(corr, ns)
-    return docids, tfs
+    return _reassemble(vals, ns)
+
+
+def decode_blocks(
+    payload: np.ndarray,
+    offsets: np.ndarray,
+    ids_nbytes: np.ndarray,
+    nbytes: np.ndarray,
+    ns: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode an arbitrary (possibly non-contiguous) SUBSET of blocks in
+    one varint pass — the selective-fetch path of the MaxScore scorer:
+    the chosen blocks' byte ranges are gathered into one buffer (numpy
+    views + one concatenate), then decoded and reassembled exactly like
+    ``decode_term``. Per-block Python cost collapses to the gather."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    nbytes = np.asarray(nbytes, dtype=np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    buf = np.concatenate(
+        [payload[int(o) : int(o) + int(nb)] for o, nb in zip(offsets, nbytes)]
+    )
+    vals = varint_decode(buf)
+    return _reassemble(vals, ns)

@@ -300,6 +300,13 @@ def _build_field_index(
         "positions": bool(store_positions),
         "doc_count": int(ndocs),
         "sum_dl": int(dl.sum()),
+        # per-segment min/max for can-match pre-filtering (the reference's
+        # CanMatchPreFilterSearchPhase.java:50,138 — cheap range-vs-field
+        # rewrite skips non-overlapping segments before scatter)
+        "min_dl": int(dl.min()) if ndocs else 0,
+        "max_dl": int(dl.max()) if ndocs else 0,
+        "min_url": min(urls) if urls else "",
+        "max_url": max(urls) if urls else "",
         "term_count": int(terms.size),
         "max_df": int(df.max()) if df.size else 0,
         "payload_bytes": int(payload.size),

@@ -202,7 +202,7 @@ class _MinhashBatch:
         )
 
 
-def _keyed_blocks(ds, keys: list[str]):
+def _keyed_blocks(ds, keys: list[str], cpu_denom: float = 4.0):
     """Hash-repartition so every key group lands wholly in one block
     (scoped HASH_SHUFFLE override, the build_index pattern) — the
     downstream stage then processes WHOLE BLOCKS, paying one Python call
@@ -229,9 +229,9 @@ def _keyed_blocks(ds, keys: list[str]):
     for c in (ctx, getattr(ds, "context", None)):
         if c is not None:
             c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-            c.max_hash_shuffle_aggregators = max(2, min(8, ncpu // 4))
+            c.max_hash_shuffle_aggregators = max(2, min(8, int(ncpu // cpu_denom)))
             c.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
-                ncpu / (4.0 * nb)
+                ncpu / (cpu_denom * nb)
             )
     try:
         return ds.repartition(num_blocks=nb, keys=keys)
@@ -309,6 +309,98 @@ def _dedup_pairs(pairs_ds):
     )
 
 
+def _attach_texts(pairs_ds, texts_ds, pair_key: str, id_col: str,
+                  text_col: str, out_col: str, num_buckets: int = 64):
+    """Co-partitioned text fetch: each pair row is routed to the bucket
+    of its ``pair_key``, each corpus row to the bucket of its id; the
+    lookup resolves INSIDE the block. This replaces the whole-corpus
+    ``ray.put`` broadcast (r2's named scale-killer): shuffled bytes are
+    O(pairs + corpus), peak memory is one bucket's texts, and nothing
+    lands on the driver. Same shape as the reference's co-located
+    parent-join (``modules/parent-join``), not its terms-lookup
+    broadcast (which is for genuinely small sides,
+    ``TermsQueryBuilder.java``)."""
+    psch = pairs_ds.schema()
+    pair_cols = list(psch.names)
+    ptypes = dict(zip(psch.names, psch.types))
+    tsch = texts_ds.schema()
+    ttype = dict(zip(tsch.names, tsch.types))[text_col]
+    out_schema = pa.schema(
+        [(c, ptypes[c]) for c in pair_cols] + [(out_col, ttype)]
+    )
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        keys = [str(v) for v in t[pair_key].to_pylist()]
+        b = murmur3_hash_many(keys).astype(np.int64) % num_buckets
+        cols = {c: t[c] for c in pair_cols}
+        cols["_tid"] = pa.nulls(t.num_rows, pa.string())
+        cols["_text"] = pa.nulls(t.num_rows, ttype)
+        out = pa.table(cols)
+        out = out.append_column("_b", pa.array(b.astype(np.int32)))
+        return out.append_column("_side", pa.array(["p"] * t.num_rows))
+
+    def tag_texts(t: pa.Table) -> pa.Table:
+        keys = [str(v) for v in t[id_col].to_pylist()]
+        b = murmur3_hash_many(keys).astype(np.int64) % num_buckets
+        cols = {c: pa.nulls(t.num_rows, ptypes[c]) for c in pair_cols}
+        cols["_tid"] = pa.array(keys, pa.string())
+        cols["_text"] = t[text_col].cast(ttype)
+        out = pa.table(cols)
+        out = out.append_column("_b", pa.array(b.astype(np.int32)))
+        return out.append_column("_side", pa.array(["t"] * t.num_rows))
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        texts_ds.map_batches(tag_texts, batch_format="pyarrow")
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        side = np.asarray(t["_side"].to_pylist(), dtype=object)
+        is_p = side == "p"
+        tt = t.filter(pa.array(~is_p))
+        lookup = dict(zip(tt["_tid"].to_pylist(), tt["_text"].to_pylist()))
+        pt = t.filter(pa.array(is_p))
+        if pt.num_rows == 0:
+            return out_schema.empty_table()
+        vals = [lookup.get(str(v)) for v in pt[pair_key].to_pylist()]
+        cols = {c: pt[c] for c in pair_cols}
+        cols[out_col] = pa.array(vals, ttype)
+        return pa.table(cols).cast(out_schema)
+
+    return _keyed_blocks(tagged, ["_b"], cpu_denom=8.0).map_batches(
+        resolve, batch_format="pyarrow", batch_size=None
+    )
+
+
+def jaccard_verify_pairs(pairs_ds, texts_ds, id_col: str, text_col: str,
+                         shingle_n: int = 3, threshold: float = 0.9,
+                         num_buckets: int = 64):
+    """Exact n-gram-Jaccard verification of candidate pairs with the
+    texts fetched by co-partitioned join (both sides of every pair) —
+    the 100 TB verify path; output identical to the broadcast-lookup
+    variant."""
+    p1 = _attach_texts(pairs_ds, texts_ds, "id_a", id_col, text_col,
+                       "_text_a", num_buckets)
+    p2 = _attach_texts(p1, texts_ds, "id_b", id_col, text_col,
+                       "_text_b", num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_text_a", "_text_b"])
+        keep = np.fromiter(
+            (
+                ngram_jaccard(str(a), str(b), n=shingle_n) >= threshold
+                for a, b in zip(t["_text_a"].to_pylist(), t["_text_b"].to_pylist())
+            ),
+            dtype=bool,
+            count=t.num_rows,
+        )
+        return t.filter(pa.array(keep)).drop_columns(["_text_a", "_text_b"])
+
+    return p2.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str,
@@ -318,14 +410,19 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.0,
     texts_lookup: dict | None = None,
+    texts_ds=None,
     max_bucket_size: int = 4096,
 ):
     """Candidate near-dup pairs as a **Dataset**: (band, sig) keyed
     hash-repartition -> per-BLOCK vectorized pair emission (no per-group
-    tasks), native-aggregate pair dedup, optionally Jaccard-verified
-    against ``texts_lookup`` (a broadcast {id: text} map applied inside
-    map_batches). Nothing materializes on the driver; callers
-    ``write_parquet`` / ``take_all`` at their own scale."""
+    tasks), native-aggregate pair dedup, optionally Jaccard-verified.
+
+    Verification sources, by scale: ``texts_ds`` (a Dataset carrying
+    ``id_col``/``text_col``) fetches both pair texts via co-partitioned
+    joins — the 100 TB path; ``texts_lookup`` (a broadcast {id: text}
+    dict) is the small-corpus convenience. Nothing materializes on the
+    driver; callers ``write_parquet`` / ``take_all`` at their own
+    scale."""
 
     def emit_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -353,6 +450,11 @@ def minhash_lsh_pairs(
         emit_pairs, batch_format="pyarrow", batch_size=None
     )
     pairs = _dedup_pairs(pairs)
+    if jaccard_threshold > 0 and texts_ds is not None:
+        return jaccard_verify_pairs(
+            pairs, texts_ds, id_col, text_col,
+            shingle_n=shingle_n, threshold=jaccard_threshold,
+        )
     if jaccard_threshold > 0 and texts_lookup is not None:
         import ray
 
@@ -532,54 +634,69 @@ def embedding_near_dup_pairs(
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        v = np.asarray(list(g["vec"]), dtype=np.float64)
-        if ids.size < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                    "cosine": pd.Series(dtype="float64"),
-                }
-            )
-        norm = np.linalg.norm(v, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        u = v / norm
-        if ids.size > max_bucket_size:
-            # degenerate bucket: compare to the min-id vector only
-            sim = u[1:] @ u[0]
-            sel = np.flatnonzero(sim >= threshold)
-            return pd.DataFrame(
-                {
-                    "id_a": np.full(sel.size, ids[0]),
-                    "id_b": ids[1 + sel],
-                    "cosine": sim[sel],
-                }
-            )
-        sim = u @ u.T
-        iu = np.triu_indices(ids.size, k=1)
-        mask = sim[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][mask]],
-                "id_b": ids[iu[1][mask]],
-                "cosine": sim[iu][mask],
-            }
-        )
-
-    pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-    )
-    # pair dedup keeping the cosine (identical across copies): hash
-    # co-location + per-block drop_duplicates — same shape as
-    # _dedup_pairs, no sort exchange
     schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
     )
+
+    def verify_block(t: pa.Table) -> pa.Table:
+        """All bucket groups of one hash-partitioned block in ONE call —
+        the `_keyed_blocks` pattern (map_groups cost one Ray task + a
+        pandas conversion PER BUCKET: 2^num_planes tasks at scale —
+        r2's named weak spot; this is the simhash `verify_block` shape)."""
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+        buckets = t["bucket"].to_numpy()
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        v = np.asarray(t["vec"].to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        u = v / norm
+        starts, ends = _group_bounds(buckets)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            grp_ids = ids[s:e]
+            gu = u[s:e]
+            keep = np.ones(e - s, dtype=bool)  # dedup doc_id (sorted)
+            keep[1:] = grp_ids[1:] != grp_ids[:-1]
+            grp_ids, gu = grp_ids[keep], gu[keep]
+            n = grp_ids.size
+            if n < 2:
+                continue
+            if n > max_bucket_size:
+                # degenerate bucket: compare to the min-id vector only
+                sim = gu[1:] @ gu[0]
+                sel = np.flatnonzero(sim >= threshold)
+                out_a.append(np.full(sel.size, grp_ids[0]))
+                out_b.append(grp_ids[1 + sel])
+                out_c.append(sim[sel])
+            else:
+                sim = gu @ gu.T
+                iu = np.triu_indices(n, k=1)
+                mask = sim[iu] >= threshold
+                out_a.append(grp_ids[iu[0][mask]])
+                out_b.append(grp_ids[iu[1][mask]])
+                out_c.append(sim[iu][mask])
+        if not out_a:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    pairs = _keyed_blocks(
+        ds.map_batches(bucketize, batch_format="pyarrow"), ["bucket"]
+    ).map_batches(verify_block, batch_format="pyarrow", batch_size=None)
+    # pair dedup keeping the cosine (identical across copies): hash
+    # co-location + per-block drop_duplicates — same shape as
+    # _dedup_pairs, no sort exchange
 
     def uniqc(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

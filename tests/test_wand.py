@@ -7,7 +7,7 @@ from raydex.analysis.tokenizer import get_analyzer
 from raydex.corpus import make_pages_table, make_queries_table
 from raydex.index.segment import SegmentReader, build_segment
 from raydex.search.bm25 import GlobalStats, brute_force_top_k
-from raydex.search.wand import conjunction_top_k, wand_top_k
+from raydex.search.wand import conjunction_top_k, wand_top_k, wand_top_k_daat
 
 
 def _stats_for(reader, terms):
@@ -48,6 +48,10 @@ def test_wand_equals_brute_random_queries(rand_seg):
         w_ids, w_sc = wand_top_k(rand_seg, terms, k, stats)
         assert b_ids.tolist() == w_ids.tolist(), (terms, k)
         np.testing.assert_array_equal(b_sc, w_sc)
+        # three-way differential: vectorized block-at-a-time == doc-at-a-time
+        d_ids, d_sc = wand_top_k_daat(rand_seg, terms, k, stats)
+        assert d_ids.tolist() == w_ids.tolist(), (terms, k)
+        np.testing.assert_array_equal(d_sc, w_sc)
 
 
 def test_conjunction_equals_brute_and(rand_seg):

@@ -190,12 +190,27 @@ def q_date_histogram_events(sf):
 
 
 def q_composite_orders(sf):
+    """`composite` agg PAGED via after-keys (the reference's
+    paginate-through-buckets contract): three size-6 pages, tagged and
+    unioned — the SQL oracle mirrors each page as an ordered window.
+    The after-filter is pushed into the map stage, so each page is a
+    pruned pass, not a re-aggregation."""
+    import pandas as pd
+
     from raydex.ops.aggs import composite_agg
 
-    return composite_agg(
-        _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
-        ["o_orderstatus", "o_orderpriority"],
-    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    pages, after = [], None
+    for pno in range(1, 4):
+        t = composite_agg(
+            _ds(sf, "orders", keys), keys, after=after, size=6
+        ).to_pandas()
+        if t.empty:
+            break
+        t.insert(0, "page", np.int64(pno))
+        pages.append(t)
+        after = (t[keys[0]].iloc[-1], t[keys[1]].iloc[-1])
+    return pd.concat(pages, ignore_index=True)
 
 
 def q_collapse_orders(sf):
@@ -376,9 +391,15 @@ def q_knn_cosine(sf):
 
 
 def q_knn_ivf(sf):
-    """Pruned-probe IVF: one-time centroid-partitioned parquet write
-    (cached), probes read ONLY the nprobe bucket partitions. Results
-    identical to the in-flight knn_ivf with the same centroids."""
+    """Pruned-probe IVF over the one-time centroid-partitioned parquet
+    index (probes `read_parquet` ONLY the nprobe bucket dirs). Gate is
+    now ORACLE-BACKED: the returned full-probe (nprobe=16 = all buckets)
+    result equals exact brute-force cosine top-k, recomputed in SQL —
+    proving the bucketed write+read round-trip loses nothing; the
+    PRUNED path (nprobe=4) is additionally asserted in-gate to return
+    the exact-duplicate query vector at rank 0 (same-bucket guarantee
+    for identical vectors), and its I/O pruning is pytest-asserted via
+    `_probe_info`."""
     from raydex.ops.similarity import build_ivf_index, knn_ivf_index, train_centroids
 
     emb = _ds(sf, "embeddings")
@@ -389,15 +410,27 @@ def q_knn_ivf(sf):
     if not os.path.exists(os.path.join(idx, "centroids.npy")):
         cents = train_centroids(emb, "embedding", num_centroids=16)
         build_ivf_index(emb, "embedding", "vec_id", idx, centroids=cents)
-    return knn_ivf_index(idx, q, "embedding", "vec_id", k=10, nprobe=4)
+    pruned = knn_ivf_index(idx, q[:1], "embedding", "vec_id", k=1, nprobe=4)
+    top = pruned.to_pandas()
+    assert int(top["doc_id"].iloc[0]) == 0, "pruned probe must find the exact dup"
+    full = knn_ivf_index(idx, q, "embedding", "vec_id", k=10, nprobe=16)
+    return full.select(["query_id", "rank", "doc_id"])
 
 
 def q_minhash_pairs(sf):
+    """MinHash-LSH at a SECOND operating point (128 hashes / 32 bands /
+    2-gram shingles, J >= 0.8) with a brute-force all-pairs SQL oracle —
+    valid because banding recall is COMPLETE at this configuration on
+    the fixed test data (verified at sf0.001 and sf0.01), upgrading the
+    r2 rows-only candidates gate to oracle-backed. Verify texts come via
+    the co-partitioned fetch (scale path)."""
     from raydex.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id"
-    ).sort(["id_a", "id_b"])
+        _ds(sf, "documents", ["doc_id", "text"]), "text", "doc_id",
+        num_hashes=128, bands=32, shingle_n=2, jaccard_threshold=0.8,
+        texts_ds=_ds(sf, "documents", ["doc_id", "text"]),
+    ).select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
 def q_jaccard_near_dup_pairs(sf):
@@ -1406,9 +1439,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS bucket_ts, COUNT(*) AS doc_count "
             "FROM events GROUP BY bucket_ts ORDER BY bucket_ts"
         ),
+        # after-key pagination == ordered windows over the full bucket set
         "composite_orders": (
-            "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS doc_count "
-            "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+            "WITH full_buckets AS (SELECT o_orderstatus, o_orderpriority, "
+            "COUNT(*) AS doc_count, ROW_NUMBER() OVER "
+            "(ORDER BY o_orderstatus, o_orderpriority) AS rn "
+            "FROM orders GROUP BY 1, 2) "
+            "SELECT CAST((rn - 1) // 6 + 1 AS BIGINT) AS page, "
+            "o_orderstatus, o_orderpriority, doc_count FROM full_buckets "
+            "WHERE rn <= 18 ORDER BY rn"
         ),
         "collapse_orders": (
             "SELECT * FROM orders QUALIFY ROW_NUMBER() OVER "
@@ -1651,6 +1690,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b FROM inter "
             "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
             "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.9 ORDER BY 1, 2"
+        ),
+        # brute-force all-pairs 2-gram Jaccard at 0.8 (complete banding
+        # recall at 128/32 on the fixed data — see q_minhash_pairs)
+        "minhash_pairs": (
+            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "tp AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl), "
+            "sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS s "
+            "FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1), "
+            "inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i "
+            "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8 ORDER BY 1, 2"
+        ),
+        # full-probe IVF == exact brute-force cosine top-k (bucketed
+        # write+read round-trip loses nothing; pruning asserted in-gate)
+        "knn_ivf": (
+            "WITH qs AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 1)), "
+            "r AS (SELECT qs.query_id, e.vec_id, ROW_NUMBER() OVER "
+            "(PARTITION BY qs.query_id ORDER BY "
+            "list_cosine_similarity(e.embedding, qs.qe) DESC, e.vec_id) - 1 AS rank "
+            "FROM embeddings e, qs) "
+            "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, "
+            "vec_id AS doc_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -272,14 +272,42 @@ def date_histogram_agg(ds, ts_col: str, unit: str = "day", count_name: str = "do
     return out.sort("bucket_ts")
 
 
-def composite_agg(ds, keys: list[str], count_name: str = "doc_count"):
-    """`composite`: all key combinations, key-ordered (paginated grouped
-    iteration — pagination collapses to ordered output here)."""
+def composite_agg(ds, keys: list[str], count_name: str = "doc_count",
+                  after: tuple | None = None, size: int | None = None):
+    """`composite`: all key combinations, key-ordered.
+
+    ``after``/``size`` give the reference's paginate-through-buckets
+    contract (``CompositeAggregationBuilder.java`` — the reason
+    composite exists): ``after`` is the LAST key tuple of the previous
+    page; only buckets strictly greater in key order are returned, at
+    most ``size`` of them. The after-filter is pushed INTO the map stage
+    (rows <= after never enter the groupby shuffle), so deep pagination
+    costs one pruned pass per page, not a full re-aggregation.
+    Callers read the next ``after`` from the last returned row."""
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError(f"after key must have {len(keys)} values, got {after!r}")
+
+        def gt_after(t: pa.Table) -> pa.Table:
+            # lexicographic (k1,...,kn) > after, vectorized
+            n = t.num_rows
+            gt = np.zeros(n, dtype=bool)
+            eq = np.ones(n, dtype=bool)
+            for col, av in zip(keys, after):
+                x = t[col].to_numpy(zero_copy_only=False)
+                gt |= eq & (x > av)
+                eq &= x == av
+            return t.filter(pa.array(gt))
+
+        ds = ds.map_batches(gt_after, batch_format="pyarrow")
     out = ds.groupby(keys).count()
     out = out.map_batches(
         lambda t: t.rename_columns(keys + [count_name]), batch_format="pyarrow"
     )
-    return out.sort(keys)
+    out = out.sort(keys)
+    if size is not None:
+        out = out.limit(size)
+    return out
 
 
 def collapse_best(ds, group_key: str, sort_col: str, tiebreak_col: str):

@@ -42,11 +42,79 @@ def detect_lang(text: str) -> str:
     return best
 
 
+_LANG_ORDER = list(_LANG_MARKERS)  # tie-break: earlier language wins
+_CJK_RE2 = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
+_HAN_RE2 = r"\p{Han}"
+_KANA_RE2 = r"[\p{Hiragana}\p{Katakana}]"
+
+
+def _tokens_flat(txt: pa.ChunkedArray | pa.Array):
+    """(flat nonempty tokens, doc_of, per-doc counts) for a batch —
+    matches ``str.split()`` semantics (whitespace runs, empties dropped)."""
+    import pyarrow.compute as pc
+
+    tl = pc.utf8_split_whitespace(txt)
+    if isinstance(tl, pa.ChunkedArray):
+        tl = tl.combine_chunks()
+    flat = pc.list_flatten(tl)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        doc_of = doc_of[nonempty]
+    counts = np.bincount(doc_of, minlength=lens.size)
+    return flat, doc_of, counts
+
+
 def lang_id(ds, text_col: str, out_col: str = "lang_pred"):
+    """Vectorized detect_lang: per-language DISTINCT-marker counts via
+    one ``index_in`` over the batch's flat token array + a per-doc
+    bitmask OR (``np.bitwise_or.reduceat``); CJK routing via RE2 class
+    matches. Identical outputs to the scalar ``detect_lang`` (the r2
+    per-row loop this replaces) — same first-max tie-break, same
+    marker sets, SQL oracle unchanged."""
+    import pyarrow.compute as pc
+
+    marker_list = [m for lang in _LANG_ORDER for m in sorted(_LANG_MARKERS[lang])]
+    marker_bits = np.array(
+        [1 << i for i in range(len(marker_list))], dtype=np.int64
+    )
+    lang_of_marker = np.repeat(
+        np.arange(len(_LANG_ORDER)),
+        [len(_LANG_MARKERS[lang]) for lang in _LANG_ORDER],
+    )
+    marker_set = pa.array(marker_list, pa.string())
+
     def add(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            out_col, pa.array([detect_lang(str(x)) for x in t[text_col].to_pylist()])
-        )
+        txt = pc.fill_null(t[text_col].cast(pa.string()), "")
+        n = t.num_rows
+        flat, doc_of, counts = _tokens_flat(pc.utf8_lower(txt))
+        idx_pa = pc.index_in(flat, value_set=marker_set)
+        hitm = pc.is_valid(idx_pa).to_numpy(zero_copy_only=False)
+        idx_i = pc.fill_null(idx_pa, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.where(hitm, marker_bits[idx_i], 0)
+        masks = np.zeros(n, dtype=np.int64)
+        if doc_of.size:
+            starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
+            masks[doc_of[starts]] = np.bitwise_or.reduceat(bits, starts)
+        # distinct marker count per (doc, lang) from the bitmask
+        lang_counts = np.zeros((n, len(_LANG_ORDER)), dtype=np.int64)
+        for mi in range(len(marker_list)):
+            has = (masks >> mi) & 1
+            lang_counts[:, lang_of_marker[mi]] += has
+        best = np.argmax(lang_counts, axis=1)  # first max == scalar tie rule
+        best_n = lang_counts[np.arange(n), best]
+        langs = np.array(_LANG_ORDER, dtype=object)
+        pred = np.where(best_n > 0, langs[best], "unknown").astype(object)
+        cjk = pc.match_substring_regex(txt, _CJK_RE2).to_numpy(zero_copy_only=False)
+        if cjk.any():
+            han = pc.match_substring_regex(txt, _HAN_RE2).to_numpy(zero_copy_only=False)
+            kana = pc.match_substring_regex(txt, _KANA_RE2).to_numpy(zero_copy_only=False)
+            pred[cjk] = np.where(han[cjk] & ~kana[cjk], "zh", "ja")
+        return t.append_column(out_col, pa.array(pred, pa.string()))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
@@ -123,16 +191,18 @@ def top_terms(ds, text_col: str, size: int = 20):
     pattern at word granularity."""
 
     def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
+        # one Arrow split + value_counts per batch — no Python token
+        # objects (replaces the r2 Counter loop; identical counts)
+        import pyarrow.compute as pc
 
-        c = Counter()
-        for s in t[text_col].to_pylist():
-            c.update(str(s).split(" "))
-        toks = list(c.keys())
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(t[text_col].cast(pa.string()), ""), " ")
+        )
+        vc = pc.value_counts(toks)
         return pa.table(
             {
-                "token": pa.array(toks, pa.string()),
-                "cnt": pa.array([c[k] for k in toks], pa.int64()),
+                "token": vc.field("values").cast(pa.string()),
+                "cnt": vc.field("counts").cast(pa.int64()),
             }
         )
 
@@ -145,21 +215,48 @@ def top_terms(ds, text_col: str, size: int = 20):
 
 def rolling_fingerprints(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
     """Rabin-Karp rolling hashes of token windows (document fingerprint;
-    winnowing-style selection = min per stride)."""
+    winnowing-style selection = min per stride). True O(1) roll per
+    window (subtract the leading term, shift, add the new one) over
+    memoized token hashes — values identical to ``hash_tokens`` per
+    window (tested), replacing the r2 O(window) recompute per step."""
     toks = text.split()
     if len(toks) < window:
         toks = toks + [""] * (window - len(toks))
-    hs = [hash_tokens(toks[i : i + window], base, mod) for i in range(len(toks) - window + 1)]
+    ths = [_token_hash(t, base, mod) + 1 for t in toks]
+    lead = pow(base, window - 1, mod)
+    h = 0
+    for th in ths[:window]:
+        h = (h * base + th) % mod
+    hs = [h]
+    for i in range(window, len(ths)):
+        h = ((h - ths[i - window] * lead) * base + ths[i]) % mod
+        hs.append(h)
     return hs
+
+
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_CAP = 1 << 20
+
+
+def _token_hash(t: str, base: int, mod: int) -> int:
+    """Per-token polynomial hash, memoized per worker — tokens repeat
+    heavily, and the byte loop dominated doc_fingerprint's wall time
+    (r2 'per-row Python' item; values unchanged)."""
+    key = (t, base, mod)
+    th = _TOKEN_HASH_CACHE.get(key)
+    if th is None:
+        th = 0
+        for ch in t.encode():
+            th = (th * base + ch) % mod
+        if len(_TOKEN_HASH_CACHE) < _TOKEN_HASH_CACHE_CAP:
+            _TOKEN_HASH_CACHE[key] = th
+    return th
 
 
 def hash_tokens(toks: list[str], base: int, mod: int) -> int:
     h = 0
     for t in toks:
-        th = 0
-        for ch in t.encode():
-            th = (th * base + ch) % mod
-        h = (h * base + th + 1) % mod
+        h = (h * base + _token_hash(t, base, mod) + 1) % mod
     return h
 
 
@@ -206,23 +303,46 @@ def decontaminate(
     (es/index/query/TermsQueryBuilder.java fetch path) applied to the
     open-data decontamination recipe (n-gram collision vs eval sets).
     """
+    import pyarrow.compute as pc
     import ray
 
-    ref = ray.put(frozenset(benchmark_ngrams))
+    ref = ray.put(pa.array(sorted(benchmark_ngrams), pa.string()))
 
     def flag(t: pa.Table) -> pa.Table:
+        # vectorized windows: one whitespace split, k shifted views of
+        # the flat token array joined element-wise, ONE is_in membership
+        # pass against the broadcast set (replaces the r2 per-doc gram
+        # loop; identical totals/hits)
         bench = ray.get(ref)
-        ids = t[id_col].to_pylist()
-        totals = np.empty(len(ids), dtype=np.int64)
-        hits = np.empty(len(ids), dtype=np.int64)
-        for i, s in enumerate(t[text_col].to_pylist()):
-            toks = str(s).split()
-            if len(toks) < n:
-                grams = [" ".join(toks)] if toks else []
-            else:
-                grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
-            totals[i] = len(grams)
-            hits[i] = sum(1 for g in grams if g in bench)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        nrows = t.num_rows
+        txt = pc.fill_null(t[text_col].cast(pa.string()), "")
+        flat, doc_of, counts = _tokens_flat(txt)
+        offs = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        m = len(flat)
+        totals = np.zeros(nrows, dtype=np.int64)
+        hits = np.zeros(nrows, dtype=np.int64)
+        if m >= n:
+            starts = np.arange(m - n + 1)
+            w_doc = np.searchsorted(offs, starts, side="right") - 1
+            valid = starts + n <= offs[w_doc + 1]
+            shifted = [flat.slice(j, m - n + 1) for j in range(n)]
+            windows = pc.binary_join_element_wise(*shifted, " ")
+            hit = pc.is_in(windows, value_set=bench).to_numpy(zero_copy_only=False)
+            vd = w_doc[valid]
+            totals += np.bincount(vd, minlength=nrows)
+            hits += np.bincount(vd[hit[valid]], minlength=nrows)
+        # docs with 0 < len < n emit ONE gram: the whole joined text
+        short = np.flatnonzero((counts > 0) & (counts < n))
+        if short.size:
+            grams = [
+                " ".join(flat.slice(int(offs[d]), int(counts[d])).to_pylist())
+                for d in short
+            ]
+            sh = pc.is_in(pa.array(grams, pa.string()), value_set=bench)
+            totals[short] = 1
+            hits[short] = sh.to_numpy(zero_copy_only=False).astype(np.int64)
         ratio = hits / np.maximum(totals, 1)
         return pa.table(
             {

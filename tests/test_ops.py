@@ -261,6 +261,21 @@ def test_text_ops(docs_ds, con):
     assert (qf["char_len"] > 0).all()
     fp = text.doc_fingerprint(docs_ds.limit(20), "text", "doc_id").to_pandas()
     assert fp["fingerprint"].map(len).max() <= 4
+    # vectorized lang_id == scalar detect_lang row by row (tie rule incl.)
+    li = text.lang_id(docs_ds, "text").to_pandas().sort_values("doc_id")
+    docs = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    assert li["lang_pred"].tolist() == [
+        text.detect_lang(str(s)) for s in docs["text"]
+    ]
+    # O(1) rolling fingerprints == direct per-window hash_tokens
+    for s in list(docs["text"][:10]) + ["one two", ""]:
+        toks = str(s).split()
+        padded = toks + [""] * max(0, 8 - len(toks))
+        want = [
+            text.hash_tokens(padded[i : i + 8], 257, (1 << 61) - 1)
+            for i in range(len(padded) - 7)
+        ]
+        assert text.rolling_fingerprints(str(s), 8) == want
 
 
 def test_multimodal_stub(ray_session):

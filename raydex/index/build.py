@@ -238,6 +238,37 @@ def _manifest_schema_empty() -> pa.Table:
     return _MANIFEST_SCHEMA.empty_table()
 
 
+_RESERVED_COLS = ("url", "warc_ts", "html", "text")
+
+
+def infer_dynamic_fields(schema: pa.Schema, reserved=_RESERVED_COLS) -> list:
+    """Dynamic mapping inference (the reference's
+    ``DynamicFieldsBuilder.java`` / ``DynamicTemplate.java``): unknown
+    keys get a mapper from their token type. JSON token types arrive
+    here as the Arrow types the NDJSON reader already inferred:
+    string -> analyzed text field; integer/float/boolean/timestamp ->
+    keyword field over the literal (term-queryable, matching the
+    reference's exact-value semantics for non-text dynamics). Nested
+    list/struct columns are skipped (the reference recurses via
+    ObjectMapper; out of scope here)."""
+    from raydex.index.segment import FieldSpec
+
+    specs = []
+    for name, typ in zip(schema.names, schema.types):
+        if name in reserved:
+            continue
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            specs.append(FieldSpec(name, name, "standard"))
+        elif (
+            pa.types.is_integer(typ)
+            or pa.types.is_floating(typ)
+            or pa.types.is_boolean(typ)
+            or pa.types.is_timestamp(typ)
+        ):
+            specs.append(FieldSpec(name, name, "keyword"))
+    return specs
+
+
 def build_index(
     input_path,
     index_dir: str,
@@ -250,6 +281,7 @@ def build_index(
     ray_ds=None,
     store_positions: bool = False,
     fields=None,
+    dynamic_fields: bool = False,
 ) -> dict:
     """Run the build; returns the index manifest dict.
 
@@ -302,6 +334,25 @@ def build_index(
         os.environ.get("RAYDEX_SHUFFLE_AGGS", str(max(2, ncpu // 2)))
     )
     try:
+        if dynamic_fields:
+            # schema probe (metadata-only for parquet; first file for
+            # NDJSON) -> inferred FieldSpecs merged with explicit ones
+            if ray_ds is not None:
+                sch = ray_ds.schema()
+                schema = getattr(sch, "base_schema", sch)
+            else:
+                p0 = input_path if isinstance(input_path, str) else input_path[0]
+                probe = (
+                    rd.read_json(p0, file_extensions=["json", "jsonl", "ndjson"])
+                    if p0.endswith((".json", ".ndjson", ".jsonl"))
+                    else rd.read_parquet(p0)
+                )
+                sch = probe.schema()
+                schema = getattr(sch, "base_schema", sch)
+            have = {s.name for s in (fields or [])}
+            fields = list(fields or []) + [
+                s for s in infer_dynamic_fields(schema) if s.name not in have
+            ]
         return _build_index_inner(
             input_path, index_dir, num_partitions, analyzer, source, dedup,
             max_docs_per_segment, resume, ray_ds, rd, ncpu,

@@ -183,6 +183,20 @@ def q_histogram_nchars(sf):
     return histogram_agg(_ds(sf, "documents", ["n_chars"]), "n_chars", 100.0)
 
 
+def q_percentiles_hdr_nchars(sf):
+    """HDR-histogram percentiles — the reference's second percentiles
+    engine (`percentiles: {hdr: ...}`, PercentilesConfig.java:100):
+    per-block sparse-counts partials, EXACT counts merge, highest-
+    equivalent-value quantile. The SQL oracle mirrors the log-linear
+    bucket math bit-exactly (sd=3: mask 2047, half-count 1024)."""
+    from raydex.ops.hdr import percentiles_hdr
+
+    return percentiles_hdr(
+        _ds(sf, "documents", ["n_chars"]), "n_chars",
+        qs=(0.25, 0.5, 0.75, 0.95, 0.99),
+    )
+
+
 def q_date_histogram_events(sf):
     from raydex.ops.aggs import date_histogram_agg
 
@@ -1153,7 +1167,7 @@ def q_signature_docs(sf):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """48 gates covering every SURVEY §2 operator family — the driver
+    """50 gates covering every SURVEY §2 operator family — the driver
     runs the first 50 keys, so EVERY family gets a CORRECTNESS row.
     r2's 67 keys were consolidated: 9 `_count` DSL gates -> the tagged
     dsl_count_suite; 4 single-row metric aggs -> metric_aggs_nchars;
@@ -1169,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_nchars": q_range_nchars,
         "histogram_nchars": q_histogram_nchars,
         "date_histogram_events": q_date_histogram_events,
+        "percentiles_hdr_nchars": q_percentiles_hdr_nchars,
         "auto_date_histogram_events": q_auto_date_histogram_events,
         "variable_width_histogram": q_variable_width_histogram,
         "date_range_orders": q_date_range_orders,
@@ -1376,9 +1391,37 @@ def _lang_id_oracle_sql() -> str:
     )
 
 
+def _hdr_oracle_sql(qs=(0.25, 0.5, 0.75, 0.95, 0.99)) -> str:
+    """Bit-exact SQL mirror of raydex.ops.hdr (sd=3): value -> counts
+    index via msb(v|2047) log-linear bucketing (bin-string length = exact
+    integer floor-log2), rank = ceil(q*total) on DOUBLE (matching the
+    engine's float math), quantile = highest equivalent value of the
+    picked bucket."""
+    vals = ",".join(f"({q})" for q in qs)
+    return (
+        "WITH v AS (SELECT LEAST(CAST(n_chars AS BIGINT), CAST(1099511627776 AS BIGINT)) AS v "
+        "FROM documents WHERE n_chars IS NOT NULL), "
+        "b AS (SELECT v, CAST(length(bin(v | 2047)) - 1 AS BIGINT) AS msb FROM v), "
+        "i AS (SELECT (msb - 10 + 1) * 1024 + ((v >> CAST(msb - 10 AS INTEGER)) - 1024) AS idx FROM b), "
+        "c AS (SELECT idx, COUNT(*) AS cnt FROM i GROUP BY 1), "
+        "cum AS (SELECT idx, SUM(cnt) OVER (ORDER BY idx) AS cum FROM c), "
+        "tot AS (SELECT SUM(cnt) AS total FROM c), "
+        f"q(quantile) AS (VALUES {vals}), "
+        "pick AS (SELECT q.quantile, MIN(cum.idx) AS idx FROM q, cum, tot "
+        "WHERE cum.cum >= GREATEST(1, CAST(CEIL(CAST(q.quantile AS DOUBLE) * tot.total) AS BIGINT)) "
+        "GROUP BY 1) "
+        "SELECT CAST(quantile AS DOUBLE) AS quantile, "
+        "CAST(CASE WHEN idx // 1024 - 1 < 0 THEN idx % 1024 "
+        "ELSE (((idx % 1024) + 1024) << CAST(idx // 1024 - 1 AS INTEGER)) "
+        "+ (CAST(1 AS BIGINT) << CAST(idx // 1024 - 1 AS INTEGER)) - 1 END AS DOUBLE) AS value "
+        "FROM pick ORDER BY quantile"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pii_redact_docs": _pii_oracle_sql(),
+        "percentiles_hdr_nchars": _hdr_oracle_sql(),
         # bounds = date_math('now-10d/d','now/d' roundup) at the fixed
         # anchor 2024-01-20T12:00 -> [2024-01-10, 2024-01-20 23:59:59.999]
         "date_math_range_events": (

@@ -52,6 +52,46 @@ def test_percentiles_agg(ray_session, sf_dir):
     assert abs(out["value"] - exact) / max(exact, 1) < 0.05
 
 
+def test_hdr_accuracy_and_merge_law():
+    from raydex.ops.hdr import HdrHistogram
+
+    rng = np.random.default_rng(6)
+    x = rng.integers(1, 1_000_000, size=60000)
+    h = HdrHistogram(significant_digits=3)
+    h.record_many(x)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = float(np.quantile(x, q, method="inverted_cdf"))
+        approx = h.quantile(q)
+        # fixed RELATIVE error contract of the hdr engine
+        assert abs(approx - exact) <= max(2.0, exact * 2e-3), (q, exact, approx)
+    # EXACT merge law: counts addition, identical quantiles
+    parts = [HdrHistogram(3).record_many(x[i::7]) for i in range(7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.total == h.total
+    assert (merged.counts == h.counts).all()
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert merged.quantile(q) == h.quantile(q)
+    # sparse round-trip (the shipped partial form)
+    idx, cnt = h.to_sparse()
+    back = HdrHistogram.from_sparse(idx, cnt, 3)
+    assert (back.counts == h.counts).all() and back.total == h.total
+
+
+def test_percentiles_hdr_agg(ray_session, sf_dir):
+    from raydex.ops.hdr import percentiles_hdr
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    out = percentiles_hdr(ds, "n_chars", qs=(0.5,)).to_pylist()[0]
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT median(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert abs(out["value"] - exact) / max(exact, 1) < 0.01
+
+
 def test_pipeline_aggs():
     buckets = pd.DataFrame({"key": list("abcde"), "v": [1.0, 3.0, 2.0, 5.0, 4.0]})
     assert pipeline_aggs.derivative(buckets, "v")["derivative"].tolist()[1:] == [2.0, -1.0, 3.0, -1.0]

@@ -35,7 +35,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v3_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v4_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.index.build import build_index
@@ -48,10 +48,13 @@ def _docs_index_dir(sf_dir: str) -> str:
                 "url": pa.array([str(i) for i in ids], pa.string()),
                 "warc_ts": pa.array(ids.astype("int64")).cast(pa.timestamp("us")),
                 "text": t["text"].cast(pa.large_string()),
+                # rank_feature source: doc length in chars (a natural
+                # static quality signal; float32 doc-values at index time)
+                "quality": t["n_chars"].cast(pa.float64()),
             }
         )
 
-    ds = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    ds = _ds(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
         to_pages, batch_format="pyarrow"
     )
     # plain `standard` analyzer (no stop removal) + positions: keeps the
@@ -62,7 +65,9 @@ def _docs_index_dir(sf_dir: str) -> str:
     build_index(None, idx, num_partitions=8, analyzer="standard",
                 source="text", dedup=False, ray_ds=ds, resume=True,
                 store_positions=True,
-                fields=[FieldSpec("url", source="url", analyzer="keywordish")])
+                fields=[FieldSpec("url", source="url", analyzer="keywordish"),
+                        FieldSpec("quality", source="quality",
+                                  analyzer="rank_feature")])
     return idx
 
 
@@ -663,10 +668,45 @@ def q_bm25_scores_sql(sf):
     )
 
 
-def q_bm25_conjunction(sf):
-    """2-term conjunction (operator=and) with an exact-score SQL oracle
-    (membership = docs containing BOTH terms, HAVING over distinct toks)."""
-    return _bm25_exact(sf, "window sort", k=10, operator="and")
+def q_bm25_term_conj(sf):
+    """The r2 `bm25_scores_sql` + `bm25_conjunction` gates as ONE tagged
+    union (frees a driver-window slot): disjunction "batch stream" and
+    conjunction "window sort", both with EXACT float32-bitwise score
+    oracles."""
+    a = q_bm25_scores_sql(sf)
+    b = _bm25_exact(sf, "window sort", k=10, operator="and")
+    a = a.add_column(0, "tag", pa.array(["a_disj"] * len(a), pa.string()))
+    b = b.add_column(0, "tag", pa.array(["b_conj"] * len(b), pa.string()))
+    return pa.concat_tables([a, b])
+
+
+def q_rank_feature_top(sf):
+    """`rank_feature` query (mapper-extras RankFeatureQueryBuilder) over
+    the index-time `quality` feature field (source: n_chars, float32
+    doc-values): bool(filter: term text='data', should: rank_feature
+    saturation pivot=300) — scores are pure saturation values, mirrored
+    bit-exactly in SQL (float32 storage -> float64 v/(v+300) -> float32
+    emission). Complete (not top-k-truncated) for <= 10k matching docs,
+    so doc_id is a total order and ties can't flip the hash."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    hits = s.search_query(
+        {"bool": {"filter": [{"term": {"text": "data"}}],
+                  "should": [{"rank_feature": {"field": "quality",
+                                               "saturation": {"pivot": 300.0}}}]}},
+        k=10_000,
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+            "score": pa.array(
+                np.asarray([h["score"] for h in hits], np.float32).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+    return t.sort_by("doc_id")
 
 
 def q_bm25_brute_equals_wand(sf):
@@ -1214,8 +1254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "date_math_range_events": q_date_math_range_events,
         "decontaminate_docs": q_decontaminate_docs,
-        "bm25_scores_sql": q_bm25_scores_sql,
-        "bm25_conjunction": q_bm25_conjunction,
+        "bm25_term_conj": q_bm25_term_conj,
+        "rank_feature_top": q_rank_feature_top,
         "match_phrase_top": q_match_phrase_top,
         "multi_match_fields_top": q_multi_match_fields_top,
         "dsl_bool": q_dsl_bool,
@@ -1698,11 +1738,24 @@ def oracle_sql() -> dict[str, str]:
         # EXACT BM25 score oracles (see q_bm25_scores_sql): same float64
         # formula, same SmallFloat dl quantization (VALUES ladder), same
         # final float32 cast -> bitwise-equal scores.
-        "bm25_scores_sql": _bm25_oracle_sql(["batch", "stream"], k=10),
+        "bm25_term_conj": (
+            "SELECT 'a_disj' AS tag, * FROM ("
+            + _bm25_oracle_sql(["batch", "stream"], k=10)
+            + ") UNION ALL SELECT 'b_conj', * FROM ("
+            + _bm25_oracle_sql(["window", "sort"], k=10, conj=True)
+            + ")"
+        ),
+        # rank_feature saturation over the index-time float32 feature:
+        # v = float64(float32(n_chars)), s = v/(v+300), float32 emission
+        "rank_feature_top": (
+            "SELECT doc_id, CAST(CAST(v / (v + 300.0) AS FLOAT) AS DOUBLE) AS score "
+            "FROM (SELECT doc_id, CAST(CAST(n_chars AS FLOAT) AS DOUBLE) AS v "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% data %') "
+            "ORDER BY doc_id"
+        ),
         "multi_match_fields_top": _multi_match_fields_oracle_sql(
             ["batch", "17"], k=10
         ),
-        "bm25_conjunction": _bm25_oracle_sql(["window", "sort"], k=10, conj=True),
         "match_phrase_top": _phrase_bm25_oracle_sql(["batch", "stream"], k=10),
         # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline
         # because banding recall is complete at 0.9 on this data — see

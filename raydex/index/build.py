@@ -197,6 +197,18 @@ class _BuildPartition:
                     "field_sum_dl": json.dumps(
                         {f: fm["sum_dl"] for f, fm in m.get("fields", {}).items()}
                     ),
+                    # rank_feature global stats (default-pivot inputs)
+                    "field_extra": json.dumps(
+                        {
+                            f: {
+                                "value_count": fm.get("value_count", 0),
+                                "sum_ln": fm.get("sum_ln", 0.0),
+                                "positive_count": fm.get("positive_count", 0),
+                            }
+                            for f, fm in m.get("fields", {}).items()
+                            if fm.get("kind") == "rank_feature"
+                        }
+                    ),
                 }
             )
         wall = time.perf_counter() - t0
@@ -230,6 +242,7 @@ _MANIFEST_SCHEMA = pa.schema(
         ("max_df", pa.int64()),
         ("content_hash", pa.string()),
         ("field_sum_dl", pa.string()),  # JSON {field: sum_dl} for mapped fields
+        ("field_extra", pa.string()),   # JSON rank_feature stats per field
     ]
 )
 
@@ -507,15 +520,35 @@ def _build_index_inner(
                     "field_sum_dl": json.dumps(
                         {f: fm["sum_dl"] for f, fm in m.get("fields", {}).items()}
                     ),
+                    # rank_feature global stats (default-pivot inputs)
+                    "field_extra": json.dumps(
+                        {
+                            f: {
+                                "value_count": fm.get("value_count", 0),
+                                "sum_ln": fm.get("sum_ln", 0.0),
+                                "positive_count": fm.get("positive_count", 0),
+                            }
+                            for f, fm in m.get("fields", {}).items()
+                            if fm.get("kind") == "rank_feature"
+                        }
+                    ),
                 }
             )
     segs.sort(key=lambda r: (r["part"], r["seg_id"]))
     # exact GLOBAL per-field sum_dl (the per-field avgdl numerator) — the
     # dfs_query_then_fetch-style stats multi_match/combined_fields score with
     field_sum_dl: dict[str, int] = {}
+    field_extra: dict[str, dict] = {}
     for r in segs:
         for f, v in json.loads(r.get("field_sum_dl") or "{}").items():
             field_sum_dl[f] = field_sum_dl.get(f, 0) + int(v)
+        for f, fx in json.loads(r.get("field_extra") or "{}").items():
+            acc = field_extra.setdefault(
+                f, {"value_count": 0, "sum_ln": 0.0, "positive_count": 0}
+            )
+            acc["value_count"] += int(fx.get("value_count", 0))
+            acc["sum_ln"] += float(fx.get("sum_ln", 0.0))
+            acc["positive_count"] += int(fx.get("positive_count", 0))
     manifest = {
         "index_dir": index_dir,
         "analyzer": analyzer,
@@ -526,7 +559,8 @@ def _build_index_inner(
         "fields": {
             s.name: {"source": s.source, "analyzer": s.analyzer,
                      "positions": bool(s.store_positions),
-                     "sum_dl": field_sum_dl.get(s.name, 0)}
+                     "sum_dl": field_sum_dl.get(s.name, 0),
+                     **field_extra.get(s.name, {})}
             for s in fields
         },
         "segments": segs,

@@ -111,6 +111,9 @@ def build_segment(
     fields_meta: dict[str, dict] = {}
     for spec, values in extra_fields or []:
         fdir = os.path.join(tmp, f"field={spec.name}")
+        if spec.analyzer == "rank_feature":
+            fields_meta[spec.name] = _build_rank_feature(fdir, spec, values)
+            continue
         fm = _build_field_index(
             fdir, urls, values, spec.analyzer, input_fragments,
             f"{seg_id}-f-{spec.name}", spec.store_positions,
@@ -128,6 +131,43 @@ def build_segment(
             json.dump(manifest, f)
     os.replace(tmp, out_dir)  # atomic completion (primary + all fields)
     return manifest
+
+
+def _build_rank_feature(fdir: str, spec: FieldSpec, values) -> dict:
+    """rank_feature field (`RankFeatureFieldMapper`, mapper-extras):
+    one strictly-positive float per doc, stored as a doc-values column
+    (`feature.parquet`, float32 — the reference quantizes harder, to a
+    9-significant-bit freq via FeatureField; we keep float32 and score
+    in float64, documented precision difference). Nulls = doc has no
+    feature (the query's mask). Negative values are rejected exactly
+    like the reference mapper."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values.cast(pa.float32())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    else:
+        arr = pa.array(list(values), type=pa.float32())
+    vals = arr.to_numpy(zero_copy_only=False)
+    finite = vals[~np.isnan(vals)]
+    if finite.size and float(finite.min()) < 0:
+        raise ValueError(
+            f"rank_feature field {spec.name!r} requires non-negative values"
+        )
+    os.makedirs(fdir, exist_ok=True)
+    pq.write_table(pa.table({"value": arr}), os.path.join(fdir, "feature.parquet"))
+    return {
+        "analyzer": "rank_feature",
+        "source": spec.source,
+        "kind": "rank_feature",
+        "sum_dl": 0,       # no token lengths: numeric doc-values field
+        "term_count": 0,
+        "value_count": int(finite.size),
+        # per-segment sum of ln(v) over positive values -> the
+        # coordinator can derive the reference's default pivot
+        # (geometric mean of feature values) globally
+        "sum_ln": float(np.log(finite[finite > 0]).sum()) if finite.size else 0.0,
+        "positive_count": int((finite > 0).sum()),
+    }
 
 
 def _build_field_index(
@@ -396,6 +436,8 @@ class SegmentReader:
         The primary analyzed field answers to 'text'."""
         if name == "text":
             return self
+        if self.fields_meta.get(name, {}).get("analyzer") == "rank_feature":
+            return None  # numeric doc-values field, not a text sub-index
         fr = self._field_readers.get(name, False)
         if fr is False:
             fd = os.path.join(self.seg_dir, f"field={name}")
@@ -406,6 +448,26 @@ class SegmentReader:
             )
             self._field_readers[name] = fr
         return fr
+
+    def rank_feature_values(self, name: str) -> np.ndarray:
+        """Doc-values of a rank_feature field: float64 array (NaN = doc
+        has no feature), loaded once per reader."""
+        cache = getattr(self, "_rank_features", None)
+        if cache is None:
+            cache = self._rank_features = {}
+        vals = cache.get(name)
+        if vals is None:
+            if self.fields_meta.get(name, {}).get("analyzer") != "rank_feature":
+                raise ValueError(
+                    f"{name!r} is not an index-time rank_feature field "
+                    f"(build with FieldSpec(analyzer='rank_feature'))"
+                )
+            t = pq.read_table(
+                os.path.join(self.seg_dir, f"field={name}", "feature.parquet")
+            )
+            vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cache[name] = vals
+        return vals
 
     def derived_field(self, name: str):
         """Lazy segment-local index over a stored column (the multi-field

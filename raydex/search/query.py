@@ -199,6 +199,23 @@ class DistanceFeature(Query):
 
 
 @dataclass
+class RankFeature(Query):
+    """`rank_feature` (mapper-extras RankFeatureQueryBuilder.java:48-190):
+    matches docs that HAVE the feature, scoring boost * fn(v) with
+    fn = saturation v/(v+pivot) | log ln(scaling_factor+v) |
+    sigmoid v^exp/(v^exp+pivot^exp) | linear v. Default saturation
+    pivot = geometric mean of the segment's positive feature values
+    (the reference's index-statistics default, per-shard there,
+    per-segment here)."""
+
+    fld: str = ""
+    function: str = "saturation"
+    pivot: float | None = None
+    scaling_factor: float | None = None
+    exponent: float | None = None
+
+
+@dataclass
 class ScriptQuery(Query):
     """`script` query (ScriptQueryBuilder.java): a registered Python
     predicate over the segment's stored columns — the scripting surface
@@ -388,6 +405,27 @@ def parse_query(d: dict) -> Query:
             values=tuple(v["terms"]),
             minimum_should_match=msm if isinstance(msm, int) else 1,
             boost=v.get("boost", 1.0),
+        )
+    if kind == "rank_feature":
+        fn, params = "saturation", {}
+        for name in ("saturation", "log", "sigmoid", "linear"):
+            if name in body:
+                fn, params = name, body[name] or {}
+                break
+        if fn == "log" and "scaling_factor" not in params:
+            raise ValueError("rank_feature log requires scaling_factor")
+        if fn == "sigmoid" and not {"pivot", "exponent"} <= params.keys():
+            raise ValueError("rank_feature sigmoid requires pivot and exponent")
+        return RankFeature(
+            fld=body["field"],
+            function=fn,
+            pivot=(float(params["pivot"]) if "pivot" in params else None),
+            scaling_factor=(
+                float(params["scaling_factor"])
+                if "scaling_factor" in params else None
+            ),
+            exponent=(float(params["exponent"]) if "exponent" in params else None),
+            boost=body.get("boost", 1.0),
         )
     if kind == "distance_feature":
         return DistanceFeature(
@@ -1148,6 +1186,24 @@ class SegmentEvaluator:
                 cnt += m
             mask = cnt >= max(1, q.minimum_should_match)
             return q.boost * np.where(mask, scores, 0.0), mask
+        if isinstance(q, RankFeature):
+            vals = self.r.rank_feature_values(q.fld)
+            mask = ~np.isnan(vals)
+            v = np.where(mask, vals, 0.0)
+            if q.function == "saturation":
+                pivot = q.pivot
+                if pivot is None:
+                    pos = vals[mask & (vals > 0)]
+                    pivot = float(np.exp(np.log(pos).mean())) if pos.size else 1.0
+                s = v / (v + pivot)
+            elif q.function == "log":
+                s = np.log(q.scaling_factor + v)
+            elif q.function == "sigmoid":
+                vp = v ** q.exponent
+                s = vp / (vp + q.pivot ** q.exponent)
+            else:  # linear (FeatureField.newLinearQuery)
+                s = v
+            return np.where(mask, q.boost * s, 0.0), mask
         if isinstance(q, DistanceFeature):
             vals = self.r.dl.astype(np.float64)
             dist = np.abs(vals - q.origin)

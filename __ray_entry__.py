@@ -35,9 +35,10 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v4_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v5_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
+    from raydex.analysis.sayt import sayt_subfield_specs
     from raydex.index.build import build_index
     from raydex.index.segment import FieldSpec
 
@@ -67,7 +68,13 @@ def _docs_index_dir(sf_dir: str) -> str:
                 store_positions=True,
                 fields=[FieldSpec("url", source="url", analyzer="keywordish"),
                         FieldSpec("quality", source="quality",
-                                  analyzer="rank_feature")])
+                                  analyzer="rank_feature")]
+                # text is also a search_as_you_type field: _2gram/_3gram
+                # shingles + the edge-gram _index_prefix sub-field, so
+                # match_bool_prefix gates run the DEDICATED-structure
+                # path (single term lookup), not prefix expansion
+                + sayt_subfield_specs("text", source="text",
+                                      max_shingle_size=3))
     return idx
 
 
@@ -1108,10 +1115,12 @@ def q_metric_aggs_nchars(sf):
 
 
 def q_dsl_count_suite(sf):
-    """Nine `_count` DSL gates over the docs index as one (kind, n_docs)
+    """Ten `_count` DSL gates over the docs index as one (kind, n_docs)
     table — match_phrase, prefix, multi_match, combined_fields,
-    match_bool_prefix, match_phrase_prefix, terms_set, query_string,
-    span_near — each kind's count reproduced by its own SQL branch."""
+    match_bool_prefix (via the search_as_you_type ._index_prefix
+    dedicated structure), match_phrase_prefix, terms_set, query_string,
+    span_near, and a term on the ._2gram shingle sub-field — each
+    kind's count reproduced by its own SQL branch."""
     from raydex.search.scatter import LocalSearcher
 
     s = LocalSearcher(_docs_index_dir(sf))
@@ -1137,6 +1146,9 @@ def q_dsl_count_suite(sf):
          {"span_near": {"clauses": [{"span_term": {"text": "batch"}},
                                     {"span_term": {"text": "stream"}}],
                         "slop": 1, "in_order": True}}),
+        # search_as_you_type shingle sub-field: a TERM on text._2gram is
+        # the adjacent-bigram containment check (== phrase semantics)
+        ("j_sayt_2gram_term", {"term": {"text._2gram": "batch stream"}}),
     ]
     return pa.table(
         {
@@ -1696,6 +1708,8 @@ def oracle_sql() -> dict[str, str]:
             "OR ' ' || text || ' ' LIKE '% window %' "
             "UNION ALL SELECT 'i_span_near', COUNT(*) FROM documents "
             "WHERE regexp_matches(' ' || text || ' ', ' batch ([^ ]+ )?stream ')"
+            "UNION ALL SELECT 'j_sayt_2gram_term', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch stream %'"
             ") ORDER BY kind"
         ),
         "nested_lineitems_count": (

@@ -190,6 +190,8 @@ def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> Analyzer:
 
 
 def get_analyzer(name: str) -> Analyzer:
+    if name not in _REGISTRY and name.startswith("sayt_"):
+        import raydex.analysis.sayt  # noqa: F401  (registers sayt_* analyzers)
     return _REGISTRY[name]
 
 

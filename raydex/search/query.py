@@ -1126,7 +1126,20 @@ class SegmentEvaluator:
                 mask |= m
             # last term: constant-score prefix (the reference's rewrite)
             pmask = np.zeros(n, dtype=bool)
-            if q.fld == "text":
+            last = terms[-1]
+            # search_as_you_type acceleration: when the field has a
+            # `<field>._index_prefix` sub-field (edge-grams of
+            # trailing-filler shingles, SearchAsYouTypeFieldMapper
+            # PrefixFieldType.prefixQuery:360), the prefix is a TERM in
+            # that field — one dict lookup instead of a prefix expansion.
+            # Out-of-range lengths fall back, as the reference does.
+            pfr = self._field_reader(f"{q.fld}._index_prefix")
+            if pfr is not None and 1 <= len(last) <= 20:
+                ti = pfr.lookup(last)
+                if ti >= 0:
+                    ids, _ = pfr.postings(ti)
+                    pmask[ids] = True
+            elif q.fld == "text":
                 for ti in expand_prefix(self.r, terms[-1]):
                     ids, _ = self.r.postings(ti)
                     pmask[ids] = True

@@ -100,6 +100,8 @@ def main(argv=None) -> int:
     sg.add_argument("--mode", default="term",
                     choices=["term", "phrase", "completion"])
     sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--field", default=None,
+                    help="dedicated completion field name (mode=completion)")
 
     a = p.parse_args(argv)
 
@@ -184,13 +186,26 @@ def main(argv=None) -> int:
             term_suggest,
         )
 
-        r = SegmentReader(segment_dirs(a.index)[0])
-        if a.mode == "term":
-            print(json.dumps(term_suggest(r, a.text, size=a.size)))
-        elif a.mode == "phrase":
-            print(json.dumps(phrase_suggest_lm(r, a.text, size=a.size)))
+        if a.mode == "completion" and a.field:
+            from raydex.search.suggest import (
+                completion_field_suggest,
+                merge_completion_options,
+            )
+
+            per_seg = [
+                completion_field_suggest(SegmentReader(sd), a.field, a.text,
+                                         size=a.size)
+                for sd in segment_dirs(a.index)
+            ]
+            print(json.dumps(merge_completion_options(per_seg, size=a.size)))
         else:
-            print(json.dumps(completion_suggest(r, a.text, size=a.size)))
+            r = SegmentReader(segment_dirs(a.index)[0])
+            if a.mode == "term":
+                print(json.dumps(term_suggest(r, a.text, size=a.size)))
+            elif a.mode == "phrase":
+                print(json.dumps(phrase_suggest_lm(r, a.text, size=a.size)))
+            else:
+                print(json.dumps(completion_suggest(r, a.text, size=a.size)))
     import ray
 
     if ray.is_initialized():

@@ -114,6 +114,9 @@ def build_segment(
         if spec.analyzer == "rank_feature":
             fields_meta[spec.name] = _build_rank_feature(fdir, spec, values)
             continue
+        if spec.analyzer == "completion":
+            fields_meta[spec.name] = _build_completion(fdir, spec, values)
+            continue
         fm = _build_field_index(
             fdir, urls, values, spec.analyzer, input_fragments,
             f"{seg_id}-f-{spec.name}", spec.store_positions,
@@ -167,6 +170,67 @@ def _build_rank_feature(fdir: str, spec: FieldSpec, values) -> dict:
         # (geometric mean of feature values) globally
         "sum_ln": float(np.log(finite[finite > 0]).sum()) if finite.size else 0.0,
         "positive_count": int((finite > 0).sum()),
+    }
+
+
+def _build_completion(fdir: str, spec: FieldSpec, values) -> dict:
+    """completion field (`CompletionFieldMapper.java`, suggest/completion):
+    the reference builds a weighted FST over per-doc suggestion inputs;
+    here the dedicated structure is an input-SORTED arrow table
+    (input, weight, docid) — prefix search = one binary-search range +
+    top-k by weight, the same contract (top weighted completions for a
+    prefix) with O(log n + range) lookups.
+
+    Source column: struct<input: string, weight: int> (multiple inputs
+    per doc via list<struct> also accepted) or a plain string column
+    (weight=1)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    inputs: list[str] = []
+    weights: list[int] = []
+    docids: list[int] = []
+
+    def add(d: int, item) -> None:
+        if item is None:
+            return
+        if isinstance(item, str):
+            inputs.append(item); weights.append(1); docids.append(d)
+        elif isinstance(item, dict):
+            if item.get("input") is None:
+                return
+            inputs.append(str(item["input"]))
+            weights.append(int(item.get("weight") or 1))
+            docids.append(d)
+        elif isinstance(item, list):
+            for sub in item:
+                add(d, sub)
+        else:
+            raise ValueError(
+                f"completion field {spec.name!r}: unsupported entry {type(item)}"
+            )
+
+    for d, item in enumerate(values.to_pylist()):
+        add(d, item)
+    order = np.lexsort(
+        (np.asarray(docids, dtype=np.int64),
+         np.asarray(inputs, dtype=object))
+    ) if inputs else np.empty(0, dtype=np.int64)
+    t = pa.table(
+        {
+            "input": pa.array(np.asarray(inputs, dtype=object)[order], pa.string()),
+            "weight": pa.array(np.asarray(weights, dtype=np.int64)[order]),
+            "docid": pa.array(np.asarray(docids, dtype=np.int64)[order]),
+        }
+    )
+    os.makedirs(fdir, exist_ok=True)
+    pq.write_table(t, os.path.join(fdir, "completion.parquet"))
+    return {
+        "analyzer": "completion",
+        "source": spec.source,
+        "kind": "completion",
+        "sum_dl": 0,
+        "term_count": len(inputs),
+        "input_count": len(inputs),
     }
 
 
@@ -436,8 +500,10 @@ class SegmentReader:
         The primary analyzed field answers to 'text'."""
         if name == "text":
             return self
-        if self.fields_meta.get(name, {}).get("analyzer") == "rank_feature":
-            return None  # numeric doc-values field, not a text sub-index
+        if self.fields_meta.get(name, {}).get("analyzer") in (
+            "rank_feature", "completion"
+        ):
+            return None  # dedicated structure, not a text sub-index
         fr = self._field_readers.get(name, False)
         if fr is False:
             fd = os.path.join(self.seg_dir, f"field={name}")
@@ -448,6 +514,30 @@ class SegmentReader:
             )
             self._field_readers[name] = fr
         return fr
+
+    def completion_field(self, name: str):
+        """(inputs sorted, weights, docids) of a completion field —
+        loaded once per reader (the opened-FST analogue)."""
+        cache = getattr(self, "_completion_fields", None)
+        if cache is None:
+            cache = self._completion_fields = {}
+        entry = cache.get(name)
+        if entry is None:
+            if self.fields_meta.get(name, {}).get("analyzer") != "completion":
+                raise ValueError(
+                    f"{name!r} is not an index-time completion field "
+                    f"(build with FieldSpec(analyzer='completion'))"
+                )
+            t = pq.read_table(
+                os.path.join(self.seg_dir, f"field={name}", "completion.parquet")
+            )
+            entry = (
+                np.asarray(t["input"].to_pylist(), dtype=object),
+                t["weight"].to_numpy(),
+                t["docid"].to_numpy(),
+            )
+            cache[name] = entry
+        return entry
 
     def rank_feature_values(self, name: str) -> np.ndarray:
         """Doc-values of a rank_feature field: float64 array (NaN = doc

@@ -150,3 +150,54 @@ def phrase_suggest_lm(reader, text: str, max_edits: int = 1,
         if len(out) >= size:
             break
     return out
+
+
+def completion_field_suggest(reader, field: str, prefix: str, size: int = 5,
+                             skip_duplicates: bool = False) -> list[dict]:
+    """`completion` suggester over a DEDICATED index-time completion
+    field (``CompletionFieldMapper.java`` + ``suggest/completion/``):
+    one binary-search range over the input-sorted table (the weighted-FST
+    prefix walk analogue), top-``size`` by (weight desc, input asc,
+    docid asc). ``skip_duplicates`` keeps the best-weighted option per
+    distinct input (TopSuggestDocsCollector's dedup mode)."""
+    import numpy as np
+
+    inputs, weights, docids = reader.completion_field(field)
+    lo = int(np.searchsorted(inputs, prefix, side="left"))
+    hi = int(np.searchsorted(inputs, prefix + "\U0010FFFF", side="left"))
+    cand = [
+        (int(-weights[i]), str(inputs[i]), int(docids[i]))
+        for i in range(lo, hi)
+        if str(inputs[i]).startswith(prefix)
+    ]
+    cand.sort()
+    out, seen = [], set()
+    for negw, text, d in cand:
+        if skip_duplicates:
+            if text in seen:
+                continue
+            seen.add(text)
+        out.append({"text": text, "weight": -negw, "url": reader.url_of(d)})
+        if len(out) >= size:
+            break
+    return out
+
+
+def merge_completion_options(per_segment: list[list[dict]], size: int = 5,
+                             skip_duplicates: bool = False) -> list[dict]:
+    """Coordinator-side reduce for scatter-gathered completion options
+    (same contract as TopDocs.merge: weight desc, text asc)."""
+    allc = sorted(
+        (o for seg in per_segment for o in seg),
+        key=lambda o: (-o["weight"], o["text"], o["url"]),
+    )
+    out, seen = [], set()
+    for o in allc:
+        if skip_duplicates:
+            if o["text"] in seen:
+                continue
+            seen.add(o["text"])
+        out.append(o)
+        if len(out) >= size:
+            break
+    return out

@@ -1,0 +1,146 @@
+"""Dedicated completion field type (``CompletionFieldMapper.java`` +
+``search/suggest/completion/``): index-time input-sorted weighted table
+per segment (the weighted-FST analogue), prefix search = binary-search
+range + top-k by weight, scatter-merge across segments.
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.index.build import build_index, segment_dirs
+from raydex.index.segment import FieldSpec, SegmentReader
+from raydex.search.suggest import (
+    completion_field_suggest,
+    merge_completion_options,
+)
+
+SUGG = [
+    ("sugar", 7), ("suggest", 30), ("suggestion", 20), ("sun", 5),
+    ("summer", 12), ("table", 9), ("tablet", 25), ("suggestive", 2),
+    ("sum", 40), ("tab", 1),
+]
+
+
+def _corpus():
+    n = len(SUGG)
+    return pa.table(
+        {
+            "url": pa.array([f"s{i}.example/p/{i}" for i in range(n)]),
+            "warc_ts": pa.array(list(range(n)), pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array([f"doc {i}" for i in range(n)], pa.large_string()),
+            "sugg": pa.array(
+                [{"input": s, "weight": w} for s, w in SUGG],
+                pa.struct([("input", pa.string()), ("weight", pa.int64())]),
+            ),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("comp_pages") / "pages.parquet")
+    pq.write_table(_corpus(), p)
+    idx = str(tmp_path_factory.mktemp("comp_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=2, analyzer="standard", source="text",
+        fields=[FieldSpec("sugg", source="sugg", analyzer="completion")],
+    )
+    return idx, m
+
+
+def _scatter(idx, m, prefix, size=5, skip_duplicates=False):
+    per_seg = [
+        completion_field_suggest(SegmentReader(sd), "sugg", prefix, size=size,
+                                 skip_duplicates=skip_duplicates)
+        for sd in segment_dirs(idx, m)
+    ]
+    return merge_completion_options(per_seg, size=size,
+                                    skip_duplicates=skip_duplicates)
+
+
+def test_layout_and_manifest(built):
+    idx, m = built
+    assert m["fields"]["sugg"]["analyzer"] == "completion"
+    total = 0
+    for sd in segment_dirs(idx, m):
+        r = SegmentReader(sd)
+        inputs, weights, docids = r.completion_field("sugg")
+        assert list(inputs) == sorted(inputs)  # the dedicated sort
+        assert r.field("sugg") is None
+        total += len(inputs)
+    assert total == len(SUGG)
+
+
+@pytest.mark.parametrize(
+    "prefix,expected",
+    [
+        # top by weight desc then text asc — the reference's collector order
+        ("su", ["sum", "suggest", "suggestion", "summer", "sugar"]),
+        ("sugg", ["suggest", "suggestion", "suggestive"]),
+        ("tab", ["tablet", "table", "tab"]),
+        ("z", []),
+        ("suggestz", []),
+    ],
+)
+def test_prefix_topk(built, prefix, expected):
+    idx, m = built
+    got = [o["text"] for o in _scatter(idx, m, prefix, size=5)]
+    assert got == expected
+
+
+def test_weights_and_urls(built):
+    idx, m = built
+    opts = _scatter(idx, m, "sugg", size=3)
+    byname = dict((s, w) for s, w in SUGG)
+    for o in opts:
+        assert o["weight"] == byname[o["text"]]
+        i = [s for s, _ in SUGG].index(o["text"])
+        assert o["url"] == f"s{i}.example/p/{i}"
+
+
+def test_plain_string_column(ray_session, tmp_path_factory):
+    """A bare string source column is accepted with weight=1."""
+    t = pa.table(
+        {
+            "url": pa.array(["a.example/1", "b.example/2"]),
+            "warc_ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array(["x", "y"], pa.large_string()),
+            "sugg": pa.array(["hello", "help"], pa.string()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("comp_str") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("comp_str_idx") / "index")
+    m = build_index(p, idx, num_partitions=1, analyzer="standard",
+                    source="text",
+                    fields=[FieldSpec("sugg", "sugg", "completion")])
+    got = _scatter(idx, m, "hel", size=5)
+    assert [o["text"] for o in got] == ["hello", "help"]
+    assert all(o["weight"] == 1 for o in got)
+
+
+def test_skip_duplicates(ray_session, tmp_path_factory):
+    t = pa.table(
+        {
+            "url": pa.array([f"d{i}.example/{i}" for i in range(3)]),
+            "warc_ts": pa.array([1, 2, 3], pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array(["x", "y", "z"], pa.large_string()),
+            "sugg": pa.array(
+                [{"input": "dup", "weight": 5}, {"input": "dup", "weight": 9},
+                 {"input": "dupx", "weight": 1}],
+                pa.struct([("input", pa.string()), ("weight", pa.int64())]),
+            ),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("comp_dup") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("comp_dup_idx") / "index")
+    m = build_index(p, idx, num_partitions=1, analyzer="standard",
+                    source="text",
+                    fields=[FieldSpec("sugg", "sugg", "completion")])
+    dedup = _scatter(idx, m, "du", size=5, skip_duplicates=True)
+    assert [(o["text"], o["weight"]) for o in dedup] == [("dup", 9), ("dupx", 1)]
+    full = _scatter(idx, m, "du", size=5)
+    assert [(o["text"], o["weight"]) for o in full] == [
+        ("dup", 9), ("dup", 5), ("dupx", 1)]

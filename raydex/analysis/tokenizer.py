@@ -88,6 +88,27 @@ def tokenize(text: str) -> list[str]:
     return toks
 
 
+def tokenize_with_offsets(text: str) -> list[tuple[int, int, str]]:
+    """Like :func:`tokenize` but over the ORIGINAL text, returning
+    (char_start, char_end, lowercased token) per token — the
+    position -> offset table the fast-vector highlighter needs. Token
+    boundaries match :func:`tokenize` of the lowered text (the word
+    classes are case-insensitive); overlong tokens split in place."""
+    rx = _TOKEN_RE_ASCII if text.isascii() else _TOKEN_RE
+    out = []
+    for m in rx.finditer(text):
+        tok = m.group(0).lower()
+        if len(tok) <= MAX_TOKEN_LENGTH:
+            out.append((m.start(), m.end(), tok))
+        else:
+            for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+                out.append(
+                    (m.start() + i, min(m.start() + i + MAX_TOKEN_LENGTH, m.end()),
+                     tok[i : i + MAX_TOKEN_LENGTH])
+                )
+    return out
+
+
 def standard_analyze_with_positions(
     text: str, stopwords: frozenset[str] | None = None
 ) -> tuple[list[str], list[int]]:

@@ -8,6 +8,7 @@ hit cluster, with hits wrapped in pre/post tags.
 
 from __future__ import annotations
 
+import numpy as np
 import regex
 
 from raydex.analysis.tokenizer import get_analyzer
@@ -156,3 +157,101 @@ def unified_highlight(
         out.append(text[pos:hi])
         frags.append("".join(out).strip())
     return frags
+
+
+def _pack_fragments(text, spans, pre_tag, post_tag, fragment_size,
+                    number_of_fragments):
+    """Greedy fragment packing around hit spans (shared by plain + FVH)."""
+    frags = []
+    used_until = -1
+    for s, e in spans:
+        if s < used_until:
+            continue
+        lo = max(0, s - fragment_size // 2)
+        hi = min(len(text), lo + fragment_size)
+        inside = [(a, b) for a, b in spans if a >= lo and b <= hi]
+        out = []
+        pos = lo
+        for a, b in inside:
+            out.append(text[pos:a])
+            out.append(pre_tag + text[a:b] + post_tag)
+            pos = b
+        out.append(text[pos:hi])
+        frags.append("".join(out).strip())
+        used_until = hi
+        if len(frags) >= number_of_fragments:
+            break
+    return frags
+
+
+def fvh_highlight(
+    reader,
+    docid: int,
+    text: str,
+    query_terms: set[str] | None = None,
+    phrases: list[list[str]] | None = None,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    fragment_size: int = 100,
+    number_of_fragments: int = 3,
+) -> list[str]:
+    """Fast-vector-highlighter analogue
+    (``search/fetch/subphase/highlight/FastVectorHighlighter.java``,
+    requires ``term_vector=with_positions_offsets`` in the reference):
+    match POSITIONS come from the POSITIONAL POSTINGS — the index
+    structure, not a text re-scan — which is what makes FVH
+    phrase-accurate: a phrase highlights ONLY where its terms are
+    position-adjacent, while the plain highlighter marks every member
+    term. The reference reads stored character offsets; raydex's index
+    stores positions (not offsets), so the position->offset table is
+    rebuilt in ONE tokenization pass over the doc being highlighted
+    (documented difference — O(doc) per highlighted hit either way).
+
+    Requires a positional index (``store_positions=True``)."""
+    from raydex.analysis.tokenizer import tokenize_with_offsets
+
+    # position -> char span table (positions are pre-stop-filter
+    # ordinals, exactly the build's assignment)
+    offs = tokenize_with_offsets(text)
+
+    def doc_positions(term: str) -> np.ndarray:
+        ti = reader.lookup(term)
+        if ti < 0:
+            return np.empty(0, dtype=np.int64)
+        ids, tfs, pos, po = reader.postings_with_positions(ti)
+        j = int(np.searchsorted(ids, docid))
+        if j >= ids.size or ids[j] != docid:
+            return np.empty(0, dtype=np.int64)
+        return pos[po[j] : po[j + 1]]
+
+    spans: list[tuple[int, int]] = []
+    for t in query_terms or ():
+        for p in doc_positions(t):
+            if p < len(offs):
+                spans.append((offs[p][0], offs[p][1]))
+    for ph in phrases or ():
+        if not ph:
+            continue
+        base = doc_positions(ph[0])
+        ok = base
+        for k, t in enumerate(ph[1:], start=1):
+            nxt = doc_positions(t)
+            ok = ok[np.isin(ok + k, nxt)]
+            if not ok.size:
+                break
+        for p0 in ok:
+            last = p0 + len(ph) - 1
+            if last < len(offs):
+                spans.append((offs[int(p0)][0], offs[int(last)][1]))
+    if not spans:
+        return []
+    # merge overlaps (a term hit inside a phrase hit must not double-tag)
+    spans.sort()
+    merged = [spans[0]]
+    for s, e in spans[1:]:
+        if s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return _pack_fragments(text, merged, pre_tag, post_tag, fragment_size,
+                           number_of_fragments)

@@ -64,6 +64,9 @@ def main(argv=None) -> int:
                    help="paging offset (from+k capped at max_result_window)")
     s.add_argument("--operator", default="or", choices=["or", "and"])
     s.add_argument("--actors", type=int, default=0, help="0 = local in-process")
+    s.add_argument("--sort", default=None,
+                   help="field:order (e.g. dl:asc) — field-sorted hits "
+                        "with index-sort early termination; needs --dsl")
 
     c = sub.add_parser("count")
     c.add_argument("--index", required=True)
@@ -131,7 +134,13 @@ def main(argv=None) -> int:
             searcher = RaySearcher(a.index, num_actors=a.actors)
         else:
             searcher = LocalSearcher(a.index)
-        if a.dsl:
+        if a.sort:
+            field, _, order = a.sort.partition(":")
+            hits = searcher.search_sorted(
+                json.loads(a.dsl) if a.dsl else {"match_all": {}},
+                sort_field=field, order=order or "asc", k=a.k,
+            )
+        elif a.dsl:
             hits = searcher.search_query(json.loads(a.dsl), k=a.k, from_=a.from_)
         else:
             hits = searcher.search(a.query or "", k=a.k, operator=a.operator,

@@ -151,6 +151,97 @@ class SegmentGroup:
             out.append((o, ids.tolist(), sc.tolist(), urls))
         return out
 
+    _SORT_RANGES = {"dl": ("min_dl", "max_dl"), "url": ("min_url", "max_url")}
+
+    def sorted_top_k(self, qdict: dict, sort_field: str, order: str, k: int,
+                     ndocs: int, sum_dl: int, df: dict[str, int],
+                     analyzer_name: str, fdf: dict | None = None,
+                     field_sum_dl: dict | None = None):
+        """Field-sorted top-k with index-sort early termination — the
+        reference's FieldSortBuilder + BottomSortValuesCollector
+        (``action/search/BottomSortValuesCollector.java``,
+        ``search/sort/FieldSortBuilder.java``): segments are visited in
+        sort-range order (min asc / max desc — the can-match survivor
+        ordering, CanMatchPreFilterSearchPhase.java:138) and, once k
+        hits are collected, a segment whose whole [min, max] range lies
+        beyond the current bottom is SKIPPED without evaluation.
+        ``last_sort_skipped`` counts skips (testable).
+
+        Sortable doc-values: ``dl`` (int64) and ``url`` (string) —
+        the stored per-doc columns. Tie-break (value, ordinal, docid),
+        the reference's shard-index then doc-id rule. Returns hits
+        sorted, each {url, sort_value, ordinal, docid}."""
+        from raydex.search.query import SegmentEvaluator, parse_query
+
+        if sort_field not in self._SORT_RANGES:
+            raise ValueError(
+                f"unsupported sort field {sort_field!r}; stored doc-values: "
+                f"{sorted(self._SORT_RANGES)}"
+            )
+        if order not in ("asc", "desc"):
+            raise ValueError("order must be 'asc' or 'desc'")
+        lo_key, hi_key = self._SORT_RANGES[sort_field]
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
+                            fdf=fdf, field_sum_dl=field_sum_dl)
+        q = parse_query(qdict)
+        an = get_analyzer(analyzer_name)
+        pairs = list(zip(self.readers, self.ordinals))
+        # visit order: most-promising first (the survivor ordering) —
+        # min asc for asc sorts, max desc for desc sorts; segments
+        # without range metadata are never skipped (the is-not-None
+        # guard below), only possibly visited late
+        default = 0 if sort_field == "dl" else ""
+        if order == "asc":
+            pairs.sort(key=lambda p: p[0].manifest.get(lo_key) or default)
+        else:
+            pairs.sort(key=lambda p: p[0].manifest.get(hi_key) or default,
+                       reverse=True)
+        def canon_sort(rows):
+            rows.sort(key=lambda h: (h[1], h[2]))                 # ties
+            rows.sort(key=lambda h: h[0], reverse=(order == "desc"))
+            return rows
+
+        self.last_sort_skipped = 0
+        out: list[tuple] = []  # (value, ordinal, docid), canon-sorted, <=k
+        for r, o in pairs:
+            if len(out) >= k:
+                bottom = out[-1][0]
+                seg_lo, seg_hi = r.manifest.get(lo_key), r.manifest.get(hi_key)
+                if order == "asc" and seg_lo is not None and seg_lo > bottom:
+                    self.last_sort_skipped += 1
+                    continue
+                if order == "desc" and seg_hi is not None and seg_hi < bottom:
+                    self.last_sort_skipped += 1
+                    continue
+            ev = SegmentEvaluator(r, stats, an)
+            _, mask = ev.eval(q)
+            cand = np.flatnonzero(mask)
+            if not cand.size:
+                continue
+            if sort_field == "dl":
+                v = r.dl[cand]
+                if cand.size > k:  # per-segment narrowing before the sort
+                    part = (np.argpartition(v, k - 1)[:k] if order == "asc"
+                            else np.argpartition(-v, k - 1)[:k])
+                    cand, v = cand[part], v[part]
+                seg_vals = [int(x) for x in v]
+            else:  # url (string doc-values)
+                seg_vals = [r.url_of(int(d)) for d in cand]
+            out.extend((val, o, int(d)) for val, d in zip(seg_vals, cand))
+            out = canon_sort(out)[:k]
+        return [
+            {"url": self._url_of(o, d), "sort_value": val,
+             "ordinal": o, "docid": d}
+            for val, o, d in out
+        ]
+
+    def _url_of(self, ordinal: int, docid: int) -> str:
+        r = self.readers[self.ordinals.index(ordinal)]
+        return r.url_of(docid)
+
+    def sort_skipped(self) -> int:
+        return getattr(self, "last_sort_skipped", 0)
+
     def query_count(self, qdict: dict, ndocs: int, sum_dl: int,
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
@@ -338,6 +429,17 @@ class LocalSearcher(SearcherBase):
         return self.group.query_count(
             qdict, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
             fdf=fdf, field_sum_dl=self.field_sum_dl,
+        )
+
+    def search_sorted(self, qdict: dict, sort_field: str = "dl",
+                      order: str = "asc", k: int = 10):
+        """Field-sorted hits (`"sort": [{field: order}]`) with
+        BottomSortValuesCollector-style segment skipping — see
+        SegmentGroup.sorted_top_k."""
+        df, fdf = self._query_stats(qdict)
+        return self.group.sorted_top_k(
+            qdict, sort_field, order, k, self.ndocs, self.sum_dl, df,
+            self.manifest["analyzer"], fdf=fdf, field_sum_dl=self.field_sum_dl,
         )
 
 
@@ -544,6 +646,27 @@ class RaySearcher(SearcherBase):
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
         return merge_top_k(per_seg, w)[from_:]
+
+    def search_sorted(self, qdict: dict, sort_field: str = "dl",
+                      order: str = "asc", k: int = 10):
+        """Distributed field sort: each actor runs the sequential
+        bottom-fed early-terminated pass over ITS segment slice (the
+        per-node BottomSortValuesCollector analogue — full parallelism
+        across actors, skipping within each), coordinator merges by
+        (value, ordinal, docid)."""
+        terms, fpairs = self._collect_stats_spec(qdict)
+        df = self._stats(terms) if terms else {}
+        fdf = self._field_stats(fpairs)
+        refs = [
+            a.sorted_top_k.remote(qdict, sort_field, order, k, self.ndocs,
+                                  self.sum_dl, df, self.manifest["analyzer"],
+                                  fdf=fdf, field_sum_dl=self.field_sum_dl)
+            for a in self.actors
+        ]
+        allhits = [h for actor_out in self._ray.get(refs) for h in actor_out]
+        allhits.sort(key=lambda h: (h["ordinal"], h["docid"]))
+        allhits.sort(key=lambda h: h["sort_value"], reverse=(order == "desc"))
+        return allhits[:k]
 
     def count(self, qdict: dict) -> int:
         terms, fpairs = self._collect_stats_spec(qdict)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import regex
 
 from raydex.analysis.tokenizer import ENGLISH_STOP_SET
@@ -124,22 +125,33 @@ def quality_features(ds, text_col: str, id_col: str):
     char_len, word_count (single-space split), punct_count, stop_count,
     upper_count, plus float ratios."""
 
+    stop_arr = pa.array(sorted(ENGLISH_STOP_SET))
+
     def feats(t: pa.Table) -> pa.Table:
-        texts = [str(x) for x in t[text_col].to_pylist()]
-        char_len = [len(s) for s in texts]
-        words = [s.split(" ") for s in texts]
-        wc = [len(w) for w in words]
-        punct = [len(_PUNCT_RE.findall(s)) for s in texts]
-        stop = [sum(1 for w in ws if w.lower() in ENGLISH_STOP_SET) for ws in words]
-        upper = [sum(1 for c in s if c.isupper()) for s in texts]
+        # all-Arrow kernels (RE2 counts + one split), no Python rows —
+        # the r3 vectorization of the r2 per-row loops; byte-identical
+        # outputs (upper_count contract: \p{Lu}, == str.isupper on every
+        # cased letter)
+        txt = pc.fill_null(t[text_col].cast(pa.string()), "")
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        isstop = pc.is_in(pc.utf8_lower(flat), value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        stop = np.bincount(parents[isstop], minlength=len(t)).astype(np.int64)
         return pa.table(
             {
                 id_col: t[id_col],
-                "char_len": pa.array(char_len, pa.int64()),
-                "word_count": pa.array(wc, pa.int64()),
-                "punct_count": pa.array(punct, pa.int64()),
+                "char_len": pc.utf8_length(txt).cast(pa.int64()),
+                "word_count": pc.list_value_length(words).cast(pa.int64()),
+                "punct_count": pc.count_substring_regex(
+                    txt, r"[\p{P}\p{S}]"
+                ).cast(pa.int64()),
                 "stop_count": pa.array(stop, pa.int64()),
-                "upper_count": pa.array(upper, pa.int64()),
+                "upper_count": pc.count_substring_regex(txt, r"\p{Lu}").cast(
+                    pa.int64()
+                ),
             }
         )
 
@@ -150,19 +162,33 @@ def quality_score(ds, text_col: str, id_col: str):
     """Composite quality score in [0,1]: penalize very short docs, high
     punctuation density, and zero stopwords (gibberish heuristic)."""
 
+    stop_arr = pa.array(sorted(ENGLISH_STOP_SET))
+
     def score(t: pa.Table) -> pa.Table:
-        texts = [str(x) for x in t[text_col].to_pylist()]
-        out = []
-        for s in texts:
-            words = s.split()
-            wc = max(1, len(words))
-            punct_ratio = len(_PUNCT_RE.findall(s)) / max(1, len(s))
-            stop_ratio = sum(1 for w in words if w.lower() in ENGLISH_STOP_SET) / wc
-            len_score = min(1.0, wc / 50.0)
-            out.append(
-                round(0.4 * len_score + 0.3 * min(1.0, 4 * stop_ratio) + 0.3 * (1.0 - min(1.0, 5 * punct_ratio)), 6)
-            )
-        return pa.table({id_col: t[id_col], "quality": pa.array(out, pa.float64())})
+        txt = pc.fill_null(t[text_col].cast(pa.string()), "")
+        n = len(t)
+        wc = np.maximum(
+            pc.count_substring_regex(txt, r"\S+").to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        char_len = np.maximum(
+            pc.utf8_length(txt).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        punct = pc.count_substring_regex(txt, r"[\p{P}\p{S}]").to_numpy(
+            zero_copy_only=False
+        )
+        words = pc.utf8_split_whitespace(txt)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        isstop = pc.is_in(pc.utf8_lower(flat), value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        stopc = np.bincount(parents[isstop], minlength=n).astype(np.float64)
+        # float-op order mirrors the scalar version exactly
+        len_score = np.minimum(1.0, (wc / 50.0))
+        stop_part = np.minimum(1.0, 4 * (stopc / wc))
+        punct_part = 1.0 - np.minimum(1.0, 5 * (punct / char_len))
+        q = np.round(0.4 * len_score + 0.3 * stop_part + 0.3 * punct_part, 6)
+        return pa.table({id_col: t[id_col], "quality": pa.array(q, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -171,14 +197,16 @@ def token_counts(ds, text_col: str, id_col: str):
     """whitespace_tokens (split on single space) + bpe-ish subword count."""
 
     def cnt(t: pa.Table) -> pa.Table:
-        texts = [str(x) for x in t[text_col].to_pylist()]
+        txt = pc.fill_null(t[text_col].cast(pa.string()), "")
         return pa.table(
             {
                 id_col: t[id_col],
-                "ws_tokens": pa.array([len(s.split(" ")) for s in texts], pa.int64()),
-                "bpe_tokens": pa.array(
-                    [len(_BPE_RE.findall(s)) for s in texts], pa.int64()
-                ),
+                "ws_tokens": pc.list_value_length(
+                    pc.split_pattern(txt, " ")
+                ).cast(pa.int64()),
+                "bpe_tokens": pc.count_substring_regex(
+                    txt, r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+                ).cast(pa.int64()),
             }
         )
 

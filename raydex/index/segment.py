@@ -117,6 +117,9 @@ def build_segment(
         if spec.analyzer == "completion":
             fields_meta[spec.name] = _build_completion(fdir, spec, values)
             continue
+        if spec.analyzer == "rank_features":
+            fields_meta[spec.name] = _build_rank_features(fdir, spec, values)
+            continue
         fm = _build_field_index(
             fdir, urls, values, spec.analyzer, input_fragments,
             f"{seg_id}-f-{spec.name}", spec.store_positions,
@@ -170,6 +173,58 @@ def _build_rank_feature(fdir: str, spec: FieldSpec, values) -> dict:
         # (geometric mean of feature values) globally
         "sum_ln": float(np.log(finite[finite > 0]).sum()) if finite.size else 0.0,
         "positive_count": int((finite > 0).sum()),
+    }
+
+
+def _build_rank_features(fdir: str, spec: FieldSpec, values) -> dict:
+    """rank_features field (plural — ``RankFeaturesFieldMapper.java``):
+    a SPARSE per-doc map of feature name -> positive float. Stored
+    long-form (docid, name, value) sorted by (name, docid); the reader
+    materializes a dense per-feature doc-values array on first use, so
+    ``rank_feature`` queries on ``<field>.<name>`` run unchanged.
+    Source column: map<string, float> or struct-typed dicts."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    docids: list[int] = []
+    names: list[str] = []
+    vals: list[float] = []
+    for d, item in enumerate(values.to_pylist()):
+        if item is None:
+            continue
+        pairs = item.items() if isinstance(item, dict) else item  # map -> list
+        for k, v in pairs:
+            if v is None:
+                continue
+            v = float(v)
+            if v < 0:
+                raise ValueError(
+                    f"rank_features field {spec.name!r} requires non-negative "
+                    f"values (feature {k!r})"
+                )
+            docids.append(d)
+            names.append(str(k))
+            vals.append(v)
+    order = np.lexsort(
+        (np.asarray(docids, dtype=np.int64), np.asarray(names, dtype=object))
+    ) if names else np.empty(0, dtype=np.int64)
+    t = pa.table(
+        {
+            "docid": pa.array(np.asarray(docids, dtype=np.int64)[order]),
+            "name": pa.array(np.asarray(names, dtype=object)[order], pa.string()),
+            "value": pa.array(
+                np.asarray(vals, dtype=np.float32)[order], pa.float32()
+            ),
+        }
+    )
+    os.makedirs(fdir, exist_ok=True)
+    pq.write_table(t, os.path.join(fdir, "features.parquet"))
+    return {
+        "analyzer": "rank_features",
+        "source": spec.source,
+        "kind": "rank_features",
+        "sum_dl": 0,
+        "term_count": len({*names}),
+        "value_count": len(vals),
     }
 
 
@@ -501,7 +556,7 @@ class SegmentReader:
         if name == "text":
             return self
         if self.fields_meta.get(name, {}).get("analyzer") in (
-            "rank_feature", "completion"
+            "rank_feature", "rank_features", "completion"
         ):
             return None  # dedicated structure, not a text sub-index
         fr = self._field_readers.get(name, False)
@@ -547,15 +602,35 @@ class SegmentReader:
             cache = self._rank_features = {}
         vals = cache.get(name)
         if vals is None:
-            if self.fields_meta.get(name, {}).get("analyzer") != "rank_feature":
+            meta = self.fields_meta.get(name, {})
+            root, _, feat = name.partition(".")
+            if meta.get("analyzer") == "rank_feature":
+                t = pq.read_table(
+                    os.path.join(self.seg_dir, f"field={name}", "feature.parquet")
+                )
+                vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            elif (
+                feat
+                and self.fields_meta.get(root, {}).get("analyzer")
+                == "rank_features"
+            ):
+                # sparse plural field: dense-materialize one feature
+                t = pq.read_table(
+                    os.path.join(self.seg_dir, f"field={root}", "features.parquet")
+                )
+                nm = t["name"].to_numpy(zero_copy_only=False)
+                lo = int(np.searchsorted(nm, feat, side="left"))
+                hi = int(np.searchsorted(nm, feat, side="right"))
+                vals = np.full(self.ndocs, np.nan)
+                vals[t["docid"].to_numpy()[lo:hi]] = (
+                    t["value"].to_numpy(zero_copy_only=False)[lo:hi].astype(np.float64)
+                )
+            else:
                 raise ValueError(
                     f"{name!r} is not an index-time rank_feature field "
-                    f"(build with FieldSpec(analyzer='rank_feature'))"
+                    f"(build with FieldSpec(analyzer='rank_feature') or "
+                    f"query '<rank_features_field>.<feature>')"
                 )
-            t = pq.read_table(
-                os.path.join(self.seg_dir, f"field={name}", "feature.parquet")
-            )
-            vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
             cache[name] = vals
         return vals
 

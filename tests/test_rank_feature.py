@@ -175,3 +175,50 @@ def test_parse_validation(built):
     assert not validate_query(
         {"rank_feature": {"field": "q", "sigmoid": {"pivot": 1.0}}}
     )["valid"]
+
+
+def test_rank_features_plural(ray_session, tmp_path_factory):
+    """rank_features (RankFeaturesFieldMapper.java): sparse per-doc
+    feature map; rank_feature queries target `<field>.<feature>`."""
+    import pyarrow.parquet as pq2
+
+    t = pa.table(
+        {
+            "url": pa.array([f"d{i}.example/{i}" for i in range(6)]),
+            "warc_ts": pa.array(list(range(6)), pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array([f"doc {i}" for i in range(6)], pa.large_string()),
+            "feats": pa.array(
+                [
+                    {"pagerank": 2.0, "spam": 0.5},
+                    {"pagerank": 8.0},
+                    {"spam": 4.0},
+                    None,
+                    {"pagerank": 1.0, "spam": 1.0},
+                    {},
+                ],
+                pa.map_(pa.string(), pa.float64()),
+            ),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("rfs_pages") / "pages.parquet")
+    pq2.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("rfs_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=2, analyzer="standard", source="text",
+        fields=[FieldSpec("feats", source="feats", analyzer="rank_features")],
+    )
+    assert m["fields"]["feats"]["analyzer"] == "rank_features"
+    s = LocalSearcher(idx)
+    hits = s.search_query(
+        {"rank_feature": {"field": "feats.pagerank",
+                          "saturation": {"pivot": 2.0}}}, k=10)
+    got = {h["url"]: h["score"] for h in hits}
+    exp = {"d0.example/0": 2.0 / 4.0, "d1.example/1": 8.0 / 10.0,
+           "d4.example/4": 1.0 / 3.0}
+    assert set(got) == set(exp)
+    for u in got:
+        assert got[u] == pytest.approx(exp[u], rel=1e-6)
+    # the other feature resolves independently
+    assert s.count({"rank_feature": {"field": "feats.spam"}}) == 3
+    # unknown feature of a known plural field -> no matches, no error
+    assert s.count({"rank_feature": {"field": "feats.nope"}}) == 0

@@ -302,3 +302,150 @@ def adjacency_matrix(ds, filters: dict, count_name: str = "doc_count",
             count_name: pa.array(g["n"].tolist(), pa.int64()),
         }
     )
+
+
+def significant_text(ds, text_col: str, foreground_mask_fn, size: int = 10,
+                     filter_duplicate_text: bool = False):
+    """`significant_text` (``bucket/terms/SignificantTextAggregationBuilder``):
+    significant_terms over the TOKENS of a free-text field — per-doc
+    DISTINCT tokens (the reference counts doc frequency, not term
+    frequency), JLH score of foreground vs background doc counts.
+    ``filter_duplicate_text`` drops exact-duplicate docs first (the
+    reference's near-dup noise guard, here exact-hash).
+
+    Map-side combine: one (token, fg, n) partial per batch — tokens never
+    leave the batch as rows-per-occurrence, so the shuffle carries the
+    vocabulary, not the corpus."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col].cast(pa.string()), "")
+        fg = np.asarray(foreground_mask_fn(t), dtype=bool)
+        if filter_duplicate_text:
+            import hashlib
+
+            seen: set = set()
+            keep = np.ones(len(t), dtype=bool)
+            for i, s in enumerate(txt.to_pylist()):
+                h = hashlib.md5(s.encode()).digest()
+                if h in seen:
+                    keep[i] = False
+                else:
+                    seen.add(h)
+            txt, fg = txt.filter(pa.array(keep)), fg[keep]
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        # per-doc distinct: unique (token, doc) pairs
+        dfp = pd.DataFrame({"k": toks, "d": parents}).drop_duplicates()
+        dfp["fg"] = fg[dfp["d"].to_numpy()].astype(np.int64)
+        g = dfp.groupby("k", as_index=False).agg(fg=("fg", "sum"), n=("fg", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("k", as_index=False).sum()
+    fg_total = int(g["fg"].sum())
+    bg_total = int(g["n"].sum())
+    if fg_total == 0 or bg_total == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "doc_count": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    fg_pct = g["fg"] / fg_total
+    bg_pct = g["n"] / bg_total
+    score = np.where(fg_pct > bg_pct, (fg_pct / bg_pct) * (fg_pct - bg_pct), 0.0)
+    g = g.assign(score=score).sort_values(["score", "k"], ascending=[False, True])
+    g = g[g["score"] > 0].head(size)
+    return pa.table(
+        {
+            "term": pa.array(g["k"].astype(str).tolist(), pa.string()),
+            "doc_count": pa.array(g["fg"].tolist(), pa.int64()),
+            "score": pa.array(g["score"].tolist(), pa.float64()),
+        }
+    )
+
+
+def multi_terms(ds, key_cols: list[str], size: int = 10):
+    """`multi_terms` (``bucket/terms/MultiTermsAggregationBuilder``):
+    top-N composite-key buckets by doc count — one groupby over the key
+    tuple, count desc then key asc (the reference's order)."""
+    out = ds.groupby(key_cols).count().to_pandas()
+    cnt = [c for c in out.columns if c not in key_cols][0]
+    out = out.rename(columns={cnt: "doc_count"})
+    out = out.sort_values(
+        ["doc_count", *key_cols], ascending=[False] + [True] * len(key_cols)
+    ).head(size)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def top_metrics(ds, sort_col: str, metric_cols: list[str], order: str = "desc",
+                size: int = 1):
+    """`top_metrics` (``analytics/topmetrics``): the metric values of the
+    docs with the top sort-key values — per-block partial top-N (k rows
+    per block leave the block), driver-side final merge."""
+    cols = [sort_col, *metric_cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        df = df.sort_values(sort_col, ascending=(order == "asc")).head(size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(sort_col, ascending=(order == "asc")).head(size)
+    return pa.Table.from_pandas(parts.reset_index(drop=True), preserve_index=False)
+
+
+def boxplot_agg(ds, col: str, compression: int = 100):
+    """`boxplot` (``analytics/boxplot``): min/max/q1/q2/q3 from the same
+    t-digest engine percentiles uses (merge-law-safe partials) plus exact
+    min/max."""
+    from raydex.ops.tdigest import percentiles_agg
+
+    q = percentiles_agg(ds, col, qs=(0.25, 0.5, 0.75), compression=compression)
+    qv = {r["quantile"]: r["value"] for r in q.to_pylist()}
+    import pyarrow.compute as pc
+
+    def mm(t: pa.Table) -> pa.Table:
+        v = t[col]
+        return pa.table(
+            {"mn": pa.array([pc.min(v).as_py()], pa.float64()),
+             "mx": pa.array([pc.max(v).as_py()], pa.float64())}
+        )
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "min": pa.array([float(parts["mn"].min())], pa.float64()),
+            "q1": pa.array([qv[0.25]], pa.float64()),
+            "q2": pa.array([qv[0.5]], pa.float64()),
+            "q3": pa.array([qv[0.75]], pa.float64()),
+            "max": pa.array([float(parts["mx"].max())], pa.float64()),
+        }
+    )
+
+
+def _register() -> None:
+    from raydex.ops.aggs import register_agg
+    from raydex.ops.hdr import percentiles_hdr
+    from raydex.ops.tdigest import percentiles_agg
+
+    for _n, _f in [
+        ("significant_terms", significant_terms),
+        ("significant_text", significant_text),
+        ("rare_terms", rare_terms),
+        ("multi_terms", multi_terms),
+        ("top_metrics", top_metrics),
+        ("boxplot", boxplot_agg),
+        ("median_absolute_deviation", median_absolute_deviation),
+        ("auto_date_histogram", auto_date_histogram),
+        ("variable_width_histogram", variable_width_histogram),
+        ("adjacency_matrix", adjacency_matrix),
+        ("percentiles", percentiles_agg),
+        ("percentiles_hdr", percentiles_hdr),
+    ]:
+        register_agg(_n, _f)
+
+
+_register()

@@ -689,3 +689,66 @@ def test_duplicated_window_stats_tiny_block(ray_session):
     assert 0 not in out.index
     assert out.loc[1, "dup_windows"] == 1  # "c d e" shared
     assert out.loc[2, "dup_windows"] == 1
+
+
+def test_significant_text_multi_terms_top_metrics_boxplot(docs_ds, con, ray_session, sf_dir):
+    import pyarrow.compute as pc
+
+    from raydex.ops.more_aggs import (
+        boxplot_agg,
+        multi_terms,
+        significant_text,
+        top_metrics,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    # significant_text: tokens over-represented in lang='de' docs — the
+    # German marker words must rank above the shared vocabulary
+    sig = significant_text(
+        ds, "text",
+        lambda t: pc.equal(t["lang"], "de").to_numpy(zero_copy_only=False),
+        size=10,
+    ).to_pandas()
+    assert len(sig) > 0
+    # every scored term must actually be fg-over-represented (JLH > 0)
+    assert (sig["score"] > 0).all()
+    # doc-frequency contract: doc_count <= number of de docs
+    n_de = con.execute("SELECT COUNT(*) FROM documents WHERE lang='de'").fetchone()[0]
+    assert (sig["doc_count"] <= n_de).all()
+    # dedup guard keeps output shape
+    sig2 = significant_text(
+        ds, "text",
+        lambda t: pc.equal(t["lang"], "de").to_numpy(zero_copy_only=False),
+        size=10, filter_duplicate_text=True,
+    ).to_pandas()
+    assert (sig2["score"] > 0).all()
+
+    # multi_terms == SQL GROUP BY two keys ORDER BY count DESC, keys ASC
+    mt = multi_terms(ds, ["lang", "source"], size=8).to_pandas()
+    want = con.execute(
+        "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS doc_count "
+        "FROM documents GROUP BY 1, 2 "
+        "ORDER BY doc_count DESC, lang, source LIMIT 8"
+    ).df()
+    assert mt[["lang", "source", "doc_count"]].values.tolist() == want.values.tolist()
+
+    # top_metrics == SQL ORDER BY sort LIMIT n
+    tm = top_metrics(ds, "n_chars", ["doc_id", "lang"], order="desc", size=3).to_pandas()
+    want = con.execute(
+        "SELECT n_chars, doc_id, lang FROM documents "
+        "ORDER BY n_chars DESC LIMIT 3"
+    ).df()
+    assert tm["n_chars"].tolist() == want["n_chars"].tolist()
+
+    # boxplot: exact min/max, t-digest quartiles within tolerance
+    bp = boxplot_agg(ds, "n_chars").to_pylist()[0]
+    mn, mx = con.execute("SELECT MIN(n_chars), MAX(n_chars) FROM documents").fetchone()
+    assert bp["min"] == float(mn) and bp["max"] == float(mx)
+    for q, col in ((0.25, "q1"), (0.5, "q2"), (0.75, "q3")):
+        exact = con.execute(
+            f"SELECT quantile_cont(n_chars, {q}) FROM documents"
+        ).fetchone()[0]
+        assert abs(bp[col] - float(exact)) / max(float(exact), 1) < 0.05
+    assert bp["min"] <= bp["q1"] <= bp["q2"] <= bp["q3"] <= bp["max"]

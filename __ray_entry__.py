@@ -443,6 +443,75 @@ def q_knn_ivf(sf):
     return full.select(["query_id", "rank", "doc_id"])
 
 
+def _emb_index_dir(sf_dir: str) -> str:
+    """Build (once) an index over the `embeddings` table with an
+    index-time dense_vector field (url := str(vec_id), text :=
+    'label<label>' so DSL filters are SQL-mirrorable)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/raydex_cache/emb_index_v1_{tag}"
+    if os.path.exists(os.path.join(idx, "index_manifest.json")):
+        return idx
+    from raydex.index.build import build_index
+    from raydex.index.segment import FieldSpec
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        return pa.table(
+            {
+                "url": pa.array([str(i) for i in ids], pa.string()),
+                "warc_ts": pa.array(ids.astype("int64")).cast(pa.timestamp("us")),
+                "text": pa.array(
+                    [f"label{l} vec" for l in t["label"].to_pylist()],
+                    pa.large_string(),
+                ),
+                "embedding": t["embedding"],
+            }
+        )
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    build_index(
+        None, idx, num_partitions=4, analyzer="standard_en", source="text",
+        max_docs_per_segment=4000, ray_ds=ds,
+        fields=[FieldSpec("emb", source="embedding", analyzer="dense_vector",
+                          similarity="cosine")],
+    )
+    return idx
+
+
+def q_knn_search_docs(sf):
+    """kNN over an INDEX-TIME dense_vector field (the `_search` `knn`
+    section; `DenseVectorFieldMapper` cosine): per-segment brute top
+    num_candidates -> TopDocs merge = exact global top-k, so the SQL
+    oracle is plain ORDER BY cosine DESC. Tagged union: plain knn +
+    filtered knn (filter = term text='label3' -> label = 3 in SQL),
+    both k=20 over the query vector of vec_id=0."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_emb_index_dir(sf))
+    first = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pos = int(np.flatnonzero(first["vec_id"].to_numpy() == 0)[0])
+    qv = np.asarray(first["embedding"][pos].as_py(), dtype=np.float64)
+    rows = []
+    plain = s.knn_search("emb", qv, k=20, num_candidates=40)
+    for r, h in enumerate(plain):
+        rows.append(("a_plain", r, int(h["url"])))
+    filt = s.knn_search("emb", qv, k=20, num_candidates=40,
+                        filter={"term": {"text": "label3"}})
+    for r, h in enumerate(filt):
+        rows.append(("b_filtered", r, int(h["url"])))
+    return pa.table(
+        {
+            "tag": pa.array([r[0] for r in rows], pa.string()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_minhash_pairs(sf):
     """MinHash-LSH at a SECOND operating point (128 hashes / 32 bands /
     2-gram shingles, J >= 0.8) with a brute-force all-pairs SQL oracle —
@@ -1258,9 +1327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": q_tumbling_window_events,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
+        "knn_search_docs": q_knn_search_docs,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
-        "signature_docs": q_signature_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "pii_redact_docs": q_pii_redact_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -1278,6 +1347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reindex_docs": q_reindex_docs,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
+        # no_oracle (property-tested) gate LAST: if a driver run caps its
+        # window, only the weakest-checked gate falls outside it
+        "signature_docs": q_signature_docs,
     }
 
 
@@ -1833,5 +1905,19 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) - 1 AS INT) "
             "AS rank, e.vec_id FROM embeddings e, q "
             "ORDER BY rank LIMIT 10"
+        ),
+        # index-time dense_vector knn (plain + filtered), exact global
+        # top-20 by the reference's cosine score transform
+        "knn_search_docs": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "a AS (SELECT 'a_plain' AS tag, CAST(ROW_NUMBER() OVER (ORDER BY "
+            "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) - 1 "
+            "AS BIGINT) AS rank, e.vec_id FROM embeddings e, q), "
+            "b AS (SELECT 'b_filtered' AS tag, CAST(ROW_NUMBER() OVER (ORDER BY "
+            "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) - 1 "
+            "AS BIGINT) AS rank, e.vec_id FROM embeddings e, q WHERE e.label = 3) "
+            "SELECT * FROM (SELECT * FROM a WHERE rank < 20 "
+            "UNION ALL SELECT * FROM b WHERE rank < 20) "
+            "ORDER BY tag, rank"
         ),
     }

@@ -200,13 +200,18 @@ class _BuildPartition:
                     # rank_feature global stats (default-pivot inputs)
                     "field_extra": json.dumps(
                         {
-                            f: {
-                                "value_count": fm.get("value_count", 0),
-                                "sum_ln": fm.get("sum_ln", 0.0),
-                                "positive_count": fm.get("positive_count", 0),
-                            }
+                            f: (
+                                {"dims": fm.get("dims", 0),
+                                 "similarity": fm.get("similarity", "cosine")}
+                                if fm.get("kind") == "dense_vector"
+                                else {
+                                    "value_count": fm.get("value_count", 0),
+                                    "sum_ln": fm.get("sum_ln", 0.0),
+                                    "positive_count": fm.get("positive_count", 0),
+                                }
+                            )
                             for f, fm in m.get("fields", {}).items()
-                            if fm.get("kind") == "rank_feature"
+                            if fm.get("kind") in ("rank_feature", "dense_vector")
                         }
                     ),
                 }
@@ -523,13 +528,18 @@ def _build_index_inner(
                     # rank_feature global stats (default-pivot inputs)
                     "field_extra": json.dumps(
                         {
-                            f: {
-                                "value_count": fm.get("value_count", 0),
-                                "sum_ln": fm.get("sum_ln", 0.0),
-                                "positive_count": fm.get("positive_count", 0),
-                            }
+                            f: (
+                                {"dims": fm.get("dims", 0),
+                                 "similarity": fm.get("similarity", "cosine")}
+                                if fm.get("kind") == "dense_vector"
+                                else {
+                                    "value_count": fm.get("value_count", 0),
+                                    "sum_ln": fm.get("sum_ln", 0.0),
+                                    "positive_count": fm.get("positive_count", 0),
+                                }
+                            )
                             for f, fm in m.get("fields", {}).items()
-                            if fm.get("kind") == "rank_feature"
+                            if fm.get("kind") in ("rank_feature", "dense_vector")
                         }
                     ),
                 }
@@ -560,6 +570,8 @@ def _build_index_inner(
             s.name: {"source": s.source, "analyzer": s.analyzer,
                      "positions": bool(s.store_positions),
                      "sum_dl": field_sum_dl.get(s.name, 0),
+                     **({"dims": int(s.dims), "similarity": s.similarity}
+                        if s.analyzer == "dense_vector" else {}),
                      **field_extra.get(s.name, {})}
             for s in fields
         },

@@ -55,20 +55,29 @@ class FieldSpec:
     source: str
     analyzer: str = "keywordish"
     store_positions: bool = False
+    # dense_vector-only params (`DenseVectorFieldMapper.java`, mapper
+    # dims + similarity): ignored by text/keyword kinds
+    dims: int = 0
+    similarity: str = "cosine"
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "name": self.name,
             "source": self.source,
             "analyzer": self.analyzer,
             "store_positions": bool(self.store_positions),
         }
+        if self.analyzer == "dense_vector":
+            out["dims"] = int(self.dims)
+            out["similarity"] = self.similarity
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "FieldSpec":
         return FieldSpec(
             d["name"], d["source"], d.get("analyzer", "keywordish"),
             bool(d.get("store_positions", False)),
+            int(d.get("dims", 0)), d.get("similarity", "cosine"),
         )
 
 
@@ -119,6 +128,9 @@ def build_segment(
             continue
         if spec.analyzer == "rank_features":
             fields_meta[spec.name] = _build_rank_features(fdir, spec, values)
+            continue
+        if spec.analyzer == "dense_vector":
+            fields_meta[spec.name] = _build_dense_vector(fdir, spec, values)
             continue
         fm = _build_field_index(
             fdir, urls, values, spec.analyzer, input_fragments,
@@ -173,6 +185,80 @@ def _build_rank_feature(fdir: str, spec: FieldSpec, values) -> dict:
         # (geometric mean of feature values) globally
         "sum_ln": float(np.log(finite[finite > 0]).sum()) if finite.size else 0.0,
         "positive_count": int((finite > 0).sum()),
+    }
+
+
+_VECTOR_SIMILARITIES = ("cosine", "dot_product", "l2_norm", "max_inner_product")
+
+
+def _build_dense_vector(fdir: str, spec: FieldSpec, values) -> dict:
+    """dense_vector field (``DenseVectorFieldMapper.java``, mapper): one
+    fixed-dims float32 vector per doc, stored as doc-values
+    (``vectors.parquet``, fixed_size_list<float32, dims>). Nulls = doc
+    has no vector (excluded from knn, like the reference's missing
+    vector values). ``similarity='cosine'`` rejects zero-magnitude
+    vectors exactly like the reference mapper; dims are validated per
+    row (the strict-dims contract)."""
+    if spec.similarity not in _VECTOR_SIMILARITIES:
+        raise ValueError(
+            f"dense_vector field {spec.name!r}: unknown similarity "
+            f"{spec.similarity!r}; one of {_VECTOR_SIMILARITIES}"
+        )
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, (pa.ListArray, pa.LargeListArray,
+                               pa.FixedSizeListArray)):
+        values = pa.array(values.to_pylist() if hasattr(values, "to_pylist")
+                          else list(values), type=pa.list_(pa.float32()))
+    lens = pc.list_value_length(values)
+    nn = pc.drop_null(lens)
+    dims = int(spec.dims) or (int(nn[0].as_py()) if len(nn) else 0)
+    if dims <= 0:
+        raise ValueError(
+            f"dense_vector field {spec.name!r}: dims not given and no "
+            f"non-null vector to infer from"
+        )
+    bad = pc.any(pc.not_equal(pc.fill_null(lens, dims), dims)).as_py()
+    if bad:
+        raise ValueError(
+            f"dense_vector field {spec.name!r}: a vector's length != dims "
+            f"({dims})"
+        )
+    ndocs = len(values)
+    valid = np.asarray(pc.is_valid(lens))
+    flat = pc.list_flatten(values).cast(pa.float32())
+    mat = np.full((ndocs, dims), np.nan, dtype=np.float32)
+    if valid.any():
+        mat[valid] = np.asarray(flat).reshape(-1, dims)
+    if spec.similarity == "cosine" and valid.any():
+        mags = np.linalg.norm(mat[valid].astype(np.float64), axis=1)
+        if (mags == 0).any():
+            raise ValueError(
+                f"dense_vector field {spec.name!r}: cosine similarity "
+                f"rejects zero-magnitude vectors (reference mapper contract)"
+            )
+    # plain list<float32> (not fixed_size_list): parquet rejects null FSL
+    # rows ("non-zero length null components"); every non-null row is
+    # dims-long by the validation above, so the reader reshapes safely
+    counts = np.where(valid, dims, 0).astype(np.int64)
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat_valid = mat[valid].reshape(-1) if valid.any() else np.empty(0, np.float32)
+    col = pa.LargeListArray.from_arrays(
+        pa.array(offsets), pa.array(flat_valid, type=pa.float32()),
+        mask=pa.array(~valid),
+    )
+    os.makedirs(fdir, exist_ok=True)
+    pq.write_table(pa.table({"vec": col}), os.path.join(fdir, "vectors.parquet"))
+    return {
+        "analyzer": "dense_vector",
+        "source": spec.source,
+        "kind": "dense_vector",
+        "dims": dims,
+        "similarity": spec.similarity,
+        "sum_dl": 0,
+        "term_count": 0,
+        "value_count": int(valid.sum()),
     }
 
 
@@ -556,7 +642,7 @@ class SegmentReader:
         if name == "text":
             return self
         if self.fields_meta.get(name, {}).get("analyzer") in (
-            "rank_feature", "rank_features", "completion"
+            "rank_feature", "rank_features", "completion", "dense_vector"
         ):
             return None  # dedicated structure, not a text sub-index
         fr = self._field_readers.get(name, False)
@@ -591,6 +677,37 @@ class SegmentReader:
                 t["weight"].to_numpy(),
                 t["docid"].to_numpy(),
             )
+            cache[name] = entry
+        return entry
+
+    def dense_vectors(self, name: str):
+        """(matrix float32 (ndocs, dims) with NaN rows for missing docs,
+        valid docid int64 array, similarity str) of a dense_vector field.
+        Loaded + cached once per reader — the opened-HNSW-graph/doc-values
+        analogue; knn over a pinned segment actor pays the parquet read
+        once."""
+        cache = getattr(self, "_dense_vectors", None)
+        if cache is None:
+            cache = self._dense_vectors = {}
+        entry = cache.get(name)
+        if entry is None:
+            meta = self.fields_meta.get(name, {})
+            if meta.get("analyzer") != "dense_vector":
+                raise ValueError(
+                    f"{name!r} is not an index-time dense_vector field "
+                    f"(build with FieldSpec(analyzer='dense_vector'))"
+                )
+            t = pq.read_table(
+                os.path.join(self.seg_dir, f"field={name}", "vectors.parquet")
+            )
+            col = t["vec"].combine_chunks()
+            dims = int(meta["dims"])
+            valid = np.flatnonzero(np.asarray(pc.is_valid(col)))
+            mat = np.full((self.ndocs, dims), np.nan, dtype=np.float32)
+            if valid.size:
+                # flatten() of a FixedSizeListArray skips null rows
+                mat[valid] = np.asarray(col.flatten()).reshape(-1, dims)
+            entry = (mat, valid, meta.get("similarity", "cosine"))
             cache[name] = entry
         return entry
 

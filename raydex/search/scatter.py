@@ -235,6 +235,36 @@ class SegmentGroup:
             for val, o, d in out
         ]
 
+    def knn_top_k(self, field: str, qvec, num_candidates: int,
+                  filter_qdict: dict | None = None,
+                  ndocs: int = 0, sum_dl: int = 0,
+                  df: dict | None = None, analyzer_name: str = "standard_en",
+                  fdf: dict | None = None, field_sum_dl: dict | None = None):
+        """Per-segment knn phase (raydex.search.knn.segment_knn): each
+        segment returns its top ``num_candidates`` by vector similarity;
+        optional ``filter_qdict`` (any DSL dict) pre-filters candidates
+        (the reference's filtered-knn contract). Same wire shape as
+        query_top_k: [(ordinal, ids, scores, urls)]."""
+        from raydex.search.knn import segment_knn
+
+        flt = None
+        if filter_qdict is not None:
+            from raydex.search.query import SegmentEvaluator, parse_query
+
+            flt = parse_query(filter_qdict)
+            stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df or {},
+                                fdf=fdf, field_sum_dl=field_sum_dl)
+            an = get_analyzer(analyzer_name)
+        out = []
+        for r, o in zip(self.readers, self.ordinals):
+            mask = None
+            if flt is not None:
+                _, mask = SegmentEvaluator(r, stats, an).eval(flt)
+            ids, sc = segment_knn(r, field, qvec, num_candidates, mask)
+            urls = [r.url_of(d) for d in ids]
+            out.append((o, ids.tolist(), sc.tolist(), urls))
+        return out
+
     def _url_of(self, ordinal: int, docid: int) -> str:
         r = self.readers[self.ordinals.index(ordinal)]
         return r.url_of(docid)
@@ -385,6 +415,29 @@ class SearcherBase:
                         if f != "text" and f in self.fields_meta)
         return text_terms, fpairs
 
+    @staticmethod
+    def _combine_hybrid(query_hits: list, knn_hits: list, k: int,
+                        query_boost: float = 1.0, knn_boost: float = 1.0):
+        """Hybrid (query + knn) combination — the reference's rule when a
+        ``_search`` body carries BOTH ``query`` and ``knn``: the knn
+        section contributes its global-top-k scores, the query its own
+        window, and a doc appearing in both sums the boosted scores
+        (``KnnSearchBuilder``/SearchService docs: "score = query_score *
+        boost + knn_score * boost", union of hit sets)."""
+        combined: dict[tuple[int, int], dict] = {}
+        for h in query_hits:
+            key = (h["ordinal"], h["docid"])
+            combined[key] = dict(h, score=h["score"] * query_boost)
+        for h in knn_hits:
+            key = (h["ordinal"], h["docid"])
+            if key in combined:
+                combined[key]["score"] += h["score"] * knn_boost
+            else:
+                combined[key] = dict(h, score=h["score"] * knn_boost)
+        out = sorted(combined.values(),
+                     key=lambda h: (-h["score"], h["ordinal"], h["docid"]))
+        return out[:k]
+
 
 class LocalSearcher(SearcherBase):
     """Single-process searcher (tests / tiny indexes)."""
@@ -440,6 +493,33 @@ class LocalSearcher(SearcherBase):
         return self.group.sorted_top_k(
             qdict, sort_field, order, k, self.ndocs, self.sum_dl, df,
             self.manifest["analyzer"], fdf=fdf, field_sum_dl=self.field_sum_dl,
+        )
+
+    def knn_search(self, field: str, query_vector, k: int = 10,
+                   num_candidates: int = 100, filter: dict | None = None):
+        """kNN over a dense_vector field (the `_search` ``knn`` section):
+        per-segment top num_candidates, merged to the global k."""
+        df, fdf = self._query_stats(filter) if filter is not None else ({}, {})
+        per_seg = self.group.knn_top_k(
+            field, query_vector, max(num_candidates, k), filter, self.ndocs,
+            self.sum_dl, df, self.manifest["analyzer"], fdf=fdf,
+            field_sum_dl=self.field_sum_dl,
+        )
+        return merge_top_k(per_seg, k)
+
+    def hybrid_search(self, qdict: dict, knn: dict, k: int = 10):
+        """Query + knn in one request (the reference's combined `_search`
+        body): see SearcherBase._combine_hybrid for the score rule.
+        ``knn`` = {field, query_vector, k?, num_candidates?, boost?,
+        filter?}."""
+        qhits = self.search_query(qdict, k=k)
+        khits = self.knn_search(
+            knn["field"], knn["query_vector"], k=int(knn.get("k", k)),
+            num_candidates=int(knn.get("num_candidates", 100)),
+            filter=knn.get("filter"),
+        )
+        return self._combine_hybrid(
+            qhits, khits, k, knn_boost=float(knn.get("boost", 1.0))
         )
 
 
@@ -679,6 +759,40 @@ class RaySearcher(SearcherBase):
             for a in self.actors
         ]
         return sum(self._ray.get(refs))
+
+    def knn_search(self, field: str, query_vector, k: int = 10,
+                   num_candidates: int = 100, filter: dict | None = None):
+        """Distributed knn: each actor runs the per-segment candidate
+        phase over its slice (vectors pinned in the actor), coordinator
+        merges num_candidates-lists to the global k."""
+        if filter is not None:
+            terms, fpairs = self._collect_stats_spec(filter)
+            df = self._stats(terms) if terms else {}
+            fdf = self._field_stats(fpairs)
+        else:
+            df, fdf = {}, {}
+        qv = list(map(float, query_vector))
+        refs = [
+            a.knn_top_k.remote(field, qv, max(num_candidates, k), filter,
+                               self.ndocs, self.sum_dl, df,
+                               self.manifest["analyzer"], fdf=fdf,
+                               field_sum_dl=self.field_sum_dl)
+            for a in self.actors
+        ]
+        per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
+        return merge_top_k(per_seg, k)
+
+    def hybrid_search(self, qdict: dict, knn: dict, k: int = 10):
+        """Query + knn combined (see SearcherBase._combine_hybrid)."""
+        qhits = self.search_query(qdict, k=k)
+        khits = self.knn_search(
+            knn["field"], knn["query_vector"], k=int(knn.get("k", k)),
+            num_candidates=int(knn.get("num_candidates", 100)),
+            filter=knn.get("filter"),
+        )
+        return self._combine_hybrid(
+            qhits, khits, k, knn_boost=float(knn.get("boost", 1.0))
+        )
 
     def search_batch(self, queries: list[tuple[str, int]], method: str = "auto"):
         """Batched QPS path: ONE RPC per actor carries the whole query

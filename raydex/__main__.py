@@ -97,6 +97,42 @@ def main(argv=None) -> int:
     sl = sub.add_parser("snapshots")
     sl.add_argument("--repo", required=True)
 
+    dq = sub.add_parser("delete-by-query")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--dsl", required=True)
+    dq.add_argument("--local", action="store_true",
+                    help="run segment deletes in-process (no Ray tasks)")
+
+    for name in ("clone", "shrink", "split"):
+        rp = sub.add_parser(name)
+        rp.add_argument("--index", required=True)
+        rp.add_argument("--dest", required=True)
+        if name != "clone":
+            rp.add_argument("--partitions", type=int, required=True)
+
+    al = sub.add_parser("aliases")
+    al.add_argument("--root", required=True,
+                    help="alias registry root directory")
+    al.add_argument("--actions", default=None,
+                    help='JSON action list, e.g. [{"add": {"alias": "logs", '
+                         '"index": "/idx", "is_write_index": true}}]')
+
+    ro = sub.add_parser("rollover")
+    ro.add_argument("--root", required=True)
+    ro.add_argument("--alias", required=True)
+    ro.add_argument("--conditions", required=True,
+                    help='JSON, e.g. {"max_docs": 1000000}')
+    ro.add_argument("--dry-run", action="store_true")
+
+    kn = sub.add_parser("knn")
+    kn.add_argument("--index", required=True)
+    kn.add_argument("--field", required=True)
+    kn.add_argument("--vector", required=True, help="JSON float list")
+    kn.add_argument("--k", type=int, default=10)
+    kn.add_argument("--num-candidates", type=int, default=100)
+    kn.add_argument("--filter", default=None, help="query DSL JSON")
+    kn.add_argument("--actors", type=int, default=0)
+
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
     sg.add_argument("--text", required=True)
@@ -186,6 +222,54 @@ def main(argv=None) -> int:
         from raydex.index.snapshot import list_snapshots
 
         print(json.dumps(list_snapshots(a.repo)))
+    elif a.cmd == "delete-by-query":
+        from raydex.index.deletes import delete_by_query
+
+        if not a.local:
+            _ray()
+        print(json.dumps(delete_by_query(a.index, json.loads(a.dsl),
+                                         use_ray=not a.local)))
+    elif a.cmd in ("clone", "shrink", "split"):
+        from raydex.index import reshape
+
+        if a.cmd == "clone":
+            man = reshape.clone_index(a.index, a.dest)
+        elif a.cmd == "shrink":
+            man = reshape.shrink_index(a.index, a.dest, a.partitions)
+        else:
+            man = reshape.split_index(a.index, a.dest, a.partitions)
+        print(json.dumps({"index_dir": man["index_dir"],
+                          "num_partitions": man["num_partitions"],
+                          "doc_count": man["doc_count"],
+                          "segments": len(man["segments"])}))
+    elif a.cmd == "aliases":
+        from raydex.index.aliases import AliasRegistry
+
+        reg = AliasRegistry(a.root)
+        if a.actions:
+            print(json.dumps(reg.update_aliases(json.loads(a.actions))))
+        else:
+            print(json.dumps(reg.aliases()))
+    elif a.cmd == "rollover":
+        from raydex.index.aliases import AliasRegistry
+
+        print(json.dumps(AliasRegistry(a.root).rollover(
+            a.alias, json.loads(a.conditions), dry_run=a.dry_run)))
+    elif a.cmd == "knn":
+        from raydex.search.scatter import LocalSearcher, RaySearcher
+
+        if a.actors > 0:
+            _ray()
+            searcher = RaySearcher(a.index, num_actors=a.actors)
+        else:
+            searcher = LocalSearcher(a.index)
+        hits = searcher.knn_search(
+            a.field, json.loads(a.vector), k=a.k,
+            num_candidates=a.num_candidates,
+            filter=json.loads(a.filter) if a.filter else None,
+        )
+        for h in hits:
+            print(json.dumps(h))
     elif a.cmd == "suggest":
         from raydex.index.build import segment_dirs
         from raydex.index.segment import SegmentReader

@@ -630,6 +630,14 @@ class SegmentReader:
             self.manifest = json.load(f)
         self.ndocs = self.manifest["doc_count"]
         self.sum_dl = self.manifest["sum_dl"]
+        # liveDocs (Lucene's per-segment deleted-docs bitmap analogue,
+        # ``SegmentReader#getLiveDocs``): None = all live. Deleted docs
+        # are masked from every match/filter/knn/get path but stats
+        # (df, norms, sum_dl) still include them until a compacting
+        # merge — exactly the reference's deletes-visible-in-stats
+        # behavior.
+        lp = os.path.join(seg_dir, "livedocs.npy")
+        self.live: np.ndarray | None = np.load(lp) if os.path.exists(lp) else None
         self._derived: dict[str, object] = {}
         self.fields_meta: dict = self.manifest.get("fields", {})
         self._field_readers: dict[str, SegmentReader | None] = {}

@@ -106,6 +106,7 @@ def brute_force_top_k(
     stats: GlobalStats,
     operator: str = "or",
     minimum_should_match: int = 0,
+    live: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive scoring of a match query over one segment.
 
@@ -137,4 +138,6 @@ def brute_force_top_k(
         mask = nmatch >= minimum_should_match
     else:
         mask = nmatch > 0
+    if live is not None:  # liveDocs: deleted docs never match
+        mask = live if mask is None else (mask & live)
     return top_k_select(scores, k, mask)

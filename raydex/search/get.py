@@ -59,11 +59,22 @@ def get_doc(index_dir: str, url: str, columns: list[str] | None = None) -> dict 
         )
         i = _bisect_url(d["url"].combine_chunks(), url)
         if i >= 0:
+            if not _is_live(seg_dir, i):  # deleted via liveDocs -> 404
+                return None
             row = {c: d[c][i].as_py() for c in d.column_names}
             row["_seg_id"] = r["seg_id"]
             row["_docid"] = i
             return row
     return None
+
+
+def _is_live(seg_dir: str, docid: int) -> bool:
+    lp = os.path.join(seg_dir, "livedocs.npy")
+    if not os.path.exists(lp):
+        return True
+    import numpy as np
+
+    return bool(np.load(lp, mmap_mode="r")[docid])
 
 
 def mget(index_dir: str, urls: list[str], columns: list[str] | None = None) -> list:
@@ -87,14 +98,17 @@ def mget(index_dir: str, urls: list[str], columns: list[str] | None = None) -> l
         for r in segs:
             seg_dir = os.path.join(_part_dir(index_dir, part), r["seg_id"])
             tables.append(
-                (r["seg_id"], pq.read_table(os.path.join(seg_dir, "docs.parquet"),
-                                            columns=columns))
+                (r["seg_id"], seg_dir,
+                 pq.read_table(os.path.join(seg_dir, "docs.parquet"),
+                               columns=columns))
             )
         for i in idxs:
             u = urls[i]
-            for seg_id, d in tables:
+            for seg_id, seg_dir, d in tables:
                 j = _bisect_url(d["url"].combine_chunks(), u)
                 if j >= 0:
+                    if not _is_live(seg_dir, j):
+                        continue  # deleted copy; a live one may exist
                     row = {c: d[c][j].as_py() for c in d.column_names}
                     row["_seg_id"] = seg_id
                     row["_docid"] = j

@@ -63,6 +63,8 @@ def segment_knn(
     optional bool array over segment docids (pre-filter, reference
     filtered-knn contract)."""
     mat, valid, similarity = reader.dense_vectors(field)
+    if reader.live is not None:  # liveDocs: deleted docs never match
+        valid = valid[reader.live[valid]]
     if filter_mask is not None:
         valid = valid[filter_mask[valid]]
     if not valid.size:

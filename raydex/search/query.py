@@ -1307,6 +1307,8 @@ class SegmentEvaluator:
 
     def top_k(self, q: Query, k: int):
         scores, mask = self.eval(q)
+        if self.r.live is not None:  # deleted docs never match (liveDocs)
+            mask = mask & self.r.live
         scores = np.where(mask, scores, 0.0)
         # keep docs that MATCH even with score 0 (pure filters): nudge via
         # the mask in top_k_select
@@ -1314,6 +1316,8 @@ class SegmentEvaluator:
 
     def count(self, q: Query) -> int:
         _, mask = self.eval(q)
+        if self.r.live is not None:
+            mask = mask & self.r.live
         return int(mask.sum())
 
     def explain(self, q: Query, docid: int) -> dict:

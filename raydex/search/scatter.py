@@ -82,7 +82,17 @@ class SegmentGroup:
                 # the r2 python-loop DAAT was 40x SLOWER than brute on
                 # the same mixes, hence the old 500k dispatch threshold)
                 m = "wand"
-            if operator == "and" and m != "brute":
+            if r.live is not None:
+                # segments with deletes take the brute path with the
+                # liveDocs mask (the reference routes deleted docs out
+                # during collection; pruning bounds stay sound because
+                # brute scores everything) — deletes are transient
+                # until a compacting merge, so this is the cold path
+                ids, sc = brute_force_top_k(
+                    r, terms, k, stats, operator=operator,
+                    minimum_should_match=minimum_should_match, live=r.live,
+                )
+            elif operator == "and" and m != "brute":
                 ids, sc = conjunction_top_k(r, terms, k, stats)
             elif m == "wand" and operator == "or" and minimum_should_match <= 1:
                 ids, sc = wand_top_k(r, terms, k, stats)
@@ -215,6 +225,8 @@ class SegmentGroup:
                     continue
             ev = SegmentEvaluator(r, stats, an)
             _, mask = ev.eval(q)
+            if r.live is not None:
+                mask = mask & r.live
             cand = np.flatnonzero(mask)
             if not cand.size:
                 continue

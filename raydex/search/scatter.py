@@ -277,6 +277,15 @@ class SegmentGroup:
             out.append((o, ids.tolist(), sc.tolist(), urls))
         return out
 
+    def terms_partials(self, field: str, shard_size: int):
+        """Per-segment shard phase of the approximate terms agg
+        (raydex.search.distributed_terms): each segment ships only its
+        top shard_size (term, df) pairs."""
+        from raydex.search.distributed_terms import segment_terms_partial
+
+        return [segment_terms_partial(r, field, shard_size)
+                for r in self.readers]
+
     def _url_of(self, ordinal: int, docid: int) -> str:
         r = self.readers[self.ordinals.index(ordinal)]
         return r.url_of(docid)
@@ -505,6 +514,22 @@ class LocalSearcher(SearcherBase):
         return self.group.sorted_top_k(
             qdict, sort_field, order, k, self.ndocs, self.sum_dl, df,
             self.manifest["analyzer"], fdf=fdf, field_sum_dl=self.field_sum_dl,
+        )
+
+    def terms_agg(self, field: str, size: int = 10,
+                  shard_size: int | None = None):
+        """Approximate terms agg over an index-time keyword field with
+        the reference's error contract (shard_size /
+        doc_count_error_upper_bound / sum_other_doc_count) — see
+        raydex.search.distributed_terms."""
+        from raydex.search.distributed_terms import (
+            default_shard_size,
+            merge_terms_partials,
+        )
+
+        ss = shard_size or default_shard_size(size)
+        return merge_terms_partials(
+            self.group.terms_partials(field, ss), size
         )
 
     def knn_search(self, field: str, query_vector, k: int = 10,
@@ -771,6 +796,24 @@ class RaySearcher(SearcherBase):
             for a in self.actors
         ]
         return sum(self._ray.get(refs))
+
+    def terms_agg(self, field: str, size: int = 10,
+                  shard_size: int | None = None):
+        """Distributed approximate terms agg: each actor ships its
+        segments' top shard_size (term, df) lists — bytes proportional
+        to shard_size x segments, never to the corpus."""
+        from raydex.search.distributed_terms import (
+            default_shard_size,
+            merge_terms_partials,
+        )
+
+        ss = shard_size or default_shard_size(size)
+        per_actor = self._ray.get(
+            [a.terms_partials.remote(field, ss) for a in self.actors]
+        )
+        return merge_terms_partials(
+            [p for actor_out in per_actor for p in actor_out], size
+        )
 
     def knn_search(self, field: str, query_vector, k: int = 10,
                    num_candidates: int = 100, filter: dict | None = None):

@@ -103,6 +103,10 @@ def main(argv=None) -> int:
     dq.add_argument("--local", action="store_true",
                     help="run segment deletes in-process (no Ray tasks)")
 
+    xd = sub.add_parser("expunge-deletes")
+    xd.add_argument("--index", required=True)
+    xd.add_argument("--local", action="store_true")
+
     for name in ("clone", "shrink", "split"):
         rp = sub.add_parser(name)
         rp.add_argument("--index", required=True)
@@ -229,6 +233,12 @@ def main(argv=None) -> int:
             _ray()
         print(json.dumps(delete_by_query(a.index, json.loads(a.dsl),
                                          use_ray=not a.local)))
+    elif a.cmd == "expunge-deletes":
+        from raydex.index.compact import expunge_deletes
+
+        if not a.local:
+            _ray()
+        print(json.dumps(expunge_deletes(a.index, use_ray=not a.local)))
     elif a.cmd in ("clone", "shrink", "split"):
         from raydex.index import reshape
 

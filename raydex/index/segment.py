@@ -438,9 +438,6 @@ def _build_field_index(
         else:
             flat_pos = None
 
-    norms = int_to_byte4(dl)
-    dl_quant = byte4_to_int(norms)
-
     if inverse.size:
         key = inverse.astype(np.int64) * ndocs + doc_of
         uniq_key, tfs = np.unique(key, return_counts=True)
@@ -463,6 +460,41 @@ def _build_field_index(
         df = np.empty(0, dtype=np.int64)
         cf = np.empty(0, dtype=np.int64)
         term_offsets = np.zeros(1, dtype=np.int64)
+        sorted_pos = None
+
+    return write_field_artifacts(
+        tmp, urls, dl, terms, docids, tfs, df, cf, term_offsets,
+        sorted_pos, analyzer, input_fragments, seg_id, store_positions, t0,
+    )
+
+
+def write_field_artifacts(
+    tmp: str,
+    urls: list[str],
+    dl: np.ndarray,
+    terms: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    df: np.ndarray,
+    cf: np.ndarray,
+    term_offsets: np.ndarray,
+    sorted_pos: np.ndarray | None,
+    analyzer: str,
+    input_fragments: list[str] | None,
+    seg_id: str,
+    store_positions: bool,
+    t0: float | None = None,
+) -> dict:
+    """Write one field's index artifacts from POSTINGS-SHAPED arrays —
+    the backend shared by the tokenize path (build) and the compaction
+    path (expunge-deletes rewrite), so both produce byte-identical
+    layouts. ``docids``/``tfs`` are term-major (term_offsets bounds per
+    term); ``sorted_pos`` is the flat per-occurrence position stream in
+    the same order (or None)."""
+    t0 = time.perf_counter() if t0 is None else t0
+    ndocs = len(urls)
+    norms = int_to_byte4(dl)
+    dl_quant = byte4_to_int(norms)
 
     payload, meta = encode_postings(docids, tfs, dl_quant[docids] if docids.size else docids, term_offsets)
 

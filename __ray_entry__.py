@@ -972,6 +972,60 @@ def q_date_range_orders(sf):
     )
 
 
+def q_analytics_aggs_events(sf):
+    """Analytics-tier agg union over `events` — rate (per-day docs per
+    hour), ip_prefix (/16 over the derived per-user IPv4), normalize
+    percent_of_sum over event_type counts. Each value recomputed exactly
+    in SQL (integer counts + one double division, bitwise-stable)."""
+    import pyarrow.compute as pc
+
+    from raydex.ops.analytics_aggs import (
+        ip_prefix_agg,
+        normalize_buckets,
+        rate_agg,
+    )
+
+    rows: list[tuple[str, str, float]] = []
+    r = rate_agg(_ds(sf, "events", ["ts"]), "ts", interval="day",
+                 unit="hour").to_pandas()
+    for _, row in r.iterrows():
+        rows.append(("a_rate", row["bucket_ts"].strftime("%Y-%m-%d"),
+                     float(row["rate"])))
+
+    def derive(t):
+        u = t["user_id"].to_numpy()
+        octs = [(u * m) % 256 for m in (37, 101, 181)]
+        a, b, c = (pc.cast(pa.array(o), pa.string()) for o in octs)
+        ip = pc.binary_join_element_wise("10", a, b, c, ".")
+        return pa.table({"ip": ip})
+
+    ipds = _ds(sf, "events", ["user_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    for _, row in ip_prefix_agg(ipds, "ip", 16).to_pandas().iterrows():
+        rows.append(("b_ip_prefix", row["key"], float(row["doc_count"])))
+
+    et = (
+        _ds(sf, "events", ["event_type"]).groupby("event_type").count()
+        .to_pandas().rename(columns={"count()": "doc_count"})
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    norm = normalize_buckets(
+        pa.Table.from_pandas(et, preserve_index=False), "doc_count",
+        "percent_of_sum",
+    ).to_pandas()
+    for _, row in norm.iterrows():
+        rows.append(("c_normalize", row["event_type"],
+                     float(row["normalized"])))
+    return pa.table(
+        {
+            "tag": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 def q_ip_range_events(sf):
     """ip_range agg over a deterministic per-user IPv4 derived from
     user_id (testdata has no IP column; the same derivation runs in the
@@ -1309,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variable_width_histogram": q_variable_width_histogram,
         "date_range_orders": q_date_range_orders,
         "ip_range_events": q_ip_range_events,
+        "analytics_aggs_events": q_analytics_aggs_events,
         "composite_orders": q_composite_orders,
         "collapse_orders": q_collapse_orders,
         "sort_page_orders": q_sort_page_orders,
@@ -1736,6 +1791,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN (user_id * 37) % 256 < 128 THEN 'a_lower_half' "
             "ELSE 'b_upper_half' END AS bucket FROM events) "
             "GROUP BY bucket ORDER BY bucket"
+        ),
+        # rate / ip_prefix / normalize(percent_of_sum) union: integer
+        # counts + a single double division each, so values hash-match
+        "analytics_aggs_events": (
+            "SELECT * FROM ("
+            "SELECT 'a_rate' AS tag, strftime(date_trunc('day', ts), '%Y-%m-%d') "
+            "AS key, COUNT(*) / 24.0 AS value FROM events GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'b_ip_prefix', '10.' || CAST((user_id * 37) % 256 AS VARCHAR) "
+            "|| '.0.0/16' AS k2, CAST(COUNT(*) AS DOUBLE) FROM events GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'c_normalize', event_type, "
+            "CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () * 100.0 "
+            "FROM events GROUP BY event_type"
+            ") ORDER BY tag, key"
         ),
         "adjacency_matrix_events": (
             "SELECT key, doc_count FROM ("

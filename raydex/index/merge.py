@@ -400,6 +400,14 @@ def merge_partition_segments(
         doc_tables, seg_manifests = [], []
         for ord_, sid in enumerate(sorted(seg_ids)):
             sd = os.path.join(part_dir, sid)
+            if os.path.exists(os.path.join(sd, "livedocs.npy")):
+                # merges RECLAIM deletes (Lucene merge semantics): a
+                # byte-splice of a deleted-docs segment would rebase
+                # docids and silently orphan/resurrect the bitmap, so
+                # compact first — the merged output is deletes-free
+                from raydex.index.compact import compact_segment
+
+                compact_segment(sd)
             with open(os.path.join(sd, "manifest.json")) as f:
                 sm = json.load(f)
             if sm.get("fields"):
@@ -509,6 +517,10 @@ def merge_partition_segments(
         )
     segs.sort(key=lambda r: (r["part"], r["seg_id"]))
     manifest["segments"] = segs
+    # doc totals were invariant under pure splicing; with reclaimed
+    # deletes (compact-before-merge) they shrink — recompute from rows
+    manifest["doc_count"] = int(sum(r["doc_count"] for r in segs))
+    manifest["sum_dl"] = int(sum(r["sum_dl"] for r in segs))
     from raydex.index.build import INDEX_MANIFEST
 
     tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")

@@ -122,3 +122,39 @@ def test_expunge_noop_and_full_delete(ray_session, tmp_path):
     m = load_index_manifest(idx)
     assert m["segments"] == []
     assert LocalSearcher(idx).count({"match_all": {}}) == 0
+
+
+def test_merge_reclaims_deletes(ray_session, tmp_path):
+    """Merging segments that carry liveDocs must compact first (Lucene
+    merge semantics) — the merged index equals delete -> expunge ->
+    merge, and deleted docs stay gone."""
+    from raydex.corpus import make_pages_table
+    from raydex.index.merge import merge_partition_segments
+
+    t = make_pages_table(300, seed=11, dup_frac=0.0)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "mrg")
+    build_index(p, idx, num_partitions=2, max_docs_per_segment=40,
+                source="text")
+    m0 = load_index_manifest(idx)
+    assert len(m0["segments"]) > 2  # several segments per partition
+
+    n_all = LocalSearcher(idx).count({"match_all": {}})
+    delete_by_query(idx, {"term": {"text": "web"}}, use_ray=False)
+    n_del = n_all - LocalSearcher(idx).count({"match_all": {}})
+    assert n_del > 0
+
+    plan = {pp: [r["seg_id"] for r in m0["segments"] if r["part"] == pp]
+            for pp in {r["part"] for r in m0["segments"]}}
+    merge_partition_segments(idx, plan, num_buckets=4)
+    m1 = load_index_manifest(idx)
+    assert len(m1["segments"]) == 2
+    assert m1["doc_count"] == n_all - n_del  # deletes reclaimed
+    s = LocalSearcher(idx)
+    assert s.count({"match_all": {}}) == n_all - n_del
+    assert s.count({"term": {"text": "web"}}) == 0
+    assert not any(
+        os.path.exists(os.path.join(sd, "livedocs.npy"))
+        for sd in segment_dirs(idx, m1)
+    )

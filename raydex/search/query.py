@@ -216,6 +216,21 @@ class RankFeature(Query):
 
 
 @dataclass
+class KnnQuery(Query):
+    """`knn` as a QUERY-DSL kind (the reference's knn query,
+    ``search/vectors/KnnVectorQueryBuilder.java`` — usable inside bool
+    since 8.12): matches each segment's local top ``num_candidates`` by
+    vector similarity over an index-time dense_vector field, scoring
+    the similarity transform. Composable with every other node (the
+    per-shard-top-k contract is the documented difference from the
+    top-level knn SECTION, which ranks globally)."""
+
+    fld: str = ""
+    query_vector: tuple = ()
+    num_candidates: int = 100
+
+
+@dataclass
 class ScriptQuery(Query):
     """`script` query (ScriptQueryBuilder.java): a registered Python
     predicate over the segment's stored columns — the scripting surface
@@ -432,6 +447,13 @@ def parse_query(d: dict) -> Query:
             fld=body.get("field", "dl"),
             origin=float(body["origin"]),
             pivot=float(body["pivot"]),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "knn":
+        return KnnQuery(
+            fld=body["field"],
+            query_vector=tuple(float(x) for x in body["query_vector"]),
+            num_candidates=int(body.get("num_candidates", 100)),
             boost=body.get("boost", 1.0),
         )
     if kind == "script":
@@ -1222,6 +1244,18 @@ class SegmentEvaluator:
             dist = np.abs(vals - q.origin)
             scores = q.boost * (q.pivot / (q.pivot + dist))
             return scores, np.ones(n, dtype=bool)
+        if isinstance(q, KnnQuery):
+            from raydex.search.knn import segment_knn
+
+            ids, sc = segment_knn(
+                self.r, q.fld, np.asarray(q.query_vector, dtype=np.float64),
+                q.num_candidates,
+            )
+            scores = np.zeros(n)
+            mask = np.zeros(n, dtype=bool)
+            scores[ids] = q.boost * sc
+            mask[ids] = True
+            return scores, mask
         if isinstance(q, SpanDSL):
             from raydex.search.spans import eval_spans, intervals_to_span
 

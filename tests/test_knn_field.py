@@ -195,3 +195,35 @@ def test_similarity_transforms():
     np.testing.assert_allclose(l2, [1 / (1 + d) for d in [0, 2, 4, 0.5]])
     mip = vector_scores(mat, q, "max_inner_product")
     np.testing.assert_allclose(mip, [2, 1, 0.5, 1.5])
+
+
+def test_knn_as_dsl_query(built):
+    """`knn` QUERY kind (KnnVectorQueryBuilder): composable inside bool;
+    leaf scores equal the knn-section scores for the same candidates."""
+    idx, _, t, vecs = built
+    s = LocalSearcher(idx)
+    q = vecs[2].astype(np.float64)
+    hits = s.search_query(
+        {"knn": {"field": "emb", "query_vector": q.tolist(),
+                 "num_candidates": 50}}, k=10)
+    top = s.knn_search("emb", q, k=10, num_candidates=50)
+    # DSL leaves emit float32 like every other scorer; the knn SECTION
+    # keeps float64 — parity modulo the float32 cast
+    assert [(h["url"], float(np.float32(h["score"]))) for h in hits] == [
+        (h["url"], float(np.float32(h["score"]))) for h in top
+    ]
+    # inside bool with a filter: every hit satisfies the filter and
+    # scores keep the knn similarity (filter context adds nothing)
+    fhits = s.search_query(
+        {"bool": {"must": [{"knn": {"field": "emb",
+                                    "query_vector": q.tolist(),
+                                    "num_candidates": 120}}],
+                  "filter": [{"match": {"text": "odd"}}]}}, k=8)
+    odd = {u for u, txt in zip(t["url"].to_pylist(), t["text"].to_pylist())
+           if "odd" in txt}
+    assert fhits and all(h["url"] in odd for h in fhits)
+    # boost scales the leaf
+    bhits = s.search_query(
+        {"knn": {"field": "emb", "query_vector": q.tolist(),
+                 "num_candidates": 50, "boost": 3.0}}, k=5)
+    assert bhits[0]["score"] == pytest.approx(3.0 * top[0]["score"])

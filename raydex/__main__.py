@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     b.add_argument("--positions", action="store_true")
     b.add_argument("--resume", action="store_true")
     b.add_argument("--max-docs-per-segment", type=int, default=50_000)
+    b.add_argument("--index-sort", default=None,
+                   help="field:order (e.g. warc_ts:desc) — store docs in "
+                        "sort order per segment (IndexSortConfig)")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -152,10 +155,14 @@ def main(argv=None) -> int:
         _ray()
         from raydex.index.build import build_index
 
+        isort = None
+        if a.index_sort:
+            f, _, o = a.index_sort.partition(":")
+            isort = (f, o or "asc")
         man = build_index(
             a.input, a.index, num_partitions=a.partitions, analyzer=a.analyzer,
             source=a.source, resume=a.resume, store_positions=a.positions,
-            max_docs_per_segment=a.max_docs_per_segment,
+            max_docs_per_segment=a.max_docs_per_segment, index_sort=isort,
         )
         print(json.dumps({k: man[k] for k in
                           ("doc_count", "sum_dl", "num_partitions", "build_sec",
@@ -205,7 +212,8 @@ def main(argv=None) -> int:
 
         for row in mget(a.index, a.id):
             print(json.dumps(row if row is None or "text" not in row
-                             else {**row, "text": row["text"][:200]}))
+                             else {**row, "text": row["text"][:200]},
+                             default=str))
     elif a.cmd == "analyze":
         # the `_analyze` API analogue (es/action/admin/indices/analyze)
         from raydex.analysis.tokenizer import get_analyzer

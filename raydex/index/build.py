@@ -114,7 +114,7 @@ class _BuildPartition:
     """Per-group (one partition) segment cutter. Runs inside the shuffle."""
 
     def __init__(self, index_dir, analyzer, max_docs_per_segment, dedup, lineage,
-                 store_positions=False, fields=None):
+                 store_positions=False, fields=None, index_sort=None):
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.max_docs = max_docs_per_segment
@@ -122,6 +122,9 @@ class _BuildPartition:
         self.lineage = lineage
         self.store_positions = store_positions
         self.fields = fields or []  # list[FieldSpec]
+        # (field, order) index-time sort (IndexSortConfig): docs within
+        # each segment are stored in this order instead of url order
+        self.index_sort = tuple(index_sort) if index_sort else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Build every partition present in the (hash-partitioned) batch.
@@ -154,12 +157,29 @@ class _BuildPartition:
             idx = np.flatnonzero(keep)
         else:
             idx = np.arange(urls.size)
+        if self.index_sort:
+            # re-sort the deduped rows by the sort field (stable; url
+            # tie-break inherited from the dedup sort order)
+            sfield, sorder = self.index_sort
+            svals = group[sfield].take(pa.array(idx)).combine_chunks()
+            keys = svals.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy() \
+                if pa.types.is_timestamp(svals.type) else \
+                svals.to_numpy(zero_copy_only=False)
+            # stable in BOTH directions (negate, don't reverse): equal
+            # keys keep the deduped url order
+            sidx = np.argsort(-keys if sorder == "desc" else keys,
+                              kind="stable")
+            idx = idx[sidx]
         texts = group["text"].take(pa.array(idx))  # stays Arrow (zero-copy path)
         kept_urls = [str(u) for u in urls[idx]]
         field_vals = {
             spec.name: group[spec.source].take(pa.array(idx))
             for spec in self.fields
         }
+        sort_dv = (
+            {self.index_sort[0]: group[self.index_sort[0]].take(pa.array(idx)).combine_chunks()}
+            if self.index_sort else None
+        )
 
         part_dir = _part_dir(self.index_dir, p)
         os.makedirs(part_dir, exist_ok=True)
@@ -184,6 +204,11 @@ class _BuildPartition:
                     extra_fields=[
                         (spec, field_vals[spec.name][lo:hi]) for spec in self.fields
                     ],
+                    doc_values=(
+                        {k: v.slice(lo, hi - lo) for k, v in sort_dv.items()}
+                        if sort_dv else None
+                    ),
+                    index_sort=self.index_sort,
                 )
             rows.append(
                 {
@@ -300,6 +325,7 @@ def build_index(
     store_positions: bool = False,
     fields=None,
     dynamic_fields: bool = False,
+    index_sort: tuple[str, str] | None = None,
 ) -> dict:
     """Run the build; returns the index manifest dict.
 
@@ -371,11 +397,20 @@ def build_index(
             fields = list(fields or []) + [
                 s for s in infer_dynamic_fields(schema) if s.name not in have
             ]
+        if index_sort is not None:
+            sfield, sorder = index_sort
+            if sfield != "warc_ts" or sorder not in ("asc", "desc"):
+                raise ValueError(
+                    "index_sort supports ('warc_ts', 'asc'|'desc') — the "
+                    "stored timestamp doc-values column (IndexSortConfig "
+                    "restricts sorts to indexed doc-values fields the same "
+                    "way)"
+                )
         return _build_index_inner(
             input_path, index_dir, num_partitions, analyzer, source, dedup,
             max_docs_per_segment, resume, ray_ds, rd, ncpu,
             t0=time.perf_counter(), store_positions=store_positions,
-            fields=fields,
+            fields=fields, index_sort=index_sort,
         )
     finally:
         (
@@ -388,7 +423,7 @@ def build_index(
 def _build_index_inner(
     input_path, index_dir, num_partitions, analyzer, source, dedup,
     max_docs_per_segment, resume, ray_ds, rd, ncpu, t0, store_positions=False,
-    fields=None,
+    fields=None, index_sort=None,
 ) -> dict:
     import pyarrow as pa
 
@@ -405,12 +440,14 @@ def _build_index_inner(
         "max_docs_per_segment": max_docs_per_segment,
         "store_positions": bool(store_positions),
         "fields": [s.to_json() for s in fields],
+        "index_sort": list(index_sort) if index_sort else None,
     }
     params_path = os.path.join(index_dir, "build_params.json")
     if os.path.exists(params_path):
         with open(params_path) as f:
             prev = json.load(f)
         prev.setdefault("fields", [])  # pre-multi-field indexes
+        prev.setdefault("index_sort", None)
         if resume and prev != params:
             diff = {k: (prev.get(k), v) for k, v in params.items() if prev.get(k) != v}
             raise ValueError(
@@ -470,7 +507,7 @@ def _build_index_inner(
     )
     builder = _BuildPartition(index_dir, analyzer, max_docs_per_segment, dedup,
                               lineage, store_positions=store_positions,
-                              fields=fields)
+                              fields=fields, index_sort=index_sort)
 
     def build_partition(batch: pa.Table) -> pa.Table:
         return builder(batch)
@@ -563,6 +600,7 @@ def _build_index_inner(
         "index_dir": index_dir,
         "analyzer": analyzer,
         "positions": bool(store_positions),
+        "index_sort": list(index_sort) if index_sort else None,
         "num_partitions": num_partitions,
         "doc_count": int(sum(r["doc_count"] for r in segs)),
         "sum_dl": int(sum(r["sum_dl"] for r in segs)),

@@ -129,6 +129,39 @@ def compact_segment(seg_dir: str) -> dict | None:
     manifest = _compact_text_index(reader, live, tmp, seg_id)
 
     keep = np.flatnonzero(live)
+    manifest_dirty = False
+    if reader.doc_values:
+        # carry extra stored doc-values columns (index-sort fields)
+        src_docs = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        dst_docs = pq.read_table(os.path.join(tmp, "docs.parquet"))
+        for cname in src_docs.column_names:
+            if cname in ("url", "dl", "norm"):
+                continue
+            dst_docs = dst_docs.append_column(
+                cname, src_docs[cname].take(pa.array(keep))
+            )
+        pq.write_table(dst_docs, os.path.join(tmp, "docs.parquet"))
+    if reader.manifest.get("index_sort"):
+        sfield, sorder = reader.manifest["index_sort"]
+        manifest["index_sort"] = [sfield, sorder]
+        sv = reader.doc_values.get(sfield)
+        if sv is not None and keep.size:
+            kept = sv[keep]
+            manifest[f"min_{sfield}"] = int(kept.min())
+            manifest[f"max_{sfield}"] = int(kept.max())
+        # surviving docs keep the sort order; rebuild the url sidecar
+        urls_new = np.asarray(
+            [reader.urls[int(i)].as_py() for i in keep], dtype=object
+        )
+        order = np.argsort(urls_new, kind="stable")
+        pq.write_table(
+            pa.table(
+                {"url": pa.array(urls_new[order], pa.string()),
+                 "docid": pa.array(order.astype(np.int64))}
+            ),
+            os.path.join(tmp, "url_index.parquet"),
+        )
+        manifest_dirty = True
     keep_pa = pa.array(keep)
     new_id = np.full(reader.ndocs, -1, dtype=np.int64)
     new_id[keep] = np.arange(keep.size)
@@ -168,6 +201,8 @@ def compact_segment(seg_dir: str) -> dict | None:
                                       term_count=fm["term_count"])
     if fields_meta:
         manifest["fields"] = fields_meta
+        manifest_dirty = True
+    if manifest_dirty:
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
     old = seg_dir + ".old"

@@ -410,6 +410,15 @@ def merge_partition_segments(
                 compact_segment(sd)
             with open(os.path.join(sd, "manifest.json")) as f:
                 sm = json.load(f)
+            if sm.get("index_sort"):
+                # concatenating two sorted segments breaks the index
+                # sort; the reference merge-sorts docs (MultiSorter) —
+                # not implemented for the splice path, refuse
+                raise NotImplementedError(
+                    f"segment {sid} is index-sorted "
+                    f"({sm['index_sort']}); splice merge would break the "
+                    f"sort order — compact/rebuild instead"
+                )
             if sm.get("fields"):
                 # multi-field segments carry per-field sub-indexes; the
                 # term-hash-shuffle merge currently covers the primary

@@ -96,6 +96,8 @@ def build_segment(
     seg_id: str | None = None,
     store_positions: bool = False,
     extra_fields: list[tuple["FieldSpec", object]] | None = None,
+    doc_values: dict[str, "pa.Array"] | None = None,
+    index_sort: tuple[str, str] | None = None,
 ) -> dict:
     """Tokenize docs, build the inverted index, write one segment.
 
@@ -111,12 +113,47 @@ def build_segment(
     postings, norms, manifest) over the SAME doc ordinals, mirroring the
     reference's one-Lucene-field-per-mapper model. The whole segment
     (primary + fields) commits with ONE atomic rename.
+
+    ``doc_values``: extra stored per-doc columns appended to
+    docs.parquet (aligned with doc order). ``index_sort``: records that
+    the caller ordered docs by (field, order) — the reference's
+    ``IndexSortConfig`` — and, since doc order then no longer follows
+    url, writes a ``url_index.parquet`` sidecar (url sorted -> docid)
+    so point GETs keep their one-bisect contract.
     """
     seg_id = seg_id or ("seg-" + uuid.uuid4().hex[:12])
     tmp = out_dir + ".tmp"
     manifest = _build_field_index(
         tmp, urls, texts, analyzer, input_fragments, seg_id, store_positions
     )
+    if doc_values:
+        d = pq.read_table(os.path.join(tmp, "docs.parquet"))
+        for cname, arr in doc_values.items():
+            d = d.append_column(cname, arr)
+        pq.write_table(d, os.path.join(tmp, "docs.parquet"))
+    if index_sort:
+        sfield, sorder = index_sort
+        manifest["index_sort"] = [sfield, sorder]
+        if doc_values and sfield in doc_values:
+            sv = doc_values[sfield]
+            if pa.types.is_timestamp(sv.type):  # JSON-safe: epoch micros
+                sv = sv.cast(pa.timestamp("us")).cast(pa.int64())
+            vals = sv.to_pylist()
+            manifest[f"min_{sfield}"] = min(vals) if vals else None
+            manifest[f"max_{sfield}"] = max(vals) if vals else None
+        order = np.argsort(np.asarray(urls, dtype=object), kind="stable")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(np.asarray(urls, dtype=object)[order],
+                                    pa.string()),
+                    "docid": pa.array(order.astype(np.int64)),
+                }
+            ),
+            os.path.join(tmp, "url_index.parquet"),
+        )
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
     fields_meta: dict[str, dict] = {}
     for spec, values in extra_fields or []:
         fdir = os.path.join(tmp, f"field={spec.name}")
@@ -652,6 +689,16 @@ class SegmentReader:
             )
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         self.urls = d["url"]
+        # extra stored doc-values columns (index-sort fields etc.);
+        # timestamps held as epoch-micros int64 for comparisons
+        self.doc_values: dict[str, np.ndarray] = {}
+        for cname in d.column_names:
+            if cname in ("url", "dl", "norm"):
+                continue
+            col = d[cname].combine_chunks()
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
+            self.doc_values[cname] = col.to_numpy(zero_copy_only=False)
         self.norms = d["norm"].to_numpy()
         self.dl_quant = byte4_to_int(self.norms)
         # exact per-doc length for range filters; dl_quant stays the

@@ -39,6 +39,19 @@ def _bisect_url(urls, target: str) -> int:
     return -1
 
 
+def _lookup_docid(seg_dir: str, d, target: str) -> int:
+    """Docid of ``target`` in one segment, or -1. Index-SORTED segments
+    store docs in sort-field order, so the bisect runs over the
+    ``url_index.parquet`` sidecar (url sorted -> docid) instead of the
+    docs table — the same one-bisect contract either way."""
+    ui = os.path.join(seg_dir, "url_index.parquet")
+    if os.path.exists(ui):
+        t = pq.read_table(ui)
+        j = _bisect_url(t["url"].combine_chunks(), target)
+        return int(t["docid"][j].as_py()) if j >= 0 else -1
+    return _bisect_url(d["url"].combine_chunks(), target)
+
+
 def get_doc(index_dir: str, url: str, columns: list[str] | None = None) -> dict | None:
     """GET one document by id (url). Reads ONLY the routed partition's
     docs tables; returns the stored row dict or None."""
@@ -57,7 +70,7 @@ def get_doc(index_dir: str, url: str, columns: list[str] | None = None) -> dict 
         d = pq.read_table(
             os.path.join(seg_dir, "docs.parquet"), columns=columns
         )
-        i = _bisect_url(d["url"].combine_chunks(), url)
+        i = _lookup_docid(seg_dir, d, url)
         if i >= 0:
             if not _is_live(seg_dir, i):  # deleted via liveDocs -> 404
                 return None
@@ -105,7 +118,7 @@ def mget(index_dir: str, urls: list[str], columns: list[str] | None = None) -> l
         for i in idxs:
             u = urls[i]
             for seg_id, seg_dir, d in tables:
-                j = _bisect_url(d["url"].combine_chunks(), u)
+                j = _lookup_docid(seg_dir, d, u)
                 if j >= 0:
                     if not _is_live(seg_dir, j):
                         continue  # deleted copy; a live one may exist

@@ -161,7 +161,11 @@ class SegmentGroup:
             out.append((o, ids.tolist(), sc.tolist(), urls))
         return out
 
-    _SORT_RANGES = {"dl": ("min_dl", "max_dl"), "url": ("min_url", "max_url")}
+    _SORT_RANGES = {
+        "dl": ("min_dl", "max_dl"),
+        "url": ("min_url", "max_url"),
+        "warc_ts": ("min_warc_ts", "max_warc_ts"),
+    }
 
     def sorted_top_k(self, qdict: dict, sort_field: str, order: str, k: int,
                      ndocs: int, sum_dl: int, df: dict[str, int],
@@ -188,6 +192,14 @@ class SegmentGroup:
                 f"unsupported sort field {sort_field!r}; stored doc-values: "
                 f"{sorted(self._SORT_RANGES)}"
             )
+        if sort_field not in ("dl", "url") and not all(
+            sort_field in r.doc_values for r in self.readers
+        ):
+            raise ValueError(
+                f"sort field {sort_field!r} is not a stored doc-values "
+                f"column of every segment — build with "
+                f"index_sort=({sort_field!r}, ...) to store it"
+            )
         if order not in ("asc", "desc"):
             raise ValueError("order must be 'asc' or 'desc'")
         lo_key, hi_key = self._SORT_RANGES[sort_field]
@@ -200,7 +212,7 @@ class SegmentGroup:
         # min asc for asc sorts, max desc for desc sorts; segments
         # without range metadata are never skipped (the is-not-None
         # guard below), only possibly visited late
-        default = 0 if sort_field == "dl" else ""
+        default = "" if sort_field == "url" else 0
         if order == "asc":
             pairs.sort(key=lambda p: p[0].manifest.get(lo_key) or default)
         else:
@@ -230,9 +242,28 @@ class SegmentGroup:
             cand = np.flatnonzero(mask)
             if not cand.size:
                 continue
+            seg_sort = r.manifest.get("index_sort")
+            if seg_sort and seg_sort[0] == sort_field and seg_sort[1] == order:
+                # INDEX-SORT early termination (the reference's sorted-
+                # index fast path, `IndexSortConfig` + Lucene
+                # TopFieldCollector early exit): docs are STORED in the
+                # requested order, so the first k matching docids ARE the
+                # segment top-k — skip the value gather/partition for the
+                # rest entirely
+                cand = cand[:k]
+                self.last_sort_early_terminated = (
+                    getattr(self, "last_sort_early_terminated", 0) + 1
+                )
             if sort_field == "dl":
                 v = r.dl[cand]
                 if cand.size > k:  # per-segment narrowing before the sort
+                    part = (np.argpartition(v, k - 1)[:k] if order == "asc"
+                            else np.argpartition(-v, k - 1)[:k])
+                    cand, v = cand[part], v[part]
+                seg_vals = [int(x) for x in v]
+            elif sort_field in r.doc_values:
+                v = r.doc_values[sort_field][cand]
+                if cand.size > k:
                     part = (np.argpartition(v, k - 1)[:k] if order == "asc"
                             else np.argpartition(-v, k - 1)[:k])
                     cand, v = cand[part], v[part]

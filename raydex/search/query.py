@@ -348,7 +348,11 @@ def parse_query(d: dict) -> Query:
         (fld, spec), = body.items()
         if not isinstance(spec, dict):
             raise ValueError(f"range body for {fld!r} must be an object, got {spec!r}")
-        fld = "dl" if fld in ("dl", "length") else "url"
+        # keep the literal field: the evaluator serves dl, any stored
+        # doc-values column (e.g. warc_ts), and falls back to url;
+        # collapsing everything to "url" made can-match skip on the
+        # wrong axis for doc-values ranges
+        fld = "dl" if fld in ("dl", "length") else fld
         return RangeQ(fld=fld, **{k: spec[k] for k in ("gte", "gt", "lte", "lt") if k in spec})
     if kind == "exists":
         return Exists(fld=body.get("field", "url"))
@@ -679,8 +683,15 @@ def segment_can_match(manifest: dict, ranges: list["RangeQ"]) -> bool:
     for r in ranges:
         if r.fld == "dl":
             lo, hi = manifest.get("min_dl"), manifest.get("max_dl")
-        else:
+        elif r.fld == "url":
             lo, hi = manifest.get("min_url"), manifest.get("max_url")
+        else:
+            # stored doc-values bounds when the manifest has them (e.g.
+            # min_warc_ts/max_warc_ts from index-sorted builds); fields
+            # without recorded bounds can never be skipped — comparing
+            # them against the URL bounds (the pre-r3 behavior) skipped
+            # on the WRONG axis
+            lo, hi = manifest.get(f"min_{r.fld}"), manifest.get(f"max_{r.fld}")
         if lo is None or hi is None:
             continue
         if r.gte is not None and hi < r.gte:
@@ -1001,6 +1012,8 @@ class SegmentEvaluator:
         if isinstance(q, RangeQ):
             if q.fld == "dl":
                 vals = self.r.dl  # exact length, not the SmallFloat-quantized one
+            elif q.fld in getattr(self.r, "doc_values", {}):
+                vals = self.r.doc_values[q.fld]  # stored doc-values column
             else:
                 vals = np.asarray(self.r.urls.to_pylist(), dtype=object)
             mask = np.ones(n, dtype=bool)

@@ -116,3 +116,22 @@ def test_compact_preserves_index_sort(built, tmp_path):
     # gets still work post-compaction (sidecar rebuilt)
     assert get_doc(work, "s1.example/p/1")["url"] == "s1.example/p/1"
     assert get_doc(work, "s0.example/p/0") is None  # deleted ('hot')
+
+
+def test_range_on_stored_ts_with_can_match(built):
+    """Range filter over the stored warc_ts doc-values + can-match skip
+    via the min/max manifest ranges — non-overlapping segments are
+    skipped BEFORE evaluation, results exact."""
+    idx, m, t = built
+    s = LocalSearcher(idx)
+    df = t.to_pandas()
+    df["us"] = df["warc_ts"].astype("int64")
+    cut = int(df["us"].quantile(0.9))
+    q = {"bool": {"must": [{"match_all": {}}],
+                  "filter": [{"range": {"warc_ts": {"gte": cut}}}]}}
+    assert s.count(q) == int((df["us"] >= cut).sum())
+    # a query above every segment's max skips them all
+    s.group.query_count({"bool": {"filter": [
+        {"range": {"warc_ts": {"gt": int(df["us"].max())}}}]}},
+        s.ndocs, s.sum_dl, {}, m["analyzer"])
+    assert s.group.can_match_skipped() == len(s.group.readers)

@@ -667,6 +667,37 @@ class ReplicatedSearcher(SearcherBase):
                 out.append(merge_top_k(self._ray.get(r), k))
         return out
 
+    def knn_search(self, field: str, query_vector, k: int = 10,
+                   num_candidates: int = 100, filter: dict | None = None):
+        """kNN on one replica (each holds every segment, so a single
+        RPC returns the exact global top-k)."""
+        self._check_live()
+        if filter is not None:
+            raise ValueError(
+                "filtered knn on ReplicatedSearcher needs df stats; use "
+                "LocalSearcher/RaySearcher for filtered knn"
+            )
+        qv = list(map(float, query_vector))
+        per_seg = self._ray.get(
+            self._df_actor.knn_top_k.remote(field, qv, max(num_candidates, k))
+        )
+        return merge_top_k(per_seg, k)
+
+    def knn_search_batch(self, queries, k: int = 10,
+                         num_candidates: int = 100):
+        """Batched knn QPS path: queries round-robin across replicas,
+        one RPC each (the replica holds the whole index — the same
+        read-scaling model as search_batch). ``queries`` = [(field,
+        vector), ...]."""
+        self._check_live()
+        refs = [
+            self.actors[i % len(self.actors)].knn_top_k.remote(
+                f, list(map(float, v)), max(num_candidates, k)
+            )
+            for i, (f, v) in enumerate(queries)
+        ]
+        return [merge_top_k(self._ray.get(r), k) for r in refs]
+
     def search_batch_adaptive(self, queries: list[tuple[str, int]],
                               method: str = "auto"):
         """Adaptive replica selection — the reference's ARS

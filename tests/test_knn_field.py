@@ -227,3 +227,32 @@ def test_knn_as_dsl_query(built):
         {"knn": {"field": "emb", "query_vector": q.tolist(),
                  "num_candidates": 50, "boost": 3.0}}, k=5)
     assert bhits[0]["score"] == pytest.approx(3.0 * top[0]["score"])
+
+
+def test_knn_replicated_read_scaling(built):
+    """ReplicatedSearcher knn: single-RPC global top-k per replica and
+    the batched round-robin path, identical to the local result."""
+    from raydex.search.scatter import ReplicatedSearcher
+
+    idx, _, t, vecs = built
+    q1, q2 = vecs[5].astype(np.float64), vecs[11].astype(np.float64)
+    local = LocalSearcher(idx)
+    rs = ReplicatedSearcher(idx, num_replicas=2)
+    try:
+        rs.wait_ready()
+        one = rs.knn_search("emb", q1, k=7, num_candidates=30)
+        want = local.knn_search("emb", q1, k=7, num_candidates=30)
+        assert [(h["url"], h["score"]) for h in one] == [
+            (h["url"], h["score"]) for h in want
+        ]
+        batch = rs.knn_search_batch([("emb", q1), ("emb", q2)], k=5,
+                                    num_candidates=30)
+        for got, qv in zip(batch, (q1, q2)):
+            want = local.knn_search("emb", qv, k=5, num_candidates=30)
+            assert [(h["url"], h["score"]) for h in got] == [
+                (h["url"], h["score"]) for h in want
+            ]
+        with pytest.raises(ValueError, match="filtered knn"):
+            rs.knn_search("emb", q1, filter={"match_all": {}})
+    finally:
+        rs.shutdown()

@@ -69,14 +69,54 @@ def _segment_delete(seg_dir: str, qdict: dict, ndocs: int, sum_dl: int,
     return newly
 
 
+def _segment_stats(seg_dir: str, terms: list[str], fpairs: list) -> tuple:
+    """One segment's (df partial, field-df partial) — opened and
+    released inside the task; the driver never holds readers."""
+    from raydex.index.segment import SegmentReader
+
+    r = SegmentReader(seg_dir)
+    df = {}
+    for t in terms:
+        ti = r.lookup(t)
+        if ti >= 0:
+            df[t] = int(r.df[ti])
+    fdf = {}
+    for f, t in fpairs:
+        fr = r.field(f)
+        if fr is None:
+            continue
+        ti = fr.lookup(t)
+        if ti >= 0:
+            fdf[(f, t)] = int(fr.df[ti])
+    return df, fdf
+
+
 def delete_by_query(index_dir: str, qdict: dict, use_ray: bool = True) -> dict:
     """`POST <index>/_delete_by_query` analogue. Collects global stats
-    once (the dfs phase), then one task per segment writes its bitmap.
+    once (the dfs phase — one small task per segment; the driver NEVER
+    opens readers, so the op is metadata-sized at any index size), then
+    one task per segment writes its bitmap.
     Returns {"deleted": n, "segments_touched": m}."""
-    from raydex.search.scatter import LocalSearcher
+    from raydex.search.scatter import SearcherBase
 
-    s = LocalSearcher(index_dir)
-    df, fdf = s._query_stats(qdict)
+    s = SearcherBase(index_dir)  # manifest + analyzer only, no readers
+    terms, fpairs = s._collect_stats_spec(qdict)
+    if use_ray:
+        import ray
+
+        stats_task = ray.remote(num_cpus=1)(_segment_stats)
+        partials = ray.get(
+            [stats_task.remote(d, terms, fpairs) for d in s.seg_dirs]
+        )
+    else:
+        partials = [_segment_stats(d, terms, fpairs) for d in s.seg_dirs]
+    df = dict.fromkeys(terms, 0)
+    fdf: dict = {tuple(p): 0 for p in fpairs}
+    for pdf, pfdf in partials:
+        for t, v in pdf.items():
+            df[t] += v
+        for k, v in pfdf.items():
+            fdf[k] += v
     args = (qdict, s.ndocs, s.sum_dl, df, s.manifest["analyzer"],
             fdf, s.field_sum_dl)
     if use_ray:

@@ -93,3 +93,129 @@ def make_media_table(n: int, seed: int = 21, payload_bytes: int = 2048) -> pa.Ta
             "height": pa.array(rng.integers(64, 4096, size=n), pa.int32()),
         }
     )
+
+
+class ImageResize:
+    """Actor-pool resize stage (image binary -> image binary + updated
+    metadata). The codec call goes through the backend (`resize`); the
+    default fake derives a deterministic payload of the target byte
+    budget, keeping the Ray plumbing — schema in/out, metadata rewrite,
+    per-actor codec slot — fully testable without an image library.
+
+    Output layout (the contract a PIL-backed backend must keep):
+    same columns, `payload` replaced by the resized bytes and
+    `width`/`height` set to the target box (aspect-preserving fit)."""
+
+    def __init__(self, max_side: int = 256, payload_col: str = "payload",
+                 backend: str = "fake"):
+        self.max_side = max_side
+        self.payload_col = payload_col
+        self.backend = _BACKENDS[backend]
+        self.backend.load()
+
+    def _fit(self, w: int, h: int) -> tuple[int, int]:
+        scale = min(1.0, self.max_side / max(w, h, 1))
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws = t["width"].to_numpy()
+        hs = t["height"].to_numpy()
+        new_w, new_h, payloads = [], [], []
+        resize = getattr(self.backend, "resize", None)
+        for p, w, h in zip(t[self.payload_col].to_pylist(), ws, hs):
+            tw, th = self._fit(int(w), int(h))
+            new_w.append(tw)
+            new_h.append(th)
+            if resize is not None:
+                payloads.append(resize(p or b"", tw, th))
+            else:  # deterministic fake: size-proportional byte budget
+                budget = max(16, len(p or b"") * tw * th // max(w * h, 1))
+                payloads.append(
+                    hashlib.sha256((p or b"") + bytes([tw % 256, th % 256]))
+                    .digest() * (budget // 32 + 1)
+                )
+        idx = t.schema.get_field_index(self.payload_col)
+        out = t.set_column(idx, self.payload_col,
+                           pa.array(payloads, pa.binary()))
+        out = out.set_column(out.schema.get_field_index("width"), "width",
+                             pa.array(new_w, pa.int32()))
+        return out.set_column(out.schema.get_field_index("height"), "height",
+                              pa.array(new_h, pa.int32()))
+
+
+def resize_images(ds, max_side: int = 256, concurrency: int = 4,
+                  batch_size: int = 32, backend: str = "fake"):
+    """Large payloads -> SMALL batch_size: batch_size x concurrency x
+    payload bytes must fit a worker heap (the multimodal sizing rule)."""
+    return ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"max_side": max_side, "backend": backend},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+FRAME_BYTES = 256  # fake container: fixed-size pseudo-frames
+
+
+class FrameSample:
+    """Actor-pool video frame-sampling stage: one input row (video
+    binary) EXPLODES into one output row per sampled frame — the
+    one-to-many layout every real video pipeline needs (ffmpeg-backed
+    backends keep the same contract: iterate frames, keep every Nth).
+
+    Output schema: carried metadata columns + ``frame_idx`` (int64) +
+    ``frame`` (binary). The fake container treats the payload as a
+    sequence of FRAME_BYTES-sized frames."""
+
+    def __init__(self, every_n: int = 10, payload_col: str = "payload",
+                 carry_cols: tuple = ("media_id",), backend: str = "fake"):
+        self.every_n = max(1, int(every_n))
+        self.payload_col = payload_col
+        self.carry_cols = tuple(carry_cols)
+        self.backend = _BACKENDS[backend]
+        self.backend.load()
+
+    def _frames(self, payload: bytes):
+        it = getattr(self.backend, "iter_frames", None)
+        if it is not None:
+            yield from it(payload)
+            return
+        for i in range(0, len(payload), FRAME_BYTES):
+            yield payload[i : i + FRAME_BYTES]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        carried = {c: [] for c in self.carry_cols}
+        fidx: list[int] = []
+        frames: list[bytes] = []
+        cols = {c: t[c].to_pylist() for c in self.carry_cols}
+        for row, p in enumerate(t[self.payload_col].to_pylist()):
+            for j, fr in enumerate(self._frames(p or b"")):
+                if j % self.every_n:
+                    continue
+                for c in self.carry_cols:
+                    carried[c].append(cols[c][row])
+                fidx.append(j)
+                frames.append(fr)
+        return pa.table(
+            {
+                **{c: pa.array(carried[c]) for c in self.carry_cols},
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, every_n: int = 10, concurrency: int = 4,
+                  batch_size: int = 16, carry_cols: tuple = ("media_id",),
+                  backend: str = "fake"):
+    """Row-exploding stage: output rows ~= input rows x frames/every_n;
+    Ray Data re-blocks downstream, so the explosion never builds a
+    driver-side list."""
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every_n": every_n, "carry_cols": carry_cols,
+                               "backend": backend},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -752,3 +752,44 @@ def test_significant_text_multi_terms_top_metrics_boxplot(docs_ds, con, ray_sess
         ).fetchone()[0]
         assert abs(bp[col] - float(exact)) / max(float(exact), 1) < 0.05
     assert bp["min"] <= bp["q1"] <= bp["q2"] <= bp["q3"] <= bp["max"]
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    """Resize rewrites payload + metadata per the aspect-fit contract;
+    frame-sample explodes one row per kept frame with carried metadata
+    (the one-to-many video layout) — both actor-pool stages with the
+    stub codec."""
+    import ray.data as rd
+
+    from raydex.ops.multimodal import (
+        FRAME_BYTES,
+        make_media_table,
+        resize_images,
+        sample_frames,
+    )
+
+    t = make_media_table(12, seed=3, payload_bytes=FRAME_BYTES * 25)
+    ds = rd.from_arrow(t)
+    out = resize_images(ds, max_side=128, concurrency=2,
+                        batch_size=4).to_arrow_refs()
+    import ray as _ray
+
+    resized = pa.concat_tables([_ray.get(r) for r in out])
+    assert resized.num_rows == 12
+    assert resized["width"].to_numpy().max() <= 128
+    assert resized["height"].to_numpy().max() <= 128
+    # aspect preserved (within integer truncation)
+    w0, h0 = t["width"][0].as_py(), t["height"][0].as_py()
+    w1, h1 = resized["width"][0].as_py(), resized["height"][0].as_py()
+    assert abs(w0 * h1 - h0 * w1) <= max(w0, h0)
+
+    frames = sample_frames(rd.from_arrow(t), every_n=5, concurrency=2,
+                           batch_size=4).to_pandas()
+    # 25 frames per payload, every 5th kept -> 5 rows per media
+    assert len(frames) == 12 * 5
+    assert set(frames.columns) == {"media_id", "frame_idx", "frame"}
+    assert sorted(frames[frames["media_id"] == 0]["frame_idx"]) == [0, 5, 10, 15, 20]
+    # each kept frame is the exact byte slice of the source payload
+    p0 = t["payload"][0].as_py()
+    f10 = frames[(frames["media_id"] == 0) & (frames["frame_idx"] == 10)]["frame"].iloc[0]
+    assert bytes(f10) == p0[10 * FRAME_BYTES : 11 * FRAME_BYTES]

@@ -30,11 +30,22 @@ def field_caps_for_parquet(paths: dict[str, str]) -> dict:
     return out
 
 
+_FIELD_KIND_CAPS = {
+    # index-time mapped field kinds -> (_field_caps type, aggregatable)
+    "rank_feature": ("rank_feature", False),
+    "rank_features": ("rank_features", False),
+    "completion": ("completion", False),
+    "dense_vector": ("dense_vector", False),
+    "keyword": ("keyword", True),
+    "keywordish": ("keyword", True),
+}
+
+
 def field_caps_for_index(index_dir: str) -> dict:
     from raydex.index.build import load_index_manifest
 
     m = load_index_manifest(index_dir)
-    return {
+    out = {
         "text": {
             "types": ["text"],
             "searchable": True,
@@ -45,3 +56,19 @@ def field_caps_for_index(index_dir: str) -> dict:
         "url": {"types": ["keyword"], "searchable": True, "aggregatable": True},
         "dl": {"types": ["long"], "searchable": True, "aggregatable": True},
     }
+    if m.get("index_sort"):
+        out[m["index_sort"][0]] = {
+            "types": ["date"], "searchable": True, "aggregatable": True,
+            "index_sort": m["index_sort"],
+        }
+    for fname, meta in (m.get("fields") or {}).items():
+        kind = meta.get("analyzer", "keywordish")
+        typ, agg = _FIELD_KIND_CAPS.get(kind, ("text", False))
+        caps = {"types": [typ], "searchable": True, "aggregatable": agg,
+                "analyzer": kind}
+        if typ == "dense_vector":
+            caps["dims"] = meta.get("dims")
+            caps["similarity"] = meta.get("similarity")
+            caps["searchable"] = True  # knn-searchable
+        out[fname] = caps
+    return out

@@ -256,3 +256,14 @@ def test_knn_replicated_read_scaling(built):
             rs.knn_search("emb", q1, filter={"match_all": {}})
     finally:
         rs.shutdown()
+
+
+def test_field_caps_reports_mapped_kinds(built):
+    from raydex.index.fieldcaps import field_caps_for_index
+
+    idx, m, t, vecs = built
+    caps = field_caps_for_index(idx)
+    assert caps["emb"]["types"] == ["dense_vector"]
+    assert caps["emb"]["dims"] == DIMS
+    assert caps["emb"]["similarity"] == "cosine"
+    assert caps["text"]["types"] == ["text"]

@@ -794,6 +794,61 @@ def q_bm25_brute_equals_wand(sf):
     return a
 
 
+def q_delete_lifecycle_docs(sf):
+    """End-to-end deletes lifecycle through the driver gate: build a
+    documents index with unambiguous lang/source marker tokens,
+    `_delete_by_query` lang=de (liveDocs bitmaps), forcemerge
+    only_expunge_deletes (compacting rewrite), then per-source counts
+    via term queries over the COMPACTED index — mirrored exactly in SQL
+    as `lang <> 'de'` group-by. Idempotent: re-running on the cached
+    compacted index deletes 0 and re-counts the same."""
+    from raydex.index.build import build_index
+    from raydex.index.compact import expunge_deletes
+    from raydex.index.deletes import delete_by_query
+    from raydex.search.scatter import LocalSearcher
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    idx = f"/tmp/raydex_cache/lifecycle_index_v1_{tag}"
+    if not os.path.exists(os.path.join(idx, "index_manifest.json")):
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            txt = [
+                f"lang_{l} src_{s}"
+                for l, s in zip(t["lang"].to_pylist(), t["source"].to_pylist())
+            ]
+            return pa.table(
+                {
+                    "url": pa.array([str(i) for i in ids], pa.string()),
+                    "warc_ts": pa.array(ids.astype("int64")).cast(
+                        pa.timestamp("us")
+                    ),
+                    "text": pa.array(txt, pa.large_string()),
+                }
+            )
+
+        ds = _ds(sf, "documents", ["doc_id", "lang", "source"]).map_batches(
+            to_pages, batch_format="pyarrow"
+        )
+        build_index(None, idx, num_partitions=2, analyzer="standard_en",
+                    source="text", max_docs_per_segment=100_000, ray_ds=ds)
+    delete_by_query(idx, {"term": {"text": "lang_de"}})
+    expunge_deletes(idx)
+    s = LocalSearcher(idx)
+    sources = sorted(
+        pq.read_table(f"{sf}/documents.parquet", columns=["source"])
+        ["source"].unique().to_pylist()
+    )
+    rows = [(src, s.count({"term": {"text": f"src_{src}"}}))
+            for src in sources]
+    rows = [r for r in rows if r[1] > 0]
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "doc_count": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_reindex_docs(sf):
     """`_reindex` with query + script: english docs, computed text_len."""
     import pyarrow.compute as pc
@@ -1399,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_lineitems_count": q_nested_lineitems_count,
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
+        "delete_lifecycle_docs": q_delete_lifecycle_docs,
         "reindex_docs": q_reindex_docs,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
@@ -1791,6 +1847,13 @@ def oracle_sql() -> dict[str, str]:
             "WHEN (user_id * 37) % 256 < 128 THEN 'a_lower_half' "
             "ELSE 'b_upper_half' END AS bucket FROM events) "
             "GROUP BY bucket ORDER BY bucket"
+        ),
+        # delete_by_query + expunge-deletes lifecycle: post-compaction
+        # per-source counts == the surviving (lang <> 'de') group-by
+        "delete_lifecycle_docs": (
+            "SELECT source, COUNT(*) AS doc_count FROM documents "
+            "WHERE lang <> 'de' GROUP BY source HAVING COUNT(*) > 0 "
+            "ORDER BY source"
         ),
         # rate / ip_prefix / normalize(percent_of_sum) union: integer
         # counts + a single double division each, so values hash-match

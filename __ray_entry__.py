@@ -794,21 +794,17 @@ def q_bm25_brute_equals_wand(sf):
     return a
 
 
-def q_delete_lifecycle_docs(sf):
-    """End-to-end deletes lifecycle through the driver gate: build a
-    documents index with unambiguous lang/source marker tokens,
-    `_delete_by_query` lang=de (liveDocs bitmaps), forcemerge
-    only_expunge_deletes (compacting rewrite), then per-source counts
-    via term queries over the COMPACTED index — mirrored exactly in SQL
-    as `lang <> 'de'` group-by. Idempotent: re-running on the cached
-    compacted index deletes 0 and re-counts the same."""
+def _lifecycle_index(sf: str) -> str:
+    """Build-once documents index with marker tokens + INDEX-TIME SORT
+    (warc_ts=doc_id desc), then delete lang_de + expunge — every step
+    idempotent, so gates may call this in any order and see the same
+    compacted, sorted, deletes-free index."""
     from raydex.index.build import build_index
     from raydex.index.compact import expunge_deletes
     from raydex.index.deletes import delete_by_query
-    from raydex.search.scatter import LocalSearcher
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/lifecycle_index_v1_{tag}"
+    idx = f"/tmp/raydex_cache/lifecycle_index_v2_{tag}"
     if not os.path.exists(os.path.join(idx, "index_manifest.json")):
         def to_pages(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy()
@@ -830,10 +826,24 @@ def q_delete_lifecycle_docs(sf):
             to_pages, batch_format="pyarrow"
         )
         build_index(None, idx, num_partitions=2, analyzer="standard_en",
-                    source="text", max_docs_per_segment=100_000, ray_ds=ds)
+                    source="text", max_docs_per_segment=100_000, ray_ds=ds,
+                    index_sort=("warc_ts", "desc"))
     delete_by_query(idx, {"term": {"text": "lang_de"}})
     expunge_deletes(idx)
-    s = LocalSearcher(idx)
+    return idx
+
+
+def q_delete_lifecycle_docs(sf):
+    """End-to-end deletes lifecycle through the driver gate: build a
+    documents index with unambiguous lang/source marker tokens,
+    `_delete_by_query` lang=de (liveDocs bitmaps), forcemerge
+    only_expunge_deletes (compacting rewrite), then per-source counts
+    via term queries over the COMPACTED index — mirrored exactly in SQL
+    as `lang <> 'de'` group-by. Idempotent: re-running on the cached
+    compacted index deletes 0 and re-counts the same."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_lifecycle_index(sf))
     sources = sorted(
         pq.read_table(f"{sf}/documents.parquet", columns=["source"])
         ["source"].unique().to_pylist()
@@ -845,6 +855,26 @@ def q_delete_lifecycle_docs(sf):
         {
             "source": pa.array([r[0] for r in rows], pa.string()),
             "doc_count": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_sorted_index_top_docs(sf):
+    """Field-sorted top-k over an INDEX-SORTED index (IndexSortConfig +
+    BottomSortValuesCollector early termination): warc_ts=doc_id desc
+    top 20 of the lifecycle index (post delete+expunge), so the SQL
+    mirror is `WHERE lang <> 'de' ORDER BY doc_id DESC LIMIT 20`. The
+    early-termination path is what answers; ordering/ties are total
+    (doc_id unique)."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_lifecycle_index(sf))
+    hits = s.search_sorted({"match_all": {}}, sort_field="warc_ts",
+                           order="desc", k=20)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(hits)), pa.int64()),
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
         }
     )
 
@@ -1455,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
         "delete_lifecycle_docs": q_delete_lifecycle_docs,
+        "sorted_index_top_docs": q_sorted_index_top_docs,
         "reindex_docs": q_reindex_docs,
         "broadcast_join": q_broadcast_join,
         "hash_join": q_hash_join,
@@ -1854,6 +1885,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, COUNT(*) AS doc_count FROM documents "
             "WHERE lang <> 'de' GROUP BY source HAVING COUNT(*) > 0 "
             "ORDER BY source"
+        ),
+        # index-sorted top-k (early-termination path) over the same
+        # compacted lifecycle index
+        "sorted_index_top_docs": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id DESC) - 1 "
+            "AS BIGINT) AS rank, doc_id FROM documents WHERE lang <> 'de' "
+            "ORDER BY rank LIMIT 20"
         ),
         # rate / ip_prefix / normalize(percent_of_sum) union: integer
         # counts + a single double division each, so values hash-match

@@ -72,3 +72,52 @@ def field_caps_for_index(index_dir: str) -> dict:
             caps["searchable"] = True  # knn-searchable
         out[fname] = caps
     return out
+
+
+def disk_usage(index_dir: str) -> dict:
+    """`_disk_usage` analogue (``action/admin/indices/diskusage``):
+    per-field on-disk byte breakdown across every segment — primary
+    postings/terms/positions/docs vs each mapped field's artifacts —
+    plus sidecars (livedocs, url_index). Walks manifests only;
+    no artifact is read."""
+    import os
+
+    from raydex.index.build import load_index_manifest, segment_dirs
+
+    m = load_index_manifest(index_dir)
+    out: dict[str, dict] = {}
+
+    def add(field: str, kind: str, nbytes: int) -> None:
+        f = out.setdefault(field, {"total_bytes": 0})
+        f[kind] = f.get(kind, 0) + nbytes
+        f["total_bytes"] += nbytes
+
+    _KIND = {
+        "postings.bin": "postings_bytes",
+        "positions.bin": "positions_bytes",
+        "terms.parquet": "terms_bytes",
+        "docs.parquet": "stored_fields_bytes",
+        "vectors.parquet": "vectors_bytes",
+        "feature.parquet": "doc_values_bytes",
+        "features.parquet": "doc_values_bytes",
+        "completion.parquet": "completion_bytes",
+        "livedocs.npy": "live_docs_bytes",
+        "url_index.parquet": "sidecar_bytes",
+        "deletes.json": "sidecar_bytes",
+        "manifest.json": "sidecar_bytes",
+    }
+    for sd in segment_dirs(index_dir, m):
+        for dirpath, _, files in os.walk(sd):
+            rel = os.path.relpath(dirpath, sd)
+            if rel == ".":
+                field = "text"
+            elif rel.startswith("field="):
+                field = rel.split("=", 1)[1].split(os.sep)[0]
+            else:  # merged bucket dirs etc. accrue to the primary field
+                field = "text"
+            for fn in files:
+                add(field, _KIND.get(fn, "other_bytes"),
+                    os.path.getsize(os.path.join(dirpath, fn)))
+    total = sum(f["total_bytes"] for f in out.values())
+    return {"fields": out, "total_bytes": total,
+            "doc_count": m["doc_count"]}

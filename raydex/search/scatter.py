@@ -170,7 +170,8 @@ class SegmentGroup:
     def sorted_top_k(self, qdict: dict, sort_field: str, order: str, k: int,
                      ndocs: int, sum_dl: int, df: dict[str, int],
                      analyzer_name: str, fdf: dict | None = None,
-                     field_sum_dl: dict | None = None):
+                     field_sum_dl: dict | None = None,
+                     search_after: tuple | None = None):
         """Field-sorted top-k with index-sort early termination — the
         reference's FieldSortBuilder + BottomSortValuesCollector
         (``action/search/BottomSortValuesCollector.java``,
@@ -242,6 +243,26 @@ class SegmentGroup:
             cand = np.flatnonzero(mask)
             if not cand.size:
                 continue
+            if search_after is not None:
+                # deep-paging cursor (the reference's search_after over a
+                # field sort): keep only docs strictly beyond
+                # (value, ordinal, docid) in sort order
+                av, ao, ad = search_after
+                if sort_field == "dl":
+                    vv = r.dl[cand]
+                elif sort_field in r.doc_values:
+                    vv = r.doc_values[sort_field][cand]
+                else:
+                    vv = np.asarray([r.url_of(int(d)) for d in cand],
+                                    dtype=object)
+                beyond = (vv > av) if order == "asc" else (vv < av)
+                ties = vv == av
+                if ties.any():
+                    tie_ok = (o > ao) | ((o == ao) & (cand > ad))
+                    beyond = beyond | (ties & tie_ok)
+                cand = cand[beyond]
+                if not cand.size:
+                    continue
             seg_sort = r.manifest.get("index_sort")
             if seg_sort and seg_sort[0] == sort_field and seg_sort[1] == order:
                 # INDEX-SORT early termination (the reference's sorted-
@@ -537,14 +558,18 @@ class LocalSearcher(SearcherBase):
         )
 
     def search_sorted(self, qdict: dict, sort_field: str = "dl",
-                      order: str = "asc", k: int = 10):
+                      order: str = "asc", k: int = 10,
+                      search_after: tuple | None = None):
         """Field-sorted hits (`"sort": [{field: order}]`) with
         BottomSortValuesCollector-style segment skipping — see
-        SegmentGroup.sorted_top_k."""
+        SegmentGroup.sorted_top_k. ``search_after``: (sort_value,
+        ordinal, docid) of the previous page's last hit — the deep-
+        paging cursor (no max_result_window cap on this path)."""
         df, fdf = self._query_stats(qdict)
         return self.group.sorted_top_k(
             qdict, sort_field, order, k, self.ndocs, self.sum_dl, df,
             self.manifest["analyzer"], fdf=fdf, field_sum_dl=self.field_sum_dl,
+            search_after=search_after,
         )
 
     def terms_agg(self, field: str, size: int = 10,
@@ -827,19 +852,22 @@ class RaySearcher(SearcherBase):
         return merge_top_k(per_seg, w)[from_:]
 
     def search_sorted(self, qdict: dict, sort_field: str = "dl",
-                      order: str = "asc", k: int = 10):
+                      order: str = "asc", k: int = 10,
+                      search_after: tuple | None = None):
         """Distributed field sort: each actor runs the sequential
         bottom-fed early-terminated pass over ITS segment slice (the
         per-node BottomSortValuesCollector analogue — full parallelism
         across actors, skipping within each), coordinator merges by
-        (value, ordinal, docid)."""
+        (value, ordinal, docid). ``search_after`` pages past the cursor
+        on every actor."""
         terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
         fdf = self._field_stats(fpairs)
         refs = [
             a.sorted_top_k.remote(qdict, sort_field, order, k, self.ndocs,
                                   self.sum_dl, df, self.manifest["analyzer"],
-                                  fdf=fdf, field_sum_dl=self.field_sum_dl)
+                                  fdf=fdf, field_sum_dl=self.field_sum_dl,
+                                  search_after=search_after)
             for a in self.actors
         ]
         allhits = [h for actor_out in self._ray.get(refs) for h in actor_out]

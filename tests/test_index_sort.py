@@ -135,3 +135,39 @@ def test_range_on_stored_ts_with_can_match(built):
         {"range": {"warc_ts": {"gt": int(df["us"].max())}}}]}},
         s.ndocs, s.sum_dl, {}, m["analyzer"])
     assert s.group.can_match_skipped() == len(s.group.readers)
+
+
+def test_sorted_search_after_pages(built):
+    """search_after over the sorted scatter path: consecutive pages
+    tile the exact full ordering with no overlap, beyond the
+    max_result_window depth cap (the cursor path has none)."""
+    idx, _, t = built
+    s = LocalSearcher(idx)
+    q = {"term": {"text": "cold"}}
+    full = s.search_sorted(q, sort_field="warc_ts", order="desc", k=1000)
+    pages, cursor = [], None
+    while True:
+        page = s.search_sorted(q, sort_field="warc_ts", order="desc", k=20,
+                               search_after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        h = page[-1]
+        cursor = (h["sort_value"], h["ordinal"], h["docid"])
+    assert [p["url"] for p in pages] == [h["url"] for h in full]
+    assert len({p["url"] for p in pages}) == len(pages)  # no dupes
+
+
+def test_disk_usage_report(built):
+    from raydex.index.fieldcaps import disk_usage
+
+    idx, m, t = built
+    du = disk_usage(idx)
+    assert du["doc_count"] == N
+    f = du["fields"]["text"]
+    assert f["postings_bytes"] > 0 and f["terms_bytes"] > 0
+    assert f["stored_fields_bytes"] > 0
+    assert f["sidecar_bytes"] > 0  # url_index + manifests
+    assert du["total_bytes"] == sum(
+        x["total_bytes"] for x in du["fields"].values()
+    )

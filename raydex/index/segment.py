@@ -838,21 +838,44 @@ class SegmentReader:
             cache[name] = vals
         return vals
 
-    def derived_field(self, name: str):
+    def derived_field(self, name: str, spec: dict | None = None):
         """Lazy segment-local index over a stored column (the multi-field
         / runtime-field analogue; raydex.search.fields). Built once per
-        reader — i.e. once per query actor."""
-        if name not in self._derived:
-            from raydex.search.fields import RUNTIME_FIELDS, DerivedFieldIndex
+        reader — i.e. once per query actor. ``spec``: a PER-REQUEST
+        runtime mapping ``{"factory": <registered name>, "params":
+        {...}}`` (the `runtime_mappings` search-body section) — cached
+        under its canonical JSON so repeated requests reuse the index."""
+        import json as _json
 
-            fn = RUNTIME_FIELDS.get(name)
-            if fn is None:
-                raise ValueError(
-                    f"no stored column or registered runtime field {name!r} "
-                    f"(register_runtime_field)"
-                )
-            self._derived[name] = DerivedFieldIndex(fn(self))
-        return self._derived[name]
+        key = name if spec is None else name + "\x1f" + _json.dumps(
+            spec, sort_keys=True
+        )
+        if key not in self._derived:
+            from raydex.search.fields import (
+                RUNTIME_FIELD_FACTORIES,
+                RUNTIME_FIELDS,
+                DerivedFieldIndex,
+            )
+
+            if spec is not None:
+                fac = RUNTIME_FIELD_FACTORIES.get(spec.get("factory"))
+                if fac is None:
+                    raise ValueError(
+                        f"unknown runtime-field factory "
+                        f"{spec.get('factory')!r} "
+                        f"(register_runtime_field_factory)"
+                    )
+                vals = fac(self, **(spec.get("params") or {}))
+            else:
+                fn = RUNTIME_FIELDS.get(name)
+                if fn is None:
+                    raise ValueError(
+                        f"no stored column or registered runtime field "
+                        f"{name!r} (register_runtime_field)"
+                    )
+                vals = fn(self)
+            self._derived[key] = DerivedFieldIndex(vals)
+        return self._derived[key]
 
     @staticmethod
     def _load_bucketed(seg_dir: str, manifest: dict):

@@ -70,3 +70,33 @@ class DerivedFieldIndex:
         lo = bisect.bisect_left(self.terms, prefix)
         hi = bisect.bisect_left(self.terms, prefix + "￿")
         return self.terms[lo:hi]
+
+
+# parameterized runtime-field factories for PER-REQUEST runtime
+# mappings (the `_search` body's `runtime_mappings` section,
+# ``es/search/builder/SearchSourceBuilder#runtimeMappings`` +
+# ``RuntimeField.parseRuntimeFields``): name -> fn(reader, **params)
+# returning one string per doc. The request carries only JSON (factory
+# name + params), so mappings serialize to query actors untouched.
+RUNTIME_FIELD_FACTORIES: dict = {}
+
+
+def register_runtime_field_factory(name: str, fn) -> None:
+    RUNTIME_FIELD_FACTORIES[name] = fn
+
+
+def _url_regex_factory(reader, pattern: str, group: int = 1,
+                       missing: str = ""):
+    """Built-in factory: regex-extract a group from each stored url
+    (the grok-on-a-stored-field runtime pattern)."""
+    import re
+
+    rx = re.compile(pattern)
+    out = []
+    for u in reader.urls.to_pylist():
+        m = rx.search(u)
+        out.append(m.group(group) if m else missing)
+    return out
+
+
+register_runtime_field_factory("url_regex", _url_regex_factory)

@@ -779,11 +779,19 @@ def expand_fuzzy(reader, value: str, fuzziness: int) -> list[int]:
 class SegmentEvaluator:
     """Dense (scores, mask) evaluation of a query tree over one segment."""
 
-    def __init__(self, reader, stats, analyzer):
+    def __init__(self, reader, stats, analyzer, runtime_mappings=None):
         self.r = reader
         self.stats = stats
         self.analyzer = analyzer
         self.n = reader.ndocs
+        # per-request runtime mappings ({field: {"factory": ..,
+        # "params": ..}}) — the search body's runtime_mappings section;
+        # resolution goes through _derived so request-local fields
+        # shadow the global registry
+        self.runtime_mappings = runtime_mappings or {}
+
+    def _derived(self, field: str):
+        return self.r.derived_field(field, self.runtime_mappings.get(field))
 
     def _term_leaf(self, term: str, boost: float):
         scores = np.zeros(self.n)
@@ -833,7 +841,7 @@ class SegmentEvaluator:
         (raydex.search.fields docstring)."""
         scores = np.zeros(self.n)
         mask = np.zeros(self.n, dtype=bool)
-        fi = self.r.derived_field(field)
+        fi = self._derived(field)
         p = fi.postings.get(term)
         if p is not None:
             ids, tfs = p
@@ -885,7 +893,7 @@ class SegmentEvaluator:
 
     def _derived_const(self, field: str, expander, boost: float):
         """Constant-score multi-term expansion over a derived field."""
-        fi = self.r.derived_field(field)
+        fi = self._derived(field)
         mask = np.zeros(self.n, dtype=bool)
         for t in expander(fi):
             p = fi.postings.get(t)
@@ -1082,7 +1090,7 @@ class SegmentEvaluator:
                 elif fr is not None:
                     dl_f = fr.dl
                 else:
-                    dl_f = self.r.derived_field(f).dl
+                    dl_f = self._derived(f).dl
                 norm += w * dl_f.astype(np.float64)
                 specs.append((f, w, fr))
             # GLOBAL norm/idf stats where collected (the engine's
@@ -1103,7 +1111,7 @@ class SegmentEvaluator:
                         else (fr.sum_dl / fr.ndocs if fr.ndocs else 1.0)
                     )
                 else:
-                    avg_norm += w * float(self.r.derived_field(f).avgdl)
+                    avg_norm += w * float(self._derived(f).avgdl)
             denom_add = K1 * (1.0 - B + B * norm / max(avg_norm, 1e-9))
             terms = self.analyzer(q.text)
             scores = np.zeros(n)
@@ -1127,7 +1135,7 @@ class SegmentEvaluator:
                                 df_other, gdf if gdf else int(fr.df[ti])
                             )
                     else:
-                        p = self.r.derived_field(f).postings.get(t)
+                        p = self._derived(f).postings.get(t)
                         if p is not None:
                             tfc[p[0]] += w * p[1]
                             df_other = max(df_other, p[0].size)
@@ -1183,7 +1191,7 @@ class SegmentEvaluator:
                     ids, _ = fr.postings(ti)
                     pmask[ids] = True
             else:
-                fi = self.r.derived_field(q.fld)
+                fi = self._derived(q.fld)
                 for t in fi.expand_prefix(terms[-1]):
                     pmask[fi.postings[t][0]] = True
             scores += pmask

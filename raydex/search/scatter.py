@@ -144,7 +144,8 @@ class SegmentGroup:
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
                     field_sum_dl: dict | None = None,
-                    can_match: bool = True):
+                    can_match: bool = True,
+                    runtime_mappings: dict | None = None):
         """Structured query-DSL evaluation (raydex.search.query)."""
         from raydex.analysis.tokenizer import get_analyzer
         from raydex.search.query import SegmentEvaluator, parse_query
@@ -155,7 +156,8 @@ class SegmentGroup:
         an = get_analyzer(analyzer_name)
         out = []
         for r, o in self._can_match_readers(q, can_match):
-            ev = SegmentEvaluator(r, stats, an)
+            ev = SegmentEvaluator(r, stats, an,
+                                  runtime_mappings=runtime_mappings)
             ids, sc = ev.top_k(q, k)
             urls = [r.url_of(d) for d in ids]
             out.append((o, ids.tolist(), sc.tolist(), urls))
@@ -349,7 +351,8 @@ class SegmentGroup:
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
                     field_sum_dl: dict | None = None,
-                    can_match: bool = True) -> int:
+                    can_match: bool = True,
+                    runtime_mappings: dict | None = None) -> int:
         from raydex.analysis.tokenizer import get_analyzer
         from raydex.search.query import SegmentEvaluator, parse_query
 
@@ -358,7 +361,8 @@ class SegmentGroup:
         q = parse_query(qdict)
         an = get_analyzer(analyzer_name)
         return sum(
-            SegmentEvaluator(r, stats, an).count(q)
+            SegmentEvaluator(r, stats, an,
+                             runtime_mappings=runtime_mappings).count(q)
             for r, _ in self._can_match_readers(q, can_match)
         )
 
@@ -539,22 +543,29 @@ class LocalSearcher(SearcherBase):
         fdf = self.group.field_term_stats(fpairs) if fpairs else {}
         return df, fdf
 
-    def search_query(self, qdict: dict, k: int = 10, from_: int = 0):
-        """Structured DSL search (`POST _search {"query": ...}` analogue)."""
+    def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
+                     runtime_mappings: dict | None = None):
+        """Structured DSL search (`POST _search {"query": ...}` analogue).
+        ``runtime_mappings``: per-request runtime fields ({field:
+        {"factory": <registered>, "params": {...}}}) — the search body's
+        runtime_mappings section; fields resolve inside the segment
+        evaluators with segment-local stats."""
         w = _window(k, from_)
         df, fdf = self._query_stats(qdict)
         per_seg = self.group.query_top_k(
             qdict, w, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
             fdf=fdf, field_sum_dl=self.field_sum_dl,
+            runtime_mappings=runtime_mappings,
         )
         return merge_top_k(per_seg, w)[from_:]
 
-    def count(self, qdict: dict) -> int:
+    def count(self, qdict: dict, runtime_mappings: dict | None = None) -> int:
         """The `_count` API analogue."""
         df, fdf = self._query_stats(qdict)
         return self.group.query_count(
             qdict, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
             fdf=fdf, field_sum_dl=self.field_sum_dl,
+            runtime_mappings=runtime_mappings,
         )
 
     def search_sorted(self, qdict: dict, sort_field: str = "dl",
@@ -836,8 +847,11 @@ class RaySearcher(SearcherBase):
                 fdf[k] += v
         return fdf
 
-    def search_query(self, qdict: dict, k: int = 10, from_: int = 0):
-        """Structured DSL search, scatter-gathered over the actor pool."""
+    def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
+                     runtime_mappings: dict | None = None):
+        """Structured DSL search, scatter-gathered over the actor pool.
+        ``runtime_mappings`` travel as plain JSON — each actor builds
+        (and caches) the request-local derived index for its segments."""
         w = _window(k, from_)
         terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
@@ -845,7 +859,8 @@ class RaySearcher(SearcherBase):
         refs = [
             a.query_top_k.remote(qdict, w, self.ndocs, self.sum_dl, df,
                                  self.manifest["analyzer"],
-                                 fdf=fdf, field_sum_dl=self.field_sum_dl)
+                                 fdf=fdf, field_sum_dl=self.field_sum_dl,
+                                 runtime_mappings=runtime_mappings)
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]

@@ -137,3 +137,29 @@ def test_template_driven_build(ray_session, tmp_path):
     m = build_index(p, idx, **reg.build_args_for("idx-001"))
     assert m["num_partitions"] == 2
     assert "u" in m["fields"]
+
+
+def test_per_request_runtime_mappings(tiny_index):
+    """`runtime_mappings` in the search request: a factory-defined field
+    (regex over the stored url) is term-queryable for THIS request only,
+    shadowing nothing global; same request distributed == local."""
+    from raydex.search.scatter import RaySearcher
+
+    s = LocalSearcher(tiny_index)
+    rm = {"suffix": {"factory": "url_regex",
+                     "params": {"pattern": r"/(\d+)$", "group": 1}}}
+    q = {"term": {"suffix": "7"}}
+    hits = s.search_query(q, k=10, runtime_mappings=rm)
+    assert [h["url"] for h in hits] == ["a.example/7"]
+    assert s.count(q, runtime_mappings=rm) == 1
+    # without the mapping the field is unknown
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="runtime"):
+        s.search_query(q, k=10)
+    rs = RaySearcher(tiny_index, num_actors=1)
+    try:
+        dist = rs.search_query(q, k=10, runtime_mappings=rm)
+    finally:
+        rs.shutdown()
+    assert [h["url"] for h in dist] == ["a.example/7"]

@@ -78,6 +78,9 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)
 
+    du = sub.add_parser("disk-usage")
+    du.add_argument("--index", required=True)
+
     g = sub.add_parser("get")
     g.add_argument("--index", required=True)
     g.add_argument("--id", required=True, nargs="+",
@@ -207,6 +210,11 @@ def main(argv=None) -> int:
             print(json.dumps({"index": d}
                              | {k: v for k, v in man.items() if k != "segments"}
                              | {"segments": len(man["segments"])}, indent=1))
+    elif a.cmd == "disk-usage":
+        from raydex.index.deletes import index_delete_stats
+        from raydex.index.fieldcaps import disk_usage
+
+        print(json.dumps(disk_usage(a.index) | index_delete_stats(a.index)))
     elif a.cmd == "get":
         from raydex.search.get import mget
 

@@ -158,3 +158,29 @@ def test_merge_reclaims_deletes(ray_session, tmp_path):
         os.path.exists(os.path.join(sd, "livedocs.npy"))
         for sd in segment_dirs(idx, m1)
     )
+
+
+def test_snapshot_restores_lifecycle_artifacts(ray_session, tmp_path):
+    """Snapshot/restore carries the round-3 sidecars (dense vectors,
+    liveDocs bitmaps, url_index) — the restored index answers knn and
+    respects deletes identically."""
+    from raydex.index.snapshot import create_snapshot, restore_snapshot
+
+    idx = _build(tmp_path, "snap_src", _pages())
+    delete_by_query(idx, {"term": {"text": "red"}}, use_ray=False)
+    s0 = LocalSearcher(idx)
+    before_count = s0.count({"match_all": {}})
+    q = [1.25, -3.0]
+    before_knn = [(h["url"], h["score"])
+                  for h in s0.knn_search("emb", q, k=6, num_candidates=30)]
+
+    repo = str(tmp_path / "repo")
+    create_snapshot(idx, repo, "snap1")
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "snap1", dest)
+    s1 = LocalSearcher(dest)
+    assert s1.count({"match_all": {}}) == before_count
+    assert s1.count({"term": {"text": "red"}}) == 0  # deletes survived
+    after_knn = [(h["url"], h["score"])
+                 for h in s1.knn_search("emb", q, k=6, num_candidates=30)]
+    assert after_knn == before_knn

@@ -388,7 +388,25 @@ def merge_partition_segments(
     out_tmp: dict[int, str] = {}
     merged_ids: dict[int, str] = {}
     doc_meta: dict[int, dict] = {}
+    rewrite_plan: dict[int, list[str]] = {}
+    for part, seg_ids in list(merges.items()):
+        # multi-field segments take the decode/re-encode REWRITE merge
+        # (raydex.index.merge_rewrite — the per-field SegmentMerger
+        # path); the byte-splice machinery below covers the
+        # primary-field-only layout
+        has_fields = False
+        for sid in seg_ids:
+            with open(os.path.join(_part_dir(index_dir, part), sid,
+                                   "manifest.json")) as f:
+                if json.load(f).get("fields"):
+                    has_fields = True
+                    break
+        if has_fields:
+            rewrite_plan[part] = seg_ids
     for part, seg_ids in merges.items():
+        if part in rewrite_plan:
+            merged_ids[part] = f"mseg-{part:05d}-{generation:04d}"
+            continue
         part_dir = _part_dir(index_dir, part)
         base = 0
         mseg_id = f"mseg-{part:05d}-{generation:04d}"
@@ -419,16 +437,6 @@ def merge_partition_segments(
                     f"({sm['index_sort']}); splice merge would break the "
                     f"sort order — compact/rebuild instead"
                 )
-            if sm.get("fields"):
-                # multi-field segments carry per-field sub-indexes; the
-                # term-hash-shuffle merge currently covers the primary
-                # field only — refuse instead of silently dropping fields
-                raise NotImplementedError(
-                    f"segment {sid} has index-time mapped fields "
-                    f"{sorted(sm['fields'])}; merge of per-field "
-                    f"sub-indexes is not implemented — merge each field "
-                    f"layout separately or rebuild"
-                )
             descs.append({"part": part, "seg_dir": sd, "seg_ord": ord_, "base": base})
             base += sm["doc_count"]
             doc_tables.append(pq.read_table(os.path.join(sd, "docs.parquet")))
@@ -445,21 +453,57 @@ def merge_partition_segments(
             ),
         }
 
-    chunker = _ChunkSegment(num_buckets, max_blocks_per_chunk)
-    writer = _WriteBucket(out_tmp, num_buckets)
+    if descs:
+        chunker = _ChunkSegment(num_buckets, max_blocks_per_chunk)
+        writer = _WriteBucket(out_tmp, num_buckets)
 
-    def write_bucket(group: pa.Table) -> pa.Table:
-        return writer(group)
+        def write_bucket(group: pa.Table) -> pa.Table:
+            return writer(group)
 
-    ds = rd.from_items(descs)
-    stats = (
-        ds.map_batches(chunker, batch_format="pyarrow", batch_size=1)
-        .groupby("pb")
-        .map_groups(write_bucket, batch_format="pyarrow")
-    )
-    bucket_rows = stats.to_pandas()
+        ds = rd.from_items(descs)
+        stats = (
+            ds.map_batches(chunker, batch_format="pyarrow", batch_size=1)
+            .groupby("pb")
+            .map_groups(write_bucket, batch_format="pyarrow")
+        )
+        bucket_rows = stats.to_pandas()
+    else:
+        import pandas as _pd
+
+        bucket_rows = _pd.DataFrame({"pb": [], "nterms": []})
 
     to_delete: list[str] = []
+    if rewrite_plan:
+        # decode/re-encode merge per multi-field partition — one task
+        # per partition (the same embarrassing parallelism as the build)
+        from raydex.index.merge_rewrite import merge_segments_rewrite
+
+        import ray as _ray
+
+        if _ray.is_initialized():
+            task = _ray.remote(num_cpus=1)(merge_segments_rewrite)
+            _ray.get([
+                task.remote(_part_dir(index_dir, p), sids, merged_ids[p])
+                for p, sids in rewrite_plan.items()
+            ])
+        else:
+            for p, sids in rewrite_plan.items():
+                merge_segments_rewrite(_part_dir(index_dir, p), sids,
+                                       merged_ids[p])
+        for p, sids in rewrite_plan.items():
+            part_dir = _part_dir(index_dir, p)
+            to_delete.extend(os.path.join(part_dir, sid) for sid in sids)
+            pm_path = os.path.join(part_dir, PART_MANIFEST)
+            if os.path.exists(pm_path):
+                with open(pm_path) as f:
+                    pm = json.load(f)
+                pm["segment_ids"] = sorted(
+                    [s for s in pm["segment_ids"] if s not in set(sids)]
+                    + [merged_ids[p]]
+                )
+                with open(pm_path + ".tmp", "w") as f:
+                    json.dump(pm, f)
+                os.replace(pm_path + ".tmp", pm_path)
     for part, tmp in out_tmp.items():
         buckets = sorted(
             d for d in os.listdir(tmp) if d.startswith("bucket=")
@@ -522,6 +566,28 @@ def merge_partition_segments(
                 "term_count": sm["term_count"],
                 "max_df": sm["max_df"],
                 "content_hash": sm["content_hash"],
+                # per-field stats survive the rewrite merge (the global
+                # per-field avgdl numerators the coordinator sums)
+                "field_sum_dl": json.dumps(
+                    {f: fm.get("sum_dl", 0)
+                     for f, fm in sm.get("fields", {}).items()}
+                ),
+                "field_extra": json.dumps(
+                    {
+                        f: (
+                            {"dims": fm.get("dims", 0),
+                             "similarity": fm.get("similarity", "cosine")}
+                            if fm.get("kind") == "dense_vector"
+                            else {
+                                "value_count": fm.get("value_count", 0),
+                                "sum_ln": fm.get("sum_ln", 0.0),
+                                "positive_count": fm.get("positive_count", 0),
+                            }
+                        )
+                        for f, fm in sm.get("fields", {}).items()
+                        if fm.get("kind") in ("rank_feature", "dense_vector")
+                    }
+                ),
             }
         )
     segs.sort(key=lambda r: (r["part"], r["seg_id"]))
@@ -530,6 +596,13 @@ def merge_partition_segments(
     # deletes (compact-before-merge) they shrink — recompute from rows
     manifest["doc_count"] = int(sum(r["doc_count"] for r in segs))
     manifest["sum_dl"] = int(sum(r["sum_dl"] for r in segs))
+    if manifest.get("fields"):
+        fsums: dict[str, int] = {}
+        for r in segs:
+            for f, v in json.loads(r.get("field_sum_dl") or "{}").items():
+                fsums[f] = fsums.get(f, 0) + int(v)
+        for f, meta in manifest["fields"].items():
+            meta["sum_dl"] = fsums.get(f, meta.get("sum_dl", 0))
     from raydex.index.build import INDEX_MANIFEST
 
     tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")

@@ -1,0 +1,143 @@
+"""Rewrite merge for multi-field segments (the per-field SegmentMerger
+path): merged index answers every query kind — BM25, mapped-field term,
+multi_match with global field stats, rank_feature, knn, point GET —
+IDENTICALLY to the pre-merge index, and composes with deletes."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.index.build import build_index, load_index_manifest, segment_dirs
+from raydex.index.deletes import delete_by_query
+from raydex.index.merge import merge_partition_segments
+from raydex.search.get import get_doc
+from raydex.search.scatter import LocalSearcher
+
+N = 160
+DIMS = 6
+
+
+def _pages():
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(N, DIMS)).astype(np.float32)
+    return pa.table(
+        {
+            "url": pa.array([f"s{i % 5}.example/p/{i}" for i in range(N)]),
+            "warc_ts": pa.array(list(range(N)), pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array(
+                [f"doc {'red' if i % 3 == 0 else 'blue'} item number {i}"
+                 for i in range(N)],
+                pa.large_string(),
+            ),
+            "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(N)]),
+            "quality": pa.array([float(i % 9) + 0.5 for i in range(N)]),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    ), vecs
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from raydex.index.segment import FieldSpec
+
+    t, vecs = _pages()
+    p = str(tmp_path_factory.mktemp("mr_pages") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mr_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=2, analyzer="standard_en", source="text",
+        max_docs_per_segment=20, store_positions=True,
+        fields=[
+            FieldSpec("lang", source="lang", analyzer="keyword"),
+            FieldSpec("quality", source="quality", analyzer="rank_feature"),
+            FieldSpec("emb", source="embedding", analyzer="dense_vector",
+                      dims=DIMS, similarity="cosine"),
+        ],
+    )
+    return idx, m, t, vecs
+
+
+def _snapshot_queries(idx, vecs):
+    s = LocalSearcher(idx)
+    out = {}
+    out["match"] = [(h["url"], h["score"]) for h in
+                    s.search_query({"match": {"text": "red number"}}, k=25)]
+    out["phrase"] = [(h["url"], h["score"]) for h in
+                     s.search_query({"match_phrase": {"text": "item number"}},
+                                    k=10)]
+    out["lang_term"] = s.count({"term": {"lang": "de"}})
+    out["multi_match"] = [(h["url"], round(h["score"], 6)) for h in
+                          s.search_query(
+                              {"multi_match": {"query": "blue en",
+                                               "fields": ["text", "lang"],
+                                               "type": "most_fields"}}, k=15)]
+    out["rank_feature"] = [(h["url"], h["score"]) for h in
+                           s.search_query(
+                               {"bool": {"filter": [{"term": {"text": "red"}}],
+                                         "should": [{"rank_feature": {
+                                             "field": "quality",
+                                             "saturation": {"pivot": 4.0}}}]}},
+                               k=500)]
+    out["knn"] = [(h["url"], h["score"]) for h in
+                  s.knn_search("emb", vecs[1].astype(np.float64), k=12,
+                               num_candidates=40)]
+    return out
+
+
+def test_rewrite_merge_preserves_everything(built):
+    idx, m0, t, vecs = built
+    assert len(m0["segments"]) > 2
+    before = _snapshot_queries(idx, vecs)
+
+    plan = {p: [r["seg_id"] for r in m0["segments"] if r["part"] == p]
+            for p in {r["part"] for r in m0["segments"]}}
+    merge_partition_segments(idx, plan, num_buckets=4)
+    m1 = load_index_manifest(idx)
+    assert len(m1["segments"]) == 2  # one merged segment per partition
+    assert m1["doc_count"] == N
+    assert m1["fields"]["lang"]["sum_dl"] == m0["fields"]["lang"]["sum_dl"]
+
+    after = _snapshot_queries(idx, vecs)
+    assert before == after  # every query kind byte-identical
+
+    # point GET works via the url_index sidecar (merged doc order is
+    # concatenation, not url order)
+    for u in ["s0.example/p/0", "s4.example/p/159", "s2.example/p/87"]:
+        assert get_doc(idx, u)["url"] == u
+    for sd in segment_dirs(idx, m1):
+        assert os.path.exists(os.path.join(sd, "url_index.parquet"))
+
+
+def test_rewrite_merge_reclaims_deletes(ray_session, tmp_path):
+    from raydex.index.segment import FieldSpec
+
+    t, vecs = _pages()
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(
+        p, idx, num_partitions=2, analyzer="standard_en",
+        max_docs_per_segment=20,
+        fields=[FieldSpec("lang", source="lang", analyzer="keyword")],
+    )
+    m0 = load_index_manifest(idx)
+    delete_by_query(idx, {"term": {"lang": "de"}}, use_ray=False)
+    n_live = LocalSearcher(idx).count({"match_all": {}})
+    assert n_live < N
+
+    plan = {pp: [r["seg_id"] for r in m0["segments"] if r["part"] == pp]
+            for pp in {r["part"] for r in m0["segments"]}}
+    merge_partition_segments(idx, plan, num_buckets=4)
+    m1 = load_index_manifest(idx)
+    assert m1["doc_count"] == n_live  # deletes reclaimed through rewrite
+    s = LocalSearcher(idx)
+    assert s.count({"term": {"lang": "de"}}) == 0
+    assert s.count({"match_all": {}}) == n_live
+    assert not any(
+        os.path.exists(os.path.join(sd, "livedocs.npy"))
+        for sd in segment_dirs(idx, m1)
+    )

@@ -390,18 +390,20 @@ def merge_partition_segments(
     doc_meta: dict[int, dict] = {}
     rewrite_plan: dict[int, list[str]] = {}
     for part, seg_ids in list(merges.items()):
-        # multi-field segments take the decode/re-encode REWRITE merge
-        # (raydex.index.merge_rewrite — the per-field SegmentMerger
-        # path); the byte-splice machinery below covers the
+        # multi-field and index-SORTED segments take the decode/re-encode
+        # REWRITE merge (raydex.index.merge_rewrite — the per-field
+        # SegmentMerger path, with MultiSorter doc reordering for sorted
+        # inputs); the byte-splice machinery below covers the plain
         # primary-field-only layout
-        has_fields = False
+        needs_rewrite = False
         for sid in seg_ids:
             with open(os.path.join(_part_dir(index_dir, part), sid,
                                    "manifest.json")) as f:
-                if json.load(f).get("fields"):
-                    has_fields = True
+                sm = json.load(f)
+                if sm.get("fields") or sm.get("index_sort"):
+                    needs_rewrite = True
                     break
-        if has_fields:
+        if needs_rewrite:
             rewrite_plan[part] = seg_ids
     for part, seg_ids in merges.items():
         if part in rewrite_plan:

@@ -141,3 +141,65 @@ def test_rewrite_merge_reclaims_deletes(ray_session, tmp_path):
         os.path.exists(os.path.join(sd, "livedocs.npy"))
         for sd in segment_dirs(idx, m1)
     )
+
+
+def test_index_sorted_merge_multisorter(ray_session, tmp_path):
+    """Merging index-sorted segments merge-sorts docs by the sort key
+    (MultiSorter): the merged segment is STILL sorted, early termination
+    still fires, gets still resolve, and search results are identical."""
+    rng = np.random.default_rng(23)
+    ts = rng.permutation(N) * 1000
+    t = pa.table(
+        {
+            "url": pa.array([f"s{i % 5}.example/p/{i}" for i in range(N)]),
+            "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array(
+                [f"doc {'hot' if i % 4 == 0 else 'cold'} item {i}"
+                 for i in range(N)],
+                pa.large_string(),
+            ),
+        }
+    )
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "sorted_idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard_en",
+                max_docs_per_segment=15, index_sort=("warc_ts", "desc"),
+                store_positions=True)
+    m0 = load_index_manifest(idx)
+    assert len(m0["segments"]) > 4
+    s0 = LocalSearcher(idx)
+    before_sorted = [(h["url"], h["sort_value"]) for h in
+                     s0.search_sorted({"term": {"text": "cold"}},
+                                      sort_field="warc_ts", order="desc",
+                                      k=15)]
+    before_match = [(h["url"], h["score"]) for h in
+                    s0.search_query({"match": {"text": "hot item"}}, k=20)]
+    before_phrase = s0.count({"match_phrase": {"text": "hot item"}})
+
+    plan = {pp: [r["seg_id"] for r in m0["segments"] if r["part"] == pp]
+            for pp in {r["part"] for r in m0["segments"]}}
+    merge_partition_segments(idx, plan, num_buckets=4)
+    m1 = load_index_manifest(idx)
+    assert len(m1["segments"]) == 2 and m1["doc_count"] == N
+
+    from raydex.index.segment import SegmentReader
+
+    for sd in segment_dirs(idx, m1):
+        r = SegmentReader(sd)
+        v = r.doc_values["warc_ts"]
+        assert (np.diff(v) <= 0).all()  # still desc-sorted after merge
+        assert r.manifest["index_sort"] == ["warc_ts", "desc"]
+    s1 = LocalSearcher(idx)
+    after_sorted = [(h["url"], h["sort_value"]) for h in
+                    s1.search_sorted({"term": {"text": "cold"}},
+                                     sort_field="warc_ts", order="desc",
+                                     k=15)]
+    assert after_sorted == before_sorted
+    assert getattr(s1.group, "last_sort_early_terminated", 0) > 0
+    after_match = [(h["url"], h["score"]) for h in
+                   s1.search_query({"match": {"text": "hot item"}}, k=20)]
+    assert after_match == before_match
+    assert s1.count({"match_phrase": {"text": "hot item"}}) == before_phrase
+    for u in ["s0.example/p/0", "s4.example/p/159"]:
+        assert get_doc(idx, u)["url"] == u

@@ -466,19 +466,67 @@ def register_processor(name: str, fn) -> None:
     PROCESSORS[name] = fn
 
 
-def compile_pipeline(steps: list[tuple[str, dict]]):
-    """CompoundProcessor analogue: one composed batch fn."""
-    fns = [(PROCESSORS[name], kw) for name, kw in steps]
+def compile_pipeline(steps: list[tuple[str, dict]], on_failure=None):
+    """CompoundProcessor analogue: one composed batch fn.
+
+    ``on_failure``: optional handler step list (the pipeline-level
+    `on_failure` block, ``CompoundProcessor.java`` failure path) — when
+    a processor raises, the ORIGINAL batch re-runs through the handler
+    with the failure metadata columns the reference exposes
+    (`_ingest.on_failure_message` / `_on_failure_processor_type`).
+    Granularity is the batch (this engine's unit of work), documented
+    deviation from the reference's per-document handling."""
+    fns = [(name, PROCESSORS[name], kw) for name, kw in steps]
+    fail_fns = ([(PROCESSORS[n], kw) for n, kw in on_failure]
+                if on_failure else None)
 
     def run(batch: pd.DataFrame) -> pd.DataFrame:
-        for fn, kw in fns:
-            batch = fn(batch, **kw)
+        # processors may mutate in place: keep a real copy for the
+        # failure path so the handler sees the PRE-pipeline state
+        original = batch.copy() if fail_fns is not None else batch
+        for name, fn, kw in fns:
+            try:
+                batch = fn(batch, **kw)
+            except Exception as e:
+                if fail_fns is None:
+                    raise
+                out = original.copy()
+                out["_ingest.on_failure_message"] = str(e)
+                out["_ingest.on_failure_processor_type"] = name
+                for ffn, fkw in fail_fns:
+                    out = ffn(out, **fkw)
+                return out
         return batch
 
     return run
 
 
-def apply_pipeline(ds, steps: list[tuple[str, dict]], batch_size: int = 4096):
+def apply_pipeline(ds, steps: list[tuple[str, dict]], batch_size: int = 4096,
+                   on_failure=None):
     return ds.map_batches(
-        compile_pipeline(steps), batch_format="pandas", batch_size=batch_size
+        compile_pipeline(steps, on_failure=on_failure),
+        batch_format="pandas", batch_size=batch_size,
     )
+
+
+def simulate_pipeline(steps: list[tuple[str, dict]], docs: list[dict],
+                      verbose: bool = False, on_failure=None) -> list:
+    """`POST _ingest/pipeline/_simulate` analogue: run the pipeline over
+    a handful of docs locally (no Ray) and return the transformed docs;
+    ``verbose=True`` additionally returns per-processor intermediate
+    states (the reference's verbose processor_results)."""
+    batch = pd.DataFrame(docs)
+    if not verbose:
+        out = compile_pipeline(steps, on_failure=on_failure)(batch)
+        return out.to_dict("records")
+    trace: list[dict] = []
+    for name, kw in steps:
+        try:
+            batch = PROCESSORS[name](batch.copy(), **kw)
+            trace.append({"processor_type": name, "status": "success",
+                          "docs": batch.to_dict("records")})
+        except Exception as e:
+            trace.append({"processor_type": name, "status": "error",
+                          "error": str(e)})
+            break
+    return trace

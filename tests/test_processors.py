@@ -199,3 +199,37 @@ def test_graph_token_filters():
         lambda ts: [t.upper() for t in ts],  # uppercase path
     ])
     assert mux(["ab", "cd"]) == ["ab", "AB", "cd", "CD"]
+
+
+def test_simulate_pipeline_and_on_failure():
+    """`_ingest/pipeline/_simulate` (plain + verbose trace) and the
+    pipeline-level on_failure handler with failure metadata columns."""
+    from raydex.ops.processors import simulate_pipeline, compile_pipeline
+    import pandas as pd
+
+    docs = [{"msg": "  Hello World  ", "n": "7"}]
+    steps = [("trim", {"field": "msg"}),
+             ("lowercase", {"field": "msg"}),
+             ("convert", {"field": "n", "type": "integer"})]
+    out = simulate_pipeline(steps, docs)
+    assert out[0]["msg"] == "hello world" and out[0]["n"] == 7
+    trace = simulate_pipeline(steps, docs, verbose=True)
+    assert [t["processor_type"] for t in trace] == ["trim", "lowercase", "convert"]
+    assert all(t["status"] == "success" for t in trace)
+    assert trace[0]["docs"][0]["msg"] == "Hello World"  # trimmed only
+
+    # failing processor: verbose trace stops with error status
+    bad = [("fail", {"message": "boom"})]
+    tr = simulate_pipeline(bad, docs, verbose=True)
+    assert tr[0]["status"] == "error" and "boom" in tr[0]["error"]
+
+    # on_failure handler: original batch + failure metadata columns
+    run = compile_pipeline(
+        [("lowercase", {"field": "msg"}), ("fail", {"message": "boom"})],
+        on_failure=[("set", {"field": "failed", "value": "yes"})],
+    )
+    res = run(pd.DataFrame(docs))
+    assert list(res["failed"]) == ["yes"]
+    assert res["_ingest.on_failure_processor_type"].iloc[0] == "fail"
+    assert "boom" in res["_ingest.on_failure_message"].iloc[0]
+    assert res["msg"].iloc[0] == "  Hello World  "  # original state

@@ -142,12 +142,21 @@ def shrink_index(src: str, dst: str, new_partitions: int) -> dict:
     tmp = dst + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     rows = []
+    used: dict[int, set] = {}
     for r in m["segments"]:
         p_new = r["part"] % new_partitions
         sseg = os.path.join(_part_dir(src, r["part"]), r["seg_id"])
-        dseg = os.path.join(_part_dir(tmp, p_new), r["seg_id"])
+        sid = r["seg_id"]
+        taken = used.setdefault(p_new, set())
+        if sid in taken:
+            # collapsing parts may carry the SAME seg_id (a split copies
+            # one segment into several children) — qualify by the source
+            # part to keep (part, seg_id) unique
+            sid = f"{sid}-from{r['part']:05d}"
+        taken.add(sid)
+        dseg = os.path.join(_part_dir(tmp, p_new), sid)
         _link_seg(sseg, dseg, carry_livedocs=True)
-        rows.append(dict(r, part=p_new))
+        rows.append(dict(r, part=p_new, seg_id=sid))
     out = _write_target(src, tmp, new_partitions, rows, m)
     os.replace(tmp, dst)
     out["index_dir"] = dst

@@ -72,8 +72,11 @@ def get_doc(index_dir: str, url: str, columns: list[str] | None = None) -> dict 
         )
         i = _lookup_docid(seg_dir, d, url)
         if i >= 0:
-            if not _is_live(seg_dir, i):  # deleted via liveDocs -> 404
-                return None
+            if not _is_live(seg_dir, i):
+                # deleted copy; another segment of this partition may
+                # hold the live one (split->shrink round-trips leave
+                # dead duplicates until a compacting merge)
+                continue
             row = {c: d[c][i].as_py() for c in d.column_names}
             row["_seg_id"] = r["seg_id"]
             row["_docid"] = i

@@ -216,6 +216,28 @@ class RankFeature(Query):
 
 
 @dataclass
+class FuzzyMatch(Query):
+    """`match` with ``fuzziness`` (MatchQueryParser fuzzy rewrite):
+    every analyzed token becomes a fuzzy term clause combined by the
+    match operator. ``fuzziness=-1`` = AUTO (the reference's ladder:
+    0 edits for length <= 2, 1 for <= 5, else 2)."""
+
+    text: str = ""
+    fld: str = "text"
+    fuzziness: int = -1
+    operator: str = "or"
+
+
+@dataclass
+class ZeroTermsWrap(Query):
+    """``zero_terms_query: all`` (MatchQuery.ZeroTermsQuery.ALL): when
+    analysis strips every token (stopword-only input), match ALL docs
+    instead of none; otherwise transparent."""
+
+    inner: Query = None
+
+
+@dataclass
 class KnnQuery(Query):
     """`knn` as a QUERY-DSL kind (the reference's knn query,
     ``search/vectors/KnnVectorQueryBuilder.java`` — usable inside bool
@@ -315,13 +337,29 @@ def parse_query(d: dict) -> Query:
     if kind == "match":
         fld, v = _field_body(body)
         if isinstance(v, dict):
-            return Match(
+            m = Match(
                 text=v["query"],
                 operator=v.get("operator", "or"),
                 minimum_should_match=int(v.get("minimum_should_match", 0)),
                 fld=fld,
                 boost=v.get("boost", 1.0),
             )
+            # fuzziness: each analyzed token becomes a fuzzy term clause
+            # (MatchQueryParser builds FuzzyQuery per token); AUTO = the
+            # reference's length ladder resolved at evaluation time
+            if v.get("fuzziness") not in (None, 0, "0"):
+                fz = v["fuzziness"]
+                m = FuzzyMatch(
+                    text=v["query"], fld=fld,
+                    fuzziness=-1 if str(fz).upper() == "AUTO" else int(fz),
+                    operator=v.get("operator", "or"),
+                    boost=v.get("boost", 1.0),
+                )
+            # zero_terms_query: what an all-stopwords query matches
+            # (MatchQuery.ZeroTermsQuery) — 'none' (default) | 'all'
+            if v.get("zero_terms_query", "none").lower() == "all":
+                return ZeroTermsWrap(inner=m)
+            return m
         return Match(text=v, fld=fld)
     if kind == "match_phrase":
         v = body["text"] if isinstance(body, dict) else body
@@ -648,6 +686,9 @@ def collect_field_stat_terms(q: Query, analyze_field) -> set[tuple[str, str]]:
     elif isinstance(q, Pinned):
         if q.organic is not None:
             out |= collect_field_stat_terms(q.organic, analyze_field)
+    elif isinstance(q, ZeroTermsWrap):
+        if q.inner is not None:
+            out |= collect_field_stat_terms(q.inner, analyze_field)
     return out
 
 
@@ -1000,6 +1041,30 @@ class SegmentEvaluator:
                     q.boost,
                 )
             return self._const_terms(expand_regexp(self.r, q.pattern), q.boost)
+        if isinstance(q, FuzzyMatch):
+            # fuzzy match = bool over per-token fuzzy clauses
+            # (MatchQueryParser fuzzy rewrite); AUTO resolves per token
+            toks = self.analyzer(q.text)
+            if not toks:
+                return np.zeros(n), np.zeros(n, dtype=bool)
+
+            def auto(tok: str) -> int:
+                if q.fuzziness >= 0:
+                    return q.fuzziness
+                return 0 if len(tok) <= 2 else (1 if len(tok) <= 5 else 2)
+
+            clauses = tuple(
+                Fuzzy(value=t, fuzziness=auto(t), fld=q.fld) for t in toks
+            )
+            inner = (Bool(must=clauses) if q.operator == "and"
+                     else Bool(should=clauses))
+            scores, mask = self.eval(inner)
+            return q.boost * scores, mask
+        if isinstance(q, ZeroTermsWrap):
+            inner_text = getattr(q.inner, "text", None)
+            if inner_text is not None and not self.analyzer(inner_text):
+                return np.full(n, q.inner.boost), np.ones(n, dtype=bool)
+            return self.eval(q.inner)
         if isinstance(q, Fuzzy):
             if q.fld != "text":
                 return self._field_expand_const(

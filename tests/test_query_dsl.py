@@ -450,3 +450,54 @@ def test_pinned_query(seg):
     assert urls[:2] == ["u03", "u05"]
     assert set(urls[2:]) == {"u01", "u02"}
     assert sc[0] > sc[1] > sc[2]
+
+
+def test_match_fuzziness_and_zero_terms(ray_session, tmp_path):
+    """`match` extras: fuzziness (per-token fuzzy clauses, AUTO ladder)
+    and zero_terms_query=all (stopword-only input matches everything)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher
+
+    words = ["search engine", "search party", "created equal", "simple doc"]
+    t = pa.table(
+        {
+            "url": pa.array([f"a.example/{i}" for i in range(40)]),
+            "warc_ts": pa.array(list(range(40)), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "text": pa.array([f"{words[i % 4]} number {i}" for i in range(40)],
+                             pa.large_string()),
+        }
+    )
+    p = str(tmp_path / "fz.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "fz_idx")
+    build_index(p, idx, num_partitions=1, analyzer="standard_en")
+    s = LocalSearcher(idx)
+    base = s.count({"match": {"text": "search"}})
+    assert base == 20
+    # a misspelling within edit distance 2 matches via fuzziness
+    assert s.count({"match": {"text": {"query": "saerch",
+                                       "fuzziness": 2}}}) == base
+    assert s.count({"match": {"text": {"query": "saerch",
+                                       "fuzziness": 0}}}) == 0
+    # AUTO ladder: 6-letter token gets 2 edits -> matches
+    assert s.count({"match": {"text": {"query": "saerch",
+                                       "fuzziness": "AUTO"}}}) == base
+    # short token (<= 2 chars) gets 0 edits under AUTO
+    assert s.count({"match": {"text": {"query": "xq",
+                                       "fuzziness": "AUTO"}}}) == 0
+    # operator=and applies across fuzzy clauses
+    assert s.count({"match": {"text": {"query": "saerch engne",
+                                       "fuzziness": 2,
+                                       "operator": "and"}}}) == 10
+    # zero_terms_query: all-stopword input ('the' is stopped) matches ALL
+    assert s.count({"match": {"text": {"query": "the",
+                                       "zero_terms_query": "all"}}}) == 40
+    assert s.count({"match": {"text": {"query": "the"}}}) == 0
+    # non-empty input: the wrapper is transparent
+    assert s.count({"match": {"text": {"query": "search",
+                                       "zero_terms_query": "all"}}}) == base

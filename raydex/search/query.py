@@ -69,7 +69,7 @@ class Terms(Query):
 class Match(Query):
     text: str = ""
     operator: str = "or"
-    minimum_should_match: int = 0
+    minimum_should_match: object = 0  # int | ES msm grammar string
     fld: str = "text"
 
 
@@ -301,7 +301,7 @@ class Bool(Query):
     should: tuple = ()
     must_not: tuple = ()
     filter: tuple = ()
-    minimum_should_match: int = 0
+    minimum_should_match: object = 0  # int | ES msm grammar string
 
 
 @dataclass
@@ -340,7 +340,7 @@ def parse_query(d: dict) -> Query:
             m = Match(
                 text=v["query"],
                 operator=v.get("operator", "or"),
-                minimum_should_match=int(v.get("minimum_should_match", 0)),
+                minimum_should_match=v.get("minimum_should_match", 0),
                 fld=fld,
                 boost=v.get("boost", 1.0),
             )
@@ -400,7 +400,7 @@ def parse_query(d: dict) -> Query:
             should=tuple(parse_query(q) for q in _as_list(body.get("should"))),
             must_not=tuple(parse_query(q) for q in _as_list(body.get("must_not"))),
             filter=tuple(parse_query(q) for q in _as_list(body.get("filter"))),
-            minimum_should_match=int(body.get("minimum_should_match", 0)),
+            minimum_should_match=body.get("minimum_should_match", 0),
             boost=body.get("boost", 1.0),
         )
     if kind == "constant_score":
@@ -631,6 +631,43 @@ def _as_list(x):
 
 
 # ----------------------------------------------------- term collection
+
+
+def resolve_msm(spec, total: int) -> int:
+    """The reference's ``minimum_should_match`` grammar
+    (``Queries#calculateMinShouldMatch``): int (negative = total-|n|),
+    ``"N%"`` (floor, negative = subtract-from-total), and conditional
+    combinations ``"V<S V2<S2"`` (each spec applies when total > V; the
+    largest applicable V wins; total <= smallest V requires ALL).
+    Result clamped to [0, total]."""
+    if spec in (None, 0, "0"):
+        return 0
+
+    def one(s: str) -> int:
+        s = s.strip()
+        if s.endswith("%"):
+            pct = int(s[:-1])
+            part = (total * abs(pct)) // 100
+            return part if pct >= 0 else total - part
+        v = int(s)
+        return v if v >= 0 else total + v
+
+    if isinstance(spec, int):
+        out = spec if spec >= 0 else total + spec
+    else:
+        s = str(spec).strip()
+        if "<" in s:
+            out = total  # total <= every V: all clauses required
+            best_v = -1
+            for cond in s.split():
+                v_str, _, sub = cond.partition("<")
+                v = int(v_str)
+                if total > v and v > best_v:
+                    best_v = v
+                    out = one(sub)
+        else:
+            out = one(s)
+    return max(0, min(int(out), total))
 
 
 def collect_field_stat_terms(q: Query, analyze_field) -> set[tuple[str, str]]:
@@ -914,7 +951,7 @@ class SegmentEvaluator:
         return tokenize_keywordish(text)
 
     def _field_match(self, field: str, text: str, operator: str,
-                     minimum_should_match: int, boost: float):
+                     minimum_should_match, boost: float):
         n = self.n
         scores = np.zeros(n)
         nmatch = np.zeros(n, dtype=np.int32)
@@ -926,10 +963,9 @@ class SegmentEvaluator:
         if operator == "and":
             need = len(terms)
             mask = nmatch >= need if need else np.zeros(n, dtype=bool)
-        elif minimum_should_match > 1:
-            mask = nmatch >= minimum_should_match
         else:
-            mask = nmatch > 0
+            msm = resolve_msm(minimum_should_match, len(terms))
+            mask = nmatch >= msm if msm > 1 else nmatch > 0
         return boost * scores, mask
 
     def _derived_const(self, field: str, expander, boost: float):
@@ -1414,7 +1450,7 @@ class SegmentEvaluator:
                     scores += s
                     smask |= m
                     scount += m
-                msm = q.minimum_should_match
+                msm = resolve_msm(q.minimum_should_match, len(q.should))
                 if not constrained:
                     mask &= (scount >= msm) if msm > 1 else smask
                 elif msm > 0:

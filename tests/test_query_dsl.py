@@ -501,3 +501,52 @@ def test_match_fuzziness_and_zero_terms(ray_session, tmp_path):
     # non-empty input: the wrapper is transparent
     assert s.count({"match": {"text": {"query": "search",
                                        "zero_terms_query": "all"}}}) == base
+
+
+def test_minimum_should_match_grammar():
+    """The msm grammar (Queries#calculateMinShouldMatch): ints, negative
+    ints, percentages (floor), negative percentages, and conditional
+    combinations."""
+    from raydex.search.query import resolve_msm
+
+    assert resolve_msm(0, 5) == 0 and resolve_msm(None, 5) == 0
+    assert resolve_msm(3, 5) == 3
+    assert resolve_msm(-1, 5) == 4          # total - |n|
+    assert resolve_msm("75%", 4) == 3       # floor(4 * .75)
+    assert resolve_msm("75%", 5) == 3       # floor(3.75)
+    assert resolve_msm("-25%", 4) == 3      # total - floor(4 * .25)
+    assert resolve_msm("-25%", 9) == 7      # 9 - floor(2.25)
+    # conditional: total <= V -> ALL required; else the spec applies
+    assert resolve_msm("3<90%", 3) == 3
+    assert resolve_msm("3<90%", 10) == 9
+    # multiple conditions: largest applicable V wins
+    assert resolve_msm("2<2 5<3", 4) == 2
+    assert resolve_msm("2<2 5<3", 9) == 3
+    assert resolve_msm("2<2 5<3", 2) == 2   # all (total <= 2)
+    # clamped to [0, total]
+    assert resolve_msm(9, 4) == 4
+    assert resolve_msm(-9, 4) == 0
+
+
+def test_msm_grammar_in_match_and_bool(seg):
+    ev = _ev(seg, ["apple", "banana", "cherry"])
+    # DOCS corpus: u00 has apple banana cherry; msm 2-of-3
+    q_pct = {"match": {"text": {"query": "apple banana cherry",
+                                "minimum_should_match": "67%"}}}
+    q_int = {"match": {"text": {"query": "apple banana cherry",
+                                "minimum_should_match": 2}}}
+    ids_p, _ = ev.top_k(parse_query(q_pct), 10)
+    ids_i, _ = ev.top_k(parse_query(q_int), 10)
+    assert ids_p.tolist() == ids_i.tolist()
+    # bool.should with "-1" == n_should - 1
+    qb = {"bool": {"should": [{"term": {"text": "apple"}},
+                              {"term": {"text": "banana"}},
+                              {"term": {"text": "cherry"}}],
+                   "minimum_should_match": "-1"}}
+    qb2 = {"bool": {"should": [{"term": {"text": "apple"}},
+                               {"term": {"text": "banana"}},
+                               {"term": {"text": "cherry"}}],
+                    "minimum_should_match": 2}}
+    ids_a, _ = ev.top_k(parse_query(qb), 10)
+    ids_b, _ = ev.top_k(parse_query(qb2), 10)
+    assert ids_a.tolist() == ids_b.tolist()

@@ -56,9 +56,15 @@ class FieldSpec:
     analyzer: str = "keywordish"
     store_positions: bool = False
     # dense_vector-only params (`DenseVectorFieldMapper.java`, mapper
-    # dims + similarity): ignored by text/keyword kinds
+    # dims + similarity + index_options): ignored by text/keyword kinds.
+    # ivf_nlist > 0 builds a per-segment IVF structure (the reference's
+    # per-segment ANN graph analogue — its HNSW is also an
+    # index_options choice): knn may then probe nprobe clusters
+    # instead of the full matmul. Cosine-only (clusters live on the
+    # unit sphere).
     dims: int = 0
     similarity: str = "cosine"
+    ivf_nlist: int = 0
 
     def to_json(self) -> dict:
         out = {
@@ -70,6 +76,7 @@ class FieldSpec:
         if self.analyzer == "dense_vector":
             out["dims"] = int(self.dims)
             out["similarity"] = self.similarity
+            out["ivf_nlist"] = int(self.ivf_nlist)
         return out
 
     @staticmethod
@@ -78,6 +85,7 @@ class FieldSpec:
             d["name"], d["source"], d.get("analyzer", "keywordish"),
             bool(d.get("store_positions", False)),
             int(d.get("dims", 0)), d.get("similarity", "cosine"),
+            int(d.get("ivf_nlist", 0)),
         )
 
 
@@ -287,12 +295,42 @@ def _build_dense_vector(fdir: str, spec: FieldSpec, values) -> dict:
     )
     os.makedirs(fdir, exist_ok=True)
     pq.write_table(pa.table({"vec": col}), os.path.join(fdir, "vectors.parquet"))
+    nlist = 0
+    if spec.ivf_nlist > 0 and valid.any():
+        if spec.similarity != "cosine":
+            raise ValueError(
+                f"dense_vector field {spec.name!r}: ivf_nlist requires "
+                f"similarity='cosine' (clusters live on the unit sphere)"
+            )
+        nlist = min(int(spec.ivf_nlist), int(valid.sum()))
+        vmat = mat[valid].astype(np.float64)
+        vnorm = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+        # k-means-lite on the segment's own vectors (deterministic):
+        # the per-segment ANN structure the reference builds per
+        # segment too (its HNSW graph is also segment-local)
+        rng = np.random.default_rng(11)
+        cents = vnorm[rng.choice(vnorm.shape[0], size=nlist, replace=False)]
+        for _ in range(5):
+            assign = np.argmax(vnorm @ cents.T, axis=1)
+            for j in range(nlist):
+                sel = assign == j
+                if sel.any():
+                    cents[j] = vnorm[sel].mean(axis=0)
+            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(vnorm @ cents.T, axis=1)
+        np.save(os.path.join(fdir, "ivf_centroids.npy"),
+                cents.astype(np.float32))
+        pq.write_table(
+            pa.table({"cluster": pa.array(assign.astype(np.int32))}),
+            os.path.join(fdir, "ivf.parquet"),
+        )
     return {
         "analyzer": "dense_vector",
         "source": spec.source,
         "kind": "dense_vector",
         "dims": dims,
         "similarity": spec.similarity,
+        "ivf_nlist": nlist,
         "sum_dl": 0,
         "term_count": 0,
         "value_count": int(valid.sum()),
@@ -797,6 +835,26 @@ class SegmentReader:
             entry = (mat, valid, meta.get("similarity", "cosine"))
             cache[name] = entry
         return entry
+
+    def dense_vector_ivf(self, name: str):
+        """(centroids float32 (nlist, dims), cluster int32 per VALID row
+        aligned with dense_vectors()' ``valid``) of an IVF-built
+        dense_vector field, or None when built flat."""
+        cache = getattr(self, "_dense_ivf", None)
+        if cache is None:
+            cache = self._dense_ivf = {}
+        if name not in cache:
+            fd = os.path.join(self.seg_dir, f"field={name}")
+            cp = os.path.join(fd, "ivf_centroids.npy")
+            if os.path.exists(cp):
+                cents = np.load(cp)
+                clusters = pq.read_table(
+                    os.path.join(fd, "ivf.parquet")
+                )["cluster"].to_numpy()
+                cache[name] = (cents, clusters)
+            else:
+                cache[name] = None
+        return cache[name]
 
     def rank_feature_values(self, name: str) -> np.ndarray:
         """Doc-values of a rank_feature field: float64 array (NaN = doc

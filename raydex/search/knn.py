@@ -57,20 +57,33 @@ def segment_knn(
     qvec,
     num_candidates: int,
     filter_mask: np.ndarray | None = None,
+    nprobe: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top ``num_candidates`` (docids, scores) of one segment, sorted by
     (score desc, docid asc) — the per-shard phase. ``filter_mask``:
     optional bool array over segment docids (pre-filter, reference
-    filtered-knn contract)."""
+    filtered-knn contract). ``nprobe``: with an IVF-built field, score
+    only the rows of the ``nprobe`` closest clusters (the approximate
+    path — the reference's per-segment graph search analogue);
+    ``nprobe >= nlist`` or None = exact."""
     mat, valid, similarity = reader.dense_vectors(field)
+    q64 = np.asarray(qvec, dtype=np.float64)
+    if nprobe is not None:
+        ivf = reader.dense_vector_ivf(field)
+        if ivf is not None:
+            cents, clusters = ivf
+            if nprobe < cents.shape[0]:
+                qn = q64 / (np.linalg.norm(q64) or 1.0)
+                top = np.argpartition(-(cents @ qn), nprobe - 1)[:nprobe]
+                keep = np.isin(clusters, top)
+                valid = valid[keep]
     if reader.live is not None:  # liveDocs: deleted docs never match
         valid = valid[reader.live[valid]]
     if filter_mask is not None:
         valid = valid[filter_mask[valid]]
     if not valid.size:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    scores = vector_scores(mat[valid], np.asarray(qvec, dtype=np.float64),
-                           similarity)
+    scores = vector_scores(mat[valid], q64, similarity)
     n = min(int(num_candidates), valid.size)
     if valid.size > n:
         part = np.argpartition(-scores, n - 1)[:n]

@@ -305,7 +305,8 @@ class SegmentGroup:
                   filter_qdict: dict | None = None,
                   ndocs: int = 0, sum_dl: int = 0,
                   df: dict | None = None, analyzer_name: str = "standard_en",
-                  fdf: dict | None = None, field_sum_dl: dict | None = None):
+                  fdf: dict | None = None, field_sum_dl: dict | None = None,
+                  nprobe: int | None = None):
         """Per-segment knn phase (raydex.search.knn.segment_knn): each
         segment returns its top ``num_candidates`` by vector similarity;
         optional ``filter_qdict`` (any DSL dict) pre-filters candidates
@@ -326,7 +327,8 @@ class SegmentGroup:
             mask = None
             if flt is not None:
                 _, mask = SegmentEvaluator(r, stats, an).eval(flt)
-            ids, sc = segment_knn(r, field, qvec, num_candidates, mask)
+            ids, sc = segment_knn(r, field, qvec, num_candidates, mask,
+                                  nprobe=nprobe)
             urls = [r.url_of(d) for d in ids]
             out.append((o, ids.tolist(), sc.tolist(), urls))
         return out
@@ -600,14 +602,17 @@ class LocalSearcher(SearcherBase):
         )
 
     def knn_search(self, field: str, query_vector, k: int = 10,
-                   num_candidates: int = 100, filter: dict | None = None):
+                   num_candidates: int = 100, filter: dict | None = None,
+                   nprobe: int | None = None):
         """kNN over a dense_vector field (the `_search` ``knn`` section):
-        per-segment top num_candidates, merged to the global k."""
+        per-segment top num_candidates, merged to the global k.
+        ``nprobe``: probe only that many IVF clusters per segment when
+        the field was built with ivf_nlist (approximate; None = exact)."""
         df, fdf = self._query_stats(filter) if filter is not None else ({}, {})
         per_seg = self.group.knn_top_k(
             field, query_vector, max(num_candidates, k), filter, self.ndocs,
             self.sum_dl, df, self.manifest["analyzer"], fdf=fdf,
-            field_sum_dl=self.field_sum_dl,
+            field_sum_dl=self.field_sum_dl, nprobe=nprobe,
         )
         return merge_top_k(per_seg, k)
 
@@ -921,7 +926,8 @@ class RaySearcher(SearcherBase):
         )
 
     def knn_search(self, field: str, query_vector, k: int = 10,
-                   num_candidates: int = 100, filter: dict | None = None):
+                   num_candidates: int = 100, filter: dict | None = None,
+                   nprobe: int | None = None):
         """Distributed knn: each actor runs the per-segment candidate
         phase over its slice (vectors pinned in the actor), coordinator
         merges num_candidates-lists to the global k."""
@@ -936,7 +942,8 @@ class RaySearcher(SearcherBase):
             a.knn_top_k.remote(field, qv, max(num_candidates, k), filter,
                                self.ndocs, self.sum_dl, df,
                                self.manifest["analyzer"], fdf=fdf,
-                               field_sum_dl=self.field_sum_dl)
+                               field_sum_dl=self.field_sum_dl,
+                               nprobe=nprobe)
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]

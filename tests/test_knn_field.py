@@ -267,3 +267,54 @@ def test_field_caps_reports_mapped_kinds(built):
     assert caps["emb"]["dims"] == DIMS
     assert caps["emb"]["similarity"] == "cosine"
     assert caps["text"]["types"] == ["text"]
+
+
+def test_ivf_index_options(ray_session, tmp_path):
+    """dense_vector index_options: ivf_nlist builds a per-segment IVF
+    structure; nprobe >= nlist (or None) stays EXACT, small nprobe
+    finds an exact-duplicate query at rank 0 (same-cluster guarantee)
+    and returns a subset of the exact candidates."""
+    rng = np.random.default_rng(17)
+    n = 200
+    vecs = rng.normal(size=(n, DIMS)).astype(np.float32)
+    vecs[57] = vecs[3]  # planted exact duplicate
+    t = pa.table(
+        {
+            "url": pa.array([f"v.example/{i}" for i in range(n)]),
+            "warc_ts": pa.array(list(range(n)), pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array([f"d {i}" for i in range(n)], pa.large_string()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    p = str(tmp_path / "ivf.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "ivf_idx")
+    build_index(
+        p, idx, num_partitions=2, analyzer="standard", max_docs_per_segment=60,
+        fields=[FieldSpec("emb", "embedding", "dense_vector", dims=DIMS,
+                          similarity="cosine", ivf_nlist=8)],
+    )
+    s = LocalSearcher(idx)
+    q = vecs[3].astype(np.float64)
+    exact = s.knn_search("emb", q, k=20, num_candidates=60)
+    full_probe = s.knn_search("emb", q, k=20, num_candidates=60, nprobe=8)
+    assert [(h["url"], h["score"]) for h in full_probe] == [
+        (h["url"], h["score"]) for h in exact
+    ]
+    pruned = s.knn_search("emb", q, k=10, num_candidates=60, nprobe=2)
+    # exact duplicates share a cluster with the query's nearest centroid
+    assert {pruned[0]["url"], pruned[1]["url"]} == {"v.example/3",
+                                                    "v.example/57"}
+    assert pruned[0]["score"] == pytest.approx(1.0)
+    # pruned hits are a subset of the exact candidate set
+    assert {h["url"] for h in pruned} <= {h["url"] for h in exact} | {
+        h["url"] for h in s.knn_search("emb", q, k=60, num_candidates=200)
+    }
+    # non-cosine + ivf is rejected at build
+    with pytest.raises(Exception, match="cosine"):
+        build_index(
+            p, str(tmp_path / "bad"), num_partitions=1, analyzer="standard",
+            fields=[FieldSpec("emb", "embedding", "dense_vector", dims=DIMS,
+                              similarity="l2_norm", ivf_nlist=4)],
+        )

@@ -111,8 +111,11 @@ def run_bench() -> dict:
     merge_partition_segments(serve_idx, plan, num_buckets=8)
     timings["serve_prepare"] = round(time.perf_counter() - t0, 3)
 
-    # ---- BM25 batch QPS over the reference query set
-    q = make_queries_table(100)
+    # ---- BM25 batch QPS over the reference query set. 400 queries:
+    # at high cpu counts the served batch finishes in ~0.2 s for 100
+    # queries — overhead-bound, which turns the scaling ratio into
+    # noise; 4x the work keeps the measurement compute-bound
+    q = make_queries_table(400)
     # replica read scaling (the reference's QPS model: QPS grows with
     # index copies): one replica per 2 cpus, each holding the full
     # segment set; one RPC per query round-robined across replicas
@@ -133,7 +136,7 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         searcher.search_batch(pairs)
         t_query = min(t_query, time.perf_counter() - t0)
-    timings["bm25_100_queries"] = round(t_query, 3)
+    timings["bm25_batch_queries"] = round(t_query, 3)
     qps = len(pairs) / t_query
     # release the replica actors' CPU reservations — they otherwise
     # starve the Dataset pipelines below (4 replicas + two chained

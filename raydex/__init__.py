@@ -18,3 +18,32 @@ Never calls ``ray.init`` — the caller owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+# Public API re-exports (the "switch from the reference" surface): the
+# index lifecycle + search classes a user touches day to day. Modules
+# stay importable directly for everything else.
+from raydex.index.build import build_index, load_index_manifest  # noqa: E402,F401
+from raydex.index.segment import FieldSpec  # noqa: E402,F401
+
+
+def __getattr__(name):  # lazy: keep `import raydex` light
+    lazy = {
+        "LocalSearcher": ("raydex.search.scatter", "LocalSearcher"),
+        "RaySearcher": ("raydex.search.scatter", "RaySearcher"),
+        "ReplicatedSearcher": ("raydex.search.scatter", "ReplicatedSearcher"),
+        "AliasRegistry": ("raydex.index.aliases", "AliasRegistry"),
+        "delete_by_query": ("raydex.index.deletes", "delete_by_query"),
+        "expunge_deletes": ("raydex.index.compact", "expunge_deletes"),
+        "clone_index": ("raydex.index.reshape", "clone_index"),
+        "shrink_index": ("raydex.index.reshape", "shrink_index"),
+        "split_index": ("raydex.index.reshape", "split_index"),
+        "merge_index": ("raydex.index.merge", "merge_index"),
+        "get_doc": ("raydex.search.get", "get_doc"),
+        "mget": ("raydex.search.get", "mget"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'raydex' has no attribute {name!r}")

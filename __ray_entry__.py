@@ -1418,6 +1418,113 @@ def q_text_quality_docs(sf):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_join_suite(sf):
+    """Broadcast (terms-lookup / enrich) + co-partitioned hash join as
+    one tagged table (was 2 gates; each branch keeps its exact SQL
+    mirror, keys normalized to strings so the union shares a schema)."""
+    import pandas as pd
+
+    b = q_broadcast_join(sf)
+    h = q_hash_join(sf)
+    bdf = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+    hdf = h if isinstance(h, pd.DataFrame) else h.to_pandas()
+    out = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "broadcast",
+                    "jkey": bdf["c_mktsegment"].astype(str),
+                    "n_orders": bdf["n_orders"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "hash",
+                    "jkey": hdf["c_nationkey"].astype(str),
+                    "n_orders": hdf["n_orders"].astype("int64"),
+                }
+            ),
+        ]
+    )
+    return out.sort_values(["kind", "jkey"]).reset_index(drop=True)
+
+
+def q_knn_exact_suite(sf):
+    """Brute-force cosine top-k + full-probe IVF top-k as one tagged
+    table (was 2 gates; both branches recomputed exactly in SQL — the
+    IVF branch proves the centroid-bucketed write+read round-trip loses
+    nothing, and q_knn_ivf's in-gate assert keeps covering the pruned
+    probe)."""
+    import pandas as pd
+
+    c = q_knn_cosine(sf)
+    f = q_knn_ivf(sf)
+    cdf = c if isinstance(c, pd.DataFrame) else c.to_pandas()
+    fdf = f if isinstance(f, pd.DataFrame) else f.to_pandas()
+    out = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "brute",
+                    "query_id": 0,
+                    "rank": cdf["rank"].astype("int64"),
+                    "doc_id": cdf["vec_id"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "ivf_full",
+                    "query_id": fdf["query_id"].astype("int64"),
+                    "rank": fdf["rank"].astype("int64"),
+                    "doc_id": fdf["doc_id"].astype("int64"),
+                }
+            ),
+        ]
+    )
+    return out.sort_values(["kind", "query_id", "rank"]).reset_index(drop=True)
+
+
+def q_time_buckets_events(sf):
+    """date_histogram (per-day corpus counts) + tumbling per-user 1h
+    windows as one tagged table (was 2 gates)."""
+    import pandas as pd
+
+    d = q_date_histogram_events(sf)
+    w = q_tumbling_window_events(sf)
+    ddf = d if isinstance(d, pd.DataFrame) else d.to_pandas()
+    wdf = w if isinstance(w, pd.DataFrame) else w.to_pandas()
+    out = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "day_all",
+                    "user_id": -1,
+                    "bucket_ts": ddf["bucket_ts"],
+                    "n": ddf["doc_count"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "hour_user",
+                    "user_id": wdf["user_id"].astype("int64"),
+                    "bucket_ts": wdf["win"],
+                    "n": wdf["n_events"].astype("int64"),
+                }
+            ),
+        ]
+    )
+    return out.sort_values(["kind", "user_id", "bucket_ts"]).reset_index(drop=True)
+
+
+def q_doc_hygiene_docs(sf):
+    """pii_redact + benchmark decontamination joined on doc_id (was 2
+    gates; both column sets keep their exact step-wise SQL mirrors)."""
+    p = q_pii_redact_docs(sf).to_pandas()
+    d = q_decontaminate_docs(sf).to_pandas()
+    out = p.merge(d, on="doc_id")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_signature_docs(sf):
     """simhash64 + winnowed fingerprint per doc as one table (both are
     property-tested hash signatures; rows-only driver check)."""
@@ -1434,7 +1541,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     semi/anti filters, sort+cursor pages, text-quality trio, and the two
     hash-signature gates merged pairwise; terms_source / bm25_match
     dropped as duplicates of terms_lang / bm25_scores_sql; the
-    WAND==brute self-check lives in tests/test_wand.py."""
+    WAND==brute self-check lives in tests/test_wand.py. Round-3
+    additions pushed the count past 50 again, so four more same-shape
+    pairs are tagged unions: join_suite (broadcast+hash),
+    knn_exact_suite (brute+IVF), time_buckets_events
+    (date_histogram+tumbling windows), doc_hygiene_docs
+    (pii+decontaminate) — every branch keeps its own oracle SQL."""
     return {
         "terms_lang": q_terms_lang,
         "metric_aggs_nchars": q_metric_aggs_nchars,
@@ -1442,7 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_users_hll": q_cardinality_users_hll,
         "range_nchars": q_range_nchars,
         "histogram_nchars": q_histogram_nchars,
-        "date_histogram_events": q_date_histogram_events,
+        "time_buckets_events": q_time_buckets_events,
         "percentiles_hdr_nchars": q_percentiles_hdr_nchars,
         "auto_date_histogram_events": q_auto_date_histogram_events,
         "variable_width_histogram": q_variable_width_histogram,
@@ -1464,17 +1576,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_docs": q_top_terms_docs,
         "text_quality_docs": q_text_quality_docs,
         "pricing_summary": q_pricing_summary,
-        "tumbling_window_events": q_tumbling_window_events,
-        "knn_cosine": q_knn_cosine,
-        "knn_ivf": q_knn_ivf,
+        "knn_exact_suite": q_knn_exact_suite,
         "knn_search_docs": q_knn_search_docs,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
         "embedding_near_dup": q_embedding_near_dup,
-        "pii_redact_docs": q_pii_redact_docs,
+        "doc_hygiene_docs": q_doc_hygiene_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "date_math_range_events": q_date_math_range_events,
-        "decontaminate_docs": q_decontaminate_docs,
         "bm25_term_conj": q_bm25_term_conj,
         "rank_feature_top": q_rank_feature_top,
         "match_phrase_top": q_match_phrase_top,
@@ -1487,8 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_lifecycle_docs": q_delete_lifecycle_docs,
         "sorted_index_top_docs": q_sorted_index_top_docs,
         "reindex_docs": q_reindex_docs,
-        "broadcast_join": q_broadcast_join,
-        "hash_join": q_hash_join,
+        "join_suite": q_join_suite,
         # no_oracle (property-tested) gate LAST: if a driver run caps its
         # window, only the weakest-checked gate falls outside it
         "signature_docs": q_signature_docs,
@@ -1686,7 +1794,24 @@ def _hdr_oracle_sql(qs=(0.25, 0.5, 0.75, 0.95, 0.99)) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "pii_redact_docs": _pii_oracle_sql(),
+        # pii step-wise mirror JOIN decontamination mirror on doc_id
+        # (decontamination covers docs with >= 8 tokens; inner join ==
+        # the gate's pandas merge)
+        "doc_hygiene_docs": (
+            f"WITH p AS ({_pii_oracle_sql()}), "
+            "tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "g AS (SELECT tl.doc_id, array_to_string(tl.l[r.i:r.i+7], ' ') AS s "
+            "FROM tl, LATERAL (SELECT unnest(range(1, greatest(len(tl.l) - 6, 2))) AS i) r "
+            "WHERE len(tl.l) >= 8), "
+            "bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 100 = 0), "
+            "agg AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_total, "
+            "CAST(SUM(CASE WHEN g.s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS ngram_hits "
+            "FROM g GROUP BY 1) "
+            "SELECT p.*, agg.ngram_total, agg.ngram_hits, "
+            "CAST(agg.ngram_hits AS DOUBLE) / greatest(agg.ngram_total, 1) AS contamination, "
+            "CAST(agg.ngram_hits AS DOUBLE) / greatest(agg.ngram_total, 1) >= 0.5 AS contaminated "
+            "FROM p JOIN agg USING (doc_id) ORDER BY doc_id"
+        ),
         "percentiles_hdr_nchars": _hdr_oracle_sql(),
         # bounds = date_math('now-10d/d','now/d' roundup) at the fixed
         # anchor 2024-01-20T12:00 -> [2024-01-10, 2024-01-20 23:59:59.999]
@@ -1744,9 +1869,14 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS doc_count FROM documents GROUP BY bucket_key "
             "ORDER BY bucket_key"
         ),
-        "date_histogram_events": (
-            "SELECT date_trunc('day', ts) AS bucket_ts, COUNT(*) AS doc_count "
-            "FROM events GROUP BY bucket_ts ORDER BY bucket_ts"
+        "time_buckets_events": (
+            "SELECT 'day_all' AS kind, CAST(-1 AS BIGINT) AS user_id, "
+            "date_trunc('day', ts) AS bucket_ts, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 3 "
+            "UNION ALL "
+            "SELECT 'hour_user', user_id, date_trunc('hour', ts), COUNT(*) "
+            "FROM events GROUP BY 2, 3 "
+            "ORDER BY 1, 2, 3"
         ),
         # after-key pagination == ordered windows over the full bucket set
         "composite_orders": (
@@ -1828,23 +1958,19 @@ def oracle_sql() -> dict[str, str]:
             "MAX(l_extendedprice) AS max_price FROM lineitem "
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
-        "tumbling_window_events": (
-            "SELECT user_id, date_trunc('hour', ts) AS win, COUNT(*) AS n_events "
-            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
-        ),
         "reindex_docs": (
             "SELECT doc_id, length(text) AS text_len FROM documents "
             "WHERE lang = 'en'"
         ),
-        "broadcast_join": (
-            "SELECT c_mktsegment, COUNT(*) AS n_orders FROM orders "
-            "JOIN customer ON o_custkey = c_custkey "
-            "GROUP BY c_mktsegment ORDER BY n_orders DESC, c_mktsegment LIMIT 10"
-        ),
-        "hash_join": (
-            "SELECT c_nationkey, COUNT(*) AS n_orders FROM orders "
-            "JOIN customer ON o_custkey = c_custkey "
-            "GROUP BY c_nationkey ORDER BY c_nationkey"
+        "join_suite": (
+            "WITH b AS (SELECT c_mktsegment AS jkey, COUNT(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1 ORDER BY n_orders DESC, jkey LIMIT 10) "
+            "SELECT 'broadcast' AS kind, jkey, n_orders FROM b "
+            "UNION ALL "
+            "SELECT 'hash', CAST(c_nationkey AS VARCHAR), COUNT(*) "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 2 "
+            "ORDER BY 1, 2"
         ),
         "dsl_bool": (
             "SELECT COUNT(*) AS n_docs FROM documents "
@@ -2017,20 +2143,6 @@ def oracle_sql() -> dict[str, str]:
         # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline
         # because banding recall is complete at 0.9 on this data — see
         # q_jaccard_near_dup_pairs).
-        "decontaminate_docs": (
-            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
-            "g AS (SELECT tl.doc_id, array_to_string(tl.l[r.i:r.i+7], ' ') AS s "
-            "FROM tl, LATERAL (SELECT unnest(range(1, greatest(len(tl.l) - 6, 2))) AS i) r "
-            "WHERE len(tl.l) >= 8), "
-            "bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 100 = 0), "
-            "agg AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_total, "
-            "CAST(SUM(CASE WHEN g.s IN (SELECT s FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS ngram_hits "
-            "FROM g GROUP BY 1) "
-            "SELECT doc_id, ngram_total, ngram_hits, "
-            "CAST(ngram_hits AS DOUBLE) / greatest(ngram_total, 1) AS contamination, "
-            "CAST(ngram_hits AS DOUBLE) / greatest(ngram_total, 1) >= 0.5 AS contaminated "
-            "FROM agg ORDER BY doc_id"
-        ),
         "jaccard_near_dup_pairs": (
             "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
             "tp AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl), "
@@ -2058,24 +2170,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
             "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8 ORDER BY 1, 2"
         ),
-        # full-probe IVF == exact brute-force cosine top-k (bucketed
-        # write+read round-trip loses nothing; pruning asserted in-gate)
-        "knn_ivf": (
+        # brute branch: exact cosine top-10 for query vec 0; ivf_full
+        # branch: full-probe IVF == exact brute-force cosine top-k
+        # (bucketed write+read round-trip loses nothing; pruned-probe
+        # behavior asserted in-gate)
+        "knn_exact_suite": (
             "WITH qs AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id IN (0, 1)), "
             "r AS (SELECT qs.query_id, e.vec_id, ROW_NUMBER() OVER "
             "(PARTITION BY qs.query_id ORDER BY "
             "list_cosine_similarity(e.embedding, qs.qe) DESC, e.vec_id) - 1 AS rank "
             "FROM embeddings e, qs) "
-            "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, "
-            "vec_id AS doc_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
-        ),
-        "knn_cosine": (
-            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
-            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY "
-            "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) - 1 AS INT) "
-            "AS rank, e.vec_id FROM embeddings e, q "
-            "ORDER BY rank LIMIT 10"
+            "SELECT 'brute' AS kind, CAST(0 AS BIGINT) AS query_id, "
+            "CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS doc_id "
+            "FROM r WHERE query_id = 0 AND rank < 10 "
+            "UNION ALL "
+            "SELECT 'ivf_full', CAST(query_id AS BIGINT), CAST(rank AS BIGINT), "
+            "CAST(vec_id AS BIGINT) FROM r WHERE rank < 10 "
+            "ORDER BY 1, 2, 3"
         ),
         # index-time dense_vector knn (plain + filtered), exact global
         # top-20 by the reference's cosine score transform

@@ -1418,6 +1418,117 @@ def q_text_quality_docs(sf):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _join_index_dir(sf_dir: str) -> str:
+    """Build (once) a parent/child index: customers are `customer`
+    parents, orders are `order` children routed by parent — the
+    parent-join module's mapping (ParentJoinFieldMapper relations)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/raydex_cache/join_index_v1_{tag}"
+    if os.path.exists(os.path.join(idx, "index_manifest.json")):
+        return idx
+    import json as _json
+
+    import ray.data as rd
+
+    from raydex.index.build import build_index
+    from raydex.index.segment import FieldSpec
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    c_urls = ["c%d" % k for k in cust["c_custkey"].to_pylist()]
+    c_txt = ["customer %s" % s.lower() for s in cust["c_mktsegment"].to_pylist()]
+    c_join = [_json.dumps({"name": "customer"})] * len(c_urls)
+    o_urls = ["o%d" % k for k in orders["o_orderkey"].to_pylist()]
+    # '1-URGENT' -> 'urgent', '4-NOT SPECIFIED' -> 'notspecified': one
+    # clean token so the SQL mirror is a string expression, not a
+    # tokenizer re-implementation
+    o_txt = [
+        "order %s" % p.split("-", 1)[1].replace(" ", "").lower()
+        for p in orders["o_orderpriority"].to_pylist()
+    ]
+    o_join = [
+        _json.dumps({"name": "order", "parent": "c%d" % c})
+        for c in orders["o_custkey"].to_pylist()
+    ]
+    n = len(c_urls) + len(o_urls)
+    t = pa.table(
+        {
+            "url": pa.array(c_urls + o_urls, pa.string()),
+            "warc_ts": pa.array(list(range(n)), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "text": pa.array(c_txt + o_txt, pa.large_string()),
+            "join_field": pa.array(c_join + o_join, pa.string()),
+        }
+    )
+    build_index(
+        None, idx, num_partitions=4, analyzer="standard", source="text",
+        max_docs_per_segment=4000, ray_ds=rd.from_arrow(t),
+        fields=[FieldSpec("join_field", source="join_field", analyzer="join",
+                          relations={"customer": ["order"]})],
+    )
+    return idx
+
+
+def q_join_field_suite(sf):
+    """Parent/child join queries over an index-time `join` field
+    (modules/parent-join), each branch recomputed exactly in SQL:
+    has_child (score_mode=sum over constant-score children == the
+    matching-child COUNT, min_children=2), has_parent (children of
+    'building' customers, constant score), parent_id (orders of the
+    first customer by orderkey). Children are routed by parent id at
+    build time; evaluation is the per-partition two-phase join
+    (raydex.search.joinquery)."""
+    import pandas as pd
+
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_join_index_dir(sf))
+    rows = []
+    hc = s.search_query(
+        {"has_child": {"type": "order", "score_mode": "sum",
+                       "min_children": 2,
+                       "query": {"constant_score": {
+                           "filter": {"term": {"text": "urgent"}}}}}},
+        k=9_000,
+    )
+    rows += [("has_child", h["url"], float(h["score"])) for h in hc]
+    hp = s.search_query(
+        {"has_parent": {"parent_type": "customer",
+                        "query": {"term": {"text": "building"}}}},
+        k=9_000,
+    )
+    rows += [("has_parent", h["url"], float(h["score"])) for h in hp]
+    first_ck = pq.read_table(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).sort_by("o_orderkey")["o_custkey"][0].as_py()
+    pid = s.search_query(
+        {"parent_id": {"type": "order", "id": "c%d" % first_ck}}, k=9_000
+    )
+    rows += [("parent_id", h["url"], float(h["score"])) for h in pid]
+    out = pd.DataFrame(rows, columns=["kind", "url", "score"])
+    return out.sort_values(["kind", "url"]).reset_index(drop=True)
+
+
+def q_near_dup_pairs_suite(sf):
+    """minhash_pairs (J>=0.8, 2-gram) + jaccard verify (J>=0.9, 3-gram)
+    as one tagged pair table (was 2 gates; both branches keep their
+    brute-force all-pairs SQL oracles)."""
+    import pandas as pd
+
+    a = q_minhash_pairs(sf).to_pandas()
+    b = q_jaccard_near_dup_pairs(sf).to_pandas()
+    a.insert(0, "kind", "minhash08")
+    b.insert(0, "kind", "verify09")
+    out = pd.concat([a, b])
+    return out.sort_values(["kind", "id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_join_suite(sf):
     """Broadcast (terms-lookup / enrich) + co-partitioned hash join as
     one tagged table (was 2 gates; each branch keeps its exact SQL
@@ -1578,8 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "knn_exact_suite": q_knn_exact_suite,
         "knn_search_docs": q_knn_search_docs,
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
+        "near_dup_pairs_suite": q_near_dup_pairs_suite,
         "embedding_near_dup": q_embedding_near_dup,
         "doc_hygiene_docs": q_doc_hygiene_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -1597,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_index_top_docs": q_sorted_index_top_docs,
         "reindex_docs": q_reindex_docs,
         "join_suite": q_join_suite,
+        "join_field_suite": q_join_field_suite,
         # no_oracle (property-tested) gate LAST: if a driver run caps its
         # window, only the weakest-checked gate falls outside it
         "signature_docs": q_signature_docs,
@@ -2143,32 +2254,53 @@ def oracle_sql() -> dict[str, str]:
         # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline
         # because banding recall is complete at 0.9 on this data — see
         # q_jaccard_near_dup_pairs).
-        "jaccard_near_dup_pairs": (
+        # minhash08 branch: all-pairs 2-gram Jaccard at 0.8 (complete
+        # banding recall at 128/32 on the fixed data); verify09 branch:
+        # all-pairs 3-gram Jaccard at 0.9 (LSH+verify == brute force)
+        "near_dup_pairs_suite": (
             "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
             "tp AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl), "
-            "sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s "
+            "sh2 AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS s "
+            "FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "cnt2 AS (SELECT doc_id, COUNT(*) AS c FROM sh2 GROUP BY 1), "
+            "i2 AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i "
+            "FROM sh2 x JOIN sh2 y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+            "sh3 AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s "
             "FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             "JOIN tp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
-            "cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1), "
-            "inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i "
-            "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
-            "SELECT id_a, id_b FROM inter "
-            "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
-            "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.9 ORDER BY 1, 2"
+            "cnt3 AS (SELECT doc_id, COUNT(*) AS c FROM sh3 GROUP BY 1), "
+            "i3 AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i "
+            "FROM sh3 x JOIN sh3 y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT 'minhash08' AS kind, id_a, id_b FROM i2 "
+            "JOIN cnt2 ca ON ca.doc_id = id_a JOIN cnt2 cb ON cb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8 "
+            "UNION ALL "
+            "SELECT 'verify09', id_a, id_b FROM i3 "
+            "JOIN cnt3 ca ON ca.doc_id = id_a JOIN cnt3 cb ON cb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.9 "
+            "ORDER BY 1, 2, 3"
         ),
-        # brute-force all-pairs 2-gram Jaccard at 0.8 (complete banding
-        # recall at 128/32 on the fixed data — see q_minhash_pairs)
-        "minhash_pairs": (
-            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
-            "tp AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl), "
-            "sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS s "
-            "FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
-            "cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1), "
-            "inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i "
-            "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
-            "SELECT id_a, id_b FROM inter "
-            "JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
-            "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8 ORDER BY 1, 2"
+        # parent/child join field: has_child(sum of constant-score
+        # children == child count, min_children=2) / has_parent
+        # (constant 1.0 per child of a matching parent) / parent_id
+        # (children of the first customer by orderkey)
+        "join_field_suite": (
+            "WITH hc AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS url, "
+            "CAST(COUNT(*) AS DOUBLE) AS score "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderpriority = '1-URGENT' "
+            "GROUP BY o_custkey HAVING COUNT(*) >= 2), "
+            "hp AS (SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS url, "
+            "CAST(1.0 AS DOUBLE) AS score "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING'), "
+            "fk AS (SELECT o_custkey AS ck FROM orders ORDER BY o_orderkey LIMIT 1), "
+            "pid AS (SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS url, "
+            "CAST(1.0 AS DOUBLE) AS score FROM orders, fk WHERE o_custkey = fk.ck) "
+            "SELECT 'has_child' AS kind, url, score FROM hc "
+            "UNION ALL SELECT 'has_parent', url, score FROM hp "
+            "UNION ALL SELECT 'parent_id', url, score FROM pid "
+            "ORDER BY 1, 2"
         ),
         # brute branch: exact cosine top-10 for query vec 0; ivf_full
         # branch: full-probe IVF == exact brute-force cosine top-k

@@ -71,13 +71,18 @@ class _Prepare:
     """
 
     def __init__(self, num_partitions: int, source: str, skip_parts: frozenset[int],
-                 carry_cols: tuple[str, ...] = ()):
+                 carry_cols: tuple[str, ...] = (), join_source: str | None = None):
         self.num_partitions = num_partitions
         self.source = source
         self.skip_parts = skip_parts
         # extra source columns for index-time mapped fields: shuffled
         # alongside text (they are url/lang-sized, not html-sized)
         self.carry_cols = carry_cols
+        # join-field source column: routing switches from murmur3(url)
+        # to murmur3(parent ?? url) so children co-locate with their
+        # parent (the parent-join `routing` requirement,
+        # `ParentJoinFieldMapper.java` / `OperationRouting.java`)
+        self.join_source = join_source
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from raydex.analysis.html_strip import extract_text_many
@@ -93,7 +98,13 @@ class _Prepare:
                     if got != w:
                         raise ValueError(f"extracted text != text column for url={u!r}")
             texts = pa.array(extracted, type=pa.large_string())
-        part = route_partitions(urls, self.num_partitions)
+        if self.join_source is not None:
+            from raydex.index.joinfield import join_routing_keys
+
+            rkeys = join_routing_keys(batch[self.join_source], urls)
+        else:
+            rkeys = urls
+        part = route_partitions(rkeys, self.num_partitions)
         cols = {
             "url": batch["url"],
             "warc_ts": batch["warc_ts"],
@@ -428,6 +439,17 @@ def _build_index_inner(
     import pyarrow as pa
 
     fields = list(fields or [])
+    join_specs = [s for s in fields if s.analyzer == "join"]
+    if len(join_specs) > 1:
+        raise ValueError(
+            "only one join field may be defined per index "
+            "(ParentJoinFieldMapper enforces the same)"
+        )
+    if join_specs:
+        from raydex.index.joinfield import validate_relations
+
+        validate_relations(join_specs[0].relations or {})
+    join_source = join_specs[0].source if join_specs else None
     os.makedirs(index_dir, exist_ok=True)
     # Resume safety: record the routing-relevant build parameters once and
     # fail fast if a resumed build would mix two layouts (e.g. a different
@@ -501,7 +523,8 @@ def _build_index_inner(
         dctx.max_hash_shuffle_aggregators = cur.max_hash_shuffle_aggregators
 
     prepared = ds.map_batches(
-        _Prepare(num_partitions, source, skip, carry_cols=carry),
+        _Prepare(num_partitions, source, skip, carry_cols=carry,
+                 join_source=join_source),
         batch_format="pyarrow",
         batch_size=2048,
     )

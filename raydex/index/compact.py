@@ -190,6 +190,12 @@ def compact_segment(seg_dir: str) -> dict | None:
             _filter_rows(src_f, dst_f, "features.parquet", keep_pa,
                          renumber_docid=new_id)
             fields_meta[fname] = dict(meta)
+        elif kind == "join":
+            _filter_rows(src_f, dst_f, "join.parquet", keep_pa)
+            t = pq.read_table(os.path.join(dst_f, "join.parquet"))
+            fields_meta[fname] = dict(
+                meta, join_doc_count=int(len(t) - t["name"].null_count)
+            )
         elif kind == "completion":
             _filter_rows(src_f, dst_f, "completion.parquet", keep_pa,
                          renumber_docid=new_id)

@@ -221,6 +221,12 @@ def merge_segments_rewrite(part_dir: str, seg_ids: list[str],
             _concat_field_file(src_dirs, dst, "features.parquet", bases,
                                remap=remap)
             fields_meta[fname] = dict(metas[0])
+        elif kind == "join":
+            t = _concat_field_file(src_dirs, dst, "join.parquet", inv=inv)
+            fields_meta[fname] = dict(
+                metas[0],
+                join_doc_count=int(len(t) - t["name"].null_count),
+            )
         elif kind == "completion":
             # inputs must stay input-SORTED for the prefix bisect: concat
             # then re-sort by (input, docid)

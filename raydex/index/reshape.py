@@ -187,7 +187,21 @@ def split_index(src: str, dst: str, new_partitions: int) -> dict:
         urls = pq.read_table(
             os.path.join(sseg, "docs.parquet"), columns=["url"]
         )["url"].to_pylist()
-        routed = np.asarray(route_partitions(urls, new_partitions))
+        rkeys = urls
+        with open(os.path.join(sseg, "manifest.json")) as f:
+            seg_fields = json.load(f).get("fields", {})
+        jf = next((n for n, fm in seg_fields.items()
+                   if (fm.get("kind") or fm.get("analyzer")) == "join"), None)
+        if jf is not None:
+            # parent-join routing: docs were routed by parent ?? _id
+            # (the reference's ShardSplittingQuery honors the stored
+            # routing value the same way); parent docs carry their own
+            # id in parent_id, so parent_id ?? url IS the routing key
+            from raydex.index.joinfield import read_join_field
+
+            _, pids = read_join_field(sseg, jf)
+            rkeys = [p if p is not None else u for p, u in zip(pids, urls)]
+        routed = np.asarray(route_partitions(rkeys, new_partitions))
         src_lp = os.path.join(sseg, "livedocs.npy")
         src_live = np.load(src_lp) if os.path.exists(src_lp) else None
         for i in range(factor):

@@ -65,6 +65,9 @@ class FieldSpec:
     dims: int = 0
     similarity: str = "cosine"
     ivf_nlist: int = 0
+    # join-only (`ParentJoinFieldMapper`'s `relations` parameter):
+    # {parent: [child, ...]}. One join field per index.
+    relations: dict | None = None
 
     def to_json(self) -> dict:
         out = {
@@ -77,6 +80,8 @@ class FieldSpec:
             out["dims"] = int(self.dims)
             out["similarity"] = self.similarity
             out["ivf_nlist"] = int(self.ivf_nlist)
+        if self.analyzer == "join":
+            out["relations"] = self.relations
         return out
 
     @staticmethod
@@ -85,7 +90,7 @@ class FieldSpec:
             d["name"], d["source"], d.get("analyzer", "keywordish"),
             bool(d.get("store_positions", False)),
             int(d.get("dims", 0)), d.get("similarity", "cosine"),
-            int(d.get("ivf_nlist", 0)),
+            int(d.get("ivf_nlist", 0)), d.get("relations"),
         )
 
 
@@ -176,6 +181,11 @@ def build_segment(
             continue
         if spec.analyzer == "dense_vector":
             fields_meta[spec.name] = _build_dense_vector(fdir, spec, values)
+            continue
+        if spec.analyzer == "join":
+            from raydex.index.joinfield import build_join_field
+
+            fields_meta[spec.name] = build_join_field(fdir, spec, values, urls)
             continue
         fm = _build_field_index(
             fdir, urls, values, spec.analyzer, input_fragments,
@@ -767,7 +777,8 @@ class SegmentReader:
         if name == "text":
             return self
         if self.fields_meta.get(name, {}).get("analyzer") in (
-            "rank_feature", "rank_features", "completion", "dense_vector"
+            "rank_feature", "rank_features", "completion", "dense_vector",
+            "join",
         ):
             return None  # dedicated structure, not a text sub-index
         fr = self._field_readers.get(name, False)
@@ -780,6 +791,34 @@ class SegmentReader:
             )
             self._field_readers[name] = fr
         return fr
+
+    def join_field_data(self, name: str | None = None):
+        """(names, parent_ids, relations) of the index's join field
+        (``name=None`` resolves the single join field — the reference
+        allows one per index). Object ndarrays, doc-aligned; loaded once
+        per reader (the global-ordinals doc-values analogue)."""
+        cache = getattr(self, "_join_fields", None)
+        if cache is None:
+            cache = self._join_fields = {}
+        if name is None:
+            name = next(
+                (f for f, m in self.fields_meta.items()
+                 if (m.get("kind") or m.get("analyzer")) == "join"),
+                None,
+            )
+            if name is None:
+                raise ValueError(
+                    "index has no join field (build with "
+                    "FieldSpec(analyzer='join', relations=...))"
+                )
+        entry = cache.get(name)
+        if entry is None:
+            from raydex.index.joinfield import read_join_field
+
+            names, pids = read_join_field(self.seg_dir, name)
+            entry = (names, pids, self.fields_meta[name].get("relations", {}))
+            cache[name] = entry
+        return entry
 
     def completion_field(self, name: str):
         """(inputs sorted, weights, docids) of a completion field —

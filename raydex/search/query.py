@@ -286,6 +286,44 @@ class Pinned(Query):
 
 
 @dataclass
+class HasChild(Query):
+    """`has_child` (parent-join module, HasChildQueryBuilder.java):
+    match PARENT docs having min_children..max_children children of
+    relation ``type`` matching ``inner``; parent score combines the
+    matching children's scores per ``score_mode`` (none -> 1.0, the
+    constant-score contract). Evaluated as a per-partition two-phase
+    join (raydex.search.joinquery) — the scatter analogue of
+    JoinUtil.createJoinQuery over global ordinals."""
+
+    type: str = ""
+    inner: Query = None
+    score_mode: str = "none"  # none | min | max | sum | avg
+    min_children: int = 1
+    max_children: int = 0  # 0 = unbounded
+
+
+@dataclass
+class HasParent(Query):
+    """`has_parent` (HasParentQueryBuilder.java): match CHILD docs whose
+    parent of relation ``parent_type`` matches ``inner``; ``score=True``
+    propagates the parent's score to every child, else constant 1.0."""
+
+    parent_type: str = ""
+    inner: Query = None
+    score: bool = False
+
+
+@dataclass
+class ParentId(Query):
+    """`parent_id` (ParentIdQueryBuilder.java): the children of ONE
+    parent — a term lookup on the join field's parent-id doc-values,
+    segment-local (children are co-routed with the parent)."""
+
+    type: str = ""
+    id: str = ""
+
+
+@dataclass
 class SpanDSL(Query):
     """Span-family / intervals node (evaluated by raydex.search.spans;
     constant-score per matching doc, the multi-term rewrite convention).
@@ -519,6 +557,27 @@ def parse_query(d: dict) -> Query:
             ids=tuple(body.get("ids", [])),
             organic=parse_query(body["organic"]),
         )
+    if kind == "has_child":
+        return HasChild(
+            type=body["type"],
+            inner=parse_query(body["query"]),
+            score_mode=body.get("score_mode", "none"),
+            min_children=int(body.get("min_children", 1)),
+            max_children=int(body.get("max_children", 0)),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "has_parent":
+        return HasParent(
+            parent_type=body["parent_type"],
+            inner=parse_query(body["query"]),
+            score=bool(body.get("score", False)),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "parent_id":
+        return ParentId(
+            type=body["type"], id=str(body["id"]),
+            boost=body.get("boost", 1.0),
+        )
     if kind == "wrapper":
         # base64-encoded JSON query (WrapperQueryBuilder.java)
         import base64
@@ -726,6 +785,34 @@ def collect_field_stat_terms(q: Query, analyze_field) -> set[tuple[str, str]]:
     elif isinstance(q, ZeroTermsWrap):
         if q.inner is not None:
             out |= collect_field_stat_terms(q.inner, analyze_field)
+    elif isinstance(q, (HasChild, HasParent)):
+        if q.inner is not None:
+            out |= collect_field_stat_terms(q.inner, analyze_field)
+    return out
+
+
+def collect_join_nodes(q: Query) -> list:
+    """Pre-order list of has_child / has_parent nodes — the stable
+    traversal index keys the per-partition parent maps across processes
+    (each scatter actor re-parses the same qdict to the same order)."""
+    out: list = []
+    if isinstance(q, (HasChild, HasParent)):
+        if isinstance(q.inner, (HasChild, HasParent)) or (
+            q.inner is not None and collect_join_nodes(q.inner)
+        ):
+            raise ValueError(
+                "nested has_child/has_parent inside another join query "
+                "is not supported"
+            )
+        out.append(q)
+        return out
+    for attr in ("must", "should", "must_not", "filter", "queries"):
+        for sub in getattr(q, attr, ()) or ():
+            out += collect_join_nodes(sub)
+    for attr in ("filter_q", "positive", "negative", "inner", "organic"):
+        sub = getattr(q, attr, None)
+        if isinstance(sub, Query):
+            out += collect_join_nodes(sub)
     return out
 
 
@@ -857,7 +944,8 @@ def expand_fuzzy(reader, value: str, fuzziness: int) -> list[int]:
 class SegmentEvaluator:
     """Dense (scores, mask) evaluation of a query tree over one segment."""
 
-    def __init__(self, reader, stats, analyzer, runtime_mappings=None):
+    def __init__(self, reader, stats, analyzer, runtime_mappings=None,
+                 join_maps=None):
         self.r = reader
         self.stats = stats
         self.analyzer = analyzer
@@ -867,6 +955,10 @@ class SegmentEvaluator:
         # resolution goes through _derived so request-local fields
         # shadow the global registry
         self.runtime_mappings = runtime_mappings or {}
+        # resolved has_child/has_parent parent maps for THIS reader's
+        # partition: {id(node): {parent_id: score}} — phase 2 of the
+        # two-phase join (raydex.search.joinquery)
+        self.join_maps = join_maps or {}
 
     def _derived(self, field: str):
         return self.r.derived_field(field, self.runtime_mappings.get(field))
@@ -1459,6 +1551,53 @@ class SegmentEvaluator:
                 _, m = self.eval(sub)
                 mask &= ~m
             return q.boost * scores, mask
+        if isinstance(q, (HasChild, HasParent)):
+            pmap = self.join_maps.get(id(q))
+            if pmap is None:
+                raise ValueError(
+                    "has_child/has_parent require partition-scope "
+                    "resolution (searchers resolve it automatically; a "
+                    "bare SegmentEvaluator needs join_maps= built by "
+                    "raydex.search.joinquery)"
+                )
+            names, pids, relations = self.r.join_field_data()
+            scores = np.zeros(self.n)
+            mask = np.zeros(self.n, dtype=bool)
+            if isinstance(q, HasChild):
+                from raydex.index.joinfield import parent_relation_of
+
+                prel = parent_relation_of(relations, q.type)
+                if prel is None:
+                    raise ValueError(
+                        f"unknown child relation {q.type!r}; "
+                        f"relations = {relations}"
+                    )
+                cand = np.flatnonzero(names == prel)
+            else:
+                kids = relations.get(q.parent_type)
+                if kids is None:
+                    raise ValueError(
+                        f"unknown parent relation {q.parent_type!r}; "
+                        f"relations = {relations}"
+                    )
+                cand = np.flatnonzero(
+                    np.isin(names, np.asarray(kids, dtype=object))
+                )
+            if cand.size and pmap:
+                hit = np.isin(
+                    pids[cand], np.asarray(list(pmap), dtype=object)
+                )
+                hits = cand[hit]
+                mask[hits] = True
+                if hits.size:
+                    scores[hits] = q.boost * np.asarray(
+                        [pmap[p] for p in pids[hits]]
+                    )
+            return scores, mask
+        if isinstance(q, ParentId):
+            names, pids, _ = self.r.join_field_data()
+            mask = (names == q.type) & (pids == q.id)
+            return np.where(mask, q.boost, 0.0), mask
         raise TypeError(f"unknown query node {type(q)}")
 
     def top_k(self, q: Query, k: int):

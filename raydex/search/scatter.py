@@ -140,24 +140,69 @@ class SegmentGroup:
     def can_match_skipped(self) -> int:
         return getattr(self, "last_can_match_skipped", 0)
 
+    def join_phase1(self, qdict: dict, ndocs: int, sum_dl: int,
+                    df: dict[str, int], analyzer_name: str,
+                    fdf: dict | None = None,
+                    field_sum_dl: dict | None = None,
+                    runtime_mappings: dict | None = None):
+        """Phase 1 of has_child/has_parent over THIS group's segments
+        (one RPC per actor; the coordinator reduces the partials). Runs
+        over ALL segments — can-match skipping must not drop segments
+        whose children/parents match the inner query."""
+        from raydex.analysis.tokenizer import get_analyzer
+        from raydex.search.joinquery import join_phase1 as _phase1
+        from raydex.search.query import collect_join_nodes, parse_query
+
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
+                            fdf=fdf, field_sum_dl=field_sum_dl)
+        q = parse_query(qdict)
+        nodes = collect_join_nodes(q)
+        return _phase1(self.readers, nodes, stats,
+                       get_analyzer(analyzer_name),
+                       runtime_mappings=runtime_mappings)
+
     def query_top_k(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
                     field_sum_dl: dict | None = None,
                     can_match: bool = True,
-                    runtime_mappings: dict | None = None):
-        """Structured query-DSL evaluation (raydex.search.query)."""
+                    runtime_mappings: dict | None = None,
+                    join_maps: dict | None = None):
+        """Structured query-DSL evaluation (raydex.search.query).
+
+        ``join_maps`` = reduced per-(node, partition) parent maps for
+        has_child/has_parent (raydex.search.joinquery); when the query
+        has join nodes and no maps were provided, the group resolves
+        them over its OWN segments — correct only when the group is
+        partition-complete (LocalSearcher always is; RaySearcher passes
+        coordinator-reduced maps instead)."""
         from raydex.analysis.tokenizer import get_analyzer
-        from raydex.search.query import SegmentEvaluator, parse_query
+        from raydex.search.joinquery import (
+            evaluator_join_maps,
+            join_phase1 as _phase1,
+            reduce_join_phase1,
+        )
+        from raydex.search.query import (
+            SegmentEvaluator,
+            collect_join_nodes,
+            parse_query,
+        )
 
         stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
                             fdf=fdf, field_sum_dl=field_sum_dl)
         q = parse_query(qdict)
         an = get_analyzer(analyzer_name)
+        jnodes = collect_join_nodes(q)
+        if jnodes and join_maps is None:
+            partial = _phase1(self.readers, jnodes, stats, an,
+                              runtime_mappings=runtime_mappings)
+            join_maps = reduce_join_phase1(jnodes, [partial])
         out = []
         for r, o in self._can_match_readers(q, can_match):
-            ev = SegmentEvaluator(r, stats, an,
-                                  runtime_mappings=runtime_mappings)
+            ev = SegmentEvaluator(
+                r, stats, an, runtime_mappings=runtime_mappings,
+                join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
+            )
             ids, sc = ev.top_k(q, k)
             urls = [r.url_of(d) for d in ids]
             out.append((o, ids.tolist(), sc.tolist(), urls))
@@ -354,17 +399,34 @@ class SegmentGroup:
                     fdf: dict | None = None,
                     field_sum_dl: dict | None = None,
                     can_match: bool = True,
-                    runtime_mappings: dict | None = None) -> int:
+                    runtime_mappings: dict | None = None,
+                    join_maps: dict | None = None) -> int:
         from raydex.analysis.tokenizer import get_analyzer
-        from raydex.search.query import SegmentEvaluator, parse_query
+        from raydex.search.joinquery import (
+            evaluator_join_maps,
+            join_phase1 as _phase1,
+            reduce_join_phase1,
+        )
+        from raydex.search.query import (
+            SegmentEvaluator,
+            collect_join_nodes,
+            parse_query,
+        )
 
         stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
                             fdf=fdf, field_sum_dl=field_sum_dl)
         q = parse_query(qdict)
         an = get_analyzer(analyzer_name)
+        jnodes = collect_join_nodes(q)
+        if jnodes and join_maps is None:
+            partial = _phase1(self.readers, jnodes, stats, an,
+                              runtime_mappings=runtime_mappings)
+            join_maps = reduce_join_phase1(jnodes, [partial])
         return sum(
-            SegmentEvaluator(r, stats, an,
-                             runtime_mappings=runtime_mappings).count(q)
+            SegmentEvaluator(
+                r, stats, an, runtime_mappings=runtime_mappings,
+                join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
+            ).count(q)
             for r, _ in self._can_match_readers(q, can_match)
         )
 
@@ -852,6 +914,27 @@ class RaySearcher(SearcherBase):
                 fdf[k] += v
         return fdf
 
+    def _join_maps(self, qdict, df, fdf, runtime_mappings=None):
+        """Coordinator side of has_child/has_parent: one phase-1 RPC per
+        actor (each covers its segment slice), reduced here to the
+        per-(node, partition) parent maps — required because actors
+        round-robin segments, so no single actor is partition-complete.
+        Returns None for join-free queries (the common fast path)."""
+        from raydex.search.joinquery import reduce_join_phase1
+        from raydex.search.query import collect_join_nodes, parse_query
+
+        nodes = collect_join_nodes(parse_query(qdict))
+        if not nodes:
+            return None
+        partials = self._ray.get([
+            a.join_phase1.remote(qdict, self.ndocs, self.sum_dl, df,
+                                 self.manifest["analyzer"], fdf=fdf,
+                                 field_sum_dl=self.field_sum_dl,
+                                 runtime_mappings=runtime_mappings)
+            for a in self.actors
+        ])
+        return reduce_join_phase1(nodes, partials)
+
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
                      runtime_mappings: dict | None = None):
         """Structured DSL search, scatter-gathered over the actor pool.
@@ -861,11 +944,13 @@ class RaySearcher(SearcherBase):
         terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
         fdf = self._field_stats(fpairs)
+        jm = self._join_maps(qdict, df, fdf, runtime_mappings)
         refs = [
             a.query_top_k.remote(qdict, w, self.ndocs, self.sum_dl, df,
                                  self.manifest["analyzer"],
                                  fdf=fdf, field_sum_dl=self.field_sum_dl,
-                                 runtime_mappings=runtime_mappings)
+                                 runtime_mappings=runtime_mappings,
+                                 join_maps=jm)
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
@@ -899,10 +984,12 @@ class RaySearcher(SearcherBase):
         terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
         fdf = self._field_stats(fpairs)
+        jm = self._join_maps(qdict, df, fdf)
         refs = [
             a.query_count.remote(qdict, self.ndocs, self.sum_dl, df,
                                  self.manifest["analyzer"],
-                                 fdf=fdf, field_sum_dl=self.field_sum_dl)
+                                 fdf=fdf, field_sum_dl=self.field_sum_dl,
+                                 join_maps=jm)
             for a in self.actors
         ]
         return sum(self._ray.get(refs))

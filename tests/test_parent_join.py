@@ -1,0 +1,307 @@
+"""Parent/child `join` field: routing, structures, and the three join
+queries (has_child / has_parent / parent_id), local + distributed.
+
+Reference semantics: ``modules/parent-join/src/main/java/org/
+elasticsearch/join/mapper/ParentJoinFieldMapper.java`` (relation
+doc-values + per-relation parent-id field; children routed by parent),
+``query/HasChildQueryBuilder.java`` (score modes, min/max children),
+``query/HasParentQueryBuilder.java`` (score flag),
+``query/ParentIdQueryBuilder.java``.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.index.build import build_index, segment_dirs
+from raydex.index.joinfield import join_routing_keys, parse_join_column
+from raydex.index.segment import FieldSpec, SegmentReader
+from raydex.partition import route_partitions
+from raydex.search.scatter import LocalSearcher
+
+N_Q = 30
+
+
+def _rows():
+    """30 questions; question i has i % 4 answers. Answer j of question
+    i carries 'good' when (i + j) % 3 == 0, else 'bad'."""
+    rows = []
+    for i in range(N_Q):
+        rows.append(
+            (f"q{i}", f"question topic{i % 5}",
+             json.dumps({"name": "question"}))
+        )
+        for j in range(i % 4):
+            quality = "good" if (i + j) % 3 == 0 else "bad"
+            rows.append(
+                (f"a{i}-{j}", f"answer {quality} detail{j}",
+                 json.dumps({"name": "answer", "parent": f"q{i}"}))
+            )
+    return rows
+
+
+def _corpus():
+    rows = _rows()
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(list(range(len(rows)))).cast(pa.timestamp("us")),
+            "text": pa.array([r[1] for r in rows], pa.large_string()),
+            "join_field": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _children():
+    """{question_url: [(answer_url, quality)]}"""
+    out = {f"q{i}": [] for i in range(N_Q)}
+    for i in range(N_Q):
+        for j in range(i % 4):
+            out[f"q{i}"].append(
+                (f"a{i}-{j}", "good" if (i + j) % 3 == 0 else "bad")
+            )
+    return out
+
+
+JOIN = FieldSpec(
+    "join_field", source="join_field", analyzer="join",
+    relations={"question": ["answer"]},
+)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    t = _corpus()
+    p = str(tmp_path_factory.mktemp("pj_pages") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("pj_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=3, analyzer="standard", source="text",
+        max_docs_per_segment=7, fields=[JOIN],
+    )
+    return idx, m
+
+
+def test_parse_join_column_shapes():
+    arr = pa.array(
+        [json.dumps({"name": "question"}),
+         json.dumps({"name": "answer", "parent": "q1"}),
+         "question", None],
+        pa.string(),
+    )
+    names, parents = parse_join_column(arr)
+    assert names == ["question", "answer", "question", None]
+    assert parents == [None, "q1", None, None]
+    keys = join_routing_keys(arr, ["q0", "a1-0", "q2", "x"])
+    assert keys == ["q0", "q1", "q2", "x"]
+
+
+def test_children_colocated_with_parent(built):
+    idx, m = built
+    # every child doc lives in the partition its PARENT routes to
+    want_part = {u: p for u, p in zip(
+        [f"q{i}" for i in range(N_Q)],
+        route_partitions([f"q{i}" for i in range(N_Q)], 3),
+    )}
+    seen_children = 0
+    for sd in segment_dirs(idx, m):
+        part = int(sd.split("part=")[1].split(os.sep)[0])
+        r = SegmentReader(sd)
+        names, pids, relations = r.join_field_data()
+        assert relations == {"question": ["answer"]}
+        for d in range(r.ndocs):
+            if names[d] == "answer":
+                assert part == want_part[pids[d]]
+                seen_children += 1
+            else:
+                assert pids[d] == r.url_of(d)  # parents carry their own id
+    assert seen_children == sum(i % 4 for i in range(N_Q))
+
+
+def test_parent_id_query(built):
+    idx, _ = built
+    s = LocalSearcher(idx)
+    kids = _children()["q13"]
+    assert len(kids) == 13 % 4
+    assert s.count({"parent_id": {"type": "answer", "id": "q13"}}) == len(kids)
+    hits = s.search_query({"parent_id": {"type": "answer", "id": "q13"}}, k=10)
+    assert sorted(h["url"] for h in hits) == sorted(u for u, _ in kids)
+    assert all(h["score"] == 1.0 for h in hits)
+
+
+def test_has_child_counts_and_min_children(built):
+    idx, _ = built
+    s = LocalSearcher(idx)
+    ch = _children()
+    good = {q: sum(1 for _, qual in kids if qual == "good")
+            for q, kids in ch.items()}
+    q1 = {"has_child": {"type": "answer",
+                        "query": {"term": {"text": "good"}}}}
+    assert s.count(q1) == sum(1 for v in good.values() if v >= 1)
+    q2 = {"has_child": {"type": "answer", "min_children": 2,
+                        "query": {"term": {"text": "good"}}}}
+    assert s.count(q2) == sum(1 for v in good.values() if v >= 2)
+    q3 = {"has_child": {"type": "answer", "max_children": 1,
+                        "query": {"term": {"text": "good"}}}}
+    assert s.count(q3) == sum(1 for v in good.values() if v == 1)
+
+
+def test_has_child_score_modes(built):
+    idx, _ = built
+    s = LocalSearcher(idx)
+    ch = _children()
+    good = {q: sum(1 for _, qual in kids if qual == "good")
+            for q, kids in ch.items()}
+    # constant-score children make score_mode exact: sum == child count
+    inner = {"constant_score": {"filter": {"term": {"text": "good"}}}}
+    hits = s.search_query(
+        {"has_child": {"type": "answer", "score_mode": "sum",
+                       "query": inner}}, k=50)
+    got = {h["url"]: h["score"] for h in hits}
+    want = {q: float(v) for q, v in good.items() if v >= 1}
+    assert got == want
+    # none -> constant 1.0
+    hits = s.search_query(
+        {"has_child": {"type": "answer", "query": inner}}, k=50)
+    assert {h["score"] for h in hits} == {1.0}
+    # avg of constant scores == 1.0; max/min likewise
+    for mode in ("avg", "max", "min"):
+        hits = s.search_query(
+            {"has_child": {"type": "answer", "score_mode": mode,
+                           "query": inner}}, k=50)
+        assert {h["score"] for h in hits} == {1.0}
+
+
+def test_has_parent_query(built):
+    idx, _ = built
+    s = LocalSearcher(idx)
+    ch = _children()
+    topic2 = {f"q{i}" for i in range(N_Q) if i % 5 == 2}
+    want_children = sorted(
+        u for q in topic2 for u, _ in ch[q]
+    )
+    q = {"has_parent": {"parent_type": "question",
+                        "query": {"term": {"text": "topic2"}}}}
+    assert s.count(q) == len(want_children)
+    hits = s.search_query(q, k=100)
+    assert sorted(h["url"] for h in hits) == want_children
+    assert all(h["score"] == 1.0 for h in hits)
+    # score=True propagates the parent score (constant 3.0 here)
+    q = {"has_parent": {"parent_type": "question", "score": True,
+                        "query": {"constant_score": {
+                            "filter": {"term": {"text": "topic2"}},
+                            "boost": 3.0}}}}
+    hits = s.search_query(q, k=100)
+    assert sorted(h["url"] for h in hits) == want_children
+    assert all(h["score"] == 3.0 for h in hits)
+
+
+def test_join_composes_in_bool(built):
+    idx, _ = built
+    s = LocalSearcher(idx)
+    ch = _children()
+    good_ge1 = {q for q, kids in ch.items()
+                if any(qual == "good" for _, qual in kids)}
+    topic0 = {f"q{i}" for i in range(N_Q) if i % 5 == 0}
+    q = {"bool": {
+        "must": [{"has_child": {"type": "answer",
+                                "query": {"term": {"text": "good"}}}}],
+        "filter": [{"term": {"text": "topic0"}}],
+    }}
+    assert s.count(q) == len(good_ge1 & topic0)
+
+
+def test_distributed_parity(built):
+    idx, _ = built
+    from raydex.search.scatter import RaySearcher
+
+    s = LocalSearcher(idx)
+    rs = RaySearcher(idx, num_actors=4)
+    try:
+        queries = [
+            {"has_child": {"type": "answer", "score_mode": "sum",
+                           "query": {"constant_score": {
+                               "filter": {"term": {"text": "good"}}}}}},
+            {"has_parent": {"parent_type": "question",
+                            "query": {"term": {"text": "topic2"}}}},
+            {"parent_id": {"type": "answer", "id": "q13"}},
+        ]
+        for q in queries:
+            lh = s.search_query(q, k=100)
+            rh = rs.search_query(q, k=100)
+            assert [(h["url"], h["score"]) for h in lh] == \
+                   [(h["url"], h["score"]) for h in rh]
+            assert s.count(q) == rs.count(q)
+    finally:
+        rs.shutdown()
+
+
+def test_join_survives_merge(built, tmp_path):
+    idx, m = built
+    import shutil
+
+    from raydex.index.merge_rewrite import merge_segments_rewrite
+
+    idx2 = str(tmp_path / "merged")
+    shutil.copytree(idx, idx2)
+    # merge each partition's segments into one, rewrite the manifest
+    man = json.load(open(os.path.join(idx2, "index_manifest.json")))
+    parts = sorted({r["part"] for r in man["segments"]})
+    new_rows = []
+    for p in parts:
+        pdir = os.path.join(idx2, f"part={p:05d}")
+        sids = [r["seg_id"] for r in man["segments"] if r["part"] == p]
+        if len(sids) == 1:
+            new_rows += [r for r in man["segments"] if r["part"] == p]
+            continue
+        mm = merge_segments_rewrite(pdir, sids, f"seg-{p:05d}-m")
+        for sid in sids:
+            shutil.rmtree(os.path.join(pdir, sid))
+        row = dict(next(r for r in man["segments"] if r["part"] == p))
+        row.update(seg_id=f"seg-{p:05d}-m", doc_count=mm["doc_count"],
+                   sum_dl=mm["sum_dl"], term_count=mm["term_count"],
+                   max_df=mm["max_df"], content_hash=mm["content_hash"])
+        new_rows.append(row)
+    man["segments"] = new_rows
+    with open(os.path.join(idx2, "index_manifest.json"), "w") as f:
+        json.dump(man, f)
+
+    s1, s2 = LocalSearcher(idx), LocalSearcher(idx2)
+    for q in (
+        {"has_child": {"type": "answer", "score_mode": "sum",
+                       "query": {"constant_score": {
+                           "filter": {"term": {"text": "good"}}}}}},
+        {"has_parent": {"parent_type": "question",
+                        "query": {"term": {"text": "topic2"}}}},
+        {"parent_id": {"type": "answer", "id": "q13"}},
+    ):
+        h1 = sorted((h["url"], h["score"]) for h in s1.search_query(q, k=100))
+        h2 = sorted((h["url"], h["score"]) for h in s2.search_query(q, k=100))
+        assert h1 == h2
+
+
+def test_nested_join_rejected():
+    from raydex.search.query import collect_join_nodes, parse_query
+
+    q = parse_query({"has_child": {"type": "answer", "query": {
+        "has_parent": {"parent_type": "question",
+                       "query": {"match_all": {}}}}}})
+    with pytest.raises(ValueError, match="nested"):
+        collect_join_nodes(q)
+
+
+def test_two_join_fields_rejected(tmp_path, ray_session):
+    t = _corpus()
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="one join field"):
+        build_index(
+            p, str(tmp_path / "idx"), num_partitions=2,
+            analyzer="standard", source="text",
+            fields=[JOIN, FieldSpec("j2", source="join_field",
+                                    analyzer="join",
+                                    relations={"a": ["b"]})],
+        )

@@ -56,16 +56,23 @@ def join_phase1(readers, nodes, stats, analyzer, runtime_mappings=None):
                 mk = mk & r.live
             rel = node.type if isinstance(node, HasChild) else node.parent_type
             ids = np.flatnonzero(mk & (names == rel))
-            ps, ss = out[i].setdefault(part, ([], []))
+            ps, ss, us = out[i].setdefault(part, ([], [], []))
             ps.append(pids[ids])
             ss.append(sc[ids])
+            if node.inner_hits is not None:
+                # inner_hits needs the matching docs themselves, not
+                # just their parent pointers
+                us.append(
+                    np.asarray([r.url_of(int(d)) for d in ids], dtype=object)
+                )
     for i in out:
         out[i] = {
             p: (
                 np.concatenate(ps) if ps else np.empty(0, dtype=object),
                 np.concatenate(ss) if ss else np.empty(0),
+                np.concatenate(us) if us else None,
             )
-            for p, (ps, ss) in out[i].items()
+            for p, (ps, ss, us) in out[i].items()
         }
     return out
 
@@ -81,7 +88,8 @@ def reduce_join_phase1(nodes, partials_list) -> dict:
     for i, node in enumerate(nodes):
         per_part: dict = {}
         for partial in partials_list:
-            for part, (pids, scs) in partial.get(i, {}).items():
+            for part, entry in partial.get(i, {}).items():
+                pids, scs = entry[0], entry[1]
                 ps, ss = per_part.setdefault(part, ([], []))
                 ps.append(pids)
                 ss.append(scs)
@@ -123,6 +131,83 @@ def reduce_join_phase1(nodes, partials_list) -> dict:
                         (str(u) for u in pid), 1.0
                     )
     return maps
+
+
+def reduce_inner_hits(nodes, partials_list) -> dict:
+    """Per-(node, partition) inner-hit lists from the same phase-1
+    partials (the reference's inner_hits fetch sub-phase,
+    ``ParentChildInnerHitContextBuilder.java``): for has_child,
+    ``{parent_id: [(child_url, score), ...]}`` — the top ``size``
+    matching children by (score desc, url); for has_parent,
+    ``{parent_id: (parent_url, score)}`` — the matching parent itself.
+    Empty for nodes that did not request inner_hits."""
+    from raydex.search.query import HasChild
+
+    out: dict = {}
+    for i, node in enumerate(nodes):
+        if node.inner_hits is None:
+            continue
+        size = int(dict(node.inner_hits).get("size", 3))
+        per_part: dict = {}
+        for partial in partials_list:
+            for part, entry in partial.get(i, {}).items():
+                pids, scs, urls = entry
+                if urls is None:
+                    continue
+                bucket = per_part.setdefault(part, {})
+                if isinstance(node, HasChild):
+                    for p, s, u in zip(pids, scs, urls):
+                        bucket.setdefault(str(p), []).append((float(s), str(u)))
+                else:
+                    for p, s, u in zip(pids, scs, urls):
+                        bucket[str(p)] = (str(u), float(s))
+        if isinstance(node, HasChild):
+            for bucket in per_part.values():
+                for p, lst in bucket.items():
+                    lst.sort(key=lambda t: (-t[0], t[1]))
+                    bucket[p] = [
+                        {"url": u, "score": s} for s, u in lst[:size]
+                    ]
+        else:
+            for bucket in per_part.values():
+                for p, (u, s) in bucket.items():
+                    bucket[p] = [{"url": u, "score": s}]
+        out[i] = per_part
+    return out
+
+
+def attach_inner_hits(hits, nodes, inner_maps, seg_dirs, parent_ids_of):
+    """Decorate merged top-k ``hits`` in place with their inner_hits
+    sections. ``parent_ids_of([(ordinal, docid), ...]) -> [parent_id]``
+    resolves a child hit's parent pointer (has_parent needs it; the
+    local searcher reads its own readers, the scatter searcher asks the
+    actor that owns the segment)."""
+    from raydex.search.query import HasChild
+
+    if not inner_maps:
+        return hits
+    need_parent = any(
+        not isinstance(nodes[i], HasChild) for i in inner_maps
+    )
+    hit_pids = None
+    if need_parent and hits:
+        hit_pids = parent_ids_of([(h["ordinal"], h["docid"]) for h in hits])
+    for hi, h in enumerate(hits):
+        part = partition_of(seg_dirs[h["ordinal"]])
+        for i, per_part in inner_maps.items():
+            node = nodes[i]
+            name = dict(node.inner_hits).get(
+                "name",
+                node.type if isinstance(node, HasChild) else node.parent_type,
+            )
+            bucket = per_part.get(part, {})
+            key = h["url"] if isinstance(node, HasChild) else (
+                hit_pids[hi] if hit_pids is not None else None
+            )
+            sub = bucket.get(key) if key is not None else None
+            if sub:
+                h.setdefault("inner_hits", {})[name] = sub
+    return hits
 
 
 def evaluator_join_maps(jnodes, join_maps, seg_dir) -> dict | None:

@@ -300,6 +300,9 @@ class HasChild(Query):
     score_mode: str = "none"  # none | min | max | sum | avg
     min_children: int = 1
     max_children: int = 0  # 0 = unbounded
+    # inner_hits request ((k, v) pairs; None = not requested): each
+    # parent hit carries its top matching children
+    inner_hits: tuple = None
 
 
 @dataclass
@@ -311,6 +314,7 @@ class HasParent(Query):
     parent_type: str = ""
     inner: Query = None
     score: bool = False
+    inner_hits: tuple = None  # each child hit carries its parent
 
 
 @dataclass
@@ -558,19 +562,23 @@ def parse_query(d: dict) -> Query:
             organic=parse_query(body["organic"]),
         )
     if kind == "has_child":
+        ih = body.get("inner_hits")
         return HasChild(
             type=body["type"],
             inner=parse_query(body["query"]),
             score_mode=body.get("score_mode", "none"),
             min_children=int(body.get("min_children", 1)),
             max_children=int(body.get("max_children", 0)),
+            inner_hits=tuple(sorted(ih.items())) if ih is not None else None,
             boost=body.get("boost", 1.0),
         )
     if kind == "has_parent":
+        ih = body.get("inner_hits")
         return HasParent(
             parent_type=body["parent_type"],
             inner=parse_query(body["query"]),
             score=bool(body.get("score", False)),
+            inner_hits=tuple(sorted(ih.items())) if ih is not None else None,
             boost=body.get("boost", 1.0),
         )
     if kind == "parent_id":

@@ -161,6 +161,19 @@ class SegmentGroup:
                        get_analyzer(analyzer_name),
                        runtime_mappings=runtime_mappings)
 
+    def join_parent_ids(self, pairs):
+        """{(ordinal, docid): parent_id} for the pairs whose segment this
+        group owns — the inner_hits fetch needs a child hit's parent
+        pointer after the top-k merge."""
+        own = {o: r for r, o in zip(self.readers, self.ordinals)}
+        out = {}
+        for o, d in pairs:
+            r = own.get(o)
+            if r is not None:
+                _, pids, _ = r.join_field_data()
+                out[(o, d)] = pids[d]
+        return out
+
     def query_top_k(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
@@ -614,14 +627,41 @@ class LocalSearcher(SearcherBase):
         {"factory": <registered>, "params": {...}}}) — the search body's
         runtime_mappings section; fields resolve inside the segment
         evaluators with segment-local stats."""
+        from raydex.search.joinquery import (
+            attach_inner_hits,
+            reduce_inner_hits,
+            reduce_join_phase1,
+        )
+        from raydex.search.query import collect_join_nodes, parse_query
+
         w = _window(k, from_)
         df, fdf = self._query_stats(qdict)
+        jnodes = collect_join_nodes(parse_query(qdict))
+        jm = ih = None
+        if jnodes:
+            partial = self.group.join_phase1(
+                qdict, self.ndocs, self.sum_dl, df,
+                self.manifest["analyzer"], fdf=fdf,
+                field_sum_dl=self.field_sum_dl,
+                runtime_mappings=runtime_mappings,
+            )
+            jm = reduce_join_phase1(jnodes, [partial])
+            ih = reduce_inner_hits(jnodes, [partial])
         per_seg = self.group.query_top_k(
             qdict, w, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
             fdf=fdf, field_sum_dl=self.field_sum_dl,
-            runtime_mappings=runtime_mappings,
+            runtime_mappings=runtime_mappings, join_maps=jm,
         )
-        return merge_top_k(per_seg, w)[from_:]
+        hits = merge_top_k(per_seg, w)[from_:]
+        if ih:
+            got = {}
+
+            def parent_ids_of(pairs):
+                got.update(self.group.join_parent_ids(pairs))
+                return [got.get(p) for p in pairs]
+
+            attach_inner_hits(hits, jnodes, ih, self.seg_dirs, parent_ids_of)
+        return hits
 
     def count(self, qdict: dict, runtime_mappings: dict | None = None) -> int:
         """The `_count` API analogue."""
@@ -919,13 +959,17 @@ class RaySearcher(SearcherBase):
         actor (each covers its segment slice), reduced here to the
         per-(node, partition) parent maps — required because actors
         round-robin segments, so no single actor is partition-complete.
-        Returns None for join-free queries (the common fast path)."""
-        from raydex.search.joinquery import reduce_join_phase1
+        Returns (nodes, join_maps, inner_maps) — (None, None, None) for
+        join-free queries (the common fast path)."""
+        from raydex.search.joinquery import (
+            reduce_inner_hits,
+            reduce_join_phase1,
+        )
         from raydex.search.query import collect_join_nodes, parse_query
 
         nodes = collect_join_nodes(parse_query(qdict))
         if not nodes:
-            return None
+            return None, None, None
         partials = self._ray.get([
             a.join_phase1.remote(qdict, self.ndocs, self.sum_dl, df,
                                  self.manifest["analyzer"], fdf=fdf,
@@ -933,7 +977,8 @@ class RaySearcher(SearcherBase):
                                  runtime_mappings=runtime_mappings)
             for a in self.actors
         ])
-        return reduce_join_phase1(nodes, partials)
+        return (nodes, reduce_join_phase1(nodes, partials),
+                reduce_inner_hits(nodes, partials))
 
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
                      runtime_mappings: dict | None = None):
@@ -944,7 +989,7 @@ class RaySearcher(SearcherBase):
         terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
         fdf = self._field_stats(fpairs)
-        jm = self._join_maps(qdict, df, fdf, runtime_mappings)
+        jnodes, jm, ih = self._join_maps(qdict, df, fdf, runtime_mappings)
         refs = [
             a.query_top_k.remote(qdict, w, self.ndocs, self.sum_dl, df,
                                  self.manifest["analyzer"],
@@ -954,7 +999,22 @@ class RaySearcher(SearcherBase):
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]
-        return merge_top_k(per_seg, w)[from_:]
+        hits = merge_top_k(per_seg, w)[from_:]
+        if ih:
+            from raydex.search.joinquery import attach_inner_hits
+
+            def parent_ids_of(pairs):
+                # every actor owns a disjoint ordinal slice: broadcast
+                # the pairs, merge the partial answers
+                got = {}
+                for part in self._ray.get(
+                    [a.join_parent_ids.remote(pairs) for a in self.actors]
+                ):
+                    got.update(part)
+                return [got.get(tuple(p)) for p in pairs]
+
+            attach_inner_hits(hits, jnodes, ih, self.seg_dirs, parent_ids_of)
+        return hits
 
     def search_sorted(self, qdict: dict, sort_field: str = "dl",
                       order: str = "asc", k: int = 10,
@@ -984,7 +1044,7 @@ class RaySearcher(SearcherBase):
         terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
         fdf = self._field_stats(fpairs)
-        jm = self._join_maps(qdict, df, fdf)
+        _, jm, _ = self._join_maps(qdict, df, fdf)
         refs = [
             a.query_count.remote(qdict, self.ndocs, self.sum_dl, df,
                                  self.manifest["analyzer"],

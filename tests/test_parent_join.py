@@ -199,6 +199,62 @@ def test_has_parent_query(built):
     assert all(h["score"] == 3.0 for h in hits)
 
 
+def test_inner_hits(built):
+    idx, _ = built
+    s = LocalSearcher(idx)
+    ch = _children()
+    # has_child inner_hits: each parent hit carries its top matching
+    # children (constant-score inner -> (score desc, url) order == url)
+    q = {"has_child": {"type": "answer", "score_mode": "sum",
+                       "inner_hits": {"size": 2, "name": "answers"},
+                       "query": {"constant_score": {
+                           "filter": {"term": {"text": "good"}}}}}}
+    hits = s.search_query(q, k=50)
+    assert hits
+    for h in hits:
+        want = sorted(u for u, qual in ch[h["url"]] if qual == "good")[:2]
+        got = [x["url"] for x in h["inner_hits"]["answers"]]
+        assert got == want
+        assert all(x["score"] == 1.0 for x in h["inner_hits"]["answers"])
+    # has_parent inner_hits: each child hit carries its parent (with the
+    # parent's inner-query score)
+    q = {"has_parent": {"parent_type": "question",
+                        "inner_hits": {},
+                        "query": {"constant_score": {
+                            "filter": {"term": {"text": "topic2"}},
+                            "boost": 2.5}}}}
+    hits = s.search_query(q, k=100)
+    assert hits
+    for h in hits:
+        parent = h["url"].split("-")[0].replace("a", "q")
+        ihs = h["inner_hits"]["question"]
+        assert ihs == [{"url": parent, "score": 2.5}]
+
+
+def test_inner_hits_distributed_parity(built):
+    idx, _ = built
+    from raydex.search.scatter import RaySearcher
+
+    s = LocalSearcher(idx)
+    rs = RaySearcher(idx, num_actors=4)
+    try:
+        q = {"has_child": {"type": "answer", "score_mode": "sum",
+                           "inner_hits": {"size": 3},
+                           "query": {"term": {"text": "good"}}}}
+        lh = s.search_query(q, k=50)
+        rh = rs.search_query(q, k=50)
+        assert [(h["url"], h.get("inner_hits")) for h in lh] == \
+               [(h["url"], h.get("inner_hits")) for h in rh]
+        q = {"has_parent": {"parent_type": "question", "inner_hits": {},
+                            "query": {"term": {"text": "topic2"}}}}
+        lh = s.search_query(q, k=100)
+        rh = rs.search_query(q, k=100)
+        assert [(h["url"], h.get("inner_hits")) for h in lh] == \
+               [(h["url"], h.get("inner_hits")) for h in rh]
+    finally:
+        rs.shutdown()
+
+
 def test_join_composes_in_bool(built):
     idx, _ = built
     s = LocalSearcher(idx)

@@ -1258,6 +1258,50 @@ def q_nested_lineitems_count(sf):
     return pa.table({"n_orders": pa.array([n], pa.int64())})
 
 
+def q_nested_suite(sf):
+    """nested query + nested>terms agg + reverse_nested, all over the
+    SAME list<struct> nested dataset (lineitems nested into orders via
+    one keyed shuffle), each branch mirrored exactly in SQL: the
+    min-1-sub-doc count, per-returnflag sub-doc counts (nested context),
+    and per-returnflag distinct-parent counts (reverse_nested back to
+    the order)."""
+    import pandas as pd
+
+    from raydex.ops.nested import (
+        nest,
+        nested_count,
+        nested_terms_agg,
+        reverse_nested_counts,
+    )
+
+    li = _ds(sf, "lineitem", ["l_orderkey", "l_quantity", "l_discount",
+                              "l_returnflag"])
+    nested = nest(
+        li, "l_orderkey", ["l_quantity", "l_discount", "l_returnflag"]
+    ).materialize()
+
+    def pred(flat: pa.StructArray):
+        import pyarrow.compute as pc
+
+        q = pc.greater(flat.field("l_quantity"), 45.0)
+        d = pc.less(flat.field("l_discount"), 0.05)
+        return pc.and_(q, d).to_numpy(zero_copy_only=False)
+
+    n = nested_count(nested, "children", pred)
+    rows = [("count_min1", "", int(n))]
+    t = nested_terms_agg(nested, "children", "l_returnflag",
+                         size=10, count_name="n")
+    tdf = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+    rows += [("terms", r["l_returnflag"], int(r["n"]))
+             for _, r in tdf.iterrows()]
+    rv = reverse_nested_counts(nested, "children", "l_returnflag",
+                               "l_orderkey", count_name="n").to_pandas()
+    rows += [("reverse", r["l_returnflag"], int(r["n"]))
+             for _, r in rv.iterrows()]
+    out = pd.DataFrame(rows, columns=["kind", "bucket", "n"])
+    return out.sort_values(["kind", "bucket"]).reset_index(drop=True)
+
+
 def q_span_near_count(sf):
     """`span_near` (ordered, slop=1): 'batch' then 'stream' with at most
     one token between — SQL-checkable with a regex over the word text."""
@@ -1700,7 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_fields_top": q_multi_match_fields_top,
         "dsl_bool": q_dsl_bool,
         "dsl_count_suite": q_dsl_count_suite,
-        "nested_lineitems_count": q_nested_lineitems_count,
+        "nested_suite": q_nested_suite,
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
         "delete_lifecycle_docs": q_delete_lifecycle_docs,
@@ -2192,9 +2236,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ' ' || text || ' ' LIKE '% batch stream %'"
             ") ORDER BY kind"
         ),
-        "nested_lineitems_count": (
-            "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem "
-            "WHERE l_quantity > 45.0 AND l_discount < 0.05"
+        # count_min1 = the nested query; terms = nested-context sub-doc
+        # counts; reverse = reverse_nested distinct-parent counts
+        "nested_suite": (
+            "SELECT 'count_min1' AS kind, '' AS bucket, "
+            "COUNT(DISTINCT l_orderkey) AS n FROM lineitem "
+            "WHERE l_quantity > 45.0 AND l_discount < 0.05 "
+            "UNION ALL SELECT 'terms', l_returnflag, COUNT(*) "
+            "FROM lineitem GROUP BY 2 "
+            "UNION ALL SELECT 'reverse', l_returnflag, "
+            "COUNT(DISTINCT l_orderkey) FROM lineitem GROUP BY 2 "
+            "ORDER BY 1, 2"
         ),
         "percolate_counts": (
             "SELECT query_id, n_docs FROM ("

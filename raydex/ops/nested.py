@@ -40,16 +40,26 @@ def nest(child_ds, parent_key: str, child_fields: list[str],
     from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()
-    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators)
+    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override)
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    # aggregator actors reserve (override x partitions/aggregator) CPUs
+    # EACH — without capping the per-partition override, a downstream
+    # 200-partition groupby on the returned dataset deadlocks small
+    # clusters (same guard as build_index; ray.data hash_shuffle.py)
+    per_part = min(0.25, ncpu / (2.0 * 200.0))
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     # a Dataset snapshots its DataContext at creation — override the
-    # captured one too or the keys= repartition refuses to plan
+    # captured one too or the keys= repartition refuses to plan; the
+    # captured context intentionally KEEPS these settings so later
+    # groupbys over the nested dataset inherit the safe sizing
     dctx = getattr(child_ds, "context", None)
     if dctx is not None:
         dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         dctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     try:
         nb = num_blocks or 2 * ncpu
 
@@ -84,7 +94,8 @@ def nest(child_ds, parent_key: str, child_fields: list[str],
             fold, batch_format="pyarrow", batch_size=None
         )
     finally:
-        ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators = saved
+        (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override) = saved
 
 
 def nested_filter(ds, nested_col: str, inner_pred, min_matches: int = 1):
@@ -111,3 +122,65 @@ def nested_filter(ds, nested_col: str, inner_pred, min_matches: int = 1):
 def nested_count(ds, nested_col: str, inner_pred, min_matches: int = 1) -> int:
     """`_count` with a nested query."""
     return nested_filter(ds, nested_col, inner_pred, min_matches).count()
+
+
+def nested_explode(ds, nested_col: str, fields: list[str],
+                   parent_cols: list[str] | None = None):
+    """Switch from parent context to NESTED context (the `nested`
+    aggregation, ``es/search/aggregations/bucket/nested/
+    NestedAggregationBuilder.java``): one row per sub-doc, vectorized
+    (list_flatten + struct_field, parent columns repeated via
+    list_parent_indices) — no per-row Python."""
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[nested_col].combine_chunks()
+        flat = pc.list_flatten(col)
+        cols = {fl: pc.struct_field(flat, fl) for fl in fields}
+        for p in parent_cols or []:
+            cols[p] = t[p].take(pc.list_parent_indices(col))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nested_terms_agg(ds, nested_col: str, sub_field: str, size: int = 10,
+                     count_name: str = "doc_count"):
+    """`nested` > `terms` over a sub-doc field: explode, then the exact
+    top-N terms agg (sub-doc counts, the reference's nested doc_count
+    semantics)."""
+    from raydex.ops.aggs import terms_agg
+
+    return terms_agg(
+        nested_explode(ds, nested_col, [sub_field]), sub_field,
+        size=size, count_name=count_name,
+    )
+
+
+def reverse_nested_counts(ds, nested_col: str, sub_field: str,
+                          parent_key: str, count_name: str = "n_parents"):
+    """`nested` > `terms(sub_field)` > `reverse_nested` (``es/search/
+    aggregations/bucket/nested/ReverseNestedAggregationBuilder.java``):
+    per sub-field bucket, the number of distinct PARENT docs owning at
+    least one sub-doc in the bucket. Map-side (bucket, parent) dedup
+    inside each block before the one wide shuffle, then a distinct
+    count — never materializes the pair set on the driver."""
+    ex = nested_explode(ds, nested_col, [sub_field], parent_cols=[parent_key])
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by([sub_field, parent_key]).aggregate([])
+
+    pairs = ex.map_batches(block_dedup, batch_format="pyarrow")
+    # materialize the distinct-pair set between the two aggregates:
+    # chained hash-aggregate pools each reserve aggregator CPUs and the
+    # streaming executor keeps both alive — on a small cluster that
+    # deadlocks. The barrier is cheap: pairs are bounded by
+    # parents x buckets, far below the sub-doc count.
+    agg = pairs.groupby([sub_field, parent_key]).count().materialize()
+    out = agg.groupby(sub_field).count()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([sub_field, count_name]).set_column(
+            1, count_name, t.column(1).cast(pa.int64())
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(sub_field)

@@ -420,6 +420,32 @@ def test_nested_query_semantics(ray_session):
     assert nested_count(nested, "children", any_a, min_matches=2) == 2  # pk 1,2
 
 
+def test_nested_agg_and_reverse_nested(ray_session):
+    """nested agg = sub-doc context counts; reverse_nested = distinct
+    PARENTS per sub-doc bucket (a parent with two 'x' children counts
+    once in reverse, twice in nested)."""
+    from raydex.ops.nested import (
+        nest,
+        nested_terms_agg,
+        reverse_nested_counts,
+    )
+
+    rows = [
+        {"pk": 1, "tag": "x"},
+        {"pk": 1, "tag": "x"},
+        {"pk": 1, "tag": "y"},
+        {"pk": 2, "tag": "x"},
+        {"pk": 3, "tag": "y"},
+    ]
+    nested = nest(rd.from_items(rows), "pk", ["tag"]).materialize()
+    terms = nested_terms_agg(nested, "children", "tag",
+                             count_name="n").to_pandas()
+    assert dict(zip(terms["tag"], terms["n"])) == {"x": 3, "y": 2}
+    rev = reverse_nested_counts(nested, "children", "tag", "pk",
+                                count_name="n").to_pandas()
+    assert dict(zip(rev["tag"], rev["n"])) == {"x": 2, "y": 2}
+
+
 def test_nested_gate_vs_duckdb(ray_session, sf_dir, con_li):
     import __ray_entry__ as e
 

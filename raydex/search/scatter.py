@@ -221,6 +221,76 @@ class SegmentGroup:
             out.append((o, ids.tolist(), sc.tolist(), urls))
         return out
 
+    def profile_query(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
+                      df: dict[str, int], analyzer_name: str,
+                      fdf: dict | None = None,
+                      field_sum_dl: dict | None = None,
+                      runtime_mappings: dict | None = None,
+                      join_maps: dict | None = None):
+        """`"profile": true` analogue (the reference's QueryProfiler /
+        ProfileResult, ``es/search/profile/query/QueryProfiler.java``):
+        per-segment wall time, matched-doc count, and the query kind —
+        plus the group's can-match skip count. Returns (per_seg_hits,
+        profile_rows); timings measure this group's evaluation only, the
+        coordinator adds merge/reduce time."""
+        import time as _time
+
+        from raydex.analysis.tokenizer import get_analyzer
+        from raydex.search.joinquery import (
+            evaluator_join_maps,
+            join_phase1 as _phase1,
+            reduce_join_phase1,
+        )
+        from raydex.search.query import (
+            SegmentEvaluator,
+            collect_join_nodes,
+            parse_query,
+        )
+
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
+                            fdf=fdf, field_sum_dl=field_sum_dl)
+        q = parse_query(qdict)
+        an = get_analyzer(analyzer_name)
+        jnodes = collect_join_nodes(q)
+        join_ns = 0
+        if jnodes and join_maps is None:
+            t0 = _time.perf_counter_ns()
+            partial = _phase1(self.readers, jnodes, stats, an,
+                              runtime_mappings=runtime_mappings)
+            join_maps = reduce_join_phase1(jnodes, [partial])
+            join_ns = _time.perf_counter_ns() - t0
+        kind = next(iter(qdict))
+        out, prof = [], []
+        for r, o in self._can_match_readers(q, can_match=True):
+            ev = SegmentEvaluator(
+                r, stats, an, runtime_mappings=runtime_mappings,
+                join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
+            )
+            t0 = _time.perf_counter_ns()
+            scores, mask = ev.eval(q)
+            if r.live is not None:
+                mask = mask & r.live
+            eval_ns = _time.perf_counter_ns() - t0
+            from raydex.search.bm25 import top_k_select
+
+            ids, sc = top_k_select(np.where(mask, scores, 0.0), k, mask)
+            urls = [r.url_of(d) for d in ids]
+            out.append((o, ids.tolist(), sc.tolist(), urls))
+            prof.append(
+                {
+                    "segment": r.manifest.get("seg_id", r.seg_dir),
+                    "type": kind,
+                    "time_in_nanos": int(eval_ns),
+                    "matched": int(mask.sum()),
+                    "docs": int(r.ndocs),
+                }
+            )
+        meta = {
+            "can_match_skipped": self.can_match_skipped(),
+            "join_phase1_nanos": int(join_ns),
+        }
+        return out, prof, meta
+
     _SORT_RANGES = {
         "dl": ("min_dl", "max_dl"),
         "url": ("min_url", "max_url"),
@@ -672,6 +742,27 @@ class LocalSearcher(SearcherBase):
             runtime_mappings=runtime_mappings,
         )
 
+    def profile_search(self, qdict: dict, k: int = 10,
+                       runtime_mappings: dict | None = None) -> dict:
+        """The `"profile": true` search option (QueryProfiler /
+        SearchProfileResults): hits plus per-segment wall time, matched
+        counts, can-match skips, and total took."""
+        import time as _time
+
+        df, fdf = self._query_stats(qdict)
+        t0 = _time.perf_counter_ns()
+        per_seg, prof, meta = self.group.profile_query(
+            qdict, k, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
+            fdf=fdf, field_sum_dl=self.field_sum_dl,
+            runtime_mappings=runtime_mappings,
+        )
+        hits = merge_top_k(per_seg, k)
+        took = _time.perf_counter_ns() - t0
+        return {
+            "hits": hits,
+            "profile": {"segments": prof, **meta, "took_nanos": int(took)},
+        }
+
     def search_sorted(self, qdict: dict, sort_field: str = "dl",
                       order: str = "asc", k: int = 10,
                       search_after: tuple | None = None):
@@ -1015,6 +1106,40 @@ class RaySearcher(SearcherBase):
 
             attach_inner_hits(hits, jnodes, ih, self.seg_dirs, parent_ids_of)
         return hits
+
+    def profile_search(self, qdict: dict, k: int = 10,
+                       runtime_mappings: dict | None = None) -> dict:
+        """Distributed `"profile": true`: per-segment rows from every
+        actor (each times its own slice) + the coordinator took."""
+        import time as _time
+
+        w = _window(k, 0)
+        terms, fpairs = self._collect_stats_spec(qdict)
+        df = self._stats(terms) if terms else {}
+        fdf = self._field_stats(fpairs)
+        _, jm, _ = self._join_maps(qdict, df, fdf, runtime_mappings)
+        t0 = _time.perf_counter_ns()
+        refs = [
+            a.profile_query.remote(qdict, w, self.ndocs, self.sum_dl, df,
+                                   self.manifest["analyzer"], fdf=fdf,
+                                   field_sum_dl=self.field_sum_dl,
+                                   runtime_mappings=runtime_mappings,
+                                   join_maps=jm)
+            for a in self.actors
+        ]
+        per_seg, prof = [], []
+        skipped = 0
+        for seg_out, p, meta in self._ray.get(refs):
+            per_seg += seg_out
+            prof += p
+            skipped += meta["can_match_skipped"]
+        hits = merge_top_k(per_seg, w)
+        took = _time.perf_counter_ns() - t0
+        return {
+            "hits": hits,
+            "profile": {"segments": prof, "can_match_skipped": skipped,
+                        "took_nanos": int(took)},
+        }
 
     def search_sorted(self, qdict: dict, sort_field: str = "dl",
                       order: str = "asc", k: int = 10,

@@ -362,6 +362,45 @@ def test_validate_query():
     assert not bad2["valid"]
 
 
+def test_profile_search(tmp_path, ray_session):
+    """`"profile": true` analogue: one row per evaluated segment with
+    wall time + matched counts; hits identical to the unprofiled search;
+    local and scatter searchers agree."""
+    import pyarrow.parquet as pq
+
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher, RaySearcher
+
+    t = make_pages_table(300, seed=41)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=3, analyzer="standard_en",
+                source="text", max_docs_per_segment=60)
+    s = LocalSearcher(idx)
+    q = {"match": {"text": "web search engine"}}
+    plain = s.search_query(q, k=5)
+    out = s.profile_search(q, k=5)
+    assert [(h["url"], h["score"]) for h in out["hits"]] == \
+           [(h["url"], h["score"]) for h in plain]
+    prof = out["profile"]
+    assert prof["took_nanos"] > 0
+    assert len(prof["segments"]) == len(s.seg_dirs)
+    for row in prof["segments"]:
+        assert row["type"] == "match"
+        assert row["time_in_nanos"] >= 0
+        assert 0 <= row["matched"] <= row["docs"]
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        dout = rs.profile_search(q, k=5)
+        assert [(h["url"], h["score"]) for h in dout["hits"]] == \
+               [(h["url"], h["score"]) for h in plain]
+        assert len(dout["profile"]["segments"]) == len(s.seg_dirs)
+    finally:
+        rs.shutdown()
+
+
 def test_multi_index_search(tmp_path, ray_session):
     """/idx1,idx2/_search: union hits with IDF computed over the union —
     identical scores to one index built over all docs."""

@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     s.add_argument("--sort", default=None,
                    help="field:order (e.g. dl:asc) — field-sorted hits "
                         "with index-sort early termination; needs --dsl")
+    s.add_argument("--profile", action="store_true",
+                   help='the `"profile": true` search option: emit a '
+                        "per-segment timing/matched breakdown after the hits")
 
     c = sub.add_parser("count")
     c.add_argument("--index", required=True)
@@ -190,6 +193,12 @@ def main(argv=None) -> int:
                 json.loads(a.dsl) if a.dsl else {"match_all": {}},
                 sort_field=field, order=order or "asc", k=a.k,
             )
+        elif a.dsl and a.profile:
+            out = searcher.profile_search(json.loads(a.dsl), k=a.k)
+            for h in out["hits"]:
+                print(json.dumps(h))
+            print(json.dumps({"profile": out["profile"]}))
+            hits = []
         elif a.dsl:
             hits = searcher.search_query(json.loads(a.dsl), k=a.k, from_=a.from_)
         else:

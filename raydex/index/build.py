@@ -183,9 +183,25 @@ class _BuildPartition:
             idx = idx[sidx]
         texts = group["text"].take(pa.array(idx))  # stays Arrow (zero-copy path)
         kept_urls = [str(u) for u in urls[idx]]
+        def _source_col(spec):
+            if isinstance(spec.source, (list, tuple)):
+                # copy_to: concatenate the source columns into ONE
+                # analyzed value per doc (space-joined, nulls -> "")
+                parts = [
+                    group[c].combine_chunks().cast(pa.large_string())
+                    for c in spec.source
+                ]
+                sep = pa.scalar(" ", pa.large_string())
+                return pc.binary_join_element_wise(
+                    *parts, sep, null_handling="replace",
+                    null_replacement="",
+                )
+            return group[spec.source]
+
         field_vals = {
-            spec.name: group[spec.source].take(pa.array(idx))
+            spec.name: _source_col(spec).take(pa.array(idx))
             for spec in self.fields
+            if spec.analyzer != "alias"  # alias: source names a FIELD
         }
         sort_dv = (
             {self.index_sort[0]: group[self.index_sort[0]].take(pa.array(idx)).combine_chunks()}
@@ -213,7 +229,9 @@ class _BuildPartition:
                     seg_id=seg_id,
                     store_positions=self.store_positions,
                     extra_fields=[
-                        (spec, field_vals[spec.name][lo:hi]) for spec in self.fields
+                        (spec, v[lo:hi] if (v := field_vals.get(spec.name))
+                         is not None else None)
+                        for spec in self.fields
                     ],
                     doc_values=(
                         {k: v.slice(lo, hi - lo) for k, v in sort_dv.items()}
@@ -450,6 +468,12 @@ def _build_index_inner(
 
         validate_relations(join_specs[0].relations or {})
     join_source = join_specs[0].source if join_specs else None
+    names = {s.name for s in fields} | {"text"}
+    for s in fields:
+        if s.analyzer == "alias" and s.source not in names:
+            raise ValueError(
+                f"alias field {s.name!r} targets unknown field {s.source!r}"
+            )
     os.makedirs(index_dir, exist_ok=True)
     # Resume safety: record the routing-relevant build parameters once and
     # fail fast if a resumed build would mix two layouts (e.g. a different
@@ -487,7 +511,16 @@ def _build_index_inner(
     if source in ("html", "verify"):
         cols = ["url", "warc_ts", "html"] + (["text"] if source == "verify" else [])
     carry = tuple(
-        dict.fromkeys(s.source for s in fields if s.source not in cols)
+        dict.fromkeys(
+            src
+            for s in fields
+            if s.analyzer != "alias"
+            # copy_to-style fields take a LIST of source columns,
+            # concatenated at build (TextFieldMapper copy_to semantics)
+            for src in (s.source if isinstance(s.source, (list, tuple))
+                        else [s.source])
+            if src not in cols
+        )
     )
     cols = cols + list(carry)
     if ray_ds is None:

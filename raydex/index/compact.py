@@ -196,6 +196,8 @@ def compact_segment(seg_dir: str) -> dict | None:
             fields_meta[fname] = dict(
                 meta, join_doc_count=int(len(t) - t["name"].null_count)
             )
+        elif kind == "alias":
+            fields_meta[fname] = dict(meta)  # pointer only, no files
         elif kind == "completion":
             _filter_rows(src_f, dst_f, "completion.parquet", keep_pa,
                          renumber_docid=new_id)

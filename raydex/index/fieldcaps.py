@@ -38,6 +38,8 @@ _FIELD_KIND_CAPS = {
     "dense_vector": ("dense_vector", False),
     "keyword": ("keyword", True),
     "keywordish": ("keyword", True),
+    "join": ("join", False),
+    "alias": ("alias", False),
 }
 
 

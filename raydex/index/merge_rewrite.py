@@ -227,6 +227,8 @@ def merge_segments_rewrite(part_dir: str, seg_ids: list[str],
                 metas[0],
                 join_doc_count=int(len(t) - t["name"].null_count),
             )
+        elif kind == "alias":
+            fields_meta[fname] = dict(metas[0])  # pointer only, no files
         elif kind == "completion":
             # inputs must stay input-SORTED for the prefix bisect: concat
             # then re-sort by (input, docid)

@@ -187,6 +187,14 @@ def build_segment(
 
             fields_meta[spec.name] = build_join_field(fdir, spec, values, urls)
             continue
+        if spec.analyzer == "alias":
+            # FieldAliasMapper: no index structure, just a path pointer
+            # resolved at query time (spec.source names the TARGET field)
+            fields_meta[spec.name] = {
+                "kind": "alias", "analyzer": "alias",
+                "path": spec.source, "sum_dl": 0,
+            }
+            continue
         fm = _build_field_index(
             fdir, urls, values, spec.analyzer, input_fragments,
             f"{seg_id}-f-{spec.name}", spec.store_positions,
@@ -776,7 +784,11 @@ class SegmentReader:
         The primary analyzed field answers to 'text'."""
         if name == "text":
             return self
-        if self.fields_meta.get(name, {}).get("analyzer") in (
+        meta = self.fields_meta.get(name, {})
+        if meta.get("analyzer") == "alias":
+            # FieldAliasMapper: queries against the alias hit the target
+            return self.field(meta["path"])
+        if meta.get("analyzer") in (
             "rank_feature", "rank_features", "completion", "dense_vector",
             "join",
         ):

@@ -613,6 +613,17 @@ class SearcherBase:
         self.field_sum_dl = {
             f: meta.get("sum_dl", 0) for f, meta in self.fields_meta.items()
         }
+        # alias fields score with the TARGET's global dl (the
+        # FieldAliasMapper path contract — alias == target, bitwise)
+        for f, meta in self.fields_meta.items():
+            if meta.get("analyzer") == "alias":
+                # index-level meta carries the target under "source",
+                # segment-level under "path"
+                tgt = meta.get("path") or meta.get("source")
+                self.field_sum_dl[f] = (
+                    self.sum_dl if tgt == "text"
+                    else self.field_sum_dl.get(tgt, 0)
+                )
 
     def analyze(self, query_text: str) -> list[str]:
         return self.analyzer(query_text)
@@ -623,6 +634,10 @@ class SearcherBase:
         if field == "text":
             return self.analyzer(text)
         meta = self.fields_meta.get(field)
+        if meta and meta.get("analyzer") == "alias":
+            return self.analyze_field(
+                meta.get("path") or meta.get("source"), text
+            )
         if meta:
             return get_analyzer(meta["analyzer"])(text)
         from raydex.search.fields import tokenize_keywordish

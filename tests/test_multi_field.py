@@ -197,3 +197,48 @@ def test_resume_param_guard_includes_fields(built, tmp_path_factory):
     with pytest.raises(ValueError, match="different build parameters"):
         build_index(p, idx, num_partitions=3, analyzer="standard",
                     source="text", max_docs_per_segment=10, resume=True)
+
+
+def test_field_alias_and_copy_to(ray_session, tmp_path_factory):
+    """FieldAliasMapper: queries on the alias are BITWISE-identical to
+    the target (global stats included). copy_to-style list source:
+    one field indexed from the concatenation of several columns."""
+    t = _corpus()
+    p = str(tmp_path_factory.mktemp("mf_alias") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_alias_idx") / "index")
+    fields = [
+        FieldSpec("lang", source="lang", analyzer="keyword"),
+        FieldSpec("language", source="lang", analyzer="alias"),
+        FieldSpec("content", source="text", analyzer="alias"),
+        FieldSpec("combined", source=["lang", "url"], analyzer="keywordish"),
+    ]
+    m = build_index(p, idx, num_partitions=3, analyzer="standard",
+                    source="text", max_docs_per_segment=10, fields=fields)
+    s = LocalSearcher(idx)
+    # alias -> keyword target: identical hits + scores
+    a = s.search_query({"term": {"language": "en"}}, k=100)
+    b = s.search_query({"term": {"lang": "en"}}, k=100)
+    assert [(h["url"], h["score"]) for h in a] == \
+           [(h["url"], h["score"]) for h in b]
+    assert len(a) == sum(1 for v in t["lang"].to_pylist() if v == "en")
+    # alias -> the PRIMARY text field: match parity, bitwise
+    a = s.search_query({"match": {"content": "alpha beta"}}, k=100)
+    b = s.search_query({"match": {"text": "alpha beta"}}, k=100)
+    assert [(h["url"], h["score"]) for h in a] == \
+           [(h["url"], h["score"]) for h in b]
+    # copy_to: terms from BOTH source columns hit the combined field
+    n_en = s.count({"term": {"combined": "en"}})
+    assert n_en == sum(1 for v in t["lang"].to_pylist() if v == "en")
+    assert s.count({"term": {"combined": "example"}}) == len(t)
+    # field caps report the alias kind
+    from raydex.index.fieldcaps import field_caps_for_index
+
+    caps = field_caps_for_index(idx)
+    assert caps["language"]["types"] == ["alias"]
+    # alias to an unknown field fails fast at build
+    with pytest.raises(ValueError, match="unknown field"):
+        build_index(p, str(tmp_path_factory.mktemp("x") / "i"),
+                    num_partitions=2, analyzer="standard", source="text",
+                    fields=[FieldSpec("bad", source="nope",
+                                      analyzer="alias")])

@@ -198,6 +198,14 @@ def compact_segment(seg_dir: str) -> dict | None:
             )
         elif kind == "alias":
             fields_meta[fname] = dict(meta)  # pointer only, no files
+        elif kind == "doc_values":
+            # column rows filtered with docs.parquet above; keep the old
+            # (conservative, possibly wider) bounds — can-match never
+            # wrongly skips on a superset range
+            fields_meta[fname] = dict(meta)
+            for key in (f"min_{fname}", f"max_{fname}"):
+                if key in reader.manifest:
+                    manifest[key] = reader.manifest[key]
         elif kind == "completion":
             _filter_rows(src_f, dst_f, "completion.parquet", keep_pa,
                          renumber_docid=new_id)

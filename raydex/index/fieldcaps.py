@@ -40,6 +40,9 @@ _FIELD_KIND_CAPS = {
     "keywordish": ("keyword", True),
     "join": ("join", False),
     "alias": ("alias", False),
+    "long": ("long", True),
+    "double": ("double", True),
+    "date": ("date", True),
 }
 
 

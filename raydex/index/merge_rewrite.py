@@ -229,6 +229,15 @@ def merge_segments_rewrite(part_dir: str, seg_ids: list[str],
             )
         elif kind == "alias":
             fields_meta[fname] = dict(metas[0])  # pointer only, no files
+        elif kind == "doc_values":
+            # column data concats with docs.parquet below; merged bounds
+            # = bounds of the per-input bounds (no rescan)
+            fields_meta[fname] = dict(metas[0])
+            los = [r.manifest.get(f"min_{fname}") for r in readers]
+            his = [r.manifest.get(f"max_{fname}") for r in readers]
+            if all(v is not None for v in los + his):
+                manifest[f"min_{fname}"] = min(los)
+                manifest[f"max_{fname}"] = max(his)
         elif kind == "completion":
             # inputs must stay input-SORTED for the prefix bisect: concat
             # then re-sort by (input, docid)

@@ -168,7 +168,44 @@ def build_segment(
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
     fields_meta: dict[str, dict] = {}
+    # numeric / date field types (NumberFieldMapper / DateFieldMapper):
+    # stored doc-values columns in docs.parquet with per-segment min/max
+    # in the manifest (range can-match + field sort use them)
+    dv_specs = [
+        (s, v) for s, v in (extra_fields or [])
+        if s.analyzer in ("long", "double", "date")
+    ]
+    if dv_specs:
+        d = pq.read_table(os.path.join(tmp, "docs.parquet"))
+        for spec, values in dv_specs:
+            arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+                else pa.array(values)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if spec.analyzer == "long":
+                arr = arr.cast(pa.int64())
+            elif spec.analyzer == "double":
+                arr = arr.cast(pa.float64())
+            else:  # date
+                arr = arr.cast(pa.timestamp("us"))
+            if spec.name not in d.column_names:  # may double as sort col
+                d = d.append_column(spec.name, arr)
+            stat = arr.cast(pa.int64()) if spec.analyzer == "date" else arr
+            import pyarrow.compute as _pc
+
+            mn, mx = _pc.min(stat).as_py(), _pc.max(stat).as_py()
+            manifest[f"min_{spec.name}"] = mn
+            manifest[f"max_{spec.name}"] = mx
+            fields_meta[spec.name] = {
+                "kind": "doc_values", "analyzer": spec.analyzer,
+                "source": spec.source, "sum_dl": 0,
+            }
+        pq.write_table(d, os.path.join(tmp, "docs.parquet"))
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
     for spec, values in extra_fields or []:
+        if spec.analyzer in ("long", "double", "date"):
+            continue
         fdir = os.path.join(tmp, f"field={spec.name}")
         if spec.analyzer == "rank_feature":
             fields_meta[spec.name] = _build_rank_feature(fdir, spec, values)

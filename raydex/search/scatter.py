@@ -318,22 +318,22 @@ class SegmentGroup:
         sorted, each {url, sort_value, ordinal, docid}."""
         from raydex.search.query import SegmentEvaluator, parse_query
 
-        if sort_field not in self._SORT_RANGES:
-            raise ValueError(
-                f"unsupported sort field {sort_field!r}; stored doc-values: "
-                f"{sorted(self._SORT_RANGES)}"
-            )
         if sort_field not in ("dl", "url") and not all(
             sort_field in r.doc_values for r in self.readers
         ):
             raise ValueError(
                 f"sort field {sort_field!r} is not a stored doc-values "
                 f"column of every segment — build with "
-                f"index_sort=({sort_field!r}, ...) to store it"
+                f"index_sort=({sort_field!r}, ...) or a "
+                f"long/double/date FieldSpec to store it"
             )
         if order not in ("asc", "desc"):
             raise ValueError("order must be 'asc' or 'desc'")
-        lo_key, hi_key = self._SORT_RANGES[sort_field]
+        # any stored doc-values column sorts; manifests record
+        # min_<f>/max_<f> for index-sort and numeric/date fields
+        lo_key, hi_key = self._SORT_RANGES.get(
+            sort_field, (f"min_{sort_field}", f"max_{sort_field}")
+        )
         stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
                             fdf=fdf, field_sum_dl=field_sum_dl)
         q = parse_query(qdict)

@@ -242,3 +242,91 @@ def test_field_alias_and_copy_to(ray_session, tmp_path_factory):
                     num_partitions=2, analyzer="standard", source="text",
                     fields=[FieldSpec("bad", source="nope",
                                       analyzer="alias")])
+
+
+def test_numeric_docvalues_fields(ray_session, tmp_path_factory):
+    """long/double/date field types (NumberFieldMapper/DateFieldMapper):
+    stored doc-values columns with range queries, per-segment min/max in
+    the manifest (range can-match), and field sort over the column."""
+    import numpy as np
+
+    rows = []
+    for i in range(90):
+        rows.append(
+            {"url": f"s{i:03d}.example/p", "warc_ts": i,
+             "text": f"doc number tok{i % 9}", "views": i * 10,
+             "rating": i / 10.0}
+        )
+    t = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows]).cast(
+                pa.timestamp("us")),
+            "text": pa.array([r["text"] for r in rows], pa.large_string()),
+            "views": pa.array([r["views"] for r in rows], pa.int32()),
+            "rating": pa.array([r["rating"] for r in rows], pa.float64()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("mf_num") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_num_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=2, analyzer="standard", source="text",
+        max_docs_per_segment=20,
+        fields=[FieldSpec("views", source="views", analyzer="long"),
+                FieldSpec("rating", source="rating", analyzer="double")],
+    )
+    s = LocalSearcher(idx)
+    # range over the long column
+    n = s.count({"range": {"views": {"gte": 500, "lt": 700}}})
+    assert n == sum(1 for r in rows if 500 <= r["views"] < 700)
+    # range over the double column
+    n = s.count({"range": {"rating": {"gt": 7.95}}})
+    assert n == sum(1 for r in rows if r["rating"] > 7.95)
+    # manifests carry per-segment bounds; a narrow range can-match-skips
+    for sd in segment_dirs(idx, m):
+        r = SegmentReader(sd)
+        vals = r.doc_values["views"]
+        assert r.manifest["min_views"] == int(vals.min())
+        assert r.manifest["max_views"] == int(vals.max())
+    g = s.group
+    g.query_count({"range": {"views": {"gte": 890}}}, s.ndocs, s.sum_dl,
+                  {}, "standard")
+    assert g.can_match_skipped() > 0
+    # field sort over the numeric column (desc, top 5)
+    hits = s.search_sorted({"match_all": {}}, sort_field="views",
+                           order="desc", k=5)
+    assert [h["sort_value"] for h in hits] == [890, 880, 870, 860, 850]
+    # merge keeps columns, bounds, and answers
+    import shutil
+
+    from raydex.index.merge_rewrite import merge_segments_rewrite
+
+    idx2 = str(tmp_path_factory.mktemp("mf_num_m") / "merged")
+    shutil.copytree(idx, idx2)
+    import json as _json
+
+    man = _json.load(open(os.path.join(idx2, "index_manifest.json")))
+    parts = sorted({r["part"] for r in man["segments"]})
+    new_rows = []
+    for pnum in parts:
+        pdir = os.path.join(idx2, f"part={pnum:05d}")
+        sids = [r["seg_id"] for r in man["segments"] if r["part"] == pnum]
+        if len(sids) == 1:
+            new_rows += [r for r in man["segments"] if r["part"] == pnum]
+            continue
+        mm = merge_segments_rewrite(pdir, sids, f"seg-{pnum:05d}-m")
+        assert "min_views" in mm and "max_views" in mm
+        for sid in sids:
+            shutil.rmtree(os.path.join(pdir, sid))
+        row = dict(next(r for r in man["segments"] if r["part"] == pnum))
+        row.update(seg_id=f"seg-{pnum:05d}-m", doc_count=mm["doc_count"],
+                   sum_dl=mm["sum_dl"], term_count=mm["term_count"],
+                   max_df=mm["max_df"], content_hash=mm["content_hash"])
+        new_rows.append(row)
+    man["segments"] = new_rows
+    with open(os.path.join(idx2, "index_manifest.json"), "w") as f:
+        _json.dump(man, f)
+    s2 = LocalSearcher(idx2)
+    assert s2.count({"range": {"views": {"gte": 500, "lt": 700}}}) == \
+        s.count({"range": {"views": {"gte": 500, "lt": 700}}})

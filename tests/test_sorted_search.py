@@ -93,7 +93,7 @@ def test_sorted_by_url(built):
 
 def test_unsupported_field_errors(built):
     idx, _ = built
-    with pytest.raises(ValueError, match="unsupported sort field"):
+    with pytest.raises(ValueError, match="not a stored doc-values"):
         LocalSearcher(idx).search_sorted({"match_all": {}}, "nope", "asc", 3)
     with pytest.raises(ValueError, match="order"):
         LocalSearcher(idx).search_sorted({"match_all": {}}, "dl", "sideways", 3)

@@ -666,6 +666,8 @@ def _build_index_inner(
                      "sum_dl": field_sum_dl.get(s.name, 0),
                      **({"dims": int(s.dims), "similarity": s.similarity}
                         if s.analyzer == "dense_vector" else {}),
+                     **({"relations": s.relations}
+                        if s.analyzer == "join" else {}),
                      **field_extra.get(s.name, {})}
             for s in fields
         },

@@ -1033,6 +1033,14 @@ class SegmentEvaluator:
     def _field_term_leaf(self, field: str, term: str, boost: float):
         if field == "text":
             return self._term_leaf(term, boost)
+        meta = getattr(self.r, "fields_meta", {}).get(field, {})
+        if (meta.get("kind") or meta.get("analyzer")) == "join":
+            # term on the join FIELD matches the relation name (the
+            # ParentJoinFieldMapper doc-values term — how the reference
+            # filters parents/children by relation)
+            names, _, _ = self.r.join_field_data(field)
+            mask = names == term
+            return np.where(mask, boost, 0.0), mask
         fr = self._field_reader(field)
         if fr is not None:
             return self._indexed_term_leaf(field, fr, term, boost)

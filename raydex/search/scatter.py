@@ -625,6 +625,44 @@ class SearcherBase:
                     else self.field_sum_dl.get(tgt, 0)
                 )
 
+    def _join_field_info(self):
+        for f, meta in self.fields_meta.items():
+            if meta.get("analyzer") == "join":
+                return f, meta.get("relations") or {}
+        raise ValueError(
+            "index has no join field (build with "
+            "FieldSpec(analyzer='join', relations=...))"
+        )
+
+    def children_agg(self, qdict: dict, child_type: str) -> dict:
+        """Single-bucket `children` agg (parent-join module,
+        ``ChildrenAggregationBuilder.java``): doc_count = docs of
+        relation ``child_type`` whose parent matches ``qdict`` —
+        composed from has_parent + a relation term on the join field,
+        exactly the reference's children-context switch."""
+        jf, relations = self._join_field_info()
+        from raydex.index.joinfield import parent_relation_of
+
+        prel = parent_relation_of(relations, child_type)
+        if prel is None:
+            raise ValueError(
+                f"unknown child relation {child_type!r}; relations = "
+                f"{relations}"
+            )
+        n = self.count({"bool": {"filter": [
+            {"has_parent": {"parent_type": prel, "query": qdict}},
+            {"term": {jf: child_type}},
+        ]}})
+        return {"doc_count": int(n)}
+
+    def parent_agg(self, qdict: dict, child_type: str) -> dict:
+        """Single-bucket `parent` agg (``ParentAggregationBuilder.java``):
+        doc_count = DISTINCT parents owning at least one ``child_type``
+        child matching ``qdict`` (has_child counts each parent once)."""
+        self._join_field_info()  # fail fast on non-join indexes
+        n = self.count({"has_child": {"type": child_type, "query": qdict}})
+        return {"doc_count": int(n)}
+
     def analyze(self, query_text: str) -> list[str]:
         return self.analyzer(query_text)
 

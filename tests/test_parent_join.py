@@ -339,6 +339,40 @@ def test_join_survives_merge(built, tmp_path):
         assert h1 == h2
 
 
+def test_relation_term_and_join_aggs(built):
+    """term on the join FIELD matches relation names; children/parent
+    single-bucket aggs (ChildrenAggregationBuilder /
+    ParentAggregationBuilder) count context switches exactly."""
+    idx, _ = built
+    s = LocalSearcher(idx)
+    ch = _children()
+    n_answers = sum(len(k) for k in ch.values())
+    assert s.count({"term": {"join_field": "question"}}) == N_Q
+    assert s.count({"term": {"join_field": "answer"}}) == n_answers
+    # children agg: answers whose parent question mentions topic2
+    topic2 = {q for i, q in enumerate(ch) if i % 5 == 2}
+    want = sum(len(ch[q]) for q in ch if q in {f"q{i}" for i in range(N_Q) if i % 5 == 2})
+    got = s.children_agg({"term": {"text": "topic2"}}, "answer")
+    assert got == {"doc_count": want}
+    # parent agg: distinct questions with >= 1 'good' answer
+    good_parents = sum(
+        1 for kids in ch.values() if any(q == "good" for _, q in kids)
+    )
+    got = s.parent_agg({"term": {"text": "good"}}, "answer")
+    assert got == {"doc_count": good_parents}
+    # distributed parity
+    from raydex.search.scatter import RaySearcher
+
+    rs = RaySearcher(idx, num_actors=3)
+    try:
+        assert rs.children_agg({"term": {"text": "topic2"}}, "answer") == \
+            {"doc_count": want}
+        assert rs.parent_agg({"term": {"text": "good"}}, "answer") == \
+            {"doc_count": good_parents}
+    finally:
+        rs.shutdown()
+
+
 def test_nested_join_rejected():
     from raydex.search.query import collect_join_nodes, parse_query
 

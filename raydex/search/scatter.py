@@ -628,7 +628,18 @@ class SearcherBase:
     def _join_field_info(self):
         for f, meta in self.fields_meta.items():
             if meta.get("analyzer") == "join":
-                return f, meta.get("relations") or {}
+                rel = meta.get("relations")
+                if not rel and self.seg_dirs:
+                    # indexes built before relations reached the index
+                    # manifest: the segment manifests always carry them
+                    import json as _json
+                    import os as _os
+
+                    with open(_os.path.join(self.seg_dirs[0],
+                                            "manifest.json")) as fh:
+                        sm = _json.load(fh)
+                    rel = sm.get("fields", {}).get(f, {}).get("relations")
+                return f, rel or {}
         raise ValueError(
             "index has no join field (build with "
             "FieldSpec(analyzer='join', relations=...))"

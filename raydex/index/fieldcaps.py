@@ -43,6 +43,8 @@ _FIELD_KIND_CAPS = {
     "long": ("long", True),
     "double": ("double", True),
     "date": ("date", True),
+    "scaled_float": ("scaled_float", True),
+    "token_count": ("long", True),
 }
 
 

@@ -68,6 +68,9 @@ class FieldSpec:
     # join-only (`ParentJoinFieldMapper`'s `relations` parameter):
     # {parent: [child, ...]}. One join field per index.
     relations: dict | None = None
+    # scaled_float-only (`ScaledFloatFieldMapper`): doubles stored as
+    # round(v * scaling_factor) int64 doc-values
+    scaling_factor: float = 0.0
 
     def to_json(self) -> dict:
         out = {
@@ -82,6 +85,8 @@ class FieldSpec:
             out["ivf_nlist"] = int(self.ivf_nlist)
         if self.analyzer == "join":
             out["relations"] = self.relations
+        if self.analyzer == "scaled_float":
+            out["scaling_factor"] = float(self.scaling_factor)
         return out
 
     @staticmethod
@@ -91,6 +96,7 @@ class FieldSpec:
             bool(d.get("store_positions", False)),
             int(d.get("dims", 0)), d.get("similarity", "cosine"),
             int(d.get("ivf_nlist", 0)), d.get("relations"),
+            float(d.get("scaling_factor", 0.0)),
         )
 
 
@@ -171,40 +177,60 @@ def build_segment(
     # numeric / date field types (NumberFieldMapper / DateFieldMapper):
     # stored doc-values columns in docs.parquet with per-segment min/max
     # in the manifest (range can-match + field sort use them)
+    _DV_KINDS = ("long", "double", "date", "scaled_float", "token_count")
     dv_specs = [
-        (s, v) for s, v in (extra_fields or [])
-        if s.analyzer in ("long", "double", "date")
+        (s, v) for s, v in (extra_fields or []) if s.analyzer in _DV_KINDS
     ]
     if dv_specs:
+        import pyarrow.compute as _pc
+
         d = pq.read_table(os.path.join(tmp, "docs.parquet"))
         for spec, values in dv_specs:
             arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
                 else pa.array(values)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
+            extra_meta: dict = {}
             if spec.analyzer == "long":
                 arr = arr.cast(pa.int64())
             elif spec.analyzer == "double":
                 arr = arr.cast(pa.float64())
+            elif spec.analyzer == "scaled_float":
+                # ScaledFloatFieldMapper: round(v * factor) stored as
+                # int64 (lossy exactly like the reference's encoding)
+                factor = float(spec.scaling_factor or 100.0)
+                arr = _pc.round(
+                    _pc.multiply(arr.cast(pa.float64()), factor)
+                ).cast(pa.int64())
+                extra_meta["scaling_factor"] = factor
+            elif spec.analyzer == "token_count":
+                # TokenCountFieldMapper: number of analyzed tokens of the
+                # source string, with the index analyzer
+                from raydex.analysis.tokenizer import get_analyzer
+
+                an = get_analyzer(analyzer)
+                arr = pa.array(
+                    [len(an(v)) if v is not None else None
+                     for v in arr.to_pylist()],
+                    pa.int64(),
+                )
             else:  # date
                 arr = arr.cast(pa.timestamp("us"))
             if spec.name not in d.column_names:  # may double as sort col
                 d = d.append_column(spec.name, arr)
             stat = arr.cast(pa.int64()) if spec.analyzer == "date" else arr
-            import pyarrow.compute as _pc
-
             mn, mx = _pc.min(stat).as_py(), _pc.max(stat).as_py()
             manifest[f"min_{spec.name}"] = mn
             manifest[f"max_{spec.name}"] = mx
             fields_meta[spec.name] = {
                 "kind": "doc_values", "analyzer": spec.analyzer,
-                "source": spec.source, "sum_dl": 0,
+                "source": spec.source, "sum_dl": 0, **extra_meta,
             }
         pq.write_table(d, os.path.join(tmp, "docs.parquet"))
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
     for spec, values in extra_fields or []:
-        if spec.analyzer in ("long", "double", "date"):
+        if spec.analyzer in _DV_KINDS:
             continue
         fdir = os.path.join(tmp, f"field={spec.name}")
         if spec.analyzer == "rank_feature":

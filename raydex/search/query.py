@@ -1231,6 +1231,12 @@ class SegmentEvaluator:
                 vals = self.r.dl  # exact length, not the SmallFloat-quantized one
             elif q.fld in getattr(self.r, "doc_values", {}):
                 vals = self.r.doc_values[q.fld]  # stored doc-values column
+                fmeta = getattr(self.r, "fields_meta", {}).get(q.fld, {})
+                if fmeta.get("analyzer") == "scaled_float":
+                    # compare on unscaled doubles derived from the
+                    # stored scaled longs (storage lossy like the
+                    # reference's ScaledFloat encoding)
+                    vals = vals / float(fmeta.get("scaling_factor") or 100.0)
             else:
                 vals = np.asarray(self.r.urls.to_pylist(), dtype=object)
             mask = np.ones(n, dtype=bool)

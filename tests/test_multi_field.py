@@ -330,3 +330,39 @@ def test_numeric_docvalues_fields(ray_session, tmp_path_factory):
     s2 = LocalSearcher(idx2)
     assert s2.count({"range": {"views": {"gte": 500, "lt": 700}}}) == \
         s.count({"range": {"views": {"gte": 500, "lt": 700}}})
+
+
+def test_scaled_float_and_token_count(ray_session, tmp_path_factory):
+    """mapper-extras ScaledFloatFieldMapper (round(v*factor) int64
+    storage, range on unscaled doubles) and TokenCountFieldMapper
+    (analyzed token count as a long doc-values field)."""
+    rows = [(f"u{i:02d}", i, "tok " * (i % 7 + 1), i * 0.125)
+            for i in range(40)]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+            "text": pa.array([r[2].strip() for r in rows], pa.large_string()),
+            "price": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("mf_sf") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_sf_idx") / "index")
+    build_index(
+        p, idx, num_partitions=2, analyzer="standard", source="text",
+        fields=[FieldSpec("price", source="price", analyzer="scaled_float",
+                          scaling_factor=100.0),
+                FieldSpec("ntok", source="text", analyzer="token_count")],
+    )
+    s = LocalSearcher(idx)
+    # 0.125 scales to round(12.5)=12 -> stored 0.12 etc.; range on the
+    # decoded doubles matches a python mirror of the lossy encoding
+    want = sum(1 for r in rows if round(r[3] * 100) / 100 >= 2.0)
+    assert s.count({"range": {"price": {"gte": 2.0}}}) == want
+    # token_count == the analyzed length of each doc's text
+    want = sum(1 for r in rows if len(r[2].split()) >= 5)
+    assert s.count({"range": {"ntok": {"gte": 5}}}) == want
+    hits = s.search_sorted({"match_all": {}}, sort_field="ntok",
+                           order="desc", k=3)
+    assert all(h["sort_value"] == 7 for h in hits)

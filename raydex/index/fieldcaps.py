@@ -45,6 +45,7 @@ _FIELD_KIND_CAPS = {
     "date": ("date", True),
     "scaled_float": ("scaled_float", True),
     "token_count": ("long", True),
+    "match_only_text": ("match_only_text", False),
 }
 
 

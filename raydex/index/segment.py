@@ -250,6 +250,22 @@ def build_segment(
 
             fields_meta[spec.name] = build_join_field(fdir, spec, values, urls)
             continue
+        if spec.analyzer == "match_only_text":
+            # MatchOnlyTextFieldMapper (mapper-extras): analyzed with the
+            # INDEX analyzer, but queries score as if freq == 1 and
+            # norms are disabled (per-term idf) — the space-saving text
+            # variant. The sub-index reuses the text layout; the query
+            # side reads only doc membership.
+            fm = _build_field_index(
+                fdir, urls, values, analyzer, input_fragments,
+                f"{seg_id}-f-{spec.name}", False,
+            )
+            fields_meta[spec.name] = {
+                "kind": "match_only_text", "analyzer": "match_only_text",
+                "source": spec.source, "sum_dl": fm["sum_dl"],
+                "term_count": fm["term_count"],
+            }
+            continue
         if spec.analyzer == "alias":
             # FieldAliasMapper: no index structure, just a path pointer
             # resolved at query time (spec.source names the TARGET field)

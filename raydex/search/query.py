@@ -1043,6 +1043,19 @@ class SegmentEvaluator:
             return np.where(mask, boost, 0.0), mask
         fr = self._field_reader(field)
         if fr is not None:
+            if (meta.get("kind") or meta.get("analyzer")) == "match_only_text":
+                # freq==1, norms off (MatchOnlyTextFieldMapper): the BM25
+                # tf-norm term cancels to 1, leaving per-term idf
+                scores = np.zeros(self.n)
+                mask = np.zeros(self.n, dtype=bool)
+                ti = fr.lookup(term)
+                if ti >= 0:
+                    gdf = self.stats.field_df(field, term)
+                    df = gdf if gdf else int(fr.df[ti])
+                    ids, _ = fr.postings(ti)
+                    scores[ids] = boost * float(_idf(self.stats.ndocs, df))
+                    mask[ids] = True
+                return scores, mask
             return self._indexed_term_leaf(field, fr, term, boost)
         return self._derived_term_leaf(field, term, boost)
 

@@ -687,6 +687,8 @@ class SearcherBase:
             return self.analyze_field(
                 meta.get("path") or meta.get("source"), text
             )
+        if meta and meta.get("analyzer") == "match_only_text":
+            return self.analyzer(text)  # analyzed with the index analyzer
         if meta:
             return get_analyzer(meta["analyzer"])(text)
         from raydex.search.fields import tokenize_keywordish

@@ -366,3 +366,43 @@ def test_scaled_float_and_token_count(ray_session, tmp_path_factory):
     hits = s.search_sorted({"match_all": {}}, sort_field="ntok",
                            order="desc", k=3)
     assert all(h["sort_value"] == 7 for h in hits)
+
+
+def test_match_only_text(ray_session, tmp_path_factory):
+    """MatchOnlyTextFieldMapper: same matching as a text field, but
+    scoring treats freq as 1 with norms off — per-term idf, identical
+    for a doc with one occurrence and a doc with many."""
+    import math
+
+    rows = [
+        ("u0", "apple apple apple apple"),
+        ("u1", "apple"),
+        ("u2", "pear plum cherry apple grape lemon melon fig date kiwi"),
+        ("u3", "pear plum"),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(range(len(rows))).cast(pa.timestamp("us")),
+            "text": pa.array([r[1] for r in rows], pa.large_string()),
+            "body": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("mf_mot") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_mot_idx") / "index")
+    build_index(
+        p, idx, num_partitions=1, analyzer="standard", source="text",
+        fields=[FieldSpec("body", source="body", analyzer="match_only_text")],
+    )
+    s = LocalSearcher(idx)
+    hits = s.search_query({"match": {"body": "apple"}}, k=10)
+    assert sorted(h["url"] for h in hits) == ["u0", "u1", "u2"]
+    # freq- and length-insensitive: all three score EXACTLY idf
+    idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    for h in hits:
+        assert h["score"] == pytest.approx(float(np.float32(idf)), rel=1e-6)
+    assert len({h["score"] for h in hits}) == 1
+    # membership parity with the primary text field
+    for q in ("apple", "pear plum", "melon"):
+        assert s.count({"match": {"body": q}}) == s.count({"match": {"text": q}})

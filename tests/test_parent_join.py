@@ -373,6 +373,54 @@ def test_relation_term_and_join_aggs(built):
         rs.shutdown()
 
 
+def test_join_survives_split_and_shrink(built, tmp_path):
+    """_split re-routes by the STORED parent key (ShardSplittingQuery
+    honoring the routing value): children land in the same child
+    partition as their parent, so join queries stay exact; _shrink
+    groups whole partitions, trivially preserving co-location."""
+    from raydex.index.reshape import shrink_index, split_index
+    from raydex.partition import route_partitions
+
+    idx, _ = built
+    queries = [
+        {"has_child": {"type": "answer", "score_mode": "sum",
+                       "query": {"constant_score": {
+                           "filter": {"term": {"text": "good"}}}}}},
+        {"has_parent": {"parent_type": "question",
+                        "query": {"term": {"text": "topic2"}}}},
+        {"parent_id": {"type": "answer", "id": "q13"}},
+    ]
+    s0 = LocalSearcher(idx)
+    want = [sorted((h["url"], h["score"]) for h in s0.search_query(q, k=200))
+            for q in queries]
+
+    dst = str(tmp_path / "split6")
+    split_index(idx, dst, 6)
+    s6 = LocalSearcher(dst)
+    for q, w in zip(queries, want):
+        got = sorted((h["url"], h["score"]) for h in s6.search_query(q, k=200))
+        assert got == w
+    # co-location invariant in every live child partition
+    m = json.load(open(os.path.join(dst, "index_manifest.json")))
+    import numpy as np
+
+    for r in m["segments"]:
+        sd = os.path.join(dst, f"part={r['part']:05d}", r["seg_id"])
+        sr = SegmentReader(sd)
+        live = sr.live if sr.live is not None else np.ones(sr.ndocs, bool)
+        names, pids, _ = sr.join_field_data()
+        for d in range(sr.ndocs):
+            if live[d]:
+                assert route_partitions([pids[d]], 6)[0] == r["part"]
+
+    dst2 = str(tmp_path / "shrink1")
+    shrink_index(idx, dst2, 1)
+    s1 = LocalSearcher(dst2)
+    for q, w in zip(queries, want):
+        got = sorted((h["url"], h["score"]) for h in s1.search_query(q, k=200))
+        assert got == w
+
+
 def test_nested_join_rejected():
     from raydex.search.query import collect_join_nodes, parse_query
 

@@ -301,7 +301,8 @@ class SegmentGroup:
                      ndocs: int, sum_dl: int, df: dict[str, int],
                      analyzer_name: str, fdf: dict | None = None,
                      field_sum_dl: dict | None = None,
-                     search_after: tuple | None = None):
+                     search_after: tuple | None = None,
+                     join_maps: dict | None = None):
         """Field-sorted top-k with index-sort early termination — the
         reference's FieldSortBuilder + BottomSortValuesCollector
         (``action/search/BottomSortValuesCollector.java``,
@@ -354,6 +355,18 @@ class SegmentGroup:
             rows.sort(key=lambda h: h[0], reverse=(order == "desc"))
             return rows
 
+        from raydex.search.joinquery import (
+            evaluator_join_maps,
+            join_phase1 as _jphase1,
+            reduce_join_phase1 as _jreduce,
+        )
+        from raydex.search.query import collect_join_nodes
+
+        jnodes = collect_join_nodes(q)
+        if jnodes and join_maps is None:  # partition-complete self-resolve
+            join_maps = _jreduce(
+                jnodes, [_jphase1(self.readers, jnodes, stats, an)]
+            )
         self.last_sort_skipped = 0
         out: list[tuple] = []  # (value, ordinal, docid), canon-sorted, <=k
         for r, o in pairs:
@@ -366,7 +379,10 @@ class SegmentGroup:
                 if order == "desc" and seg_hi is not None and seg_hi < bottom:
                     self.last_sort_skipped += 1
                     continue
-            ev = SegmentEvaluator(r, stats, an)
+            ev = SegmentEvaluator(
+                r, stats, an,
+                join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
+            )
             _, mask = ev.eval(q)
             if r.live is not None:
                 mask = mask & r.live
@@ -418,7 +434,10 @@ class SegmentGroup:
                     part = (np.argpartition(v, k - 1)[:k] if order == "asc"
                             else np.argpartition(-v, k - 1)[:k])
                     cand, v = cand[part], v[part]
-                seg_vals = [int(x) for x in v]
+                # keep the column's own kind: double columns sort (and
+                # report sort_value) as floats, not truncated ints
+                conv = float if v.dtype.kind == "f" else int
+                seg_vals = [conv(x) for x in v]
             else:  # url (string doc-values)
                 seg_vals = [r.url_of(int(d)) for d in cand]
             out.extend((val, o, int(d)) for val, d in zip(seg_vals, cand))
@@ -1219,11 +1238,12 @@ class RaySearcher(SearcherBase):
         terms, fpairs = self._collect_stats_spec(qdict)
         df = self._stats(terms) if terms else {}
         fdf = self._field_stats(fpairs)
+        _, jm, _ = self._join_maps(qdict, df, fdf)
         refs = [
             a.sorted_top_k.remote(qdict, sort_field, order, k, self.ndocs,
                                   self.sum_dl, df, self.manifest["analyzer"],
                                   fdf=fdf, field_sum_dl=self.field_sum_dl,
-                                  search_after=search_after)
+                                  search_after=search_after, join_maps=jm)
             for a in self.actors
         ]
         allhits = [h for actor_out in self._ray.get(refs) for h in actor_out]

@@ -443,3 +443,25 @@ def test_two_join_fields_rejected(tmp_path, ray_session):
                                     analyzer="join",
                                     relations={"a": ["b"]})],
         )
+
+
+def test_join_on_sorted_path(built):
+    """Field-sorted search with a join query: parents with >=1 good
+    answer, sorted by url — local and scatter agree."""
+    idx, _ = built
+    s = LocalSearcher(idx)
+    ch = _children()
+    good = sorted(q for q, kids in ch.items()
+                  if any(x == "good" for _, x in kids))
+    q = {"has_child": {"type": "answer",
+                       "query": {"term": {"text": "good"}}}}
+    hits = s.search_sorted(q, sort_field="url", order="asc", k=5)
+    assert [h["url"] for h in hits] == good[:5]
+    from raydex.search.scatter import RaySearcher
+
+    rs = RaySearcher(idx, num_actors=3)
+    try:
+        rh = rs.search_sorted(q, sort_field="url", order="asc", k=5)
+        assert [h["url"] for h in rh] == good[:5]
+    finally:
+        rs.shutdown()

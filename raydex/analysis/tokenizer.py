@@ -172,9 +172,14 @@ class Analyzer:
     dict — the plugin/classloader machinery collapses to registration.
     """
 
-    def __init__(self, fn: Callable[[str], list[str]], name: str):
+    def __init__(self, fn: Callable[[str], list[str]], name: str,
+                 with_positions_fn=None):
         self.fn = fn
         self.name = name
+        # analyzers with non-ordinal position streams (e.g. same-position
+        # injection in annotated_text) supply their own (tokens,
+        # positions) function
+        self.with_positions_fn = with_positions_fn
 
     def __call__(self, text: str) -> list[str]:
         return self.fn(text)
@@ -185,6 +190,9 @@ class Analyzer:
 
     def analyze_many_with_positions(self, texts: Iterable[str]):
         """(tokens, positions) per text; positions preserve stop gaps."""
+        if self.with_positions_fn is not None:
+            f = self.with_positions_fn
+            return [f(t if t is not None else "") for t in texts]
         stop = (
             ENGLISH_STOP_SET if self.name == "standard_en" else None
         )
@@ -204,8 +212,9 @@ class Analyzer:
 _REGISTRY: dict[str, Analyzer] = {}
 
 
-def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> Analyzer:
-    a = Analyzer(fn, name)
+def register_analyzer(name: str, fn: Callable[[str], list[str]],
+                      with_positions_fn=None) -> Analyzer:
+    a = Analyzer(fn, name, with_positions_fn=with_positions_fn)
     _REGISTRY[name] = a
     return a
 
@@ -213,6 +222,8 @@ def register_analyzer(name: str, fn: Callable[[str], list[str]]) -> Analyzer:
 def get_analyzer(name: str) -> Analyzer:
     if name not in _REGISTRY and name.startswith("sayt_"):
         import raydex.analysis.sayt  # noqa: F401  (registers sayt_* analyzers)
+    if name == "annotated_text" and name not in _REGISTRY:
+        import raydex.analysis.annotated  # noqa: F401  (registers it)
     return _REGISTRY[name]
 
 

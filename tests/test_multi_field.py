@@ -406,3 +406,56 @@ def test_match_only_text(ray_session, tmp_path_factory):
     # membership parity with the primary text field
     for q in ("apple", "pear plum", "melon"):
         assert s.count({"match": {"body": q}}) == s.count({"match": {"text": q}})
+
+
+def test_annotated_text_field(ray_session, tmp_path_factory):
+    """mapper-annotated-text: [text](value) injects annotation values at
+    the SAME position as the span's first token (index-time synonym);
+    plain tokens keep their ordinal positions."""
+    from raydex.analysis.annotated import annotated_analyze_with_positions
+
+    toks, pos = annotated_analyze_with_positions(
+        "[Paris](Q90) is the capital of [France](Q142&Country)"
+    )
+    assert list(zip(toks, pos)) == [
+        ("paris", 0), ("Q90", 0), ("is", 1), ("the", 2), ("capital", 3),
+        ("of", 4), ("france", 5), ("Q142", 5), ("Country", 5),
+    ]
+
+    rows = [
+        ("u0", "[Paris](Q90) is the capital of [France](Q142)"),
+        ("u1", "[Berlin](Q64) is the capital of [Germany](Q183)"),
+        ("u2", "plain text about a capital"),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(range(len(rows))).cast(pa.timestamp("us")),
+            "text": pa.array(["capital city page"] * 3, pa.large_string()),
+            "body": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("mf_ann") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_ann_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=1, analyzer="standard", source="text",
+        fields=[FieldSpec("body", source="body", analyzer="annotated_text",
+                          store_positions=True)],
+    )
+    s = LocalSearcher(idx)
+    # annotation-value search
+    hits = s.search_query({"term": {"body": "Q90"}}, k=10)
+    assert [h["url"] for h in hits] == ["u0"]
+    # plain-token search across markup
+    assert s.count({"match": {"body": "capital"}}) == 3
+    assert s.count({"match": {"body": "paris"}}) == 1
+    # index-side positions: the annotation shares the span's position
+    sd = segment_dirs(idx, m)[0]
+    fr = SegmentReader(sd).field("body")
+    def pos_of(term, url):
+        ti = fr.lookup(term)
+        ids, _, flat, offs = fr.postings_with_positions(ti)
+        d = [i for i, doc in enumerate(ids) if fr.url_of(doc) == url][0]
+        return list(flat[offs[d]:offs[d + 1]])
+    assert pos_of("Q90", "u0") == pos_of("paris", "u0")

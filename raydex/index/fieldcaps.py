@@ -46,6 +46,9 @@ _FIELD_KIND_CAPS = {
     "scaled_float": ("scaled_float", True),
     "token_count": ("long", True),
     "match_only_text": ("match_only_text", False),
+    "murmur3": ("murmur3", True),
+    "size": ("long", True),
+    "annotated_text": ("annotated_text", False),
 }
 
 

@@ -177,7 +177,8 @@ def build_segment(
     # numeric / date field types (NumberFieldMapper / DateFieldMapper):
     # stored doc-values columns in docs.parquet with per-segment min/max
     # in the manifest (range can-match + field sort use them)
-    _DV_KINDS = ("long", "double", "date", "scaled_float", "token_count")
+    _DV_KINDS = ("long", "double", "date", "scaled_float", "token_count",
+                 "murmur3", "size")
     dv_specs = [
         (s, v) for s, v in (extra_fields or []) if s.analyzer in _DV_KINDS
     ]
@@ -203,6 +204,22 @@ def build_segment(
                     _pc.multiply(arr.cast(pa.float64()), factor)
                 ).cast(pa.int64())
                 extra_meta["scaling_factor"] = factor
+            elif spec.analyzer == "murmur3":
+                # mapper-murmur3 plugin: value hash stored as a long
+                # doc-values field (cardinality pre-hashing). Deviation:
+                # murmur3_x86_32 (the routing hash) instead of the
+                # plugin's 128-bit msb — same use, narrower hash.
+                from raydex.partition import murmur3_hash_many
+
+                vals = ["" if v is None else str(v) for v in arr.to_pylist()]
+                arr = pa.array(
+                    murmur3_hash_many(vals).astype("int64"), pa.int64()
+                )
+            elif spec.analyzer == "size":
+                # mapper-size plugin: _size = source byte length
+                arr = _pc.binary_length(
+                    arr.cast(pa.large_binary())
+                ).cast(pa.int64())
             elif spec.analyzer == "token_count":
                 # TokenCountFieldMapper: number of analyzed tokens of the
                 # source string, with the index analyzer

@@ -459,3 +459,36 @@ def test_annotated_text_field(ray_session, tmp_path_factory):
         d = [i for i, doc in enumerate(ids) if fr.url_of(doc) == url][0]
         return list(flat[offs[d]:offs[d + 1]])
     assert pos_of("Q90", "u0") == pos_of("paris", "u0")
+
+
+def test_murmur3_and_size_fields(ray_session, tmp_path_factory):
+    """mapper-murmur3 (value hash as long doc-values) and mapper-size
+    (_size = source byte length) plugin analogues."""
+    from raydex.partition import murmur3_hash_str
+
+    rows = [("u0", "héllo wörld"), ("u1", "plain"), ("u2", "plain")]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(range(3)).cast(pa.timestamp("us")),
+            "text": pa.array([r[1] for r in rows], pa.large_string()),
+            "body": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("mf_m3") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_m3_idx") / "index")
+    m = build_index(
+        p, idx, num_partitions=1, analyzer="standard", source="text",
+        fields=[FieldSpec("bhash", source="body", analyzer="murmur3"),
+                FieldSpec("bsize", source="body", analyzer="size")],
+    )
+    r = SegmentReader(segment_dirs(idx, m)[0])
+    by_url = {r.url_of(d): d for d in range(r.ndocs)}
+    assert r.doc_values["bhash"][by_url["u1"]] == murmur3_hash_str("plain")
+    assert r.doc_values["bhash"][by_url["u1"]] == \
+        r.doc_values["bhash"][by_url["u2"]]
+    assert r.doc_values["bsize"][by_url["u0"]] == \
+        len("héllo wörld".encode("utf-8"))
+    s = LocalSearcher(idx)
+    assert s.count({"range": {"bsize": {"gte": 6}}}) == 1

@@ -465,3 +465,48 @@ def test_join_on_sorted_path(built):
         assert [h["url"] for h in rh] == good[:5]
     finally:
         rs.shutdown()
+
+
+def test_join_respects_deletes(built, tmp_path):
+    """Soft-deleting a child removes it from phase-1 (has_child counts
+    drop; inner_hits shrink); deleting a parent removes it from phase-2
+    (its children stop matching has_parent); expunge-deletes preserves
+    the post-delete answers."""
+    import shutil
+
+    from raydex.index.compact import expunge_deletes
+    from raydex.index.deletes import delete_by_query
+
+    idx0, _ = built
+    idx = str(tmp_path / "jd")
+    shutil.copytree(idx0, idx)
+    ch = _children()
+
+    # q14 has 2 answers (a14-0 bad, a14-1 good). Delete its good answer.
+    assert ("a14-1", "good") in ch["q14"]
+    delete_by_query(idx, {"ids": {"values": ["a14-1"]}})
+    s = LocalSearcher(idx)
+    good_parents = {q for q, kids in ch.items()
+                    if any(x == "good" for u, x in kids if u != "a14-1")}
+    q = {"has_child": {"type": "answer", "query": {"term": {"text": "good"}}}}
+    assert s.count(q) == len(good_parents)
+    assert "q14" not in {h["url"] for h in s.search_query(q, k=100)}
+    # parent_id still matches the surviving sibling only
+    hits = s.search_query({"parent_id": {"type": "answer", "id": "q14"}}, k=10)
+    assert sorted(h["url"] for h in hits) == ["a14-0"]
+
+    # delete a parent: its children stop matching has_parent
+    topic2 = sorted(f"q{i}" for i in range(N_Q) if i % 5 == 2)
+    victim = next(q for q in topic2 if ch[q])
+    delete_by_query(idx, {"ids": {"values": [victim]}})
+    s = LocalSearcher(idx)
+    qp = {"has_parent": {"parent_type": "question",
+                         "query": {"term": {"text": "topic2"}}}}
+    want = sorted(u for q2 in topic2 if q2 != victim for u, _ in ch[q2])
+    assert sorted(h["url"] for h in s.search_query(qp, k=200)) == want
+
+    # expunge rewrites segments without the deleted docs: same answers
+    expunge_deletes(idx)
+    s = LocalSearcher(idx)
+    assert s.count(q) == len(good_parents)
+    assert sorted(h["url"] for h in s.search_query(qp, k=200)) == want

@@ -181,6 +181,33 @@ def run_bench() -> dict:
     )
     timings["knn_brute"] = round(time.perf_counter() - t0, 3)
 
+    # ---- parent/child joins at table scale (customers = parents,
+    # orders = children routed by parent; sf0.1 = 15k + 150k docs).
+    # Build once (cached per sf under /tmp), then time the two-phase
+    # has_child / has_parent evaluation (off-headline diagnostics).
+    import __ray_entry__ as _entry
+
+    t0 = time.perf_counter()
+    jidx = _entry._join_index_dir(sf_dir)
+    timings["join_index_build_or_cache"] = round(time.perf_counter() - t0, 3)
+    from raydex.search.scatter import LocalSearcher
+
+    js = LocalSearcher(jidx)
+    jq = {"has_child": {"type": "order", "score_mode": "sum",
+                        "query": {"constant_score": {
+                            "filter": {"term": {"text": "urgent"}}}}}}
+    js.search_query(jq, k=100)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        js.search_query(jq, k=100)
+    timings["join_has_child_x5"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        js.search_query({"has_parent": {"parent_type": "customer",
+                                        "query": {"term": {"text": "building"}}}},
+                        k=9000)
+    timings["join_has_parent_x5"] = round(time.perf_counter() - t0, 3)
+
     headline = t_build + t_query
     out = {
         "metric": "fulltext build + BM25 top-10 batch QPS (headline sec)",

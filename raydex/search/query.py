@@ -1618,16 +1618,16 @@ class SegmentEvaluator:
                 cand = np.flatnonzero(
                     np.isin(names, np.asarray(kids, dtype=object))
                 )
-            if cand.size and pmap:
-                hit = np.isin(
-                    pids[cand], np.asarray(list(pmap), dtype=object)
-                )
+            keys, vals = pmap  # sorted parent ids + aligned scores
+            if cand.size and keys.size:
+                pv = pids[cand].astype(str)
+                pos = np.searchsorted(keys, pv)
+                ok = pos < keys.size
+                hit = np.zeros(cand.size, dtype=bool)
+                hit[ok] = keys[pos[ok]] == pv[ok]
                 hits = cand[hit]
                 mask[hits] = True
-                if hits.size:
-                    scores[hits] = q.boost * np.asarray(
-                        [pmap[p] for p in pids[hits]]
-                    )
+                scores[hits] = q.boost * vals[pos[hit]]
             return scores, mask
         if isinstance(q, ParentId):
             names, pids, _ = self.r.join_field_data()

@@ -302,7 +302,8 @@ class SegmentGroup:
                      analyzer_name: str, fdf: dict | None = None,
                      field_sum_dl: dict | None = None,
                      search_after: tuple | None = None,
-                     join_maps: dict | None = None):
+                     join_maps: dict | None = None,
+                     runtime_mappings: dict | None = None):
         """Field-sorted top-k with index-sort early termination — the
         reference's FieldSortBuilder + BottomSortValuesCollector
         (``action/search/BottomSortValuesCollector.java``,
@@ -365,7 +366,9 @@ class SegmentGroup:
         jnodes = collect_join_nodes(q)
         if jnodes and join_maps is None:  # partition-complete self-resolve
             join_maps = _jreduce(
-                jnodes, [_jphase1(self.readers, jnodes, stats, an)]
+                jnodes,
+                [_jphase1(self.readers, jnodes, stats, an,
+                          runtime_mappings=runtime_mappings)],
             )
         self.last_sort_skipped = 0
         out: list[tuple] = []  # (value, ordinal, docid), canon-sorted, <=k
@@ -380,7 +383,7 @@ class SegmentGroup:
                     self.last_sort_skipped += 1
                     continue
             ev = SegmentEvaluator(
-                r, stats, an,
+                r, stats, an, runtime_mappings=runtime_mappings,
                 join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
             )
             _, mask = ev.eval(q)

@@ -148,9 +148,17 @@ def build_join_field(fdir: str, spec, values, urls: list[str]) -> dict:
 
 
 def read_join_field(seg_dir: str, name: str):
-    """(names, parent_ids) object ndarrays, doc-aligned."""
+    """(names, parent_ids) UNICODE ndarrays, doc-aligned; null rows
+    (docs outside the join) become '' — no real relation name or parent
+    id is empty, so vectorized equality stays exact while comparisons
+    run at numpy speed (object arrays were a per-query constant
+    factor)."""
     t = pq.read_table(os.path.join(seg_dir, f"field={name}", "join.parquet"))
-    return (
-        np.asarray(t["name"].to_pylist(), dtype=object),
-        np.asarray(t["parent_id"].to_pylist(), dtype=object),
+    names = np.asarray(
+        [x if x is not None else "" for x in t["name"].to_pylist()], dtype=str
     )
+    pids = np.asarray(
+        [x if x is not None else "" for x in t["parent_id"].to_pylist()],
+        dtype=str,
+    )
+    return names, pids

@@ -200,7 +200,8 @@ def split_index(src: str, dst: str, new_partitions: int) -> dict:
             from raydex.index.joinfield import read_join_field
 
             _, pids = read_join_field(sseg, jf)
-            rkeys = [p if p is not None else u for p, u in zip(pids, urls)]
+            # '' = doc outside the join (read_join_field's null sentinel)
+            rkeys = [p if p else u for p, u in zip(pids, urls)]
         routed = np.asarray(route_partitions(rkeys, new_partitions))
         src_lp = os.path.join(sseg, "livedocs.npy")
         src_live = np.load(src_lp) if os.path.exists(src_lp) else None

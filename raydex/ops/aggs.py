@@ -310,16 +310,72 @@ def composite_agg(ds, keys: list[str], count_name: str = "doc_count",
     return out
 
 
+def collapse_top_rows(ds, group_key: str, sort_col: str, tiebreak_col: str,
+                      k: int = 1, rank_name: str | None = None):
+    """Field collapsing with inner_hits (``CollapseBuilder.java`` +
+    the expand-collapse fetch): top-k rows per group by (sort_col desc,
+    tiebreak asc), fully vectorized — a block-local prune (each block's
+    per-group top-k is a SAFE SUPERSET of the global one) shrinks the
+    data before ONE keyed shuffle, then a per-block exact rank; no
+    task-per-group ``map_groups``. ``rank_name`` adds the 0-based
+    within-group rank column."""
+
+    def rank_block(t: pa.Table, emit_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(rank_name, pa.array([], pa.int64())) \
+                if emit_rank and rank_name else t
+        t = t.sort_by([
+            (group_key, "ascending"),
+            (sort_col, "descending"),
+            (tiebreak_col, "ascending"),
+        ])
+        keys = t[group_key].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.r_[True, keys[1:] != keys[:-1]]
+        grp = np.cumsum(starts) - 1
+        idx = np.arange(keys.size)
+        rank = idx - idx[starts][grp]
+        keep = rank < k
+        out = t.filter(pa.array(keep))
+        if emit_rank and rank_name:
+            out = out.append_column(
+                rank_name, pa.array(rank[keep].astype(np.int64))
+            )
+        return out
+
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    pruned = ds.map_batches(lambda t: rank_block(t, False),
+                            batch_format="pyarrow")
+    ctx = DataContext.get_current()
+    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+        min(0.25, ncpu / (2.0 * 200.0))
+    dctx = getattr(pruned, "context", None)
+    if dctx is not None:
+        dctx.shuffle_strategy = ctx.shuffle_strategy
+        dctx.max_hash_shuffle_aggregators = ctx.max_hash_shuffle_aggregators
+        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    try:
+        return pruned.repartition(
+            num_blocks=2 * ncpu, keys=[group_key]
+        ).map_batches(lambda t: rank_block(t, True), batch_format="pyarrow",
+                      batch_size=None)
+    finally:
+        (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override) = saved
+
+
 def collapse_best(ds, group_key: str, sort_col: str, tiebreak_col: str):
     """Field collapsing (``CollapseBuilder.java``): keep the best row per
-    group by (sort_col desc, tiebreak asc)."""
-    import pandas as pd
-
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([sort_col, tiebreak_col], ascending=[False, True])
-        return g.head(1)
-
-    return ds.groupby(group_key).map_groups(best, batch_format="pandas")
+    group by (sort_col desc, tiebreak asc) — collapse_top_rows with
+    k=1 (vectorized; the old per-group map_groups is gone)."""
+    return collapse_top_rows(ds, group_key, sort_col, tiebreak_col, k=1)
 
 
 def top_hits(ds, sort_col: str, k: int, descending: bool = True, tiebreak: str | None = None):

@@ -819,3 +819,35 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     p0 = t["payload"][0].as_py()
     f10 = frames[(frames["media_id"] == 0) & (frames["frame_idx"] == 10)]["frame"].iloc[0]
     assert bytes(f10) == p0[10 * FRAME_BYTES : 11 * FRAME_BYTES]
+
+
+def test_collapse_inner_hits_vs_duckdb(ray_session, sf_dir, con):
+    """collapse expand (inner_hits): top-3 orders per customer by
+    (totalprice desc, orderkey asc) with ranks == SQL ROW_NUMBER."""
+    from raydex.ops.aggs import collapse_top_rows
+
+    got = (
+        collapse_top_rows(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_orderkey", "o_totalprice"],
+            ),
+            "o_custkey", "o_totalprice", "o_orderkey", k=3, rank_name="rnk",
+        )
+        .to_pandas()
+        .sort_values(["o_custkey", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) - 1 AS BIGINT) AS rnk "
+        "FROM orders QUALIFY rnk < 3 ORDER BY o_custkey, rnk"
+    ).df()
+    assert len(got) == len(want)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )

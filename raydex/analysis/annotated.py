@@ -61,6 +61,13 @@ def annotated_analyze_with_positions(text: str):
                 tokens.append(tok)
                 positions.append(pos)
                 pos += 1
+        elif anns:
+            # span text analyzes to nothing (empty / punctuation-only):
+            # the annotations still index, occupying one position
+            for a in anns:
+                tokens.append(a)
+                positions.append(pos)
+            pos += 1
         last = m.end()
     for tok in standard_analyze(text[last:]):
         tokens.append(tok)

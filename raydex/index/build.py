@@ -469,10 +469,20 @@ def _build_index_inner(
         validate_relations(join_specs[0].relations or {})
     join_source = join_specs[0].source if join_specs else None
     names = {s.name for s in fields} | {"text"}
+    alias_names = {s.name for s in fields if s.analyzer == "alias"}
     for s in fields:
-        if s.analyzer == "alias" and s.source not in names:
+        if s.analyzer != "alias":
+            continue
+        if s.source not in names:
             raise ValueError(
                 f"alias field {s.name!r} targets unknown field {s.source!r}"
+            )
+        if s.source == s.name or s.source in alias_names:
+            # the reference's FieldAliasMapper rejects alias->alias at
+            # mapping time; resolving one at query time would recurse
+            raise ValueError(
+                f"alias field {s.name!r} cannot target another alias "
+                f"({s.source!r})"
             )
     os.makedirs(index_dir, exist_ok=True)
     # Resume safety: record the routing-relevant build parameters once and

@@ -80,16 +80,27 @@ def join_routing_keys(values, urls) -> list[str]:
 
 def validate_relations(relations: dict) -> dict:
     """Check the relations map ``{parent: [child, ...]}`` (the mapper's
-    ``relations`` parameter): every name unique, no child doubling as a
-    parent of itself (single-level and multi-level trees both pass; a
-    cycle does not)."""
+    ``relations`` parameter). Multi-level trees (a child that is itself
+    a parent) are REJECTED: the reference supports them only with
+    manual ``routing`` by the ROOT ancestor on every level, which
+    raydex's automatic parent-or-self routing cannot derive (a
+    grandchild would route by its parent's id while that parent routes
+    by the grandparent's — different partitions)."""
     if not relations:
         raise ValueError("join field requires a non-empty relations map")
     out = {p: ([k] if isinstance(k, str) else list(k))
            for p, k in relations.items()}
+    all_children = {k for kids in out.values() for k in kids}
     for p, kids in out.items():
         if p in kids:
             raise ValueError(f"join relation {p!r} is its own parent")
+        if p in all_children:
+            raise ValueError(
+                f"multi-level join relations are not supported: {p!r} is "
+                f"both a parent and a child (the reference requires "
+                f"manual root-ancestor routing for these; raydex routes "
+                f"automatically by parent-or-self)"
+            )
     return out
 
 
@@ -116,12 +127,9 @@ def build_join_field(fdir: str, spec, values, urls: list[str]) -> dict:
                 f"unknown join relation {n!r}; relations = {relations}"
             )
         if n in relations and p is not None:
-            # a name can be BOTH a child and a parent (multi-level
-            # trees); a pure parent must not declare a parent
-            if parent_relation_of(relations, n) is None:
-                raise ValueError(
-                    f"parent relation {n!r} must not declare a parent id"
-                )
+            raise ValueError(
+                f"parent relation {n!r} must not declare a parent id"
+            )
         if p is None and n not in relations:
             raise ValueError(f"child relation {n!r} requires a parent id")
         # ParentIdFieldMapper: parents carry their OWN id

@@ -237,6 +237,10 @@ def build_segment(
                 d = d.append_column(spec.name, arr)
             stat = arr.cast(pa.int64()) if spec.analyzer == "date" else arr
             mn, mx = _pc.min(stat).as_py(), _pc.max(stat).as_py()
+            if spec.analyzer == "scaled_float" and mn is not None:
+                # manifest bounds in DECODED units: can-match compares
+                # them against the query's (unscaled) range bounds
+                mn, mx = mn / factor, mx / factor
             manifest[f"min_{spec.name}"] = mn
             manifest[f"max_{spec.name}"] = mx
             fields_meta[spec.name] = {

@@ -342,33 +342,15 @@ def collapse_top_rows(ds, group_key: str, sort_col: str, tiebreak_col: str,
             )
         return out
 
-    import ray
-    from ray.data.context import DataContext, ShuffleStrategy
+    from raydex.shuffle import scoped_hash_shuffle
 
     pruned = ds.map_batches(lambda t: rank_block(t, False),
                             batch_format="pyarrow")
-    ctx = DataContext.get_current()
-    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
-             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override)
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
-        min(0.25, ncpu / (2.0 * 200.0))
-    dctx = getattr(pruned, "context", None)
-    if dctx is not None:
-        dctx.shuffle_strategy = ctx.shuffle_strategy
-        dctx.max_hash_shuffle_aggregators = ctx.max_hash_shuffle_aggregators
-        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-    try:
+    with scoped_hash_shuffle(pruned) as ncpu:
         return pruned.repartition(
             num_blocks=2 * ncpu, keys=[group_key]
         ).map_batches(lambda t: rank_block(t, True), batch_format="pyarrow",
                       batch_size=None)
-    finally:
-        (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
-         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override) = saved
 
 
 def collapse_best(ds, group_key: str, sort_col: str, tiebreak_col: str):

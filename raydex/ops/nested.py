@@ -36,31 +36,9 @@ def nest(child_ds, parent_key: str, child_fields: list[str],
     Children are hash-routed by ``parent_key`` so every block holds
     complete groups, then each block folds columnar (sort + run-length
     offsets + ListArray over the struct of child fields)."""
-    import ray
-    from ray.data.context import DataContext, ShuffleStrategy
+    from raydex.shuffle import scoped_hash_shuffle
 
-    ctx = DataContext.get_current()
-    saved = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
-             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override)
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
-    # aggregator actors reserve (override x partitions/aggregator) CPUs
-    # EACH — without capping the per-partition override, a downstream
-    # 200-partition groupby on the returned dataset deadlocks small
-    # clusters (same guard as build_index; ray.data hash_shuffle.py)
-    per_part = min(0.25, ncpu / (2.0 * 200.0))
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
-    # a Dataset snapshots its DataContext at creation — override the
-    # captured one too or the keys= repartition refuses to plan; the
-    # captured context intentionally KEEPS these settings so later
-    # groupbys over the nested dataset inherit the safe sizing
-    dctx = getattr(child_ds, "context", None)
-    if dctx is not None:
-        dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        dctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
-        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
-    try:
+    with scoped_hash_shuffle(child_ds) as ncpu:
         nb = num_blocks or 2 * ncpu
 
         def fold(t: pa.Table) -> pa.Table:
@@ -93,9 +71,6 @@ def nest(child_ds, parent_key: str, child_fields: list[str],
         return child_ds.repartition(num_blocks=nb, keys=[parent_key]).map_batches(
             fold, batch_format="pyarrow", batch_size=None
         )
-    finally:
-        (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
-         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override) = saved
 
 
 def nested_filter(ds, nested_col: str, inner_pred, min_matches: int = 1):

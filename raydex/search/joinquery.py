@@ -60,17 +60,41 @@ def join_phase1(readers, nodes, stats, analyzer, runtime_mappings=None):
             ps.append(pids[ids])
             ss.append(sc[ids])
             if node.inner_hits is not None:
-                # inner_hits needs the matching docs themselves, not
-                # just their parent pointers
-                us.append(
-                    np.asarray([r.url_of(int(d)) for d in ids], dtype=object)
-                )
+                # inner_hits needs the matching docs themselves, not just
+                # their parent pointers — but only the top `size` per
+                # parent survive the reduce, so prune per segment first
+                # (url_of loops + RPC bytes stay O(parents x size), not
+                # O(matching children)). docid order == url order on
+                # url-sorted segments, so the (score desc, docid asc)
+                # prune comparator matches the reduce's (score desc,
+                # url asc) exactly; index-sorted segments skip the prune.
+                keep = ids
+                size = int(dict(node.inner_hits).get("size", 3))
+                if ids.size > size and not r.manifest.get("index_sort"):
+                    p = pids[ids]
+                    order = np.lexsort((ids, -sc[ids], p))
+                    p_sorted = p[order]
+                    starts = np.r_[True, p_sorted[1:] != p_sorted[:-1]]
+                    grp = np.cumsum(starts) - 1
+                    ridx = np.arange(order.size)
+                    rank = ridx - ridx[starts][grp]
+                    keep = np.sort(ids[order[rank < size]])
+                us.append((
+                    pids[keep],
+                    sc[keep],
+                    np.asarray([r.url_of(int(d)) for d in keep],
+                               dtype=object),
+                ))
     for i in out:
         out[i] = {
             p: (
                 np.concatenate(ps) if ps else np.empty(0, dtype=object),
                 np.concatenate(ss) if ss else np.empty(0),
-                np.concatenate(us) if us else None,
+                (
+                    np.concatenate([u[0] for u in us]),
+                    np.concatenate([u[1] for u in us]),
+                    np.concatenate([u[2] for u in us]),
+                ) if us else None,
             )
             for p, (ps, ss, us) in out[i].items()
         }
@@ -151,9 +175,10 @@ def reduce_inner_hits(nodes, partials_list) -> dict:
         per_part: dict = {}
         for partial in partials_list:
             for part, entry in partial.get(i, {}).items():
-                pids, scs, urls = entry
-                if urls is None:
+                ih = entry[2]
+                if ih is None:
                     continue
+                pids, scs, urls = ih
                 bucket = per_part.setdefault(part, {})
                 if isinstance(node, HasChild):
                     for p, s, u in zip(pids, scs, urls):

@@ -28,6 +28,16 @@ from raydex.search.bm25 import GlobalStats, brute_force_top_k
 from raydex.search.wand import conjunction_top_k, wand_top_k
 
 
+def _scaled_float_factor(r, field: str) -> float | None:
+    """scaling_factor when ``field`` is a scaled_float doc-values column
+    of reader ``r`` (sort values and search_after cursors decode with
+    it, matching the range-query surface), else None."""
+    meta = getattr(r, "fields_meta", {}).get(field, {})
+    if meta.get("analyzer") == "scaled_float":
+        return float(meta.get("scaling_factor") or 100.0)
+    return None
+
+
 class SegmentGroup:
     """Plain-python holder of a slice of segments (used by actor + local)."""
 
@@ -401,6 +411,9 @@ class SegmentGroup:
                     vv = r.dl[cand]
                 elif sort_field in r.doc_values:
                     vv = r.doc_values[sort_field][cand]
+                    sf_factor = _scaled_float_factor(r, sort_field)
+                    if sf_factor:
+                        vv = vv / sf_factor
                 else:
                     vv = np.asarray([r.url_of(int(d)) for d in cand],
                                     dtype=object)
@@ -433,6 +446,11 @@ class SegmentGroup:
                 seg_vals = [int(x) for x in v]
             elif sort_field in r.doc_values:
                 v = r.doc_values[sort_field][cand]
+                sf_factor = _scaled_float_factor(r, sort_field)
+                if sf_factor:
+                    # scaled_float sorts and REPORTS in decoded units —
+                    # the same surface the range query compares on
+                    v = v / sf_factor
                 if cand.size > k:
                     part = (np.argpartition(v, k - 1)[:k] if order == "asc"
                             else np.argpartition(-v, k - 1)[:k])

@@ -242,6 +242,20 @@ def test_field_alias_and_copy_to(ray_session, tmp_path_factory):
                     num_partitions=2, analyzer="standard", source="text",
                     fields=[FieldSpec("bad", source="nope",
                                       analyzer="alias")])
+    # alias of an alias (and self-alias) rejected at build — resolving
+    # one at query time would recurse forever
+    with pytest.raises(ValueError, match="another alias"):
+        build_index(p, str(tmp_path_factory.mktemp("x2") / "i"),
+                    num_partitions=2, analyzer="standard", source="text",
+                    fields=[FieldSpec("lang", source="lang",
+                                      analyzer="keyword"),
+                            FieldSpec("a1", source="lang", analyzer="alias"),
+                            FieldSpec("a2", source="a1", analyzer="alias")])
+    with pytest.raises(ValueError, match="another alias"):
+        build_index(p, str(tmp_path_factory.mktemp("x3") / "i"),
+                    num_partitions=2, analyzer="standard", source="text",
+                    fields=[FieldSpec("self", source="self",
+                                      analyzer="alias")])
 
 
 def test_numeric_docvalues_fields(ray_session, tmp_path_factory):
@@ -360,6 +374,15 @@ def test_scaled_float_and_token_count(ray_session, tmp_path_factory):
     # decoded doubles matches a python mirror of the lossy encoding
     want = sum(1 for r in rows if round(r[3] * 100) / 100 >= 2.0)
     assert s.count({"range": {"price": {"gte": 2.0}}}) == want
+    # upper-bounded range with can-match ON: manifest bounds are in
+    # DECODED units, so segments must NOT be wrongly skipped
+    want_lte = sum(1 for r in rows if round(r[3] * 100) / 100 <= 1.0)
+    assert s.count({"range": {"price": {"lte": 1.0}}}) == want_lte
+    # sort over the scaled column reports DECODED values
+    top = s.search_sorted({"match_all": {}}, sort_field="price",
+                          order="desc", k=2)
+    assert [h["sort_value"] for h in top] == [
+        round(39 * 0.125 * 100) / 100, round(38 * 0.125 * 100) / 100]
     # token_count == the analyzed length of each doc's text
     want = sum(1 for r in rows if len(r[2].split()) >= 5)
     assert s.count({"range": {"ntok": {"gte": 5}}}) == want
@@ -421,6 +444,9 @@ def test_annotated_text_field(ray_session, tmp_path_factory):
         ("paris", 0), ("Q90", 0), ("is", 1), ("the", 2), ("capital", 3),
         ("of", 4), ("france", 5), ("Q142", 5), ("Country", 5),
     ]
+    # empty / punctuation-only spans still index their annotations
+    toks, pos = annotated_analyze_with_positions("[,](Q7) next")
+    assert list(zip(toks, pos)) == [("Q7", 0), ("next", 1)]
 
     rows = [
         ("u0", "[Paris](Q90) is the capital of [France](Q142)"),

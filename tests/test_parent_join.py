@@ -431,6 +431,15 @@ def test_nested_join_rejected():
         collect_join_nodes(q)
 
 
+def test_multilevel_relations_rejected():
+    from raydex.index.joinfield import validate_relations
+
+    with pytest.raises(ValueError, match="multi-level"):
+        validate_relations({"a": ["b"], "b": ["c"]})
+    with pytest.raises(ValueError, match="own parent"):
+        validate_relations({"a": ["a"]})
+
+
 def test_two_join_fields_rejected(tmp_path, ray_session):
     t = _corpus()
     p = str(tmp_path / "pages.parquet")

@@ -276,14 +276,15 @@ class SegmentGroup:
                 r, stats, an, runtime_mappings=runtime_mappings,
                 join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
             )
+            # time the REAL search path (ev.top_k — same semantics as
+            # query_top_k forever); the untimed second eval only feeds
+            # the matched-docs count
             t0 = _time.perf_counter_ns()
-            scores, mask = ev.eval(q)
+            ids, sc = ev.top_k(q, k)
+            eval_ns = _time.perf_counter_ns() - t0
+            _, mask = ev.eval(q)
             if r.live is not None:
                 mask = mask & r.live
-            eval_ns = _time.perf_counter_ns() - t0
-            from raydex.search.bm25 import top_k_select
-
-            ids, sc = top_k_select(np.where(mask, scores, 0.0), k, mask)
             urls = [r.url_of(d) for d in ids]
             out.append((o, ids.tolist(), sc.tolist(), urls))
             prof.append(

@@ -684,9 +684,12 @@ register_script_query(
 
 
 def _field_body(body):
-    """('text'|'url', spec) from a {field: spec} DSL body."""
+    """('text'|'url', spec) from a {field: spec} DSL body. A top-level
+    ``_name`` key (named queries) rides alongside the field and is
+    handled by collect_named_queries, not here."""
     if isinstance(body, dict):
-        (fld, v), = body.items()
+        items = [(k, v) for k, v in body.items() if k != "_name"]
+        (fld, v), = items
         return fld, v
     return "text", body
 
@@ -796,6 +799,62 @@ def collect_field_stat_terms(q: Query, analyze_field) -> set[tuple[str, str]]:
     elif isinstance(q, (HasChild, HasParent)):
         if q.inner is not None:
             out |= collect_field_stat_terms(q.inner, analyze_field)
+    return out
+
+
+def collect_named_queries(qdict) -> list[tuple[str, dict]]:
+    """(name, subquery-dict) pairs for every ``_name``-tagged clause
+    (the reference's named queries / per-hit ``matched_queries``,
+    ``AbstractQueryBuilder#queryName``). Works on the RAW DSL dict:
+    the enclosing one-kind query dict is captured with ``_name``
+    stripped, so it re-parses as a standalone query whose per-doc mask
+    IS the matched_queries membership test."""
+    out: list[tuple[str, dict]] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if len(node) == 1:
+                (kind, body), = node.items()
+                if isinstance(body, dict):
+                    name = body.get("_name")
+                    if name is None and len(body) == 1:
+                        # field-keyed bodies: {"term": {"f": {"value":
+                        # ..., "_name": ...}}}
+                        inner = next(iter(body.values()))
+                        if isinstance(inner, dict):
+                            name = inner.get("_name")
+                    if name is not None:
+                        stripped = _strip_name(node)
+                        # field wrappers ({"text": {...,"_name"}}) also
+                        # look like one-key dicts: only a dict that
+                        # parses as a QUERY is a named clause
+                        try:
+                            parse_query(stripped)
+                        except Exception:
+                            stripped = None
+                        if stripped is not None:
+                            out.append((str(name), stripped))
+                            # keep walking: nested clauses may carry
+                            # their own names (the field-wrapper echo of
+                            # THIS name fails the parse check above)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    def _strip_name(node):
+        import copy
+
+        node = copy.deepcopy(node)
+        (kind, body), = node.items()
+        body.pop("_name", None)
+        for v in body.values():
+            if isinstance(v, dict):
+                v.pop("_name", None)
+        return node
+
+    walk(qdict)
     return out
 
 

@@ -171,6 +171,54 @@ class SegmentGroup:
                        get_analyzer(analyzer_name),
                        runtime_mappings=runtime_mappings)
 
+    def matched_queries(self, pairs, named, ndocs: int, sum_dl: int,
+                        df: dict[str, int], analyzer_name: str,
+                        fdf: dict | None = None,
+                        field_sum_dl: dict | None = None,
+                        runtime_mappings: dict | None = None):
+        """{(ordinal, docid): [names]} for the owned pairs — the
+        reference's named queries / per-hit matched_queries
+        (``AbstractQueryBuilder#queryName``): each ``_name``-tagged
+        clause re-evaluates as a standalone mask on the hit's segment.
+        Join clauses inside a named query are not supported (their
+        partition maps are keyed to the main tree)."""
+        from raydex.analysis.tokenizer import get_analyzer
+        from raydex.search.query import (
+            SegmentEvaluator,
+            collect_join_nodes,
+            parse_query,
+        )
+
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
+                            fdf=fdf, field_sum_dl=field_sum_dl)
+        an = get_analyzer(analyzer_name)
+        own = {o: r for r, o in zip(self.readers, self.ordinals)}
+        per_o: dict = {}
+        for o, d in pairs:
+            if o in own:
+                per_o.setdefault(o, []).append(d)
+        parsed = []
+        for name, sub in named:
+            q = parse_query(sub)
+            if collect_join_nodes(q):
+                raise ValueError(
+                    f"named query {name!r} contains a join clause — "
+                    f"matched_queries does not support has_child/"
+                    f"has_parent names"
+                )
+            parsed.append((name, q))
+        out: dict = {}
+        for o, docs in per_o.items():
+            r = own[o]
+            ev = SegmentEvaluator(r, stats, an,
+                                  runtime_mappings=runtime_mappings)
+            for name, q in parsed:
+                _, mask = ev.eval(q)
+                for d in docs:
+                    if mask[d]:
+                        out.setdefault((o, d), []).append(name)
+        return out
+
     def join_parent_ids(self, pairs):
         """{(ordinal, docid): parent_id} for the pairs whose segment this
         group owns — the inner_hits fetch needs a child hit's parent
@@ -838,6 +886,18 @@ class LocalSearcher(SearcherBase):
                 return [got.get(p) for p in pairs]
 
             attach_inner_hits(hits, jnodes, ih, self.seg_dirs, parent_ids_of)
+        from raydex.search.query import collect_named_queries
+
+        named = collect_named_queries(qdict)
+        if named and hits:
+            mq = self.group.matched_queries(
+                [(h["ordinal"], h["docid"]) for h in hits], named,
+                self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
+                fdf=fdf, field_sum_dl=self.field_sum_dl,
+                runtime_mappings=runtime_mappings,
+            )
+            for h in hits:
+                h["matched_queries"] = mq.get((h["ordinal"], h["docid"]), [])
         return hits
 
     def count(self, qdict: dict, runtime_mappings: dict | None = None) -> int:
@@ -1212,6 +1272,23 @@ class RaySearcher(SearcherBase):
                 return [got.get(tuple(p)) for p in pairs]
 
             attach_inner_hits(hits, jnodes, ih, self.seg_dirs, parent_ids_of)
+        from raydex.search.query import collect_named_queries
+
+        named = collect_named_queries(qdict)
+        if named and hits:
+            pairs = [(h["ordinal"], h["docid"]) for h in hits]
+            mq: dict = {}
+            for part in self._ray.get([
+                a.matched_queries.remote(
+                    pairs, named, self.ndocs, self.sum_dl, df,
+                    self.manifest["analyzer"], fdf=fdf,
+                    field_sum_dl=self.field_sum_dl,
+                    runtime_mappings=runtime_mappings)
+                for a in self.actors
+            ]):
+                mq.update(part)
+            for h in hits:
+                h["matched_queries"] = mq.get((h["ordinal"], h["docid"]), [])
         return hits
 
     def profile_search(self, qdict: dict, k: int = 10,

@@ -539,3 +539,44 @@ def test_replicated_searcher_shutdown_raises(tmp_path, ray_session):
         s.search_batch([("search", 5)])
     with pytest.raises(RuntimeError, match="shut down"):
         s.search_batch_adaptive([("search", 5)])
+
+
+def test_named_queries_matched_queries(tmp_path, ray_session):
+    """`_name` on clauses -> per-hit matched_queries (the reference's
+    AbstractQueryBuilder#queryName), local + scatter parity."""
+    import pyarrow.parquet as pq
+
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher, RaySearcher
+
+    t = make_pages_table(200, seed=13)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard_en",
+                source="text", max_docs_per_segment=60)
+    s = LocalSearcher(idx)
+    q = {"bool": {
+        "should": [
+            {"match": {"text": {"query": "web search", "_name": "ws"}}},
+            {"term": {"text": {"value": "data", "_name": "d"}}},
+        ],
+    }}
+    hits = s.search_query(q, k=20)
+    assert hits and all("matched_queries" in h for h in hits)
+    # every hit's names are consistent with standalone counts
+    ws = {h["url"] for h in s.search_query(
+        {"match": {"text": "web search"}}, k=1000)}
+    d = {h["url"] for h in s.search_query(
+        {"term": {"text": "data"}}, k=1000)}
+    for h in hits:
+        assert ("ws" in h["matched_queries"]) == (h["url"] in ws)
+        assert ("d" in h["matched_queries"]) == (h["url"] in d)
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        rh = rs.search_query(q, k=20)
+        assert [(h["url"], h["matched_queries"]) for h in rh] == \
+               [(h["url"], h["matched_queries"]) for h in hits]
+    finally:
+        rs.shutdown()

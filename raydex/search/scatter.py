@@ -232,6 +232,31 @@ class SegmentGroup:
                 out[(o, d)] = pids[d]
         return out
 
+    def docvalue_fields(self, pairs, fields: list[str]):
+        """{(ordinal, docid): {field: value}} for owned pairs — the
+        fetch sub-phase for ``docvalue_fields`` (the reference returns
+        doc-values columns per hit without _source). ``dl`` and any
+        stored doc-values column serve; scaled_float decodes."""
+        own = {o: r for r, o in zip(self.readers, self.ordinals)}
+        out: dict = {}
+        for o, d in pairs:
+            r = own.get(o)
+            if r is None:
+                continue
+            row = {}
+            for f in fields:
+                if f == "dl":
+                    row[f] = int(r.dl[d])
+                elif f in r.doc_values:
+                    v = r.doc_values[f][d]
+                    sf = _scaled_float_factor(r, f)
+                    row[f] = float(v) / sf if sf else (
+                        float(v) if hasattr(v, "dtype")
+                        and v.dtype.kind == "f" else int(v)
+                    )
+            out[(o, d)] = row
+        return out
+
     def query_top_k(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
@@ -846,12 +871,15 @@ class LocalSearcher(SearcherBase):
         return df, fdf
 
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
-                     runtime_mappings: dict | None = None):
+                     runtime_mappings: dict | None = None,
+                     docvalue_fields: list[str] | None = None):
         """Structured DSL search (`POST _search {"query": ...}` analogue).
         ``runtime_mappings``: per-request runtime fields ({field:
         {"factory": <registered>, "params": {...}}}) — the search body's
         runtime_mappings section; fields resolve inside the segment
-        evaluators with segment-local stats."""
+        evaluators with segment-local stats. ``docvalue_fields`` adds a
+        per-hit ``fields`` dict of stored doc-values columns (the
+        fetch sub-phase; no _source exists in this engine)."""
         from raydex.search.joinquery import (
             attach_inner_hits,
             reduce_inner_hits,
@@ -898,6 +926,12 @@ class LocalSearcher(SearcherBase):
             )
             for h in hits:
                 h["matched_queries"] = mq.get((h["ordinal"], h["docid"]), [])
+        if docvalue_fields and hits:
+            dv = self.group.docvalue_fields(
+                [(h["ordinal"], h["docid"]) for h in hits], docvalue_fields
+            )
+            for h in hits:
+                h["fields"] = dv.get((h["ordinal"], h["docid"]), {})
         return hits
 
     def count(self, qdict: dict, runtime_mappings: dict | None = None) -> int:
@@ -1239,7 +1273,8 @@ class RaySearcher(SearcherBase):
                 reduce_inner_hits(nodes, partials))
 
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
-                     runtime_mappings: dict | None = None):
+                     runtime_mappings: dict | None = None,
+                     docvalue_fields: list[str] | None = None):
         """Structured DSL search, scatter-gathered over the actor pool.
         ``runtime_mappings`` travel as plain JSON — each actor builds
         (and caches) the request-local derived index for its segments."""
@@ -1289,6 +1324,16 @@ class RaySearcher(SearcherBase):
                 mq.update(part)
             for h in hits:
                 h["matched_queries"] = mq.get((h["ordinal"], h["docid"]), [])
+        if docvalue_fields and hits:
+            pairs = [(h["ordinal"], h["docid"]) for h in hits]
+            dv: dict = {}
+            for part in self._ray.get([
+                a.docvalue_fields.remote(pairs, docvalue_fields)
+                for a in self.actors
+            ]):
+                dv.update(part)
+            for h in hits:
+                h["fields"] = dv.get((h["ordinal"], h["docid"]), {})
         return hits
 
     def profile_search(self, qdict: dict, k: int = 10,

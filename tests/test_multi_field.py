@@ -518,3 +518,43 @@ def test_murmur3_and_size_fields(ray_session, tmp_path_factory):
         len("héllo wörld".encode("utf-8"))
     s = LocalSearcher(idx)
     assert s.count({"range": {"bsize": {"gte": 6}}}) == 1
+
+
+def test_docvalue_fields_in_hits(ray_session, tmp_path_factory):
+    """docvalue_fields fetch sub-phase: hits carry stored doc-values
+    columns (scaled_float decoded), local + scatter parity."""
+    rows = [(f"u{i:02d}", i, "tok " * (i % 4 + 1), i * 0.5) for i in range(30)]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+            "text": pa.array([r[2].strip() for r in rows], pa.large_string()),
+            "price": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("mf_dvf") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("mf_dvf_idx") / "index")
+    build_index(
+        p, idx, num_partitions=2, analyzer="standard", source="text",
+        fields=[FieldSpec("price", source="price", analyzer="scaled_float",
+                          scaling_factor=100.0)],
+    )
+    s = LocalSearcher(idx)
+    hits = s.search_query({"match_all": {}}, k=5,
+                          docvalue_fields=["price", "dl"])
+    assert hits
+    for h in hits:
+        i = int(h["url"][1:])
+        assert h["fields"]["price"] == pytest.approx(i * 0.5)
+        assert h["fields"]["dl"] == i % 4 + 1
+    from raydex.search.scatter import RaySearcher
+
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        rh = rs.search_query({"match_all": {}}, k=5,
+                             docvalue_fields=["price", "dl"])
+        assert [(h["url"], h["fields"]) for h in rh] == \
+               [(h["url"], h["fields"]) for h in hits]
+    finally:
+        rs.shutdown()

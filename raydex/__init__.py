@@ -40,6 +40,12 @@ def __getattr__(name):  # lazy: keep `import raydex` light
         "merge_index": ("raydex.index.merge", "merge_index"),
         "get_doc": ("raydex.search.get", "get_doc"),
         "mget": ("raydex.search.get", "mget"),
+        # round-3 tail: nested/collapse aggs + shuffle guard
+        "nest": ("raydex.ops.nested", "nest"),
+        "nested_terms_agg": ("raydex.ops.nested", "nested_terms_agg"),
+        "reverse_nested_counts": ("raydex.ops.nested", "reverse_nested_counts"),
+        "collapse_top_rows": ("raydex.ops.aggs", "collapse_top_rows"),
+        "scoped_hash_shuffle": ("raydex.shuffle", "scoped_hash_shuffle"),
     }
     if name in lazy:
         import importlib

@@ -1694,10 +1694,14 @@ class SegmentEvaluator:
             return np.where(mask, q.boost, 0.0), mask
         raise TypeError(f"unknown query node {type(q)}")
 
-    def top_k(self, q: Query, k: int):
+    def top_k(self, q: Query, k: int, min_score: float | None = None):
         scores, mask = self.eval(q)
         if self.r.live is not None:  # deleted docs never match (liveDocs)
             mask = mask & self.r.live
+        if min_score is not None:
+            # the search body's `min_score`: absolute threshold, so the
+            # per-segment filter equals the reference's global one
+            mask = mask & (scores >= min_score)
         scores = np.where(mask, scores, 0.0)
         # keep docs that MATCH even with score 0 (pure filters): nudge via
         # the mask in top_k_select

@@ -263,7 +263,8 @@ class SegmentGroup:
                     field_sum_dl: dict | None = None,
                     can_match: bool = True,
                     runtime_mappings: dict | None = None,
-                    join_maps: dict | None = None):
+                    join_maps: dict | None = None,
+                    min_score: float | None = None):
         """Structured query-DSL evaluation (raydex.search.query).
 
         ``join_maps`` = reduced per-(node, partition) parent maps for
@@ -299,7 +300,7 @@ class SegmentGroup:
                 r, stats, an, runtime_mappings=runtime_mappings,
                 join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
             )
-            ids, sc = ev.top_k(q, k)
+            ids, sc = ev.top_k(q, k, min_score=min_score)
             urls = [r.url_of(d) for d in ids]
             out.append((o, ids.tolist(), sc.tolist(), urls))
         return out
@@ -872,7 +873,8 @@ class LocalSearcher(SearcherBase):
 
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
                      runtime_mappings: dict | None = None,
-                     docvalue_fields: list[str] | None = None):
+                     docvalue_fields: list[str] | None = None,
+                     min_score: float | None = None):
         """Structured DSL search (`POST _search {"query": ...}` analogue).
         ``runtime_mappings``: per-request runtime fields ({field:
         {"factory": <registered>, "params": {...}}}) — the search body's
@@ -904,6 +906,7 @@ class LocalSearcher(SearcherBase):
             qdict, w, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
             fdf=fdf, field_sum_dl=self.field_sum_dl,
             runtime_mappings=runtime_mappings, join_maps=jm,
+            min_score=min_score,
         )
         hits = merge_top_k(per_seg, w)[from_:]
         if ih:
@@ -1274,7 +1277,8 @@ class RaySearcher(SearcherBase):
 
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
                      runtime_mappings: dict | None = None,
-                     docvalue_fields: list[str] | None = None):
+                     docvalue_fields: list[str] | None = None,
+                     min_score: float | None = None):
         """Structured DSL search, scatter-gathered over the actor pool.
         ``runtime_mappings`` travel as plain JSON — each actor builds
         (and caches) the request-local derived index for its segments."""
@@ -1288,7 +1292,7 @@ class RaySearcher(SearcherBase):
                                  self.manifest["analyzer"],
                                  fdf=fdf, field_sum_dl=self.field_sum_dl,
                                  runtime_mappings=runtime_mappings,
-                                 join_maps=jm)
+                                 join_maps=jm, min_score=min_score)
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]

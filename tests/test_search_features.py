@@ -580,3 +580,38 @@ def test_named_queries_matched_queries(tmp_path, ray_session):
                [(h["url"], h["matched_queries"]) for h in hits]
     finally:
         rs.shutdown()
+
+
+def test_min_score(tmp_path, ray_session):
+    """`min_score` drops hits below the absolute threshold — identical
+    to post-filtering an un-thresholded search (per-segment filter ==
+    the reference's global one), local + scatter."""
+    import pyarrow.parquet as pq
+
+    from raydex.corpus import make_pages_table
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher, RaySearcher
+
+    t = make_pages_table(200, seed=31)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard_en",
+                source="text", max_docs_per_segment=60)
+    s = LocalSearcher(idx)
+    q = {"match": {"text": "web search engine"}}
+    base = s.search_query(q, k=1000)
+    # pick a threshold strictly BETWEEN two distinct emitted scores
+    # (emitted scores are float32-cast; an exact-boundary threshold
+    # would probe the float64-vs-emitted rounding, not min_score)
+    uniq = sorted({h["score"] for h in base}, reverse=True)
+    thr = (uniq[len(uniq) // 2] + uniq[len(uniq) // 2 - 1]) / 2.0
+    got = s.search_query(q, k=1000, min_score=thr)
+    want = [(h["url"], h["score"]) for h in base if h["score"] >= thr]
+    assert [(h["url"], h["score"]) for h in got] == want
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        rgot = rs.search_query(q, k=1000, min_score=thr)
+        assert [(h["url"], h["score"]) for h in rgot] == want
+    finally:
+        rs.shutdown()

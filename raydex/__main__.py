@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     s.add_argument("--profile", action="store_true",
                    help='the `"profile": true` search option: emit a '
                         "per-segment timing/matched breakdown after the hits")
+    s.add_argument("--min-score", type=float, default=None,
+                   help="drop hits scoring below this absolute threshold")
+    s.add_argument("--docvalue-fields", default=None,
+                   help="comma-separated stored doc-values columns to "
+                        "return per hit (the docvalue_fields fetch phase)")
 
     c = sub.add_parser("count")
     c.add_argument("--index", required=True)
@@ -200,7 +205,12 @@ def main(argv=None) -> int:
             print(json.dumps({"profile": out["profile"]}))
             hits = []
         elif a.dsl:
-            hits = searcher.search_query(json.loads(a.dsl), k=a.k, from_=a.from_)
+            hits = searcher.search_query(
+                json.loads(a.dsl), k=a.k, from_=a.from_,
+                min_score=a.min_score,
+                docvalue_fields=(a.docvalue_fields.split(",")
+                                 if a.docvalue_fields else None),
+            )
         else:
             hits = searcher.search(a.query or "", k=a.k, operator=a.operator,
                                    from_=a.from_)

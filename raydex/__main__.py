@@ -192,13 +192,21 @@ def main(argv=None) -> int:
             searcher = RaySearcher(a.index, num_actors=a.actors)
         else:
             searcher = LocalSearcher(a.index)
+        dv_fields = ([f.strip() for f in a.docvalue_fields.split(",")
+                      if f.strip()] if a.docvalue_fields else None)
         if a.sort:
+            if a.min_score is not None or dv_fields:
+                p.error("--min-score/--docvalue-fields are not supported "
+                        "with --sort")
             field, _, order = a.sort.partition(":")
             hits = searcher.search_sorted(
                 json.loads(a.dsl) if a.dsl else {"match_all": {}},
                 sort_field=field, order=order or "asc", k=a.k,
             )
         elif a.dsl and a.profile:
+            if a.min_score is not None or dv_fields:
+                p.error("--min-score/--docvalue-fields are not supported "
+                        "with --profile")
             out = searcher.profile_search(json.loads(a.dsl), k=a.k)
             for h in out["hits"]:
                 print(json.dumps(h))
@@ -207,9 +215,16 @@ def main(argv=None) -> int:
         elif a.dsl:
             hits = searcher.search_query(
                 json.loads(a.dsl), k=a.k, from_=a.from_,
-                min_score=a.min_score,
-                docvalue_fields=(a.docvalue_fields.split(",")
-                                 if a.docvalue_fields else None),
+                min_score=a.min_score, docvalue_fields=dv_fields,
+            )
+        elif a.min_score is not None or dv_fields:
+            # plain-text path with fetch/threshold options: route
+            # through the DSL entry so the flags are honored
+            hits = searcher.search_query(
+                {"match": {"text": {"query": a.query or "",
+                                    "operator": a.operator}}},
+                k=a.k, from_=a.from_,
+                min_score=a.min_score, docvalue_fields=dv_fields,
             )
         else:
             hits = searcher.search(a.query or "", k=a.k, operator=a.operator,

@@ -425,7 +425,7 @@ def parse_query(d: dict) -> Query:
     if kind == "ids":
         return Ids(values=tuple(body["values"]))
     if kind == "range":
-        (fld, spec), = body.items()
+        fld, spec = _field_body(body)
         if not isinstance(spec, dict):
             raise ValueError(f"range body for {fld!r} must be an object, got {spec!r}")
         # keep the literal field: the evaluator serves dl, any stored
@@ -498,7 +498,7 @@ def parse_query(d: dict) -> Query:
             )
         return MatchPhrasePrefix(text=v)
     if kind == "terms_set":
-        (fld, v), = body.items()
+        fld, v = _field_body(body)
         msm = v.get("minimum_should_match", 1)
         return TermsSet(
             values=tuple(v["terms"]),
@@ -813,16 +813,27 @@ def collect_named_queries(qdict) -> list[tuple[str, dict]]:
 
     def walk(node):
         if isinstance(node, dict):
+            echo_wrapper = None
             if len(node) == 1:
                 (kind, body), = node.items()
+                if kind in ("has_child", "has_parent"):
+                    # join clauses (and anything named inside them)
+                    # cannot re-evaluate as standalone segment masks —
+                    # their matches depend on the phase-1 parent maps
+                    # keyed to the main query tree. Skip the subtree:
+                    # the search still runs, the name is just not
+                    # reported (documented limitation).
+                    return
                 if isinstance(body, dict):
                     name = body.get("_name")
+                    wrapper = None
                     if name is None and len(body) == 1:
                         # field-keyed bodies: {"term": {"f": {"value":
                         # ..., "_name": ...}}}
                         inner = next(iter(body.values()))
                         if isinstance(inner, dict):
                             name = inner.get("_name")
+                            wrapper = inner
                     if name is not None:
                         stripped = _strip_name(node)
                         # field wrappers ({"text": {...,"_name"}}) also
@@ -835,10 +846,19 @@ def collect_named_queries(qdict) -> list[tuple[str, dict]]:
                         if stripped is not None:
                             out.append((str(name), stripped))
                             # keep walking: nested clauses may carry
-                            # their own names (the field-wrapper echo of
-                            # THIS name fails the parse check above)
+                            # their own names — but the field wrapper
+                            # that supplied THIS name must not be
+                            # re-matched as a query node (a field
+                            # literally named like a query kind, e.g.
+                            # {"term": {"prefix": {...}}}, would
+                            # otherwise echo a bogus duplicate clause)
+                            echo_wrapper = wrapper
             for v in node.values():
-                walk(v)
+                if echo_wrapper is not None and v is node[next(iter(node))]:
+                    for vv in v.values():
+                        walk(vv)
+                else:
+                    walk(v)
         elif isinstance(node, list):
             for v in node:
                 walk(v)

@@ -1314,27 +1314,34 @@ class RaySearcher(SearcherBase):
         from raydex.search.query import collect_named_queries
 
         named = collect_named_queries(qdict)
-        if named and hits:
+        # launch both fetch sub-phases before gathering either — they
+        # are independent, so the scatter round-trips overlap
+        mq_refs = dv_refs = None
+        if hits and (named or docvalue_fields):
             pairs = [(h["ordinal"], h["docid"]) for h in hits]
+            if named:
+                mq_refs = [
+                    a.matched_queries.remote(
+                        pairs, named, self.ndocs, self.sum_dl, df,
+                        self.manifest["analyzer"], fdf=fdf,
+                        field_sum_dl=self.field_sum_dl,
+                        runtime_mappings=runtime_mappings)
+                    for a in self.actors
+                ]
+            if docvalue_fields:
+                dv_refs = [
+                    a.docvalue_fields.remote(pairs, docvalue_fields)
+                    for a in self.actors
+                ]
+        if mq_refs is not None:
             mq: dict = {}
-            for part in self._ray.get([
-                a.matched_queries.remote(
-                    pairs, named, self.ndocs, self.sum_dl, df,
-                    self.manifest["analyzer"], fdf=fdf,
-                    field_sum_dl=self.field_sum_dl,
-                    runtime_mappings=runtime_mappings)
-                for a in self.actors
-            ]):
+            for part in self._ray.get(mq_refs):
                 mq.update(part)
             for h in hits:
                 h["matched_queries"] = mq.get((h["ordinal"], h["docid"]), [])
-        if docvalue_fields and hits:
-            pairs = [(h["ordinal"], h["docid"]) for h in hits]
+        if dv_refs is not None:
             dv: dict = {}
-            for part in self._ray.get([
-                a.docvalue_fields.remote(pairs, docvalue_fields)
-                for a in self.actors
-            ]):
+            for part in self._ray.get(dv_refs):
                 dv.update(part)
             for h in hits:
                 h["fields"] = dv.get((h["ordinal"], h["docid"]), {})

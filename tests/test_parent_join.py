@@ -519,3 +519,29 @@ def test_join_respects_deletes(built, tmp_path):
     s = LocalSearcher(idx)
     assert s.count(q) == len(good_parents)
     assert sorted(h["url"] for h in s.search_query(qp, k=200)) == want
+
+
+def test_named_query_on_join_clause_is_skipped(built):
+    """`_name` on (or inside) a has_child clause must not break the
+    search and must not be re-evaluated as a standalone mask (join
+    matches depend on the phase-1 parent maps): the name is skipped
+    and the hits are identical to the un-named query."""
+    idx, _ = built
+    s = LocalSearcher(idx)
+    plain = {"has_child": {"type": "answer",
+                           "query": {"term": {"text": "good"}}}}
+    named = {"has_child": {"type": "answer",
+                           "query": {"term": {"text": "good"}},
+                           "_name": "hc"}}
+    inner_named = {"has_child": {
+        "type": "answer",
+        "query": {"term": {"text": {"value": "good", "_name": "t"}}},
+    }}
+    base = [(h["url"], h["score"]) for h in s.search_query(plain, k=50)]
+    assert base
+    for q in (named, inner_named):
+        hits = s.search_query(q, k=50)
+        assert [(h["url"], h["score"]) for h in hits] == base
+        for h in hits:
+            assert "hc" not in h.get("matched_queries", [])
+            assert "t" not in h.get("matched_queries", [])

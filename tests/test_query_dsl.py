@@ -550,3 +550,29 @@ def test_msm_grammar_in_match_and_bool(seg):
     ids_a, _ = ev.top_k(parse_query(qb), 10)
     ids_b, _ = ev.top_k(parse_query(qb2), 10)
     assert ids_a.tolist() == ids_b.tolist()
+
+
+def test_named_query_field_kind_collision_no_echo():
+    """A field literally named like a query kind ({"term": {"prefix":
+    {...}}}) must yield exactly ONE named clause — the field-wrapper
+    echo used to re-parse as a bogus Prefix query on field 'value'."""
+    from raydex.search.query import collect_named_queries
+
+    named = collect_named_queries(
+        {"term": {"prefix": {"value": "x", "_name": "n"}}})
+    assert named == [("n", {"term": {"prefix": {"value": "x"}}})]
+
+
+def test_range_and_terms_set_accept_sibling_name():
+    """`_name` riding alongside the field key parses for range and
+    terms_set exactly like it does for term/match."""
+    from raydex.search.query import collect_named_queries, parse_query
+
+    rq = {"range": {"dl": {"gte": 1}, "_name": "r"}}
+    parse_query(rq)
+    assert collect_named_queries(rq) == [("r", {"range": {"dl": {"gte": 1}}})]
+    ts = {"terms_set": {"text": {"terms": ["a", "b"],
+                                 "minimum_should_match": 1}, "_name": "t"}}
+    parse_query(ts)
+    got = collect_named_queries(ts)
+    assert len(got) == 1 and got[0][0] == "t"

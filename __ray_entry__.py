@@ -35,7 +35,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v5_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v6_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.analysis.sayt import sayt_subfield_specs
@@ -52,10 +52,16 @@ def _docs_index_dir(sf_dir: str) -> str:
                 # rank_feature source: doc length in chars (a natural
                 # static quality signal; float32 doc-values at index time)
                 "quality": t["n_chars"].cast(pa.float64()),
+                # aggregation fields: lang as a keyword index-time
+                # field (terms/cardinality aggs), n_chars as long
+                # doc-values (stats/histogram/range aggs)
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
             }
         )
 
-    ds = _ds(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+    ds = _ds(sf_dir, "documents",
+             ["doc_id", "text", "n_chars", "lang"]).map_batches(
         to_pages, batch_format="pyarrow"
     )
     # plain `standard` analyzer (no stop removal) + positions: keeps the
@@ -68,7 +74,10 @@ def _docs_index_dir(sf_dir: str) -> str:
                 store_positions=True,
                 fields=[FieldSpec("url", source="url", analyzer="keywordish"),
                         FieldSpec("quality", source="quality",
-                                  analyzer="rank_feature")]
+                                  analyzer="rank_feature"),
+                        FieldSpec("lang", source="lang", analyzer="keyword"),
+                        FieldSpec("n_chars", source="n_chars",
+                                  analyzer="long")]
                 # text is also a search_as_you_type field: _2gram/_3gram
                 # shingles + the edge-gram _index_prefix sub-field, so
                 # match_bool_prefix gates run the DEDICATED-structure
@@ -1402,10 +1411,40 @@ def q_dsl_count_suite(sf):
         # the adjacent-bigram containment check (== phrase semantics)
         ("j_sayt_2gram_term", {"term": {"text._2gram": "batch stream"}}),
     ]
+    rows = [(k, s.count(q)) for k, q in cases]
+    # search-request aggregations phase (AggregationPhase /
+    # InternalAggregations#reduce): per-segment collect over the
+    # matching docs of `match text 'batch'`, coordinator reduce —
+    # every bucket count mirrored by its own SQL GROUP BY / CASE branch
+    a = s.search_aggs(
+        {"match": {"text": "batch"}},
+        {
+            "by_lang": {"terms": {"field": "lang", "size": 100}},
+            "hist": {"histogram": {"field": "n_chars", "interval": 500}},
+            "also_stream": {"filter": {"match": {"text": "stream"}}},
+            "everything": {"global": {}},
+            "rng": {"range": {"field": "n_chars",
+                              "ranges": [{"to": 800, "key": "lo"},
+                                         {"from": 800, "to": 1600,
+                                          "key": "mid"},
+                                         {"from": 1600, "key": "hi"}]}},
+            "card": {"cardinality": {"field": "lang"}},
+        },
+    )["aggregations"]
+    rows += [(f"k_aggs_lang:{b['key']}", b["doc_count"])
+             for b in a["by_lang"]["buckets"]]
+    rows += [(f"l_aggs_hist:{int(b['key']):06d}", b["doc_count"])
+             for b in a["hist"]["buckets"]]
+    rows.append(("m_aggs_filter", a["also_stream"]["doc_count"]))
+    rows.append(("n_aggs_global", a["everything"]["doc_count"]))
+    rows += [(f"o_aggs_range:{b['key']}", b["doc_count"])
+             for b in a["rng"]["buckets"]]
+    rows.append(("p_aggs_card", a["card"]["value"]))
+    rows.sort()
     return pa.table(
         {
-            "kind": pa.array([k for k, _ in cases], pa.string()),
-            "n_docs": pa.array([s.count(q) for _, q in cases], pa.int64()),
+            "kind": pa.array([k for k, _ in rows], pa.string()),
+            "n_docs": pa.array([n for _, n in rows], pa.int64()),
         }
     )
 
@@ -2233,7 +2272,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'i_span_near', COUNT(*) FROM documents "
             "WHERE regexp_matches(' ' || text || ' ', ' batch ([^ ]+ )?stream ')"
             "UNION ALL SELECT 'j_sayt_2gram_term', COUNT(*) FROM documents "
-            "WHERE ' ' || text || ' ' LIKE '% batch stream %'"
+            "WHERE ' ' || text || ' ' LIKE '% batch stream %' "
+            "UNION ALL SELECT 'k_aggs_lang:' || lang, COUNT(*) "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "GROUP BY lang "
+            "UNION ALL SELECT 'l_aggs_hist:' || lpad(CAST(CAST("
+            "FLOOR(n_chars / 500.0) * 500 AS BIGINT) AS VARCHAR), 6, '0'), "
+            "COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' GROUP BY 1 "
+            "UNION ALL SELECT 'm_aggs_filter', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND ' ' || text || ' ' LIKE '% stream %' "
+            "UNION ALL SELECT 'n_aggs_global', COUNT(*) FROM documents "
+            "UNION ALL SELECT 'o_aggs_range:lo', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' AND n_chars < 800 "
+            "UNION ALL SELECT 'o_aggs_range:mid', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND n_chars >= 800 AND n_chars < 1600 "
+            "UNION ALL SELECT 'o_aggs_range:hi', COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' AND n_chars >= 1600 "
+            "UNION ALL SELECT 'p_aggs_card', COUNT(DISTINCT lang) "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %'"
             ") ORDER BY kind"
         ),
         # count_min1 = the nested query; terms = nested-context sub-doc

@@ -78,6 +78,11 @@ def main(argv=None) -> int:
     s.add_argument("--docvalue-fields", default=None,
                    help="comma-separated stored doc-values columns to "
                         "return per hit (the docvalue_fields fetch phase)")
+    s.add_argument("--aggs", default=None,
+                   help="JSON aggregations body (the `_search` aggs "
+                        "section: terms/stats/histogram/date_histogram/"
+                        "range/filter/global/cardinality...); prints an "
+                        "aggregations line after the hits")
 
     c = sub.add_parser("count")
     c.add_argument("--index", required=True)
@@ -194,6 +199,20 @@ def main(argv=None) -> int:
             searcher = LocalSearcher(a.index)
         dv_fields = ([f.strip() for f in a.docvalue_fields.split(",")
                       if f.strip()] if a.docvalue_fields else None)
+        if a.aggs:
+            if a.sort or a.profile or a.min_score is not None or dv_fields:
+                p.error("--aggs combines only with --dsl/--query/--k")
+            out = searcher.search_aggs(
+                json.loads(a.dsl) if a.dsl else (
+                    {"match": {"text": a.query}} if a.query
+                    else {"match_all": {}}),
+                json.loads(a.aggs), k=a.k,
+            )
+            for h in out["hits"]:
+                print(json.dumps(h))
+            print(json.dumps({"aggregations": out["aggregations"]},
+                             default=str))
+            return 0
         if a.sort:
             if a.min_score is not None or dv_fields:
                 p.error("--min-score/--docvalue-fields are not supported "

@@ -1,0 +1,445 @@
+"""Search-request aggregations: per-segment collect over the query's
+matching docs, coordinator reduce, reference-shaped response.
+
+Reference: ``server/src/main/java/org/elasticsearch/search/aggregations/
+AggregationPhase.java`` (per-shard collect over the query's matching
+doc set), ``InternalAggregations#topLevelReduce`` and
+``action/search/SearchPhaseController`` (shard partials merged at the
+coordinating node). Supported aggregators mirror the corresponding
+builders under ``search/aggregations/metrics`` and ``bucket``:
+
+- metrics: avg / sum / min / max / stats / value_count / cardinality
+  (exact value-set partials — at shard scale the matched value set is
+  small; the HLL sketch path stays in :mod:`raydex.ops.sketches` for
+  table-scale cardinality)
+- buckets: terms (keyword index-time fields via postings, or any
+  doc-values column via ``np.unique``), histogram, date_histogram
+  (calendar_interval minute/hour/day/month/year or fixed_interval),
+  range, filter, global
+
+Sub-aggregations: ``filter`` / ``global`` / ``range`` recurse fully
+(bucket count is request-bounded); ``terms`` / ``histogram`` /
+``date_histogram`` accept METRIC sub-aggregations, computed vectorized
+with ``argsort`` + ``reduceat`` (an unbounded bucket count must not
+spawn per-bucket Python query evaluation — the same keyed-block rule
+the dedup ops follow).
+
+Partials are plain JSON-able trees: a scatter actor computes one
+merged partial per segment slice and ships only that (bucket keys +
+scalars — metadata-sized at any index size, like the reference's
+shard-level ``InternalAggregation`` stream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_METRICS = ("avg", "sum", "min", "max", "stats", "value_count",
+            "cardinality")
+_CAL_UNITS = {"minute": "m", "hour": "h", "day": "D", "month": "M",
+              "year": "Y"}
+_FIXED_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+             "d": 86_400_000_000}
+
+
+def _split_spec(spec: dict):
+    """(kind, body, sub_aggs) from one agg entry."""
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    kinds = [k for k in spec if k not in ("aggs", "aggregations")]
+    if len(kinds) != 1:
+        raise ValueError(f"aggregation spec needs exactly one kind, got {kinds}")
+    return kinds[0], spec[kinds[0]], sub
+
+
+def collect_filter_queries(aggs_spec: dict) -> list[dict]:
+    """Every `filter`-agg query dict in the spec tree — the coordinator
+    must collect global df for their scoring leaves too (same contract
+    as the main query)."""
+    out: list[dict] = []
+    for spec in (aggs_spec or {}).values():
+        kind, body, sub = _split_spec(spec)
+        if kind == "filter":
+            out.append(body)
+        out += collect_filter_queries(sub)
+    return out
+
+
+# ------------------------------------------------------------ values
+
+
+def _doc_values(reader, field: str) -> np.ndarray:
+    """Per-doc value array for a numeric/date/scaled_float doc-values
+    column, ``dl``, or the stored ``url`` column."""
+    if field == "dl":
+        return reader.dl
+    if field == "url":
+        return np.asarray(reader.urls.to_pylist(), dtype=object)
+    dv = reader.doc_values.get(field)
+    if dv is None:
+        raise ValueError(
+            f"field {field!r} has no doc-values column in this segment "
+            f"(aggregations need dl, url, a numeric/date field, or a "
+            f"keyword index-time field)"
+        )
+    meta = getattr(reader, "fields_meta", {}).get(field, {})
+    if meta.get("analyzer") == "scaled_float":
+        return dv / float(meta.get("scaling_factor") or 100.0)
+    return dv
+
+
+def _keyword_postings(reader, field: str):
+    """[(term, docids)] for a keyword-ish index-time field — the
+    SortedSetDocValues analogue for terms/cardinality (exact
+    multi-value semantics: a doc counts once per distinct value)."""
+    fr = reader.field(field) if hasattr(reader, "field") else None
+    if fr is None or fr is reader:
+        return None
+    out = []
+    for ti in range(len(fr.terms)):
+        ids, _ = fr.postings(ti)
+        out.append((str(fr.terms[ti]), ids))
+    return out
+
+
+# ------------------------------------------------------------ collect
+
+
+def _metric_partial(kind: str, vals: np.ndarray):
+    n = int(len(vals))
+    if kind == "value_count":
+        return {"k": "count", "count": n}
+    if kind == "cardinality":
+        if n == 0:
+            return {"k": "set", "values": []}
+        return {"k": "set",
+                "values": [v.item() if hasattr(v, "item") else v
+                           for v in np.unique(vals)]}
+    if n == 0:
+        return {"k": "stats", "count": 0, "sum": 0.0,
+                "min": None, "max": None}
+    return {
+        "k": "stats", "count": n, "sum": float(np.sum(vals)),
+        "min": float(np.min(vals)), "max": float(np.max(vals)),
+    }
+
+
+def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
+                             inv: np.ndarray, n_keys: int):
+    """Per-bucket metric partials under a bucket agg, vectorized:
+    ``midx`` = matched docids, ``inv`` = bucket index per matched doc.
+    Returns [ {name: partial} ] aligned to bucket 0..n_keys-1."""
+    order = np.argsort(inv, kind="stable")
+    sorted_inv = inv[order]
+    # bucket boundaries in the sorted stream (buckets may be empty)
+    starts = np.searchsorted(sorted_inv, np.arange(n_keys), side="left")
+    ends = np.searchsorted(sorted_inv, np.arange(n_keys), side="right")
+    per_bucket: list[dict] = [{} for _ in range(n_keys)]
+    for name, spec in sub_spec.items():
+        kind, body, sub2 = _split_spec(spec)
+        if kind not in _METRICS:
+            raise ValueError(
+                f"only metric sub-aggregations are supported under "
+                f"terms/histogram buckets, got {kind!r}"
+            )
+        if sub2:
+            raise ValueError("metric aggregations take no sub-aggregations")
+        v = _doc_values(reader, body["field"])[midx][order]
+        if kind == "cardinality":
+            for b in range(n_keys):
+                per_bucket[b][name] = _metric_partial(
+                    "cardinality", v[starts[b]:ends[b]])
+            continue
+        counts = ends - starts
+        if kind == "value_count":
+            for b in range(n_keys):
+                per_bucket[b][name] = {"k": "count", "count": int(counts[b])}
+            continue
+        vf = v.astype(np.float64, copy=False)
+        nz = counts > 0
+        sums = np.zeros(n_keys)
+        mins = np.zeros(n_keys)
+        maxs = np.zeros(n_keys)
+        if nz.any():
+            # reduceat windows are exact: ends[b] == starts[b+1] (right
+            # bound of b == left bound of b+1 in a sorted stream), so
+            # the next NON-EMPTY bucket's start equals this bucket's end
+            st = starts[nz]
+            sums[nz] = np.add.reduceat(vf, st)
+            mins[nz] = np.minimum.reduceat(vf, st)
+            maxs[nz] = np.maximum.reduceat(vf, st)
+        for b in range(n_keys):
+            if counts[b]:
+                per_bucket[b][name] = {
+                    "k": "stats", "count": int(counts[b]),
+                    "sum": float(sums[b]), "min": float(mins[b]),
+                    "max": float(maxs[b]),
+                }
+            else:
+                per_bucket[b][name] = {"k": "stats", "count": 0,
+                                       "sum": 0.0, "min": None, "max": None}
+    return per_bucket
+
+
+def _py(v):
+    return v.item() if hasattr(v, "item") else v
+
+
+def collect_partials(reader, evaluator, mask: np.ndarray,
+                     aggs_spec: dict) -> dict:
+    """{name: partial} for one segment over the matching-doc mask."""
+    out: dict = {}
+    midx = np.flatnonzero(mask)
+    for name, spec in aggs_spec.items():
+        kind, body, sub = _split_spec(spec)
+        if kind in _METRICS:
+            if sub:
+                raise ValueError("metric aggregations take no sub-aggregations")
+            if kind == "cardinality":
+                kp = None
+                try:
+                    kp = _keyword_postings(reader, body["field"])
+                except Exception:
+                    kp = None
+                if kp is not None:
+                    vals = np.array(
+                        [t for t, ids in kp if mask[ids].any()], dtype=object
+                    )
+                    out[name] = _metric_partial("cardinality", vals)
+                    continue
+            out[name] = _metric_partial(
+                kind, _doc_values(reader, body["field"])[midx])
+        elif kind == "terms":
+            out[name] = _collect_terms(reader, mask, midx, body, sub)
+        elif kind in ("histogram", "date_histogram"):
+            out[name] = _collect_histogram(reader, midx, kind, body, sub)
+        elif kind == "range":
+            vals = _doc_values(reader, body["field"])[midx]
+            buckets = []
+            for rng in body["ranges"]:
+                m = np.ones(len(vals), dtype=bool)
+                if "from" in rng and rng["from"] is not None:
+                    m &= vals >= rng["from"]
+                if "to" in rng and rng["to"] is not None:
+                    m &= vals < rng["to"]
+                sub_mask = np.zeros_like(mask)
+                sub_mask[midx[m]] = True
+                buckets.append({
+                    "doc_count": int(m.sum()),
+                    "sub": collect_partials(reader, evaluator, sub_mask, sub),
+                })
+            out[name] = {"k": "range", "buckets": buckets}
+        elif kind == "filter":
+            from raydex.search.query import parse_query
+
+            _, fmask = evaluator.eval(parse_query(body))
+            fmask = fmask & mask
+            out[name] = {
+                "k": "filter", "doc_count": int(fmask.sum()),
+                "sub": collect_partials(reader, evaluator, fmask, sub),
+            }
+        elif kind == "global":
+            gmask = np.ones(reader.ndocs, dtype=bool)
+            if reader.live is not None:
+                gmask &= reader.live
+            out[name] = {
+                "k": "filter", "doc_count": int(gmask.sum()),
+                "sub": collect_partials(reader, evaluator, gmask, sub),
+            }
+        else:
+            raise ValueError(f"unsupported aggregation kind {kind!r}")
+    return out
+
+
+def _collect_terms(reader, mask, midx, body, sub_spec):
+    field = body["field"]
+    kp = None
+    if field not in ("dl", "url") and field not in reader.doc_values:
+        kp = _keyword_postings(reader, field)
+    buckets: dict = {}
+    if kp is not None:
+        # keyword index-time field: postings-intersection path (exact
+        # multi-value semantics, like SortedSetDocValues terms)
+        for term, ids in kp:
+            hit = ids[mask[ids]]
+            if len(hit) == 0:
+                continue
+            b = {"doc_count": int(len(hit)), "sub": {}}
+            if sub_spec:
+                inv = np.zeros(len(hit), dtype=np.int64)
+                b["sub"] = _grouped_metric_partials(
+                    sub_spec, reader, hit, inv, 1)[0]
+            buckets[term] = b
+    else:
+        vals = _doc_values(reader, field)[midx]
+        keys, inv, counts = np.unique(
+            vals, return_inverse=True, return_counts=True)
+        subs = (_grouped_metric_partials(sub_spec, reader, midx, inv,
+                                         len(keys))
+                if sub_spec else [{}] * len(keys))
+        for i, k in enumerate(keys):
+            buckets[_py(k)] = {"doc_count": int(counts[i]), "sub": subs[i]}
+    return {"k": "terms", "buckets": buckets}
+
+
+def _fixed_interval_us(s: str) -> int:
+    unit = s[-1]
+    if unit not in _FIXED_US:
+        raise ValueError(f"unsupported fixed_interval {s!r}")
+    return int(s[:-1]) * _FIXED_US[unit]
+
+
+def _collect_histogram(reader, midx, kind, body, sub_spec):
+    vals = _doc_values(reader, body["field"])[midx]
+    if kind == "histogram":
+        interval = float(body["interval"])
+        keys_f = np.floor(vals / interval) * interval
+    elif "calendar_interval" in body:
+        unit = _CAL_UNITS.get(body["calendar_interval"])
+        if unit is None:
+            raise ValueError(
+                f"unsupported calendar_interval {body['calendar_interval']!r}")
+        dt = vals.astype("datetime64[us]")
+        keys_f = (dt.astype(f"datetime64[{unit}]")
+                  .astype("datetime64[us]").astype(np.int64))
+    else:
+        iv = _fixed_interval_us(body["fixed_interval"])
+        keys_f = (vals.astype(np.int64) // iv) * iv
+    keys, inv, counts = np.unique(
+        keys_f, return_inverse=True, return_counts=True)
+    subs = (_grouped_metric_partials(sub_spec, reader, midx, inv, len(keys))
+            if sub_spec else [{}] * len(keys))
+    buckets = {
+        _py(k): {"doc_count": int(counts[i]), "sub": subs[i]}
+        for i, k in enumerate(keys)
+    }
+    return {"k": "hist" if kind == "histogram" else "dhist",
+            "buckets": buckets}
+
+
+# ------------------------------------------------------------- reduce
+
+
+def _merge_partial(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    k = a["k"]
+    if k == "count":
+        return {"k": "count", "count": a["count"] + b["count"]}
+    if k == "set":
+        return {"k": "set",
+                "values": sorted(set(a["values"]) | set(b["values"]),
+                                 key=lambda v: (str(type(v)), v))}
+    if k == "stats":
+        if a["count"] == 0:
+            return b
+        if b["count"] == 0:
+            return a
+        return {
+            "k": "stats", "count": a["count"] + b["count"],
+            "sum": a["sum"] + b["sum"],
+            "min": min(a["min"], b["min"]), "max": max(a["max"], b["max"]),
+        }
+    if k in ("terms", "hist", "dhist"):
+        buckets = dict(a["buckets"])
+        for key, bb in b["buckets"].items():
+            if key in buckets:
+                buckets[key] = {
+                    "doc_count": buckets[key]["doc_count"] + bb["doc_count"],
+                    "sub": reduce_partials([buckets[key]["sub"], bb["sub"]]),
+                }
+            else:
+                buckets[key] = bb
+        return {"k": k, "buckets": buckets}
+    if k == "range":
+        return {"k": "range", "buckets": [
+            {"doc_count": x["doc_count"] + y["doc_count"],
+             "sub": reduce_partials([x["sub"], y["sub"]])}
+            for x, y in zip(a["buckets"], b["buckets"])
+        ]}
+    if k == "filter":
+        return {"k": "filter",
+                "doc_count": a["doc_count"] + b["doc_count"],
+                "sub": reduce_partials([a["sub"], b["sub"]])}
+    raise ValueError(f"unknown partial kind {k!r}")
+
+
+def reduce_partials(parts: list[dict]) -> dict:
+    """Merge per-segment {name: partial} dicts (associative +
+    commutative — the InternalAggregation#reduce law)."""
+    out: dict = {}
+    for p in parts:
+        for name, partial in p.items():
+            out[name] = _merge_partial(out.get(name), partial)
+    return out
+
+
+# ------------------------------------------------------------- render
+
+
+def render_aggs(aggs_spec: dict, merged: dict) -> dict:
+    """Reference-response-shaped aggregations from merged partials."""
+    out: dict = {}
+    for name, spec in aggs_spec.items():
+        kind, body, sub = _split_spec(spec)
+        p = merged.get(name)
+        if kind in ("avg", "sum", "min", "max"):
+            if p["count"] == 0:
+                out[name] = {"value": None}
+            elif kind == "avg":
+                out[name] = {"value": p["sum"] / p["count"]}
+            else:
+                out[name] = {"value": p[kind] if kind != "sum" else p["sum"]}
+        elif kind == "stats":
+            out[name] = {
+                "count": p["count"], "sum": p["sum"],
+                "min": p["min"], "max": p["max"],
+                "avg": (p["sum"] / p["count"]) if p["count"] else None,
+            }
+        elif kind == "value_count":
+            out[name] = {"value": p["count"]}
+        elif kind == "cardinality":
+            out[name] = {"value": len(p["values"])}
+        elif kind == "terms":
+            size = int(body.get("size", 10))
+            items = sorted(
+                p["buckets"].items(),
+                key=lambda kv: (-kv[1]["doc_count"], str(kv[0])),
+            )[:size]
+            out[name] = {"buckets": [
+                {"key": k, "doc_count": b["doc_count"],
+                 **render_aggs(sub, b["sub"])}
+                for k, b in items
+            ]}
+        elif kind in ("histogram", "date_histogram"):
+            items = sorted(p["buckets"].items(), key=lambda kv: kv[0])
+            buckets = []
+            for k, b in items:
+                row = {"key": k, "doc_count": b["doc_count"],
+                       **render_aggs(sub, b["sub"])}
+                if kind == "date_histogram":
+                    row["key"] = int(k) // 1000  # epoch millis
+                    row["key_as_string"] = str(
+                        np.int64(k).astype("datetime64[us]"))
+                buckets.append(row)
+            out[name] = {"buckets": buckets}
+        elif kind == "range":
+            buckets = []
+            for rng, b in zip(body["ranges"], p["buckets"]):
+                frm, to = rng.get("from"), rng.get("to")
+                key = rng.get("key") or (
+                    f"{'*' if frm is None else frm}-"
+                    f"{'*' if to is None else to}")
+                row = {"key": key, "doc_count": b["doc_count"],
+                       **render_aggs(sub, b["sub"])}
+                if frm is not None:
+                    row["from"] = frm
+                if to is not None:
+                    row["to"] = to
+                buckets.append(row)
+            out[name] = {"buckets": buckets}
+        elif kind in ("filter", "global"):
+            out[name] = {"doc_count": p["doc_count"],
+                         **render_aggs(sub, p["sub"])}
+    return out

@@ -628,6 +628,57 @@ class SegmentGroup:
             for r, _ in self._can_match_readers(q, can_match)
         )
 
+    def query_aggs(self, qdict: dict, aggs_spec: dict, ndocs: int,
+                   sum_dl: int, df: dict[str, int], analyzer_name: str,
+                   fdf: dict | None = None,
+                   field_sum_dl: dict | None = None,
+                   runtime_mappings: dict | None = None,
+                   join_maps: dict | None = None) -> dict:
+        """Aggregations phase over the query's matching docs: one merged
+        partial tree per segment slice (the shard-level
+        ``InternalAggregation`` stream — metadata-sized, never docs)."""
+        from raydex.analysis.tokenizer import get_analyzer
+        from raydex.search.aggsphase import (
+            collect_filter_queries,
+            collect_partials,
+            reduce_partials,
+        )
+        from raydex.search.joinquery import (
+            evaluator_join_maps,
+            join_phase1 as _phase1,
+            reduce_join_phase1,
+        )
+        from raydex.search.query import (
+            SegmentEvaluator,
+            collect_join_nodes,
+            parse_query,
+        )
+
+        for fq in collect_filter_queries(aggs_spec):
+            if collect_join_nodes(parse_query(fq)):
+                raise ValueError(
+                    "filter aggregations with has_child/has_parent "
+                    "queries are not supported"
+                )
+        stats = GlobalStats(ndocs=ndocs, sum_dl=sum_dl, df=df,
+                            fdf=fdf, field_sum_dl=field_sum_dl)
+        q = parse_query(qdict)
+        an = get_analyzer(analyzer_name)
+        jnodes = collect_join_nodes(q)
+        if jnodes and join_maps is None:
+            partial = _phase1(self.readers, jnodes, stats, an,
+                              runtime_mappings=runtime_mappings)
+            join_maps = reduce_join_phase1(jnodes, [partial])
+        parts = []
+        for r in self.readers:
+            ev = SegmentEvaluator(
+                r, stats, an, runtime_mappings=runtime_mappings,
+                join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
+            )
+            _, mask = ev.eval(q)
+            parts.append(collect_partials(r, ev, mask, aggs_spec))
+        return reduce_partials(parts)
+
 
 def merge_top_k(per_segment, k: int):
     """``TopDocs.merge``-style k-way merge.
@@ -820,6 +871,15 @@ class SearcherBase:
                         if f != "text" and f in self.fields_meta)
         return text_terms, fpairs
 
+    def _aggs_stats_qdict(self, qdict: dict, aggs_spec: dict) -> dict:
+        """Stats-collection query covering the main query AND every
+        `filter` aggregation's query (their scoring leaves need global
+        df exactly like the main tree)."""
+        from raydex.search.aggsphase import collect_filter_queries
+
+        fqs = collect_filter_queries(aggs_spec)
+        return {"bool": {"should": [qdict, *fqs]}} if fqs else qdict
+
     @staticmethod
     def _combine_hybrid(query_hits: list, knn_hits: list, k: int,
                         query_boost: float = 1.0, knn_boost: float = 1.0):
@@ -945,6 +1005,28 @@ class LocalSearcher(SearcherBase):
             fdf=fdf, field_sum_dl=self.field_sum_dl,
             runtime_mappings=runtime_mappings,
         )
+
+    def search_aggs(self, qdict: dict, aggs: dict, k: int = 0,
+                    runtime_mappings: dict | None = None) -> dict:
+        """`_search` with an ``aggs`` body (AggregationPhase): per-
+        segment collect over the query's matching docs, one reduce,
+        reference-shaped ``{"hits": [...], "aggregations": {...}}``.
+        ``k=0`` skips the hits phase (``"size": 0``, the faceting
+        idiom)."""
+        from raydex.search.aggsphase import render_aggs
+
+        df, fdf = self._query_stats(self._aggs_stats_qdict(qdict, aggs))
+        merged = self.group.query_aggs(
+            qdict, aggs, self.ndocs, self.sum_dl, df,
+            self.manifest["analyzer"], fdf=fdf,
+            field_sum_dl=self.field_sum_dl,
+            runtime_mappings=runtime_mappings,
+        )
+        out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
+        if k > 0:
+            out["hits"] = self.search_query(
+                qdict, k=k, runtime_mappings=runtime_mappings)
+        return out
 
     def profile_search(self, qdict: dict, k: int = 10,
                        runtime_mappings: dict | None = None) -> dict:
@@ -1419,6 +1501,33 @@ class RaySearcher(SearcherBase):
             for a in self.actors
         ]
         return sum(self._ray.get(refs))
+
+    def search_aggs(self, qdict: dict, aggs: dict, k: int = 0,
+                    runtime_mappings: dict | None = None) -> dict:
+        """Distributed `_search` aggregations: every actor collects one
+        merged partial tree over its segment slice (bucket keys +
+        scalars — metadata-sized), coordinator reduces + renders."""
+        from raydex.search.aggsphase import reduce_partials, render_aggs
+
+        sq = self._aggs_stats_qdict(qdict, aggs)
+        terms, fpairs = self._collect_stats_spec(sq)
+        df = self._stats(terms) if terms else {}
+        fdf = self._field_stats(fpairs)
+        _, jm, _ = self._join_maps(qdict, df, fdf, runtime_mappings)
+        refs = [
+            a.query_aggs.remote(qdict, aggs, self.ndocs, self.sum_dl, df,
+                                self.manifest["analyzer"], fdf=fdf,
+                                field_sum_dl=self.field_sum_dl,
+                                runtime_mappings=runtime_mappings,
+                                join_maps=jm)
+            for a in self.actors
+        ]
+        merged = reduce_partials(self._ray.get(refs))
+        out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
+        if k > 0:
+            out["hits"] = self.search_query(
+                qdict, k=k, runtime_mappings=runtime_mappings)
+        return out
 
     def terms_agg(self, field: str, size: int = 10,
                   shard_size: int | None = None):

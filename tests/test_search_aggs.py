@@ -1,0 +1,161 @@
+"""Search-request aggregations phase (AggregationPhase /
+InternalAggregations#reduce): per-segment collect over query matches,
+coordinator reduce, reference-shaped response — local + scatter parity
+and a pure-pandas oracle."""
+
+import collections
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.analysis.tokenizer import get_analyzer
+from raydex.corpus import make_pages_table
+from raydex.index.build import build_index
+from raydex.index.segment import FieldSpec
+from raydex.search.scatter import LocalSearcher, RaySearcher
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    t = make_pages_table(N, seed=7, dup_frac=0.0, with_html=False)
+    p = str(tmp_path_factory.mktemp("aggs_pages") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("aggs_idx") / "index")
+    build_index(
+        p, idx, num_partitions=2, analyzer="standard", source="text",
+        max_docs_per_segment=80, dedup=False,
+        fields=[FieldSpec("lang", source="lang", analyzer="keyword"),
+                FieldSpec("ts", source="warc_ts", analyzer="date")],
+    )
+    rows = t.to_pylist()
+    an = get_analyzer("standard")
+    for r in rows:
+        r["dl"] = len(an(r["text"]))
+    return idx, rows
+
+
+def _matches(rows, token):
+    an = get_analyzer("standard")
+    return [r for r in rows if token in an(r["text"])]
+
+
+def test_terms_stats_filter_global_vs_oracle(built):
+    idx, rows = built
+    # a token guaranteed frequent: the most common analyzed token
+    counts = collections.Counter(
+        t for r in rows for t in set(get_analyzer("standard")(r["text"])))
+    token = counts.most_common(1)[0][0]
+    matched = _matches(rows, token)
+    assert 10 < len(matched) < len(rows)
+
+    s = LocalSearcher(idx)
+    out = s.search_aggs(
+        {"term": {"text": token}},
+        {
+            "by_lang": {"terms": {"field": "lang", "size": 100},
+                        "aggs": {"adl": {"avg": {"field": "dl"}},
+                                 "mx": {"max": {"field": "dl"}}}},
+            "dl_stats": {"stats": {"field": "dl"}},
+            "langs": {"cardinality": {"field": "lang"}},
+            "short": {"filter": {"range": {"dl": {"lte": 100}}},
+                      "aggs": {"n": {"value_count": {"field": "dl"}}}},
+            "everything": {"global": {},
+                           "aggs": {"n": {"value_count": {"field": "dl"}}}},
+            "by_day": {"date_histogram": {"field": "ts",
+                                          "calendar_interval": "day"}},
+        },
+    )
+    a = out["aggregations"]
+
+    # terms over the keyword index-time field + metric sub-aggs
+    want = collections.Counter(r["lang"] for r in matched)
+    got = {b["key"]: b["doc_count"] for b in a["by_lang"]["buckets"]}
+    assert got == dict(want)
+    for b in a["by_lang"]["buckets"]:
+        dls = [r["dl"] for r in matched if r["lang"] == b["key"]]
+        assert b["adl"]["value"] == pytest.approx(np.mean(dls))
+        assert b["mx"]["value"] == max(dls)
+    # bucket order: count desc then key asc
+    dcs = [b["doc_count"] for b in a["by_lang"]["buckets"]]
+    assert dcs == sorted(dcs, reverse=True)
+
+    # stats over dl
+    dls = [r["dl"] for r in matched]
+    assert a["dl_stats"]["count"] == len(dls)
+    assert a["dl_stats"]["sum"] == sum(dls)
+    assert a["dl_stats"]["min"] == min(dls)
+    assert a["dl_stats"]["max"] == max(dls)
+    assert a["dl_stats"]["avg"] == pytest.approx(np.mean(dls))
+
+    # exact cardinality over the keyword field
+    assert a["langs"]["value"] == len({r["lang"] for r in matched})
+
+    # filter agg scopes within the query's matches
+    short = [r for r in matched if r["dl"] <= 100]
+    assert a["short"]["doc_count"] == len(short)
+    assert a["short"]["n"]["value"] == len(short)
+
+    # global ignores the query
+    assert a["everything"]["doc_count"] == len(rows)
+    assert a["everything"]["n"]["value"] == len(rows)
+
+    # date_histogram day buckets
+    day_us = 86_400_000_000
+    want_days = collections.Counter(
+        (int(r["warc_ts"].timestamp() * 1e6) // day_us) * day_us
+        for r in matched)
+    got_days = {b["key"] * 1000: b["doc_count"]
+                for b in a["by_day"]["buckets"]}
+    assert got_days == dict(want_days)
+    keys = [b["key"] for b in a["by_day"]["buckets"]]
+    assert keys == sorted(keys)
+    assert all("key_as_string" in b for b in a["by_day"]["buckets"])
+
+
+def test_scatter_parity_and_hits(built):
+    idx, rows = built
+    spec = {
+        "by_lang": {"terms": {"field": "lang", "size": 5},
+                    "aggs": {"adl": {"avg": {"field": "dl"}}}},
+        "h": {"histogram": {"field": "dl", "interval": 50}},
+        "rng": {"range": {"field": "dl",
+                          "ranges": [{"to": 100},
+                                     {"from": 100, "to": 160, "key": "mid"},
+                                     {"from": 160}]}},
+        "card": {"cardinality": {"field": "lang"}},
+    }
+    q = {"match_all": {}}
+    s = LocalSearcher(idx)
+    local = s.search_aggs(q, spec, k=3)
+    assert len(local["hits"]) == 3
+    assert sum(b["doc_count"] for b in local["aggregations"]["h"]["buckets"]) \
+        == len(rows)
+    assert [b["key"] for b in local["aggregations"]["rng"]["buckets"]][1] \
+        == "mid"
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        remote = rs.search_aggs(q, spec, k=3)
+        assert remote["aggregations"] == local["aggregations"]
+        assert [(h["url"], h["score"]) for h in remote["hits"]] == \
+               [(h["url"], h["score"]) for h in local["hits"]]
+    finally:
+        rs.shutdown()
+
+
+def test_aggs_spec_errors(built):
+    idx, _ = built
+    s = LocalSearcher(idx)
+    with pytest.raises(ValueError, match="exactly one kind"):
+        s.search_aggs({"match_all": {}},
+                      {"x": {"terms": {"field": "lang"},
+                             "stats": {"field": "dl"}}})
+    with pytest.raises(ValueError, match="metric sub-aggregations"):
+        s.search_aggs({"match_all": {}},
+                      {"x": {"terms": {"field": "lang"},
+                             "aggs": {"y": {"terms": {"field": "lang"}}}}})
+    with pytest.raises(ValueError, match="doc-values"):
+        s.search_aggs({"match_all": {}},
+                      {"x": {"stats": {"field": "nope"}}})

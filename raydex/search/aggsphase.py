@@ -11,18 +11,23 @@ builders under ``search/aggregations/metrics`` and ``bucket``:
 - metrics: avg / sum / min / max / stats / value_count / cardinality
   (exact value-set partials — at shard scale the matched value set is
   small; the HLL sketch path stays in :mod:`raydex.ops.sketches` for
-  table-scale cardinality)
+  table-scale cardinality) / top_hits (per-scope top-size hits by the
+  main query's scores, ``TopHitsAggregationBuilder``)
 - buckets: terms (keyword index-time fields via postings, or any
-  doc-values column via ``np.unique``), histogram, date_histogram
+  doc-values column via ``np.unique``; ``size`` / ``min_doc_count`` /
+  ``order`` by ``_count`` / ``_key`` / a metric sub-agg), histogram
+  (``min_doc_count: 0`` + ``extended_bounds`` fill empty buckets;
+  NOTE: unlike the reference, the DEFAULT min_doc_count here is 1 —
+  gaps are omitted unless 0 is requested), date_histogram
   (calendar_interval minute/hour/day/month/year or fixed_interval),
-  range, filter, global
+  range, filter, missing, global
 
-Sub-aggregations: ``filter`` / ``global`` / ``range`` recurse fully
-(bucket count is request-bounded); ``terms`` / ``histogram`` /
-``date_histogram`` accept METRIC sub-aggregations, computed vectorized
-with ``argsort`` + ``reduceat`` (an unbounded bucket count must not
-spawn per-bucket Python query evaluation — the same keyed-block rule
-the dedup ops follow).
+Sub-aggregations: ``filter`` / ``global`` / ``range`` / ``missing``
+recurse fully (bucket count is request-bounded); ``terms`` /
+``histogram`` / ``date_histogram`` accept METRIC sub-aggregations,
+computed vectorized with ``argsort`` + ``reduceat`` (an unbounded
+bucket count must not spawn per-bucket Python query evaluation — the
+same keyed-block rule the dedup ops follow).
 
 Partials are plain JSON-able trees: a scatter actor computes one
 merged partial per segment slice and ships only that (bucket keys +
@@ -124,7 +129,8 @@ def _metric_partial(kind: str, vals: np.ndarray):
 
 
 def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
-                             inv: np.ndarray, n_keys: int):
+                             inv: np.ndarray, n_keys: int,
+                             scores=None, ordinal: int = 0):
     """Per-bucket metric partials under a bucket agg, vectorized:
     ``midx`` = matched docids, ``inv`` = bucket index per matched doc.
     Returns [ {name: partial} ] aligned to bucket 0..n_keys-1."""
@@ -136,13 +142,20 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
     per_bucket: list[dict] = [{} for _ in range(n_keys)]
     for name, spec in sub_spec.items():
         kind, body, sub2 = _split_spec(spec)
-        if kind not in _METRICS:
+        if kind not in _METRICS and kind != "top_hits":
             raise ValueError(
                 f"only metric sub-aggregations are supported under "
                 f"terms/histogram buckets, got {kind!r}"
             )
         if sub2:
             raise ValueError("metric aggregations take no sub-aggregations")
+        if kind == "top_hits":
+            mo = midx[order]
+            size = int(body.get("size", 3))
+            for b in range(n_keys):
+                per_bucket[b][name] = _top_hits_partial(
+                    reader, mo[starts[b]:ends[b]], scores, ordinal, size)
+            continue
         v = _doc_values(reader, body["field"])[midx][order]
         if kind == "cardinality":
             for b in range(n_keys):
@@ -184,14 +197,40 @@ def _py(v):
     return v.item() if hasattr(v, "item") else v
 
 
+def _top_hits_partial(reader, midx, scores, ordinal, size):
+    if scores is None:
+        raise ValueError("top_hits needs the main query's scores")
+    if len(midx) == 0:
+        return {"k": "hits", "size": size, "hits": []}
+    # float32 is the engine's scoring contract (Lucene parity); the
+    # evaluator's float64 intermediates round differently in the last
+    # bits than the top-k scorers, so rank ties are broken identically
+    # but absolute values may differ ~1e-7 from the hits phase
+    s = scores[midx].astype(np.float32)
+    top = np.argsort(-s, kind="stable")[:size]
+    ids = midx[top]
+    return {"k": "hits", "size": size, "hits": [
+        {"score": float(s[t]), "ordinal": int(ordinal),
+         "docid": int(d), "url": str(reader.urls[int(d)])}
+        for t, d in zip(top, ids)
+    ]}
+
+
 def collect_partials(reader, evaluator, mask: np.ndarray,
-                     aggs_spec: dict) -> dict:
-    """{name: partial} for one segment over the matching-doc mask."""
+                     aggs_spec: dict, scores=None, ordinal: int = 0) -> dict:
+    """{name: partial} for one segment over the matching-doc mask.
+    ``scores``: the main query's per-doc scores (top_hits sub-phase);
+    ``ordinal``: this segment's global ordinal (hit identity)."""
     out: dict = {}
     midx = np.flatnonzero(mask)
     for name, spec in aggs_spec.items():
         kind, body, sub = _split_spec(spec)
-        if kind in _METRICS:
+        if kind == "top_hits":
+            if sub:
+                raise ValueError("metric aggregations take no sub-aggregations")
+            out[name] = _top_hits_partial(
+                reader, midx, scores, ordinal, int(body.get("size", 3)))
+        elif kind in _METRICS:
             if sub:
                 raise ValueError("metric aggregations take no sub-aggregations")
             if kind == "cardinality":
@@ -209,9 +248,11 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
             out[name] = _metric_partial(
                 kind, _doc_values(reader, body["field"])[midx])
         elif kind == "terms":
-            out[name] = _collect_terms(reader, mask, midx, body, sub)
+            out[name] = _collect_terms(reader, mask, midx, body, sub,
+                                       scores, ordinal)
         elif kind in ("histogram", "date_histogram"):
-            out[name] = _collect_histogram(reader, midx, kind, body, sub)
+            out[name] = _collect_histogram(reader, midx, kind, body, sub,
+                                           scores, ordinal)
         elif kind == "range":
             vals = _doc_values(reader, body["field"])[midx]
             buckets = []
@@ -225,9 +266,33 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
                 sub_mask[midx[m]] = True
                 buckets.append({
                     "doc_count": int(m.sum()),
-                    "sub": collect_partials(reader, evaluator, sub_mask, sub),
+                    "sub": collect_partials(reader, evaluator, sub_mask,
+                                            sub, scores, ordinal),
                 })
             out[name] = {"k": "range", "buckets": buckets}
+        elif kind == "missing":
+            # MissingAggregationBuilder: matched docs with NO value in
+            # the field (keyword fields: outside every posting list;
+            # float doc-values: NaN; dense int columns: none missing)
+            field = body["field"]
+            kp = (None if field in ("dl", "url")
+                  or field in reader.doc_values
+                  else _keyword_postings(reader, field))
+            if kp is not None:
+                covered = np.zeros(reader.ndocs, dtype=bool)
+                for _, ids in kp:
+                    covered[ids] = True
+                mmask = mask & ~covered
+            else:
+                vals = _doc_values(reader, field)
+                miss = (np.isnan(vals) if vals.dtype.kind == "f"
+                        else np.zeros(reader.ndocs, dtype=bool))
+                mmask = mask & miss
+            out[name] = {
+                "k": "filter", "doc_count": int(mmask.sum()),
+                "sub": collect_partials(reader, evaluator, mmask, sub,
+                                        scores, ordinal),
+            }
         elif kind == "filter":
             from raydex.search.query import parse_query
 
@@ -235,7 +300,8 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
             fmask = fmask & mask
             out[name] = {
                 "k": "filter", "doc_count": int(fmask.sum()),
-                "sub": collect_partials(reader, evaluator, fmask, sub),
+                "sub": collect_partials(reader, evaluator, fmask, sub,
+                                        scores, ordinal),
             }
         elif kind == "global":
             gmask = np.ones(reader.ndocs, dtype=bool)
@@ -243,14 +309,16 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
                 gmask &= reader.live
             out[name] = {
                 "k": "filter", "doc_count": int(gmask.sum()),
-                "sub": collect_partials(reader, evaluator, gmask, sub),
+                "sub": collect_partials(reader, evaluator, gmask, sub,
+                                        scores, ordinal),
             }
         else:
             raise ValueError(f"unsupported aggregation kind {kind!r}")
     return out
 
 
-def _collect_terms(reader, mask, midx, body, sub_spec):
+def _collect_terms(reader, mask, midx, body, sub_spec,
+                   scores=None, ordinal: int = 0):
     field = body["field"]
     kp = None
     if field not in ("dl", "url") and field not in reader.doc_values:
@@ -267,14 +335,14 @@ def _collect_terms(reader, mask, midx, body, sub_spec):
             if sub_spec:
                 inv = np.zeros(len(hit), dtype=np.int64)
                 b["sub"] = _grouped_metric_partials(
-                    sub_spec, reader, hit, inv, 1)[0]
+                    sub_spec, reader, hit, inv, 1, scores, ordinal)[0]
             buckets[term] = b
     else:
         vals = _doc_values(reader, field)[midx]
         keys, inv, counts = np.unique(
             vals, return_inverse=True, return_counts=True)
         subs = (_grouped_metric_partials(sub_spec, reader, midx, inv,
-                                         len(keys))
+                                         len(keys), scores, ordinal)
                 if sub_spec else [{}] * len(keys))
         for i, k in enumerate(keys):
             buckets[_py(k)] = {"doc_count": int(counts[i]), "sub": subs[i]}
@@ -288,7 +356,8 @@ def _fixed_interval_us(s: str) -> int:
     return int(s[:-1]) * _FIXED_US[unit]
 
 
-def _collect_histogram(reader, midx, kind, body, sub_spec):
+def _collect_histogram(reader, midx, kind, body, sub_spec,
+                       scores=None, ordinal: int = 0):
     vals = _doc_values(reader, body["field"])[midx]
     if kind == "histogram":
         interval = float(body["interval"])
@@ -306,7 +375,8 @@ def _collect_histogram(reader, midx, kind, body, sub_spec):
         keys_f = (vals.astype(np.int64) // iv) * iv
     keys, inv, counts = np.unique(
         keys_f, return_inverse=True, return_counts=True)
-    subs = (_grouped_metric_partials(sub_spec, reader, midx, inv, len(keys))
+    subs = (_grouped_metric_partials(sub_spec, reader, midx, inv, len(keys),
+                                     scores, ordinal)
             if sub_spec else [{}] * len(keys))
     buckets = {
         _py(k): {"doc_count": int(counts[i]), "sub": subs[i]}
@@ -362,6 +432,12 @@ def _merge_partial(a, b):
         return {"k": "filter",
                 "doc_count": a["doc_count"] + b["doc_count"],
                 "sub": reduce_partials([a["sub"], b["sub"]])}
+    if k == "hits":
+        merged = sorted(
+            a["hits"] + b["hits"],
+            key=lambda h: (-h["score"], h["ordinal"], h["docid"]),
+        )[:a["size"]]
+        return {"k": "hits", "size": a["size"], "hits": merged}
     raise ValueError(f"unknown partial kind {k!r}")
 
 
@@ -378,12 +454,24 @@ def reduce_partials(parts: list[dict]) -> dict:
 # ------------------------------------------------------------- render
 
 
+def _empty_partial(kind: str):
+    if kind == "value_count":
+        return {"k": "count", "count": 0}
+    if kind == "cardinality":
+        return {"k": "set", "values": []}
+    if kind == "top_hits":
+        return {"k": "hits", "size": 0, "hits": []}
+    return {"k": "stats", "count": 0, "sum": 0.0, "min": None, "max": None}
+
+
 def render_aggs(aggs_spec: dict, merged: dict) -> dict:
     """Reference-response-shaped aggregations from merged partials."""
     out: dict = {}
     for name, spec in aggs_spec.items():
         kind, body, sub = _split_spec(spec)
         p = merged.get(name)
+        if p is None and (kind in _METRICS or kind == "top_hits"):
+            p = _empty_partial(kind)  # zero-filled histogram buckets
         if kind in ("avg", "sum", "min", "max"):
             if p["count"] == 0:
                 out[name] = {"value": None}
@@ -401,19 +489,54 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
             out[name] = {"value": p["count"]}
         elif kind == "cardinality":
             out[name] = {"value": len(p["values"])}
+        elif kind == "top_hits":
+            out[name] = {"hits": p["hits"]}
         elif kind == "terms":
             size = int(body.get("size", 10))
-            items = sorted(
-                p["buckets"].items(),
-                key=lambda kv: (-kv[1]["doc_count"], str(kv[0])),
-            )[:size]
+            mdc = int(body.get("min_doc_count", 1))
+            items = [kv for kv in p["buckets"].items()
+                     if kv[1]["doc_count"] >= mdc]
+            order_spec = body.get("order") or {"_count": "desc"}
+            (okey, odir), = order_spec.items()
+            rev = str(odir).lower() == "desc"
+            if okey == "_count":
+                items.sort(key=lambda kv: (
+                    -kv[1]["doc_count"] if rev else kv[1]["doc_count"],
+                    str(kv[0])))
+            elif okey == "_key":
+                items.sort(key=lambda kv: kv[0], reverse=rev)
+            else:
+                # order by a metric sub-aggregation's value
+                def metric_val(kv):
+                    r = render_aggs({okey: sub[okey]}, kv[1]["sub"])[okey]
+                    v = r.get("value", r.get("avg"))
+                    return v if v is not None else float("-inf")
+                items.sort(key=lambda kv: (metric_val(kv), str(kv[0])),
+                           reverse=rev)
+            items = items[:size]
             out[name] = {"buckets": [
                 {"key": k, "doc_count": b["doc_count"],
                  **render_aggs(sub, b["sub"])}
                 for k, b in items
             ]}
         elif kind in ("histogram", "date_histogram"):
-            items = sorted(p["buckets"].items(), key=lambda kv: kv[0])
+            mdc = int(body.get("min_doc_count", 1))
+            bkts = {k: b for k, b in p["buckets"].items()
+                    if b["doc_count"] >= mdc}
+            if kind == "histogram" and mdc == 0 and (
+                    bkts or "extended_bounds" in body):
+                interval = float(body["interval"])
+                eb = body.get("extended_bounds") or {}
+                keys = list(bkts)
+                lo = min([*keys, eb["min"]] if "min" in eb else keys)
+                hi = max([*keys, eb["max"]] if "max" in eb else keys)
+                lo = float(np.floor(lo / interval) * interval)
+                hi = float(np.floor(hi / interval) * interval)
+                k = lo
+                while k <= hi + 1e-9:
+                    bkts.setdefault(k, {"doc_count": 0, "sub": {}})
+                    k += interval
+            items = sorted(bkts.items(), key=lambda kv: kv[0])
             buckets = []
             for k, b in items:
                 row = {"key": k, "doc_count": b["doc_count"],
@@ -439,7 +562,7 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
                     row["to"] = to
                 buckets.append(row)
             out[name] = {"buckets": buckets}
-        elif kind in ("filter", "global"):
+        elif kind in ("filter", "global", "missing"):
             out[name] = {"doc_count": p["doc_count"],
                          **render_aggs(sub, p["sub"])}
     return out

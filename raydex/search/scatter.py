@@ -670,13 +670,14 @@ class SegmentGroup:
                               runtime_mappings=runtime_mappings)
             join_maps = reduce_join_phase1(jnodes, [partial])
         parts = []
-        for r in self.readers:
+        for r, o in zip(self.readers, self.ordinals):
             ev = SegmentEvaluator(
                 r, stats, an, runtime_mappings=runtime_mappings,
                 join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
             )
-            _, mask = ev.eval(q)
-            parts.append(collect_partials(r, ev, mask, aggs_spec))
+            qscores, mask = ev.eval(q)
+            parts.append(collect_partials(r, ev, mask, aggs_spec,
+                                          scores=qscores, ordinal=o))
         return reduce_partials(parts)
 
 

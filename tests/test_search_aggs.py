@@ -159,3 +159,72 @@ def test_aggs_spec_errors(built):
     with pytest.raises(ValueError, match="doc-values"):
         s.search_aggs({"match_all": {}},
                       {"x": {"stats": {"field": "nope"}}})
+
+
+def test_top_hits_missing_order_mdc(built):
+    idx, rows = built
+    s = LocalSearcher(idx)
+    q = {"match": {"text": rows[0]["text"].split()[0]}}
+    out = s.search_aggs(q, {
+        "best": {"top_hits": {"size": 3}},
+        "by_lang": {"terms": {"field": "lang", "size": 100,
+                              "order": {"adl": "desc"}},
+                    "aggs": {"adl": {"avg": {"field": "dl"}},
+                             "top": {"top_hits": {"size": 1}}}},
+        "by_key": {"terms": {"field": "lang", "size": 100,
+                             "order": {"_key": "asc"}}},
+        "none_missing": {"missing": {"field": "lang"}},
+    })
+    a = out["aggregations"]
+
+    # standalone top_hits == the search_query top-3 (rank-identical;
+    # scores approx — evaluator float64 vs top-k float32 rounding)
+    hits = s.search_query(q, k=3)
+    assert [h["url"] for h in a["best"]["hits"]] == \
+           [h["url"] for h in hits]
+    for g, w in zip(a["best"]["hits"], hits):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-5)
+
+    # per-bucket top hit: the highest-scoring hit whose lang == bucket
+    all_hits = s.search_query(q, k=10_000)
+    for b in a["by_lang"]["buckets"]:
+        langs = {r["url"]: r["lang"] for r in rows}
+        want = next(h for h in all_hits if langs[h["url"]] == b["key"])
+        got = b["top"]["hits"][0]
+        assert got["url"] == want["url"]
+        assert got["score"] == pytest.approx(want["score"], rel=1e-5)
+
+    # order by metric sub-agg desc
+    adls = [b["adl"]["value"] for b in a["by_lang"]["buckets"]]
+    assert adls == sorted(adls, reverse=True)
+    # order by key asc
+    keys = [b["key"] for b in a["by_key"]["buckets"]]
+    assert keys == sorted(keys)
+    # every doc has a lang value
+    assert a["none_missing"]["doc_count"] == 0
+
+    # min_doc_count prunes rare buckets
+    full = s.search_aggs(q, {"t": {"terms": {"field": "lang",
+                                             "size": 100}}})
+    dcs = [b["doc_count"] for b in
+           full["aggregations"]["t"]["buckets"]]
+    thr = sorted(dcs)[len(dcs) // 2]
+    pruned = s.search_aggs(q, {"t": {"terms": {
+        "field": "lang", "size": 100, "min_doc_count": thr + 1}}})
+    assert all(b["doc_count"] > thr
+               for b in pruned["aggregations"]["t"]["buckets"])
+
+
+def test_histogram_zero_fill(built):
+    idx, rows = built
+    s = LocalSearcher(idx)
+    out = s.search_aggs({"match_all": {}}, {
+        "h": {"histogram": {"field": "dl", "interval": 10,
+                            "min_doc_count": 0,
+                            "extended_bounds": {"min": 0, "max": 300}}},
+    })
+    b = out["aggregations"]["h"]["buckets"]
+    keys = [x["key"] for x in b]
+    assert keys == [float(k) for k in range(0, 301, 10)]
+    assert sum(x["doc_count"] for x in b) == len(rows)
+    assert any(x["doc_count"] == 0 for x in b)

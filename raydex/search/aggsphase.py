@@ -20,7 +20,13 @@ builders under ``search/aggregations/metrics`` and ``bucket``:
   NOTE: unlike the reference, the DEFAULT min_doc_count here is 1 —
   gaps are omitted unless 0 is requested), date_histogram
   (calendar_interval minute/hour/day/month/year or fixed_interval),
-  range, filter, missing, global
+  range, filter, missing, global, significant_terms /
+  significant_text (JLH heuristic over foreground-vs-background term
+  counts; each shard ships its ``shard_size`` best candidates with
+  exact fg/bg counts — the reference's accuracy model. Deviation:
+  the reference's significant_text re-analyzes a _source sample;
+  segments here store no _source, so fg counts come from a full
+  postings sweep of the segment, exact rather than sampled)
 
 Sub-aggregations: ``filter`` / ``global`` / ``range`` / ``missing``
 recurse fully (bucket count is request-bounded); ``terms`` /
@@ -247,6 +253,11 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
                     continue
             out[name] = _metric_partial(
                 kind, _doc_values(reader, body["field"])[midx])
+        elif kind in ("significant_terms", "significant_text"):
+            if sub:
+                raise ValueError(
+                    "significant_terms sub-aggregations are not supported")
+            out[name] = _collect_significant(reader, mask, body)
         elif kind == "terms":
             out[name] = _collect_terms(reader, mask, midx, body, sub,
                                        scores, ordinal)
@@ -349,6 +360,54 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
     return {"k": "terms", "buckets": buckets}
 
 
+def _jlh(fg, fg_total, bg, bg_total):
+    """JLH significance (``heuristic/JLHScore.java``): absolute change
+    times relative change of the in-set vs background frequency."""
+    if fg_total == 0 or bg_total == 0 or bg == 0:
+        return 0.0
+    fgp = fg / fg_total
+    bgp = bg / bg_total
+    if fgp <= bgp:
+        return 0.0
+    return (fgp - bgp) * (fgp / bgp)
+
+
+def _collect_significant(reader, mask, body):
+    """fg/bg term counts over matched docs, pruned to the shard's
+    ``shard_size`` best JLH candidates (SignificantTerms/Text
+    aggregators: each shard nominates candidates with EXACT local
+    counts; the coordinator re-scores on merged totals)."""
+    field = body.get("field", "text")
+    fr = reader if field == "text" else (
+        reader.field(field) if hasattr(reader, "field") else None)
+    if fr is None:
+        raise ValueError(
+            f"significant_terms needs an index-time text/keyword field, "
+            f"got {field!r}")
+    # sub-field docids align with the parent segment's docids (one doc
+    # per row in both), so the main-query mask applies directly
+    fg_total = int(mask.sum())
+    bg_total = int(fr.ndocs)
+    size = int(body.get("size", 10))
+    shard_size = int(body.get("shard_size", max(200, size * 3)))
+    cands = []
+    if fg_total:
+        for ti in range(len(fr.terms)):
+            ids, _ = fr.postings(ti)
+            fg = int(np.count_nonzero(mask[ids]))
+            if fg == 0:
+                continue
+            bg = int(fr.df[ti])
+            cands.append(
+                (_jlh(fg, fg_total, bg, bg_total), str(fr.terms[ti]),
+                 fg, bg))
+        cands.sort(key=lambda c: (-c[0], c[1]))
+    return {
+        "k": "sig", "fg_total": fg_total, "bg_total": bg_total,
+        "terms": {t: [fg, bg] for _, t, fg, bg in cands[:shard_size]},
+    }
+
+
 def _fixed_interval_us(s: str) -> int:
     unit = s[-1]
     if unit not in _FIXED_US:
@@ -438,7 +497,60 @@ def _merge_partial(a, b):
             key=lambda h: (-h["score"], h["ordinal"], h["docid"]),
         )[:a["size"]]
         return {"k": "hits", "size": a["size"], "hits": merged}
+    if k == "sig":
+        terms = {t: list(c) for t, c in a["terms"].items()}
+        for t, (fg, bg) in b["terms"].items():
+            if t in terms:
+                terms[t][0] += fg
+                terms[t][1] += bg
+            else:
+                terms[t] = [fg, bg]
+        return {"k": "sig",
+                "fg_total": a["fg_total"] + b["fg_total"],
+                "bg_total": a["bg_total"] + b["bg_total"],
+                "terms": terms}
     raise ValueError(f"unknown partial kind {k!r}")
+
+
+def _iter_sig(aggs_spec: dict, merged: dict):
+    for name, spec in (aggs_spec or {}).items():
+        kind, body, sub = _split_spec(spec)
+        p = merged.get(name)
+        if p is None:
+            continue
+        if kind in ("significant_terms", "significant_text"):
+            yield body, p
+        elif kind in ("filter", "global", "missing"):
+            yield from _iter_sig(sub, p["sub"])
+        elif kind == "range":
+            for b in p["buckets"]:
+                yield from _iter_sig(sub, b["sub"])
+
+
+def fix_significant_bg(aggs_spec: dict, merged: dict,
+                       text_df, field_df) -> None:
+    """Replace nominated candidates' background counts with EXACT
+    global df (one stats lookup per unique term, the engine's
+    dfs_query_then_fetch machinery). A shard only nominates terms with
+    local fg > 0, so summing shard-local bg would undercount terms
+    absent from some shards' matches — the reference accepts that
+    inaccuracy (SignificantTermsAggregatorFactory uses per-nominating-
+    shard docFreq); this engine corrects it."""
+    text_terms: set = set()
+    fpairs: set = set()
+    sigs = list(_iter_sig(aggs_spec, merged))
+    for body, p in sigs:
+        f = body.get("field", "text")
+        if f == "text":
+            text_terms |= set(p["terms"])
+        else:
+            fpairs |= {(f, t) for t in p["terms"]}
+    tdf = text_df(sorted(text_terms)) if text_terms else {}
+    fdf = field_df(sorted(fpairs)) if fpairs else {}
+    for body, p in sigs:
+        f = body.get("field", "text")
+        for t, c in p["terms"].items():
+            c[1] = int(tdf[t] if f == "text" else fdf[(f, t)])
 
 
 def reduce_partials(parts: list[dict]) -> dict:
@@ -491,6 +603,24 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
             out[name] = {"value": len(p["values"])}
         elif kind == "top_hits":
             out[name] = {"hits": p["hits"]}
+        elif kind in ("significant_terms", "significant_text"):
+            size = int(body.get("size", 10))
+            mdc = int(body.get("min_doc_count", 3))
+            scored = [
+                (_jlh(fg, p["fg_total"], bg, p["bg_total"]), t, fg, bg)
+                for t, (fg, bg) in p["terms"].items() if fg >= mdc
+            ]
+            scored = [c for c in scored if c[0] > 0]
+            scored.sort(key=lambda c: (-c[0], c[1]))
+            out[name] = {
+                "doc_count": p["fg_total"],
+                "bg_count": p["bg_total"],
+                "buckets": [
+                    {"key": t, "doc_count": fg, "bg_count": bg,
+                     "score": s}
+                    for s, t, fg, bg in scored[:size]
+                ],
+            }
         elif kind == "terms":
             size = int(body.get("size", 10))
             mdc = int(body.get("min_doc_count", 1))

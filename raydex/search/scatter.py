@@ -1014,7 +1014,7 @@ class LocalSearcher(SearcherBase):
         reference-shaped ``{"hits": [...], "aggregations": {...}}``.
         ``k=0`` skips the hits phase (``"size": 0``, the faceting
         idiom)."""
-        from raydex.search.aggsphase import render_aggs
+        from raydex.search.aggsphase import fix_significant_bg, render_aggs
 
         df, fdf = self._query_stats(self._aggs_stats_qdict(qdict, aggs))
         merged = self.group.query_aggs(
@@ -1023,6 +1023,8 @@ class LocalSearcher(SearcherBase):
             field_sum_dl=self.field_sum_dl,
             runtime_mappings=runtime_mappings,
         )
+        fix_significant_bg(aggs, merged, self.group.term_stats,
+                           self.group.field_term_stats)
         out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
         if k > 0:
             out["hits"] = self.search_query(
@@ -1508,7 +1510,11 @@ class RaySearcher(SearcherBase):
         """Distributed `_search` aggregations: every actor collects one
         merged partial tree over its segment slice (bucket keys +
         scalars — metadata-sized), coordinator reduces + renders."""
-        from raydex.search.aggsphase import reduce_partials, render_aggs
+        from raydex.search.aggsphase import (
+            fix_significant_bg,
+            reduce_partials,
+            render_aggs,
+        )
 
         sq = self._aggs_stats_qdict(qdict, aggs)
         terms, fpairs = self._collect_stats_spec(sq)
@@ -1524,6 +1530,7 @@ class RaySearcher(SearcherBase):
             for a in self.actors
         ]
         merged = reduce_partials(self._ray.get(refs))
+        fix_significant_bg(aggs, merged, self._stats, self._field_stats)
         out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
         if k > 0:
             out["hits"] = self.search_query(

@@ -228,3 +228,65 @@ def test_histogram_zero_fill(built):
     assert keys == [float(k) for k in range(0, 301, 10)]
     assert sum(x["doc_count"] for x in b) == len(rows)
     assert any(x["doc_count"] == 0 for x in b)
+
+
+def test_significant_text_vs_bruteforce(built):
+    idx, rows = built
+    an = get_analyzer("standard")
+    counts = collections.Counter(
+        t for r in rows for t in set(an(r["text"])))
+    token = counts.most_common(20)[10][0]
+    matched = _matches(rows, token)
+    s = LocalSearcher(idx)
+    out = s.search_aggs(
+        {"term": {"text": token}},
+        {"sig": {"significant_text": {"field": "text", "size": 10,
+                                      "min_doc_count": 3,
+                                      "shard_size": 10_000_000}},
+         "sig_lang": {"significant_terms": {"field": "lang", "size": 5,
+                                            "min_doc_count": 1,
+                                            "shard_size": 100}}},
+    )
+    a = out["aggregations"]
+
+    # brute-force oracle: JLH over exact fg/bg doc frequencies
+    fg_total, bg_total = len(matched), len(rows)
+    fg = collections.Counter(
+        t for r in matched for t in set(an(r["text"])))
+    want = []
+    for t, f in fg.items():
+        if f < 3:
+            continue
+        b = counts[t]
+        fgp, bgp = f / fg_total, b / bg_total
+        if fgp > bgp:
+            want.append(((fgp - bgp) * (fgp / bgp), t, f, b))
+    want.sort(key=lambda c: (-c[0], c[1]))
+    got = a["sig"]["buckets"]
+    assert [(b["key"], b["doc_count"], b["bg_count"]) for b in got] == \
+           [(t, f, b) for _, t, f, b in want[:10]]
+    for g, (sc, *_rest) in zip(got, want):
+        assert g["score"] == pytest.approx(sc)
+    # the query term itself is maximally significant (fgp == 1)
+    assert got[0]["key"] == token
+    assert a["sig"]["doc_count"] == fg_total
+
+    # keyword-field significant_terms: counts match the lang split
+    lang_fg = collections.Counter(r["lang"] for r in matched)
+    lang_bg = collections.Counter(r["lang"] for r in rows)
+    for b in a["sig_lang"]["buckets"]:
+        assert b["doc_count"] == lang_fg[b["key"]]
+        assert b["bg_count"] == lang_bg[b["key"]]
+
+    # scatter parity
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        remote = rs.search_aggs(
+            {"term": {"text": token}},
+            {"sig": {"significant_text": {"field": "text", "size": 10,
+                                          "min_doc_count": 3,
+                                          "shard_size": 10_000_000}}},
+        )
+        assert remote["aggregations"]["sig"] == a["sig"]
+    finally:
+        rs.shutdown()

@@ -45,8 +45,8 @@ from __future__ import annotations
 
 import numpy as np
 
-_METRICS = ("avg", "sum", "min", "max", "stats", "value_count",
-            "cardinality")
+_METRICS = ("avg", "sum", "min", "max", "stats", "extended_stats",
+            "value_count", "cardinality", "percentiles")
 _CAL_UNITS = {"minute": "m", "hour": "h", "day": "D", "month": "M",
               "year": "Y"}
 _FIXED_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
@@ -125,12 +125,20 @@ def _metric_partial(kind: str, vals: np.ndarray):
         return {"k": "set",
                 "values": [v.item() if hasattr(v, "item") else v
                            for v in np.unique(vals)]}
+    if kind == "percentiles":
+        from raydex.ops.tdigest import TDigest
+
+        d = TDigest().add(np.asarray(vals, dtype=np.float64))
+        means, weights = d.to_arrays()
+        return {"k": "tdigest", "means": [float(x) for x in means],
+                "weights": [float(x) for x in weights]}
     if n == 0:
         return {"k": "stats", "count": 0, "sum": 0.0,
-                "min": None, "max": None}
+                "min": None, "max": None, "sum_sq": 0.0}
     return {
         "k": "stats", "count": n, "sum": float(np.sum(vals)),
         "min": float(np.min(vals)), "max": float(np.max(vals)),
+        "sum_sq": float(np.sum(np.asarray(vals, dtype=np.float64) ** 2)),
     }
 
 
@@ -163,10 +171,10 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
                     reader, mo[starts[b]:ends[b]], scores, ordinal, size)
             continue
         v = _doc_values(reader, body["field"])[midx][order]
-        if kind == "cardinality":
+        if kind in ("cardinality", "percentiles"):
             for b in range(n_keys):
                 per_bucket[b][name] = _metric_partial(
-                    "cardinality", v[starts[b]:ends[b]])
+                    kind, v[starts[b]:ends[b]])
             continue
         counts = ends - starts
         if kind == "value_count":
@@ -178,6 +186,7 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
         sums = np.zeros(n_keys)
         mins = np.zeros(n_keys)
         maxs = np.zeros(n_keys)
+        sqs = np.zeros(n_keys)
         if nz.any():
             # reduceat windows are exact: ends[b] == starts[b+1] (right
             # bound of b == left bound of b+1 in a sorted stream), so
@@ -186,16 +195,18 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
             sums[nz] = np.add.reduceat(vf, st)
             mins[nz] = np.minimum.reduceat(vf, st)
             maxs[nz] = np.maximum.reduceat(vf, st)
+            sqs[nz] = np.add.reduceat(vf * vf, st)
         for b in range(n_keys):
             if counts[b]:
                 per_bucket[b][name] = {
                     "k": "stats", "count": int(counts[b]),
                     "sum": float(sums[b]), "min": float(mins[b]),
-                    "max": float(maxs[b]),
+                    "max": float(maxs[b]), "sum_sq": float(sqs[b]),
                 }
             else:
                 per_bucket[b][name] = {"k": "stats", "count": 0,
-                                       "sum": 0.0, "min": None, "max": None}
+                                       "sum": 0.0, "min": None,
+                                       "max": None, "sum_sq": 0.0}
     return per_bucket
 
 
@@ -469,7 +480,18 @@ def _merge_partial(a, b):
             "k": "stats", "count": a["count"] + b["count"],
             "sum": a["sum"] + b["sum"],
             "min": min(a["min"], b["min"]), "max": max(a["max"], b["max"]),
+            "sum_sq": a.get("sum_sq", 0.0) + b.get("sum_sq", 0.0),
         }
+    if k == "tdigest":
+        from raydex.ops.tdigest import TDigest
+
+        d = TDigest.from_arrays(np.asarray(a["means"]),
+                                np.asarray(a["weights"]))
+        d.merge(TDigest.from_arrays(np.asarray(b["means"]),
+                                    np.asarray(b["weights"])))
+        means, weights = d.to_arrays()
+        return {"k": "tdigest", "means": [float(x) for x in means],
+                "weights": [float(x) for x in weights]}
     if k in ("terms", "hist", "dhist"):
         buckets = dict(a["buckets"])
         for key, bb in b["buckets"].items():
@@ -573,7 +595,10 @@ def _empty_partial(kind: str):
         return {"k": "set", "values": []}
     if kind == "top_hits":
         return {"k": "hits", "size": 0, "hits": []}
-    return {"k": "stats", "count": 0, "sum": 0.0, "min": None, "max": None}
+    if kind == "percentiles":
+        return {"k": "tdigest", "means": [], "weights": []}
+    return {"k": "stats", "count": 0, "sum": 0.0, "min": None, "max": None,
+            "sum_sq": 0.0}
 
 
 def render_aggs(aggs_spec: dict, merged: dict) -> dict:
@@ -591,12 +616,31 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
                 out[name] = {"value": p["sum"] / p["count"]}
             else:
                 out[name] = {"value": p[kind] if kind != "sum" else p["sum"]}
-        elif kind == "stats":
+        elif kind in ("stats", "extended_stats"):
             out[name] = {
                 "count": p["count"], "sum": p["sum"],
                 "min": p["min"], "max": p["max"],
                 "avg": (p["sum"] / p["count"]) if p["count"] else None,
             }
+            if kind == "extended_stats":
+                n, sm, sq = p["count"], p["sum"], p.get("sum_sq", 0.0)
+                var = max(0.0, sq / n - (sm / n) ** 2) if n else None
+                out[name].update({
+                    "sum_of_squares": sq if n else None,
+                    "variance": var,
+                    "std_deviation": (var ** 0.5) if n else None,
+                })
+        elif kind == "percentiles":
+            from raydex.ops.tdigest import TDigest
+
+            d = TDigest.from_arrays(np.asarray(p["means"]),
+                                    np.asarray(p["weights"]))
+            percents = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            out[name] = {"values": {
+                str(float(pc)): (d.quantile(pc / 100.0)
+                                 if len(p["means"]) else None)
+                for pc in percents
+            }}
         elif kind == "value_count":
             out[name] = {"value": p["count"]}
         elif kind == "cardinality":

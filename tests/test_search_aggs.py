@@ -290,3 +290,48 @@ def test_significant_text_vs_bruteforce(built):
         assert remote["aggregations"]["sig"] == a["sig"]
     finally:
         rs.shutdown()
+
+
+def test_percentiles_and_extended_stats(built):
+    idx, rows = built
+    s = LocalSearcher(idx)
+    out = s.search_aggs({"match_all": {}}, {
+        "pct": {"percentiles": {"field": "dl",
+                                "percents": [50, 95]}},
+        "xs": {"extended_stats": {"field": "dl"}},
+        "by_lang": {"terms": {"field": "lang", "size": 2},
+                    "aggs": {"p": {"percentiles": {"field": "dl",
+                                                   "percents": [50]}},
+                             "x": {"extended_stats": {"field": "dl"}}}},
+    })
+    a = out["aggregations"]
+    dls = np.array([r["dl"] for r in rows], dtype=float)
+
+    # t-digest medians land near the exact quantiles
+    assert a["pct"]["values"]["50.0"] == pytest.approx(
+        np.quantile(dls, 0.5), rel=0.05)
+    assert a["pct"]["values"]["95.0"] == pytest.approx(
+        np.quantile(dls, 0.95), rel=0.05)
+
+    # extended_stats exact moments
+    assert a["xs"]["count"] == len(dls)
+    assert a["xs"]["sum_of_squares"] == pytest.approx((dls ** 2).sum())
+    assert a["xs"]["variance"] == pytest.approx(dls.var())
+    assert a["xs"]["std_deviation"] == pytest.approx(dls.std())
+
+    # per-bucket variants agree with the bucket's own value set
+    for b in a["by_lang"]["buckets"]:
+        bd = np.array([r["dl"] for r in rows if r["lang"] == b["key"]],
+                      dtype=float)
+        assert b["x"]["variance"] == pytest.approx(bd.var())
+        assert b["p"]["values"]["50.0"] == pytest.approx(
+            np.quantile(bd, 0.5), rel=0.10)
+
+    # scatter parity for the digest merge law
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        remote = rs.search_aggs({"match_all": {}}, {
+            "xs": {"extended_stats": {"field": "dl"}}})
+        assert remote["aggregations"]["xs"] == a["xs"]
+    finally:
+        rs.shutdown()

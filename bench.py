@@ -208,6 +208,23 @@ def run_bench() -> dict:
                         k=9000)
     timings["join_has_parent_x5"] = round(time.perf_counter() - t0, 3)
 
+    # ---- search-request aggregations over the served pages index
+    # (AggregationPhase diagnostics): facet histogram + top_hits +
+    # significant_text, whose per-segment postings sweep dominates —
+    # timed to keep the candidate-nomination path honest at corpus scale
+    asearch = LocalSearcher(serve_idx)
+    aggs_spec = {
+        "dl_hist": {"histogram": {"field": "dl", "interval": 20},
+                    "aggs": {"m": {"avg": {"field": "dl"}}}},
+        "best": {"top_hits": {"size": 3}},
+        "sig": {"significant_text": {"field": "text", "size": 10}},
+    }
+    asearch.search_aggs({"match": {"text": "search"}}, aggs_spec)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        asearch.search_aggs({"match": {"text": "search"}}, aggs_spec)
+    timings["search_aggs_x5"] = round(time.perf_counter() - t0, 3)
+
     headline = t_build + t_query
     out = {
         "metric": "fulltext build + BM25 top-10 batch QPS (headline sec)",

@@ -1205,6 +1205,57 @@ class SegmentReader:
     def url_of(self, docid: int) -> str:
         return self.urls[int(docid)].as_py()
 
+    def all_postings_docids(self) -> tuple[np.ndarray, np.ndarray]:
+        """Flat docids of EVERY posting (term-major) + per-term start
+        offsets, decoded in ONE varint pass over the whole payload
+        (blocks are contiguous term-major, so a single decode yields
+        every block's values in order). Cached: int32 docids cost
+        ~4B/posting, bounded by the segment flush threshold — the
+        full-dictionary sweep that significant_terms candidate
+        nomination and keyword-field terms aggs need, without a
+        per-term Python decode loop."""
+        sweep = getattr(self, "_docid_sweep", None)
+        if sweep is None:
+            from raydex.index.postings import (_reassemble, _spans,
+                                               varint_decode)
+
+            # bucketed-layout segments keep the payload in BUCKET byte
+            # order while the block metadata is term-sorted, so decode
+            # in payload order and gather runs back to term order
+            ns = self.blk_n.astype(np.int64)
+            order = np.argsort(self.blk_off, kind="stable")
+            vals = varint_decode(self.payload)
+            docids_p, _ = _reassemble(vals, ns[order])
+            starts_p = np.cumsum(ns[order]) - ns[order]
+            inv = np.empty(order.size, dtype=np.int64)
+            inv[order] = np.arange(order.size)
+            docids = docids_p[_spans(starts_p[inv], ns)]
+            df = self.df.astype(np.int64)
+            starts = np.zeros(df.size + 1, dtype=np.int64)
+            np.cumsum(df, out=starts[1:])
+            self._docid_sweep = sweep = (docids.astype(np.int32), starts)
+        return sweep
+
+    def fg_term_counts(self, mask: np.ndarray) -> np.ndarray:
+        """Per-term count of matched docs (``mask`` indexed by docid)
+        across ALL terms — significant_terms/text per-shard candidate
+        nomination (``SignificantTermsAggregatorFactory``: each shard
+        nominates with exact local fg counts). One mask gather + one
+        ``reduceat`` over the cached flat-docid sweep."""
+        docids, starts = self.all_postings_docids()
+        nterms = self.df.size
+        if docids.size == 0 or nterms == 0:
+            return np.zeros(nterms, dtype=np.int64)
+        hits = mask[docids].astype(np.int64)
+        live = self.df > 0
+        if live.all():
+            return np.add.reduceat(hits, starts[:-1])
+        out = np.zeros(nterms, dtype=np.int64)
+        idx = np.flatnonzero(live)
+        if idx.size:
+            out[idx] = np.add.reduceat(hits, starts[:-1][idx])
+        return out
+
     def postings_with_positions(self, ti: int):
         """(docids, tfs, flat positions, per-posting offsets) for a term.
 

@@ -105,11 +105,12 @@ def _keyword_postings(reader, field: str):
     fr = reader.field(field) if hasattr(reader, "field") else None
     if fr is None or fr is reader:
         return None
-    out = []
-    for ti in range(len(fr.terms)):
-        ids, _ = fr.postings(ti)
-        out.append((str(fr.terms[ti]), ids))
-    return out
+    docids, starts = fr.all_postings_docids()
+    terms = fr.terms
+    return [
+        (str(terms[ti]), docids[starts[ti]:starts[ti + 1]])
+        for ti in range(terms.size)
+    ]
 
 
 # ------------------------------------------------------------ collect
@@ -401,21 +402,34 @@ def _collect_significant(reader, mask, body):
     bg_total = int(fr.ndocs)
     size = int(body.get("size", 10))
     shard_size = int(body.get("shard_size", max(200, size * 3)))
-    cands = []
+    terms_out: dict = {}
     if fg_total:
-        for ti in range(len(fr.terms)):
-            ids, _ = fr.postings(ti)
-            fg = int(np.count_nonzero(mask[ids]))
-            if fg == 0:
-                continue
-            bg = int(fr.df[ti])
-            cands.append(
-                (_jlh(fg, fg_total, bg, bg_total), str(fr.terms[ti]),
-                 fg, bg))
-        cands.sort(key=lambda c: (-c[0], c[1]))
+        # one vectorized sweep for ALL terms' fg counts (no per-term
+        # postings decode); JLH scored in numpy. The term dict is
+        # byte-sorted, so among equal scores ascending term INDEX is
+        # ascending term string — a stable argsort on -score reproduces
+        # the scalar (-score, term) order without materializing the
+        # vocabulary; only the shard_size winners get .as_py()'d.
+        fg_all = fr.fg_term_counts(mask)
+        cand = np.flatnonzero(fg_all)
+        if cand.size:
+            fg = fg_all[cand].astype(np.float64)
+            bg = fr.df[cand].astype(np.float64)
+            fgp = fg / fg_total
+            bgp = bg / bg_total
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.where(
+                    (bgp > 0) & (fgp > bgp), (fgp - bgp) * (fgp / bgp), 0.0)
+            order = np.argsort(-score, kind="stable")[:shard_size]
+            sel = cand[order]
+            terms_out = {
+                str(fr._terms_pa[int(ti)].as_py()):
+                    [int(fg_all[ti]), int(fr.df[ti])]
+                for ti in sel
+            }
     return {
         "k": "sig", "fg_total": fg_total, "bg_total": bg_total,
-        "terms": {t: [fg, bg] for _, t, fg, bg in cands[:shard_size]},
+        "terms": terms_out,
     }
 
 

@@ -1111,6 +1111,26 @@ def q_analytics_aggs_events(sf):
     for _, row in norm.iterrows():
         rows.append(("c_normalize", row["event_type"],
                      float(row["normalized"])))
+
+    from raydex.ops.analytics_aggs import (
+        cumulative_cardinality,
+        string_stats,
+    )
+
+    ss = string_stats(_ds(sf, "events", ["event_type"]), "event_type")
+    for m in ("count", "min_length", "max_length"):
+        rows.append(("d_string_stats", m, float(ss[m])))
+    rows.append(("d_string_stats", "avg_length", round(ss["avg_length"], 6)))
+    rows.append(("d_string_stats", "entropy", round(ss["entropy"], 6)))
+
+    cc = cumulative_cardinality(
+        _ds(sf, "events", ["ts", "user_id"]), "ts", "user_id",
+        interval_us=86_400_000_000,
+    ).to_pandas()
+    for _, row in cc.iterrows():
+        day = str(np.datetime64(int(row["bucket"]), "us"))[:10]
+        rows.append(("e_cumcard:" + day,
+                     day, float(row["cumulative_cardinality"])))
     return pa.table(
         {
             "tag": pa.array([r[0] for r in rows], pa.string()),
@@ -2225,7 +2245,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'c_normalize', event_type, "
             "CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () * 100.0 "
-            "FROM events GROUP BY event_type"
+            "FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'd_string_stats', m, v FROM ("
+            "SELECT 'count' AS m, CAST(COUNT(event_type) AS DOUBLE) AS v FROM events "
+            "UNION ALL SELECT 'min_length', MIN(length(event_type)) FROM events "
+            "UNION ALL SELECT 'max_length', MAX(length(event_type)) FROM events "
+            "UNION ALL SELECT 'avg_length', ROUND(SUM(length(event_type)) "
+            "/ CAST(COUNT(event_type) AS DOUBLE), 6) FROM events "
+            "UNION ALL SELECT 'entropy', ROUND(-SUM(p * log2(p)), 6) FROM ("
+            "SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT SUM(length(event_type)) "
+            "FROM events) AS p FROM (SELECT unnest(string_split(event_type, '')) "
+            "AS c FROM events) GROUP BY c)"
+            ") "
+            "UNION ALL "
+            "SELECT 'e_cumcard:' || d, d, CAST(SUM(c) OVER (ORDER BY d) AS DOUBLE) "
+            "FROM (SELECT strftime(b, '%Y-%m-%d') AS d, COUNT(*) AS c FROM ("
+            "SELECT user_id, MIN(date_trunc('day', ts)) AS b FROM events "
+            "GROUP BY user_id) GROUP BY 1)"
             ") ORDER BY tag, key"
         ),
         "adjacency_matrix_events": (

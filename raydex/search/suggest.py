@@ -10,20 +10,46 @@ from raydex.search.query import _edit_distance_le
 
 
 def term_suggest(reader, text: str, max_edits: int = 2, size: int = 5,
-                 analyzer=None) -> dict:
+                 analyzer=None, prefix_length: int = 1,
+                 min_word_length: int = 4) -> dict:
     """Per input token: up to ``size`` dictionary terms within
-    ``max_edits``, ranked by (edit distance asc, df desc, term asc)."""
+    ``max_edits``, ranked by (edit distance asc, df desc, term asc).
+
+    Candidate narrowing matches the reference's DirectSpellChecker
+    defaults (``DirectSpellcheckerSettings.java:28-32``: prefix_length=1,
+    min_word_length=4): the shared-prefix constraint is a binary-search
+    RANGE over the sorted term dict and the +-max_edits length window is
+    one vectorized mask (utf8_length cached per reader) — the exact
+    banded edit-distance check runs only on the survivors, not the
+    vocabulary."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     toks = analyzer(text) if analyzer else text.lower().split()
     out: dict[str, list] = {}
-    terms = reader.terms
     df = reader.df
+    lens = getattr(reader, "_term_lens", None)
+    if lens is None:
+        lens = reader._term_lens = pc.utf8_length(
+            reader._terms_pa).to_numpy(zero_copy_only=False)
     for tok in toks:
+        if reader.lookup(tok) >= 0 or len(tok) < min_word_length:
+            out[tok] = []  # exact hit / too short: no suggestion
+            continue
+        from raydex.search.query import expand_prefix
+
+        if prefix_length > 0:
+            idx = np.asarray(expand_prefix(reader, tok[:prefix_length]),
+                             dtype=np.int64)
+        else:
+            idx = np.arange(lens.size, dtype=np.int64)
+        if idx.size:
+            w = lens[idx]
+            idx = idx[(w >= len(tok) - max_edits)
+                      & (w <= len(tok) + max_edits)]
         cands = []
-        for i in range(terms.size):
-            t = terms[i]
-            if t == tok:
-                cands = []  # exact hit: no suggestion needed
-                break
+        for i in idx:
+            t = str(reader._terms_pa[int(i)].as_py())
             for d in range(1, max_edits + 1):
                 if _edit_distance_le(tok, t, d):
                     cands.append((d, -int(df[i]), t))

@@ -146,6 +146,19 @@ class _Percolator:
             q = _prepare(parse_query(dsl), self.an)
             req = required_terms(q, self.an)
             self.compiled.append((qid, q, req or None))
+        # term -> query candidates: the percolator's extracted-terms
+        # index (``modules/percolator/.../QueryAnalyzer.java`` extracts
+        # required terms at registration; candidate selection is a terms
+        # lookup, not a scan) — per doc the work is O(matching
+        # candidates), independent of the registered-query count
+        self.by_term: dict[str, list[int]] = {}
+        self.always: list[int] = []  # no extractable required terms
+        for idx, (_, _, req) in enumerate(self.compiled):
+            if req:
+                for term in req:
+                    self.by_term.setdefault(term, []).append(idx)
+            else:
+                self.always.append(idx)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_pylist()
@@ -153,9 +166,11 @@ class _Percolator:
         for i, text in enumerate(t[self.text_col].to_pylist()):
             toks = self.an(str(text))
             tokset = set(toks)
-            for qid, q, req in self.compiled:
-                if req is not None and tokset.isdisjoint(req):
-                    continue  # candidate pre-filter
+            cand = set(self.always)
+            for tok in tokset:
+                cand.update(self.by_term.get(tok, ()))
+            for idx in sorted(cand):
+                qid, q, _ = self.compiled[idx]
                 if _doc_matches(q, toks, tokset):
                     out_doc.append(ids[i])
                     out_q.append(qid)

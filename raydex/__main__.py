@@ -78,6 +78,9 @@ def main(argv=None) -> int:
     s.add_argument("--docvalue-fields", default=None,
                    help="comma-separated stored doc-values columns to "
                         "return per hit (the docvalue_fields fetch phase)")
+    s.add_argument("--routing", default=None,
+                   help="routing key: search ONLY the partition this key "
+                        "routes to (the ?routing= shard-targeting param)")
     s.add_argument("--aggs", default=None,
                    help="JSON aggregations body (the `_search` aggs "
                         "section: terms/stats/histogram/date_histogram/"
@@ -200,7 +203,8 @@ def main(argv=None) -> int:
         dv_fields = ([f.strip() for f in a.docvalue_fields.split(",")
                       if f.strip()] if a.docvalue_fields else None)
         if a.aggs:
-            if a.sort or a.profile or a.min_score is not None or dv_fields:
+            if (a.sort or a.profile or a.min_score is not None or dv_fields
+                    or a.routing):
                 p.error("--aggs combines only with --dsl/--query/--k")
             out = searcher.search_aggs(
                 json.loads(a.dsl) if a.dsl else (
@@ -214,18 +218,18 @@ def main(argv=None) -> int:
                              default=str))
             return 0
         if a.sort:
-            if a.min_score is not None or dv_fields:
-                p.error("--min-score/--docvalue-fields are not supported "
-                        "with --sort")
+            if a.min_score is not None or dv_fields or a.routing:
+                p.error("--min-score/--docvalue-fields/--routing are not "
+                        "supported with --sort")
             field, _, order = a.sort.partition(":")
             hits = searcher.search_sorted(
                 json.loads(a.dsl) if a.dsl else {"match_all": {}},
                 sort_field=field, order=order or "asc", k=a.k,
             )
         elif a.dsl and a.profile:
-            if a.min_score is not None or dv_fields:
-                p.error("--min-score/--docvalue-fields are not supported "
-                        "with --profile")
+            if a.min_score is not None or dv_fields or a.routing:
+                p.error("--min-score/--docvalue-fields/--routing are not "
+                        "supported with --profile")
             out = searcher.profile_search(json.loads(a.dsl), k=a.k)
             for h in out["hits"]:
                 print(json.dumps(h))
@@ -235,6 +239,7 @@ def main(argv=None) -> int:
             hits = searcher.search_query(
                 json.loads(a.dsl), k=a.k, from_=a.from_,
                 min_score=a.min_score, docvalue_fields=dv_fields,
+                routing=a.routing,
             )
         elif a.min_score is not None or dv_fields:
             # plain-text path with fetch/threshold options: route
@@ -244,10 +249,11 @@ def main(argv=None) -> int:
                                     "operator": a.operator}}},
                 k=a.k, from_=a.from_,
                 min_score=a.min_score, docvalue_fields=dv_fields,
+                routing=a.routing,
             )
         else:
             hits = searcher.search(a.query or "", k=a.k, operator=a.operator,
-                                   from_=a.from_)
+                                   from_=a.from_, routing=a.routing)
         for h in hits:
             print(json.dumps(h))
     elif a.cmd == "count":

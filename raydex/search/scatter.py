@@ -360,7 +360,7 @@ class SegmentGroup:
                               runtime_mappings=runtime_mappings)
             join_maps = reduce_join_phase1(jnodes, [partial])
         out = []
-        for r, o in self._can_match_readers(q, can_match):
+        for r, o in self._can_match_readers(q, can_match, only_part):
             ev = SegmentEvaluator(
                 r, stats, an, runtime_mappings=runtime_mappings,
                 join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
@@ -833,6 +833,19 @@ class SearcherBase:
         ]
         self.ndocs = self.manifest["doc_count"]
         self.sum_dl = self.manifest["sum_dl"]
+        # routing partition count (single-index only): the same
+        # build_params-first rule get_doc routes with, so ?routing=
+        # search targeting and point GETs agree across reshapes
+        self.num_partitions = None
+        if len(dirs) == 1:
+            import json as _json
+
+            pp = os.path.join(dirs[0], "build_params.json")
+            if os.path.exists(pp):
+                with open(pp) as f:
+                    self.num_partitions = _json.load(f).get("num_partitions")
+            else:
+                self.num_partitions = self.manifest.get("num_partitions")
         # index-time mapped fields: union per-field specs, sum global dl
         self.fields_meta: dict = {}
         for m in manifests:
@@ -909,6 +922,23 @@ class SearcherBase:
     def analyze(self, query_text: str) -> list[str]:
         return self.analyzer(query_text)
 
+    def _route_part(self, routing: str | None) -> int | None:
+        """Partition for a ``?routing=`` search parameter (the
+        reference's shard targeting, ``OperationRouting.searchShards``:
+        the request fans out ONLY to the routed shard). Results equal
+        the unrouted search restricted to docs of that partition, with
+        identical scores (global stats stay index-wide — the engine's
+        dfs_query_then_fetch contract)."""
+        if routing is None:
+            return None
+        if self.num_partitions is None:
+            raise ValueError(
+                "routing requires a single index with a recorded "
+                "partition count")
+        from raydex.partition import route_partitions
+
+        return int(route_partitions([routing], self.num_partitions)[0])
+
     def analyze_field(self, field: str, text: str) -> list[str]:
         """Per-field search analysis: the field's own index-time analyzer
         when mapped, keywordish fallback for derived fields."""
@@ -979,7 +1009,7 @@ class LocalSearcher(SearcherBase):
 
     def search(self, query_text: str, k: int = 10, method: str = "auto",
                operator: str = "or", minimum_should_match: int = 0,
-               from_: int = 0):
+               from_: int = 0, routing: str | None = None):
         w = _window(k, from_)
         terms = self.analyze(query_text)
         if not terms:
@@ -987,7 +1017,7 @@ class LocalSearcher(SearcherBase):
         df = self.group.term_stats(terms)
         per_seg = self.group.top_k(
             terms, w, self.ndocs, self.sum_dl, df, method, operator,
-            minimum_should_match,
+            minimum_should_match, only_part=self._route_part(routing),
         )
         return merge_top_k(per_seg, w)[from_:]
 
@@ -1000,7 +1030,8 @@ class LocalSearcher(SearcherBase):
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
                      runtime_mappings: dict | None = None,
                      docvalue_fields: list[str] | None = None,
-                     min_score: float | None = None):
+                     min_score: float | None = None,
+                     routing: str | None = None):
         """Structured DSL search (`POST _search {"query": ...}` analogue).
         ``runtime_mappings``: per-request runtime fields ({field:
         {"factory": <registered>, "params": {...}}}) — the search body's
@@ -1032,7 +1063,7 @@ class LocalSearcher(SearcherBase):
             qdict, w, self.ndocs, self.sum_dl, df, self.manifest["analyzer"],
             fdf=fdf, field_sum_dl=self.field_sum_dl,
             runtime_mappings=runtime_mappings, join_maps=jm,
-            min_score=min_score,
+            min_score=min_score, only_part=self._route_part(routing),
         )
         hits = merge_top_k(per_seg, w)[from_:]
         if ih:
@@ -1373,7 +1404,7 @@ class RaySearcher(SearcherBase):
 
     def search(self, query_text: str, k: int = 10, method: str = "auto",
                operator: str = "or", minimum_should_match: int = 0,
-               from_: int = 0):
+               from_: int = 0, routing: str | None = None):
         w = _window(k, from_)
         terms = self.analyze(query_text)
         if not terms:
@@ -1381,7 +1412,8 @@ class RaySearcher(SearcherBase):
         df = self._stats(terms)
         refs = [
             a.top_k.remote(terms, w, self.ndocs, self.sum_dl, df, method,
-                           operator, minimum_should_match)
+                           operator, minimum_should_match,
+                           only_part=self._route_part(routing))
             for a in self.actors
         ]
         per_seg = [seg for actor_out in self._ray.get(refs) for seg in actor_out]
@@ -1428,7 +1460,8 @@ class RaySearcher(SearcherBase):
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
                      runtime_mappings: dict | None = None,
                      docvalue_fields: list[str] | None = None,
-                     min_score: float | None = None):
+                     min_score: float | None = None,
+                     routing: str | None = None):
         """Structured DSL search, scatter-gathered over the actor pool.
         ``runtime_mappings`` travel as plain JSON — each actor builds
         (and caches) the request-local derived index for its segments."""
@@ -1442,7 +1475,8 @@ class RaySearcher(SearcherBase):
                                  self.manifest["analyzer"],
                                  fdf=fdf, field_sum_dl=self.field_sum_dl,
                                  runtime_mappings=runtime_mappings,
-                                 join_maps=jm, min_score=min_score)
+                                 join_maps=jm, min_score=min_score,
+                                 only_part=self._route_part(routing))
             for a in self.actors
         ]
         per_seg = [s for actor_out in self._ray.get(refs) for s in actor_out]

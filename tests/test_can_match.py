@@ -97,3 +97,40 @@ def test_count_with_skip_matches_full(idx):
         fdf=fdf, field_sum_dl=s.field_sum_dl, can_match=False,
     )
     assert n == full > 0
+
+
+def test_routing_targets_one_partition(idx):
+    """?routing= search targeting (OperationRouting.searchShards): the
+    routed search equals the full search restricted to the routed
+    partition's docs, scores identical (global stats stay index-wide)."""
+    from raydex.partition import route_partitions
+    from raydex.search.scatter import RaySearcher
+
+    s = LocalSearcher(idx)
+    full = s.search_query({"match": {"text": "alpha"}}, k=200)
+    assert s.num_partitions == 2
+    total_routed = 0
+    for routing in ("a0000.example", "b0001.example"):
+        part = int(route_partitions([routing], s.num_partitions)[0])
+        routed = s.search_query({"match": {"text": "alpha"}}, k=200,
+                                routing=routing)
+        assert s.group.last_routing_skipped > 0
+        want = [h for h in full
+                if int(route_partitions([h["url"]], 2)[0]) == part]
+        assert [(h["url"], h["score"]) for h in routed] == \
+            [(h["url"], h["score"]) for h in want]
+        total_routed += len(routed)
+        # plain-text path agrees
+        routed2 = s.search("alpha", k=200, routing=routing)
+        assert [(h["url"], h["score"]) for h in routed2] == \
+            [(h["url"], h["score"]) for h in want]
+    assert total_routed == len(full)
+    # scatter path: same routed answer through the actor pool
+    rs = RaySearcher(idx, num_actors=3)
+    got = rs.search_query({"match": {"text": "alpha"}}, k=200,
+                          routing="a0000.example")
+    part = int(route_partitions(["a0000.example"], 2)[0])
+    want = [h for h in full if int(route_partitions([h["url"]], 2)[0]) == part]
+    assert [(h["url"], h["score"]) for h in got] == \
+        [(h["url"], h["score"]) for h in want]
+    rs.shutdown()

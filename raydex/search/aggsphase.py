@@ -98,19 +98,16 @@ def _doc_values(reader, field: str) -> np.ndarray:
     return dv
 
 
-def _keyword_postings(reader, field: str):
-    """[(term, docids)] for a keyword-ish index-time field — the
-    SortedSetDocValues analogue for terms/cardinality (exact
-    multi-value semantics: a doc counts once per distinct value)."""
-    fr = reader.field(field) if hasattr(reader, "field") else None
-    if fr is None or fr is reader:
+def _field_subreader(reader, field: str):
+    """Keyword-ish index-time sub-field reader (the SortedSetDocValues
+    analogue for terms/cardinality/missing: exact multi-value semantics,
+    a doc counts once per distinct value), or None when the field has no
+    sub-index (callers fall back to doc-values)."""
+    try:
+        fr = reader.field(field) if hasattr(reader, "field") else None
+    except Exception:
         return None
-    docids, starts = fr.all_postings_docids()
-    terms = fr.terms
-    return [
-        (str(terms[ti]), docids[starts[ti]:starts[ti + 1]])
-        for ti in range(terms.size)
-    ]
+    return None if fr is None or fr is reader else fr
 
 
 # ------------------------------------------------------------ collect
@@ -252,14 +249,16 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
             if sub:
                 raise ValueError("metric aggregations take no sub-aggregations")
             if kind == "cardinality":
-                kp = None
-                try:
-                    kp = _keyword_postings(reader, body["field"])
-                except Exception:
-                    kp = None
-                if kp is not None:
+                fr = _field_subreader(reader, body["field"])
+                if fr is not None:
+                    # distinct keyword values among matched docs: one
+                    # sweep reduceat; only the surviving terms get
+                    # materialized for the coordinator's cross-segment
+                    # distinct merge
+                    nz = np.flatnonzero(fr.fg_term_counts(mask))
                     vals = np.array(
-                        [t for t, ids in kp if mask[ids].any()], dtype=object
+                        [str(fr._terms_pa[int(ti)].as_py()) for ti in nz],
+                        dtype=object,
                     )
                     out[name] = _metric_partial("cardinality", vals)
                     continue
@@ -298,13 +297,12 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
             # the field (keyword fields: outside every posting list;
             # float doc-values: NaN; dense int columns: none missing)
             field = body["field"]
-            kp = (None if field in ("dl", "url")
+            fr = (None if field in ("dl", "url")
                   or field in reader.doc_values
-                  else _keyword_postings(reader, field))
-            if kp is not None:
+                  else _field_subreader(reader, field))
+            if fr is not None:
                 covered = np.zeros(reader.ndocs, dtype=bool)
-                for _, ids in kp:
-                    covered[ids] = True
+                covered[fr.all_postings_docids()[0]] = True
                 mmask = mask & ~covered
             else:
                 vals = _doc_values(reader, field)
@@ -343,23 +341,28 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
 def _collect_terms(reader, mask, midx, body, sub_spec,
                    scores=None, ordinal: int = 0):
     field = body["field"]
-    kp = None
+    fr = None
     if field not in ("dl", "url") and field not in reader.doc_values:
-        kp = _keyword_postings(reader, field)
+        fr = _field_subreader(reader, field)
     buckets: dict = {}
-    if kp is not None:
-        # keyword index-time field: postings-intersection path (exact
-        # multi-value semantics, like SortedSetDocValues terms)
-        for term, ids in kp:
-            hit = ids[mask[ids]]
-            if len(hit) == 0:
-                continue
-            b = {"doc_count": int(len(hit)), "sub": {}}
+    if fr is not None:
+        # keyword index-time field: one sweep reduceat gives every
+        # term's matched count (exact multi-value semantics, like
+        # SortedSetDocValues terms); only surviving terms materialize
+        fg = fr.fg_term_counts(mask)
+        nz = np.flatnonzero(fg)
+        docids = starts = None
+        if sub_spec and nz.size:
+            docids, starts = fr.all_postings_docids()
+        for ti in nz:
+            b = {"doc_count": int(fg[ti]), "sub": {}}
             if sub_spec:
+                ids = docids[starts[ti]:starts[ti + 1]]
+                hit = ids[mask[ids]]
                 inv = np.zeros(len(hit), dtype=np.int64)
                 b["sub"] = _grouped_metric_partials(
                     sub_spec, reader, hit, inv, 1, scores, ordinal)[0]
-            buckets[term] = b
+            buckets[str(fr._terms_pa[int(ti)].as_py())] = b
     else:
         vals = _doc_values(reader, field)[midx]
         keys, inv, counts = np.unique(

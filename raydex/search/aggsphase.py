@@ -338,12 +338,42 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
     return out
 
 
+def _term_filter(body):
+    """terms-agg include/exclude (``IncludeExclude.java``): exact value
+    list or anchored regex over the bucket key; None = keep all."""
+    inc, exc = body.get("include"), body.get("exclude")
+    if inc is None and exc is None:
+        return None
+    import re
+
+    inc_rx = re.compile(inc) if isinstance(inc, str) else None
+    exc_rx = re.compile(exc) if isinstance(exc, str) else None
+
+    def ok(t: str) -> bool:
+        if inc is not None:
+            if inc_rx is not None:
+                if not inc_rx.fullmatch(t):
+                    return False
+            elif t not in inc:
+                return False
+        if exc is not None:
+            if exc_rx is not None:
+                if exc_rx.fullmatch(t):
+                    return False
+            elif t in exc:
+                return False
+        return True
+
+    return ok
+
+
 def _collect_terms(reader, mask, midx, body, sub_spec,
                    scores=None, ordinal: int = 0):
     field = body["field"]
     fr = None
     if field not in ("dl", "url") and field not in reader.doc_values:
         fr = _field_subreader(reader, field)
+    keep = _term_filter(body)
     buckets: dict = {}
     if fr is not None:
         # keyword index-time field: one sweep reduceat gives every
@@ -355,6 +385,9 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
         if sub_spec and nz.size:
             docids, starts = fr.all_postings_docids()
         for ti in nz:
+            key = str(fr._terms_pa[int(ti)].as_py())
+            if keep is not None and not keep(key):
+                continue
             b = {"doc_count": int(fg[ti]), "sub": {}}
             if sub_spec:
                 ids = docids[starts[ti]:starts[ti + 1]]
@@ -362,7 +395,18 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
                 inv = np.zeros(len(hit), dtype=np.int64)
                 b["sub"] = _grouped_metric_partials(
                     sub_spec, reader, hit, inv, 1, scores, ordinal)[0]
-            buckets[str(fr._terms_pa[int(ti)].as_py())] = b
+            buckets[key] = b
+        if body.get("missing") is not None:
+            covered = np.zeros(reader.ndocs, dtype=bool)
+            covered[fr.all_postings_docids()[0]] = True
+            n_miss = int((mask & ~covered).sum())
+            if n_miss:
+                mkey = str(body["missing"])
+                got = buckets.get(mkey)
+                if got is None:
+                    buckets[mkey] = {"doc_count": n_miss, "sub": {}}
+                else:
+                    got["doc_count"] += n_miss
     else:
         vals = _doc_values(reader, field)[midx]
         keys, inv, counts = np.unique(
@@ -371,7 +415,10 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
                                          len(keys), scores, ordinal)
                 if sub_spec else [{}] * len(keys))
         for i, k in enumerate(keys):
-            buckets[_py(k)] = {"doc_count": int(counts[i]), "sub": subs[i]}
+            k = _py(k)
+            if keep is not None and not keep(str(k)):
+                continue
+            buckets[k] = {"doc_count": int(counts[i]), "sub": subs[i]}
     return {"k": "terms", "buckets": buckets}
 
 

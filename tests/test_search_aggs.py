@@ -335,3 +335,49 @@ def test_percentiles_and_extended_stats(built):
         assert remote["aggregations"]["xs"] == a["xs"]
     finally:
         rs.shutdown()
+
+
+def test_terms_include_exclude_missing(built):
+    """terms agg include/exclude (IncludeExclude.java: value list or
+    anchored regex) and the `missing` bucket parameter."""
+    idx, rows = built
+    s = LocalSearcher(idx)
+    full = s.search_aggs(
+        {"match_all": {}},
+        {"l": {"terms": {"field": "lang", "size": 100}}},
+    )["aggregations"]["l"]["buckets"]
+    langs = {b["key"]: b["doc_count"] for b in full}
+    assert len(langs) >= 3
+    some = sorted(langs)[:2]
+    # include as exact list
+    got = s.search_aggs(
+        {"match_all": {}},
+        {"l": {"terms": {"field": "lang", "size": 100, "include": some}}},
+    )["aggregations"]["l"]["buckets"]
+    assert {b["key"]: b["doc_count"] for b in got} == {
+        k: langs[k] for k in some}
+    # exclude as regex
+    pat = some[0]
+    got = s.search_aggs(
+        {"match_all": {}},
+        {"l": {"terms": {"field": "lang", "size": 100, "exclude": pat}}},
+    )["aggregations"]["l"]["buckets"]
+    assert {b["key"] for b in got} == set(langs) - {pat}
+    # include as regex — scatter parity too
+    spec = {"l": {"terms": {"field": "lang", "size": 100,
+                            "include": "[a-z]*n"}}}
+    a = s.search_aggs({"match_all": {}}, spec)["aggregations"]
+    rs = RaySearcher(idx, num_actors=2)
+    b = rs.search_aggs({"match_all": {}}, spec)["aggregations"]
+    rs.shutdown()
+    assert a == b
+    import re
+    assert {x["key"] for x in a["l"]["buckets"]} == {
+        k for k in langs if re.fullmatch("[a-z]*n", k)}
+    # missing: every doc has lang, so missing adds nothing...
+    got = s.search_aggs(
+        {"match_all": {}},
+        {"l": {"terms": {"field": "lang", "size": 100,
+                         "missing": "zz_none"}}},
+    )["aggregations"]["l"]["buckets"]
+    assert {b["key"]: b["doc_count"] for b in got} == langs

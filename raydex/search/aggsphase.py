@@ -265,10 +265,8 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
             out[name] = _metric_partial(
                 kind, _doc_values(reader, body["field"])[midx])
         elif kind in ("significant_terms", "significant_text"):
-            if sub:
-                raise ValueError(
-                    "significant_terms sub-aggregations are not supported")
-            out[name] = _collect_significant(reader, mask, body)
+            out[name] = _collect_significant(reader, mask, body, sub,
+                                             scores, ordinal)
         elif kind == "terms":
             out[name] = _collect_terms(reader, mask, midx, body, sub,
                                        scores, ordinal)
@@ -434,7 +432,8 @@ def _jlh(fg, fg_total, bg, bg_total):
     return (fgp - bgp) * (fgp / bgp)
 
 
-def _collect_significant(reader, mask, body):
+def _collect_significant(reader, mask, body, sub_spec=None,
+                         scores=None, ordinal: int = 0):
     """fg/bg term counts over matched docs, pruned to the shard's
     ``shard_size`` best JLH candidates (SignificantTerms/Text
     aggregators: each shard nominates candidates with EXACT local
@@ -472,11 +471,22 @@ def _collect_significant(reader, mask, body):
                     (bgp > 0) & (fgp > bgp), (fgp - bgp) * (fgp / bgp), 0.0)
             order = np.argsort(-score, kind="stable")[:shard_size]
             sel = cand[order]
-            terms_out = {
-                str(fr._terms_pa[int(ti)].as_py()):
-                    [int(fg_all[ti]), int(fr.df[ti])]
-                for ti in sel
-            }
+            docids = starts = None
+            if sub_spec and sel.size:
+                # per-winner metric sub-aggregations over the term's
+                # MATCHED docs (sub-field docids align with the parent
+                # segment's), sliced from the cached sweep
+                docids, starts = fr.all_postings_docids()
+            terms_out = {}
+            for ti in sel:
+                entry: list = [int(fg_all[ti]), int(fr.df[ti])]
+                if sub_spec:
+                    ids = docids[starts[ti]:starts[ti + 1]]
+                    hit = ids[mask[ids]]
+                    inv = np.zeros(len(hit), dtype=np.int64)
+                    entry.append(_grouped_metric_partials(
+                        sub_spec, reader, hit, inv, 1, scores, ordinal)[0])
+                terms_out[str(fr._terms_pa[int(ti)].as_py())] = entry
     return {
         "k": "sig", "fg_total": fg_total, "bg_total": bg_total,
         "terms": terms_out,
@@ -584,13 +594,23 @@ def _merge_partial(a, b):
         )[:a["size"]]
         return {"k": "hits", "size": a["size"], "hits": merged}
     if k == "sig":
+        # entries are [fg, bg] or [fg, bg, sub-partials]
         terms = {t: list(c) for t, c in a["terms"].items()}
-        for t, (fg, bg) in b["terms"].items():
-            if t in terms:
-                terms[t][0] += fg
-                terms[t][1] += bg
-            else:
-                terms[t] = [fg, bg]
+        for t, e in b["terms"].items():
+            cur = terms.get(t)
+            if cur is None:
+                terms[t] = list(e)
+                continue
+            cur[0] += e[0]
+            cur[1] += e[1]
+            if len(cur) > 2 or len(e) > 2:
+                sa = cur[2] if len(cur) > 2 else {}
+                sb = e[2] if len(e) > 2 else {}
+                merged_sub = reduce_partials([sa, sb])
+                if len(cur) > 2:
+                    cur[2] = merged_sub
+                else:
+                    cur.append(merged_sub)
         return {"k": "sig",
                 "fg_total": a["fg_total"] + b["fg_total"],
                 "bg_total": a["bg_total"] + b["bg_total"],
@@ -715,8 +735,9 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
             size = int(body.get("size", 10))
             mdc = int(body.get("min_doc_count", 3))
             scored = [
-                (_jlh(fg, p["fg_total"], bg, p["bg_total"]), t, fg, bg)
-                for t, (fg, bg) in p["terms"].items() if fg >= mdc
+                (_jlh(e[0], p["fg_total"], e[1], p["bg_total"]), t,
+                 e[0], e[1], e[2] if len(e) > 2 else None)
+                for t, e in p["terms"].items() if e[0] >= mdc
             ]
             scored = [c for c in scored if c[0] > 0]
             scored.sort(key=lambda c: (-c[0], c[1]))
@@ -725,8 +746,9 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
                 "bg_count": p["bg_total"],
                 "buckets": [
                     {"key": t, "doc_count": fg, "bg_count": bg,
-                     "score": s}
-                    for s, t, fg, bg in scored[:size]
+                     "score": s,
+                     **(render_aggs(sub, sp) if sp is not None else {})}
+                    for s, t, fg, bg, sp in scored[:size]
                 ],
             }
         elif kind == "terms":

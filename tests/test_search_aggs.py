@@ -381,3 +381,37 @@ def test_terms_include_exclude_missing(built):
                          "missing": "zz_none"}}},
     )["aggregations"]["l"]["buckets"]
     assert {b["key"]: b["doc_count"] for b in got} == langs
+
+
+def test_significant_terms_sub_aggs(built):
+    """Metric sub-aggregations under significant buckets (the reference
+    supports full sub-agg trees under SignificantTerms buckets; metric
+    subs here, same contract as terms buckets)."""
+    idx, rows = built
+    an = get_analyzer("standard")
+    counts = collections.Counter(
+        t for r in rows for t in set(an(r["text"])))
+    token = counts.most_common(20)[10][0]
+    matched = _matches(rows, token)
+    s = LocalSearcher(idx)
+    spec = {"sig_lang": {
+        "significant_terms": {"field": "lang", "size": 5,
+                              "min_doc_count": 1, "shard_size": 100},
+        "aggs": {"adl": {"avg": {"field": "dl"}},
+                 "mx": {"max": {"field": "dl"}}}}}
+    a = s.search_aggs({"term": {"text": token}}, spec)["aggregations"]
+    by_lang: dict = {}
+    for r in matched:
+        by_lang.setdefault(r["lang"], []).append(r["dl"])
+    for b in a["sig_lang"]["buckets"]:
+        vals = by_lang[b["key"]]
+        assert b["doc_count"] == len(vals)
+        assert b["adl"]["value"] == pytest.approx(sum(vals) / len(vals))
+        assert b["mx"]["value"] == max(vals)
+    # scatter parity (exercises the [fg, bg, sub] merge law)
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        remote = rs.search_aggs({"term": {"text": token}}, spec)
+        assert remote["aggregations"] == a
+    finally:
+        rs.shutdown()

@@ -71,6 +71,8 @@ def collect_filter_queries(aggs_spec: dict) -> list[dict]:
         kind, body, sub = _split_spec(spec)
         if kind == "filter":
             out.append(body)
+        elif kind == "filters":
+            out.extend((body.get("filters") or {}).values())
         out += collect_filter_queries(sub)
     return out
 
@@ -322,6 +324,36 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
                 "sub": collect_partials(reader, evaluator, fmask, sub,
                                         scores, ordinal),
             }
+        elif kind == "filters":
+            # FiltersAggregationBuilder: named buckets, optional
+            # other_bucket (docs matching none of the filters)
+            from raydex.search.query import parse_query
+
+            named = body.get("filters") or {}
+            other = mask.copy()
+            bkts: dict = {}
+            for bname in named:
+                _, fmask = evaluator.eval(parse_query(named[bname]))
+                fmask = fmask & mask
+                other &= ~fmask
+                bkts[bname] = {
+                    "doc_count": int(fmask.sum()),
+                    "sub": collect_partials(reader, evaluator, fmask, sub,
+                                            scores, ordinal),
+                }
+            if body.get("other_bucket") or body.get("other_bucket_key"):
+                okey = str(body.get("other_bucket_key") or "_other_")
+                bkts[okey] = {
+                    "doc_count": int(other.sum()),
+                    "sub": collect_partials(reader, evaluator, other, sub,
+                                            scores, ordinal),
+                }
+            out[name] = {"k": "filters", "buckets": bkts}
+        elif kind == "rare_terms":
+            out[name] = _collect_rare_terms(reader, mask, body)
+        elif kind == "multi_terms":
+            out[name] = _collect_multi_terms(reader, mask, midx, body, sub,
+                                             scores, ordinal)
         elif kind == "global":
             gmask = np.ones(reader.ndocs, dtype=bool)
             if reader.live is not None:
@@ -430,6 +462,87 @@ def _jlh(fg, fg_total, bg, bg_total):
     if fgp <= bgp:
         return 0.0
     return (fgp - bgp) * (fgp / bgp)
+
+
+def _multi_doc_values(reader, field: str):
+    """Per-doc value array for multi_terms keys: a doc-values column, or
+    a single-valued keyword sub-field inverted from the docid sweep
+    (multi-valued keyword fields would need per-combination explosion —
+    the reference's MultiTermsAggregator has the same per-doc-tuple
+    model)."""
+    fr = _field_subreader(reader, field)
+    if fr is None:
+        return _doc_values(reader, field)
+    vals = np.full(reader.ndocs, None, dtype=object)
+    docids, starts = fr.all_postings_docids()
+    terms = fr.terms
+    df = np.diff(starts)
+    vals[docids] = np.repeat(terms, df)
+    return vals
+
+
+def _collect_multi_terms(reader, mask, midx, body, sub_spec,
+                         scores=None, ordinal: int = 0):
+    """``multi_terms`` (``analytics/multiterms/MultiTermsAggregator``):
+    buckets keyed by the TUPLE of per-doc values. Each component is
+    factorized with ``np.unique``; the combined code is one int per doc,
+    so bucketing stays a single vectorized pass."""
+    fields = [t["field"] for t in body["terms"]]
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs at least two fields")
+    invs, uniqs = [], []
+    for f in fields:
+        vals = _multi_doc_values(reader, f)[midx]
+        u, inv = np.unique(vals.astype(str), return_inverse=True)
+        uniqs.append(u)
+        invs.append(inv)
+    code = invs[0].astype(np.int64)
+    for u, inv in zip(uniqs[1:], invs[1:]):
+        code = code * (len(u) or 1) + inv
+    keys, kinv, counts = np.unique(code, return_inverse=True,
+                                   return_counts=True)
+    subs = (_grouped_metric_partials(sub_spec, reader, midx, kinv,
+                                     len(keys), scores, ordinal)
+            if sub_spec else [{}] * len(keys))
+    buckets: dict = {}
+    for i, c in enumerate(keys):
+        parts = []
+        rem = int(c)
+        for u in reversed(uniqs[1:]):
+            rem, comp = divmod(rem, (len(u) or 1))
+            parts.append(str(u[comp]))
+        parts.append(str(uniqs[0][rem]))
+        key_list = parts[::-1]
+        buckets["\x1f".join(key_list)] = {
+            "doc_count": int(counts[i]), "key": key_list, "sub": subs[i],
+        }
+    return {"k": "mterms", "buckets": buckets}
+
+
+def _collect_rare_terms(reader, mask, body):
+    """``rare_terms`` (``bucket/terms/RareTermsAggregationBuilder``):
+    terms whose TOTAL matched doc_count is <= max_doc_count. Exact
+    distributed law: a shard ships its fg counts for candidate terms
+    (local fg <= max) plus the terms it DISQUALIFIES (local fg > max —
+    any local excess disqualifies globally since counts only add); the
+    reference trades exactness for a bloom filter here, this engine's
+    shard partial is matched-vocabulary-bounded instead."""
+    field = body["field"]
+    fr = _field_subreader(reader, field)
+    if fr is None:
+        raise ValueError("rare_terms needs a keyword index-time field")
+    maxc = int(body.get("max_doc_count", 1))
+    fg = fr.fg_term_counts(mask)
+    nz = np.flatnonzero(fg)
+    kept: dict = {}
+    banned: list = []
+    for ti in nz:
+        t = str(fr._terms_pa[int(ti)].as_py())
+        if fg[ti] <= maxc:
+            kept[t] = int(fg[ti])
+        else:
+            banned.append(t)
+    return {"k": "rare", "max": maxc, "kept": kept, "banned": banned}
 
 
 def _collect_significant(reader, mask, body, sub_spec=None,
@@ -566,17 +679,27 @@ def _merge_partial(a, b):
         means, weights = d.to_arrays()
         return {"k": "tdigest", "means": [float(x) for x in means],
                 "weights": [float(x) for x in weights]}
-    if k in ("terms", "hist", "dhist"):
+    if k in ("terms", "hist", "dhist", "filters", "mterms"):
         buckets = dict(a["buckets"])
         for key, bb in b["buckets"].items():
             if key in buckets:
-                buckets[key] = {
-                    "doc_count": buckets[key]["doc_count"] + bb["doc_count"],
-                    "sub": reduce_partials([buckets[key]["sub"], bb["sub"]]),
+                cur = buckets[key]
+                merged = {
+                    "doc_count": cur["doc_count"] + bb["doc_count"],
+                    "sub": reduce_partials([cur["sub"], bb["sub"]]),
                 }
+                if "key" in cur:  # mterms carries the value tuple
+                    merged["key"] = cur["key"]
+                buckets[key] = merged
             else:
                 buckets[key] = bb
         return {"k": k, "buckets": buckets}
+    if k == "rare":
+        kept = dict(a["kept"])
+        for t, c in b["kept"].items():
+            kept[t] = kept.get(t, 0) + c
+        return {"k": "rare", "max": a["max"], "kept": kept,
+                "banned": sorted(set(a["banned"]) | set(b["banned"]))}
     if k == "range":
         return {"k": "range", "buckets": [
             {"doc_count": x["doc_count"] + y["doc_count"],
@@ -628,6 +751,9 @@ def _iter_sig(aggs_spec: dict, merged: dict):
             yield body, p
         elif kind in ("filter", "global", "missing"):
             yield from _iter_sig(sub, p["sub"])
+        elif kind == "filters":
+            for b in p["buckets"].values():
+                yield from _iter_sig(sub, b["sub"])
         elif kind == "range":
             for b in p["buckets"]:
                 yield from _iter_sig(sub, b["sub"])
@@ -825,4 +951,31 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
         elif kind in ("filter", "global", "missing"):
             out[name] = {"doc_count": p["doc_count"],
                          **render_aggs(sub, p["sub"])}
+        elif kind == "filters":
+            out[name] = {"buckets": {
+                bname: {"doc_count": b["doc_count"],
+                        **render_aggs(sub, b["sub"])}
+                for bname, b in p["buckets"].items()
+            }}
+        elif kind == "multi_terms":
+            size = int(body.get("size", 10))
+            items = sorted(
+                p["buckets"].values(),
+                key=lambda b: (-b["doc_count"], b["key"]),
+            )[:size]
+            out[name] = {"buckets": [
+                {"key": b["key"],
+                 "key_as_string": "|".join(b["key"]),
+                 "doc_count": b["doc_count"],
+                 **render_aggs(sub, b["sub"])}
+                for b in items
+            ]}
+        elif kind == "rare_terms":
+            banned = set(p["banned"])
+            final = [(t, c) for t, c in p["kept"].items()
+                     if c <= p["max"] and t not in banned]
+            final.sort(key=lambda tc: (tc[1], tc[0]))
+            out[name] = {"buckets": [
+                {"key": t, "doc_count": c} for t, c in final
+            ]}
     return out

@@ -415,3 +415,55 @@ def test_significant_terms_sub_aggs(built):
         assert remote["aggregations"] == a
     finally:
         rs.shutdown()
+
+
+def test_filters_rare_multi_terms(built):
+    """filters (named buckets + other_bucket), rare_terms (exact
+    cross-segment law: local-excess disqualifies), multi_terms
+    (factorized tuple keys) — vs pandas recomputation + scatter parity."""
+    idx, rows = built
+    an = get_analyzer("standard")
+    counts = collections.Counter(
+        t for r in rows for t in set(an(r["text"])))
+    token = counts.most_common(1)[0][0]
+    matched = _matches(rows, token)
+    s = LocalSearcher(idx)
+    spec = {
+        "f": {"filters": {
+            "filters": {"short": {"range": {"dl": {"lt": 60}}},
+                        "long": {"range": {"dl": {"gte": 120}}}},
+            "other_bucket_key": "mid"},
+            "aggs": {"adl": {"avg": {"field": "dl"}}}},
+        "rare": {"rare_terms": {"field": "lang", "max_doc_count": 8}},
+        "mt": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "dl"}], "size": 500}},
+    }
+    a = s.search_aggs({"term": {"text": token}}, spec)["aggregations"]
+    # filters oracle
+    short = [r for r in matched if r["dl"] < 60]
+    long_ = [r for r in matched if r["dl"] >= 120]
+    mid = [r for r in matched if 60 <= r["dl"] < 120]
+    for key, grp in (("short", short), ("long", long_), ("mid", mid)):
+        b = a["f"]["buckets"][key]
+        assert b["doc_count"] == len(grp)
+        if grp:
+            assert b["adl"]["value"] == pytest.approx(
+                sum(r["dl"] for r in grp) / len(grp))
+    # rare_terms oracle: langs with total matched count <= 8
+    lang_fg = collections.Counter(r["lang"] for r in matched)
+    want_rare = sorted(
+        [(c, k) for k, c in lang_fg.items() if c <= 8])
+    assert [(b["doc_count"], b["key"]) for b in a["rare"]["buckets"]] == \
+        want_rare
+    # multi_terms oracle: (lang, dl) tuple counts
+    mt_fg = collections.Counter((r["lang"], r["dl"]) for r in matched)
+    got_mt = {tuple(b["key"]): b["doc_count"] for b in a["mt"]["buckets"]}
+    want_mt = {(l, str(d)): c for (l, d), c in mt_fg.items()}
+    assert got_mt == want_mt
+    # scatter parity (exercises filters/rare/mterms merge laws)
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        assert rs.search_aggs({"term": {"text": token}},
+                              spec)["aggregations"] == a
+    finally:
+        rs.shutdown()

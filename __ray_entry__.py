@@ -1131,6 +1131,19 @@ def q_analytics_aggs_events(sf):
         day = str(np.datetime64(int(row["bucket"]), "us"))[:10]
         rows.append(("e_cumcard:" + day,
                      day, float(row["cumulative_cardinality"])))
+
+    from raydex.ops.rollup import rollup
+
+    ro = rollup(
+        _ds(sf, "events", ["ts", "event_type", "user_id"]), "ts",
+        86_400_000_000, dims=["event_type"],
+        metrics={"user_id": ["sum"]},
+    ).to_pandas()
+    for _, row in ro.iterrows():
+        day = str(np.datetime64(int(row["ts.bucket"]), "us"))[:10]
+        key = f"{day}|{row['event_type']}"
+        rows.append(("f_rollup_cnt", key, float(row["_doc_count"])))
+        rows.append(("g_rollup_usum", key, float(row["user_id.sum"])))
     return pa.table(
         {
             "tag": pa.array([r[0] for r in rows], pa.string()),
@@ -2262,7 +2275,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'e_cumcard:' || d, d, CAST(SUM(c) OVER (ORDER BY d) AS DOUBLE) "
             "FROM (SELECT strftime(b, '%Y-%m-%d') AS d, COUNT(*) AS c FROM ("
             "SELECT user_id, MIN(date_trunc('day', ts)) AS b FROM events "
-            "GROUP BY user_id) GROUP BY 1)"
+            "GROUP BY user_id) GROUP BY 1) "
+            "UNION ALL "
+            "SELECT 'f_rollup_cnt', strftime(date_trunc('day', ts), '%Y-%m-%d') "
+            "|| '|' || event_type, CAST(COUNT(*) AS DOUBLE) FROM events GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'g_rollup_usum', strftime(date_trunc('day', ts), '%Y-%m-%d') "
+            "|| '|' || event_type, CAST(SUM(user_id) AS DOUBLE) FROM events GROUP BY 2"
             ") ORDER BY tag, key"
         ),
         "adjacency_matrix_events": (

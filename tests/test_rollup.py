@@ -1,0 +1,89 @@
+"""Rollup job + transform pivot (x-pack rollup RollupIndexer /
+transform Pivot): grouped pre-aggregation into a dest table, checked
+against a direct pandas recomputation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raydex.ops.rollup import rollup, transform_pivot
+
+HOUR = 3_600_000_000
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    n = 5000
+    rng = np.random.default_rng(5)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 48 * 3600, n), unit="s")
+    return pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(rng.normal(10, 3, n)),
+        "user_id": pa.array(rng.integers(0, 500, n)),
+    })
+
+
+def _with_bucket(events):
+    df = events.to_pandas()
+    df["bucket"] = (df["ts"].astype("datetime64[us]").astype("int64")
+                    // HOUR) * HOUR
+    return df
+
+
+def test_rollup(events):
+    out = rollup(rd.from_arrow(events), "ts", HOUR, dims=["event_type"],
+                 metrics={"value": ["min", "max", "avg"],
+                          "user_id": ["sum"]}).to_pandas()
+    df = _with_bucket(events)
+    g = df.groupby(["bucket", "event_type"]).agg(
+        n=("value", "size"), vmin=("value", "min"), vmax=("value", "max"),
+        vavg=("value", "mean"), usum=("user_id", "sum")).reset_index()
+    m = out.merge(g, left_on=["ts.bucket", "event_type"],
+                  right_on=["bucket", "event_type"])
+    assert len(m) == len(g) == len(out)
+    assert (m["_doc_count"] == m["n"]).all()
+    assert np.allclose(m["value.min"], m["vmin"])
+    assert np.allclose(m["value.max"], m["vmax"])
+    assert np.allclose(m["value.avg"], m["vavg"])
+    assert (m["user_id.sum"] == m["usum"]).all()
+    assert (m["value.value_count"] == m["n"]).all()
+    # avg requested without sum: the sum moment still ships (the
+    # reference serves avg from sum/value_count at query time)
+    assert "value.sum" in out.columns
+
+
+def test_transform_pivot(events):
+    pv = transform_pivot(
+        rd.from_arrow(events),
+        {"et": {"terms": {"field": "event_type"}},
+         "hour": {"date_histogram": {"field": "ts",
+                                     "fixed_interval_us": HOUR}}},
+        {"v_avg": {"avg": {"field": "value"}},
+         "u_sum": {"sum": {"field": "user_id"}},
+         "cnt": {"value_count": {"field": "value"}}},
+    ).to_pandas()
+    df = _with_bucket(events)
+    g = df.groupby(["event_type", "bucket"]).agg(
+        v_avg=("value", "mean"), u_sum=("user_id", "sum"),
+        cnt=("value", "size")).reset_index()
+    m = pv.merge(g, left_on=["et", "hour"],
+                 right_on=["event_type", "bucket"], suffixes=("", "_w"))
+    assert len(m) == len(g) == len(pv)
+    assert np.allclose(m["v_avg"], m["v_avg_w"])
+    assert (m["u_sum"] == m["u_sum_w"]).all()
+    assert (m["cnt"] == m["cnt_w"]).all()
+    assert list(pv.columns) == ["et", "hour", "v_avg", "u_sum", "cnt"]
+
+
+def test_rollup_errors(events):
+    with pytest.raises(ValueError, match="unsupported rollup metric"):
+        rollup(rd.from_arrow(events), "ts", HOUR,
+               metrics={"value": ["median"]})
+    with pytest.raises(ValueError, match="unsupported group_by"):
+        transform_pivot(rd.from_arrow(events),
+                        {"x": {"histogram": {"field": "value"}}}, {})

@@ -235,3 +235,16 @@ register_analyzer("simple", simple_analyze)
 register_analyzer("whitespace", whitespace_analyze)
 register_analyzer("keyword", keyword_analyze)
 register_analyzer("keywordish", keywordish_analyze)
+
+
+def wildcard_3gram_analyze(text: str) -> list[str]:
+    """x-pack wildcard field's index analyzer
+    (``WildcardFieldMapper.java:90-107,989``): lowercase, wrap with the
+    \\0 start/end anchors (one leading, two trailing —
+    ``addLineEndChars``), emit every 3-gram. Anchored grams make
+    prefix/suffix patterns accelerable too."""
+    w = "\x00" + text.lower() + "\x00\x00"
+    return [w[i:i + 3] for i in range(len(w) - 2)]
+
+
+register_analyzer("wildcard_3gram", wildcard_3gram_analyze)

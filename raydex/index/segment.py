@@ -295,6 +295,34 @@ def build_segment(
                 "path": spec.source, "sum_dl": 0,
             }
             continue
+        if spec.analyzer == "wildcard":
+            # x-pack wildcard plugin (WildcardFieldMapper.java): a
+            # lowercased anchored-3-gram sub-index for APPROXIMATE
+            # candidate selection + the raw value stored as a parent
+            # doc-values column for exact verification (the reference
+            # verifies against a binary doc-value with an automaton).
+            # Matching is case-insensitive, like the mapper's
+            # normalized ngram field.
+            fm = _build_field_index(
+                fdir, urls, values, "wildcard_3gram", input_fragments,
+                f"{seg_id}-f-{spec.name}", False,
+            )
+            d = pq.read_table(os.path.join(tmp, "docs.parquet"))
+            arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+                else pa.array(["" if v is None else str(v) for v in values],
+                              pa.string())
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = arr.cast(pa.string())
+            if spec.name not in d.column_names:
+                d = d.append_column(spec.name, arr)
+                pq.write_table(d, os.path.join(tmp, "docs.parquet"))
+            fields_meta[spec.name] = {
+                "kind": "wildcard", "analyzer": "wildcard",
+                "source": spec.source, "sum_dl": fm["sum_dl"],
+                "term_count": fm["term_count"],
+            }
+            continue
         fm = _build_field_index(
             fdir, urls, values, spec.analyzer, input_fragments,
             f"{seg_id}-f-{spec.name}", spec.store_positions,

@@ -983,6 +983,50 @@ def expand_prefix(reader, prefix: str) -> list[int]:
     return list(range(lo, hi))
 
 
+def wildcard_field_mask(reader, fld: str, pattern: str) -> np.ndarray:
+    """Wildcard-FIELD evaluation (x-pack ``WildcardFieldMapper.java``):
+    approximate candidates from the anchored-3-gram sub-index — the
+    conjunction of every 3-gram of each contiguous literal run of the
+    (anchor-wrapped, lowercased) pattern — then exact verification of
+    only the candidates against the stored value column. Matching is
+    case-insensitive (the mapper's normalized ngram semantics). A
+    pattern with no usable gram (e.g. ``*a*``) verifies every doc."""
+    import re as _re
+
+    fr = reader.field(fld) if hasattr(reader, "field") else None
+    vals = getattr(reader, "doc_values", {}).get(fld)
+    if fr is None or vals is None:
+        raise ValueError(f"field {fld!r} is not a wildcard field")
+    anchored = "\x00" + pattern.lower() + "\x00\x00"
+    grams = {run[i:i + 3]
+             for run in _re.split(r"[*?]+", anchored)
+             for i in range(len(run) - 2)}
+    cand = None
+    for g in sorted(grams):
+        ti = fr.lookup(g)
+        if ti < 0:
+            return np.zeros(reader.ndocs, dtype=bool)
+        m = np.zeros(reader.ndocs, dtype=bool)
+        m[fr.postings(ti)[0]] = True
+        cand = m if cand is None else (cand & m)
+        if not cand.any():
+            return cand
+    rx = _re.compile(
+        "^" + "".join(".*" if c == "*" else "." if c == "?"
+                      else _re.escape(c) for c in pattern.lower()) + "$",
+        _re.DOTALL,
+    )
+    idx = np.flatnonzero(cand) if cand is not None else np.arange(reader.ndocs)
+    out = np.zeros(reader.ndocs, dtype=bool)
+    for i in idx:
+        v = vals[i]
+        if v is not None and rx.match(str(v).lower()):
+            out[i] = True
+    if reader.live is not None:
+        out &= reader.live
+    return out
+
+
 def expand_wildcard(reader, pattern: str) -> list[int]:
     # leading literal prefix narrows the scan range (Lucene's automaton
     # prefix optimization, approximated)
@@ -1120,6 +1164,22 @@ class SegmentEvaluator:
             names, _, _ = self.r.join_field_data(field)
             mask = names == term
             return np.where(mask, boost, 0.0), mask
+        if (meta.get("kind") or meta.get("analyzer")) == "wildcard":
+            # term on a wildcard field = exact (case-insensitive)
+            # equality through the same ngram-approximate + verify
+            # machinery the reference's termQuery rewrite uses; a term
+            # that itself contains wildcard metachars compares directly
+            if "*" in term or "?" in term:
+                vals = self.r.doc_values.get(field)
+                tl = term.lower()
+                mask = np.fromiter(
+                    (v is not None and str(v).lower() == tl for v in vals),
+                    dtype=bool, count=self.n)
+                if self.r.live is not None:
+                    mask &= self.r.live
+            else:
+                mask = wildcard_field_mask(self.r, field, term)
+            return np.where(mask, boost, 0.0), mask
         fr = self._field_reader(field)
         if fr is not None:
             if (meta.get("kind") or meta.get("analyzer")) == "match_only_text":
@@ -1253,6 +1313,10 @@ class SegmentEvaluator:
             return self._const_terms(expand_prefix(self.r, q.value), q.boost)
         if isinstance(q, Wildcard):
             if q.fld != "text":
+                meta = getattr(self.r, "fields_meta", {}).get(q.fld, {})
+                if (meta.get("kind") or meta.get("analyzer")) == "wildcard":
+                    mask = wildcard_field_mask(self.r, q.fld, q.pattern)
+                    return np.where(mask, q.boost, 0.0), mask
                 import regex as _rx
 
                 pat = "".join(".*" if c == "*" else "." if c == "?" else _rx.escape(c)

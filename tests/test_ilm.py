@@ -1,0 +1,82 @@
+"""ILM phase execution (x-pack ilm IndexLifecycleService /
+LifecyclePolicy): hot rollover, warm forcemerge+shrink, delete — each
+action idempotent, driven by index age."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.index.aliases import AliasRegistry
+from raydex.index.build import build_index
+from raydex.index.deletes import delete_by_query
+from raydex.index.ilm import step
+from raydex.search.scatter import LocalSearcher
+
+
+def _build(tmp_path, name, n=30):
+    t = pa.table({
+        "url": pa.array([f"{name}{i}.example" for i in range(n)]),
+        "warc_ts": pa.array(np.arange(n, dtype="int64"),
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"{name} body token{i % 3}" for i in range(n)],
+                         pa.large_string()),
+    })
+    p = str(tmp_path / f"{name}.parquet")
+    pq.write_table(t, p)
+    d = str(tmp_path / f"{name}-000001")
+    build_index(p, d, num_partitions=2, analyzer="standard", source="text")
+    return d
+
+
+def test_ilm_phases(ray_session, tmp_path):
+    idx = _build(tmp_path, "logs", n=30)
+    reg = AliasRegistry(str(tmp_path / "reg"))
+    reg.update_aliases([{"add": {"alias": "logs", "index": idx,
+                                 "is_write_index": True}}])
+    # deletes so forcemerge has something to reclaim
+    delete_by_query(idx, {"term": {"text": "token0"}}, use_ray=False)
+
+    policy = {"phases": {
+        "hot": {"min_age_s": 0,
+                "actions": {"rollover": {"max_docs": 10}}},
+        "warm": {"min_age_s": 100,
+                 "actions": {"forcemerge": {},
+                             "shrink": {"number_of_shards": 1}}},
+        "delete": {"min_age_s": 10_000, "actions": {"delete": {}}},
+    }}
+
+    # young index: hot only -> rollover fires (doc_count >= 10)
+    log = step(reg, "logs", policy, now_age_s=lambda d: 1)
+    assert [e["action"] for e in log] == ["hot.rollover"]
+    rows = {r["index"]: r for r in reg.get("logs")}
+    assert rows[idx]["is_write_index"] is False
+    new_name = [i for i in rows if i != idx][0]
+    assert rows[new_name]["is_write_index"] is True
+    # idempotent: second tick at the same age does nothing
+    assert step(reg, "logs", policy, now_age_s=lambda d: 1) == []
+
+    # warm age: forcemerge (reclaims deletes) + shrink to 1 partition
+    live_before = LocalSearcher(idx).count({"match_all": {}})
+    log = step(reg, "logs", policy,
+               now_age_s=lambda d: 0 if d != idx else 200)
+    acts = [e["action"] for e in log]
+    assert acts == ["warm.forcemerge", "warm.shrink"]
+    shrunk = log[-1]["shrunk_to"]
+    assert os.path.exists(shrunk)
+    assert idx not in {r["index"] for r in reg.get("logs")}
+    s = LocalSearcher(shrunk)
+    assert s.count({"match_all": {}}) == live_before
+    assert s.count({"term": {"text": "token0"}}) == 0  # deletes gone
+    # idempotent at warm age
+    assert step(reg, "logs", policy,
+                now_age_s=lambda d: 0 if d != shrunk else 200) == []
+
+    # delete age: removed from alias and disk
+    log = step(reg, "logs", policy,
+               now_age_s=lambda d: 0 if d != shrunk else 99_999)
+    assert [e["action"] for e in log] == ["delete.delete"]
+    assert not os.path.exists(shrunk)
+    assert shrunk not in {r["index"] for r in reg.get("logs")}

@@ -26,6 +26,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 
 
 def _sha256(path: str) -> str:
@@ -76,6 +77,7 @@ def create_snapshot(index_dir: str, repo: str, name: str) -> dict:
         "files": files,
         "stored_blobs": stored,
         "reused_blobs": reused,
+        "created_epoch": time.time(),
     }
     tmp = snap_path + ".tmp"
     with open(tmp, "w") as f:
@@ -109,3 +111,73 @@ def restore_snapshot(repo: str, name: str, dest: str) -> dict:
         os.makedirs(os.path.dirname(out), exist_ok=True)
         shutil.copyfile(blob, out)
     return meta
+
+
+def delete_snapshot(repo: str, name: str, gc_blobs: bool = True) -> dict:
+    """Remove a snapshot; with ``gc_blobs`` also delete blobs no other
+    snapshot references (the reference's blob-store cleanup on snapshot
+    delete, ``BlobStoreRepository#deleteSnapshots``)."""
+    snap_path = os.path.join(repo, "snapshots", f"{name}.json")
+    if not os.path.exists(snap_path):
+        raise ValueError(f"unknown snapshot: {name}")
+    os.remove(snap_path)
+    removed = 0
+    if gc_blobs:
+        referenced: set[str] = set()
+        for other in list_snapshots(repo):
+            with open(os.path.join(repo, "snapshots", f"{other}.json")) as f:
+                referenced |= set(json.load(f)["files"].values())
+        blob_dir = os.path.join(repo, "blobs")
+        for b in os.listdir(blob_dir) if os.path.isdir(blob_dir) else []:
+            if b not in referenced:
+                os.remove(os.path.join(blob_dir, b))
+                removed += 1
+    return {"deleted": name, "blobs_removed": removed}
+
+
+def slm_run(policy: dict) -> dict:
+    """One SLM tick (``x-pack/plugin/ilm`` SnapshotLifecycleService /
+    ``SnapshotLifecyclePolicy``): take a snapshot named
+    ``<name>-<NNNNNN>`` of ``config.index_dir`` into ``repository``,
+    then apply ``retention`` — keep at least ``min_count`` newest, drop
+    snapshots older than ``expire_after_s`` beyond that, and cap the
+    total at ``max_count``. Deterministic counter naming stands in for
+    the reference's date+uuid names."""
+    prefix = policy["name"]
+    repo = policy["repository"]
+    index_dir = policy["config"]["index_dir"]
+    mine = [s for s in list_snapshots(repo)
+            if s.startswith(prefix + "-")]
+    seq = 1 + max(
+        (int(s.rsplit("-", 1)[1]) for s in mine
+         if s.rsplit("-", 1)[1].isdigit()), default=0)
+    snap = create_snapshot(index_dir, repo, f"{prefix}-{seq:06d}")
+    taken = snap["name"]
+    ret = policy.get("retention") or {}
+    mine = sorted(
+        s for s in list_snapshots(repo) if s.startswith(prefix + "-"))
+    deleted = []
+    min_count = int(ret.get("min_count", 0))
+    max_count = ret.get("max_count")
+    expire_s = ret.get("expire_after_s")
+    # oldest-first candidates beyond the protected newest min_count
+    droppable = mine[: max(0, len(mine) - min_count)] if min_count else list(mine)
+    if expire_s is not None:
+        now = time.time()
+        for s_name in droppable:
+            with open(os.path.join(repo, "snapshots",
+                                   f"{s_name}.json")) as f:
+                created = json.load(f).get("created_epoch", now)
+            if now - created >= float(expire_s) and s_name != taken:
+                delete_snapshot(repo, s_name)
+                deleted.append(s_name)
+    if max_count is not None:
+        mine = sorted(s for s in list_snapshots(repo)
+                      if s.startswith(prefix + "-"))
+        while len(mine) > int(max_count):
+            victim = mine.pop(0)
+            if victim == taken:
+                break
+            delete_snapshot(repo, victim)
+            deleted.append(victim)
+    return {"snapshot": taken, "deleted": deleted}

@@ -80,3 +80,30 @@ def test_ilm_phases(ray_session, tmp_path):
     assert [e["action"] for e in log] == ["delete.delete"]
     assert not os.path.exists(shrunk)
     assert shrunk not in {r["index"] for r in reg.get("logs")}
+
+
+def test_slm_retention(ray_session, tmp_path):
+    """SLM tick: counter naming, max_count retention with GC'd blobs."""
+    from raydex.index.snapshot import delete_snapshot, list_snapshots, slm_run
+
+    idx = _build(tmp_path, "snapsrc", n=10)
+    repo = str(tmp_path / "repo")
+    pol = {"name": "nightly", "repository": repo,
+           "config": {"index_dir": idx},
+           "retention": {"max_count": 2}}
+    r1 = slm_run(pol)
+    assert r1["snapshot"] == "nightly-000001" and r1["deleted"] == []
+    r2 = slm_run(pol)
+    assert r2["snapshot"] == "nightly-000002" and r2["deleted"] == []
+    r3 = slm_run(pol)
+    assert r3["snapshot"] == "nightly-000003"
+    assert r3["deleted"] == ["nightly-000001"]
+    assert list_snapshots(repo) == ["nightly-000002", "nightly-000003"]
+    # restore of a survivor still round-trips (blob GC kept shared blobs)
+    from raydex.index.snapshot import restore_snapshot
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "nightly-000003", dest)
+    from raydex.search.scatter import LocalSearcher
+    assert LocalSearcher(dest).count({"match_all": {}}) == 10
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        delete_snapshot(repo, "nightly-000001")

@@ -181,3 +181,22 @@ def slm_run(policy: dict) -> dict:
             delete_snapshot(repo, victim)
             deleted.append(victim)
     return {"snapshot": taken, "deleted": deleted}
+
+
+def mount_searchable_snapshot(repo: str, name: str, cache_root: str):
+    """Searchable snapshot (``x-pack/plugin/searchable-snapshots``,
+    TransportMountSearchableSnapshotAction): serve queries directly off
+    a repository snapshot. The blob store IS the storage tier; this
+    engine materializes the snapshot once into a content-keyed cache
+    directory (the reference's shared/frozen cache analogue — repeat
+    mounts of the same snapshot reuse it) and returns a LocalSearcher
+    over it. The mounted index is read-only by construction."""
+    cache = os.path.join(cache_root, f"mount-{name}")
+    if not os.path.exists(os.path.join(cache, "index_manifest.json")):
+        tmp = cache + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        restore_snapshot(repo, name, tmp)
+        os.replace(tmp, cache)
+    from raydex.search.scatter import LocalSearcher
+
+    return LocalSearcher(cache)

@@ -107,3 +107,19 @@ def test_slm_retention(ray_session, tmp_path):
     assert LocalSearcher(dest).count({"match_all": {}}) == 10
     with pytest.raises(ValueError, match="unknown snapshot"):
         delete_snapshot(repo, "nightly-000001")
+
+
+def test_searchable_snapshot_mount(ray_session, tmp_path):
+    from raydex.index.snapshot import (create_snapshot,
+                                       mount_searchable_snapshot)
+
+    idx = _build(tmp_path, "mountsrc", n=12)
+    repo = str(tmp_path / "repo2")
+    create_snapshot(idx, repo, "snap1")
+    cache = str(tmp_path / "cache")
+    s = mount_searchable_snapshot(repo, "snap1", cache)
+    assert s.count({"match_all": {}}) == 12
+    # repeat mount reuses the cache (same dir, no second restore)
+    s2 = mount_searchable_snapshot(repo, "snap1", cache)
+    assert s2.count({"match_all": {}}) == 12
+    assert os.path.isdir(os.path.join(cache, "mount-snap1"))

@@ -159,6 +159,34 @@ def main(argv=None) -> int:
     kn.add_argument("--filter", default=None, help="query DSL JSON")
     kn.add_argument("--actors", type=int, default=0)
 
+    dst = sub.add_parser("datastream")
+    dst.add_argument("--root", required=True,
+                     help="data stream registry root directory")
+    dst.add_argument("--action", required=True,
+                     choices=["create", "rollover", "get", "delete",
+                              "write-dir", "search"])
+    dst.add_argument("--stream", required=True)
+    dst.add_argument("--query", default=None,
+                     help="query DSL JSON (action=search)")
+    dst.add_argument("--k", type=int, default=10)
+
+    il = sub.add_parser("ilm-step")
+    il.add_argument("--root", required=True, help="alias registry root")
+    il.add_argument("--alias", required=True)
+    il.add_argument("--policy", required=True, help="policy JSON")
+
+    sm = sub.add_parser("slm-run")
+    sm.add_argument("--policy", required=True,
+                    help='JSON: {"name", "repository", "config": '
+                         '{"index_dir"}, "retention": {...}}')
+
+    gx = sub.add_parser("graph")
+    gx.add_argument("--index", required=True)
+    gx.add_argument("--dsl", required=True, help="seed query DSL JSON")
+    gx.add_argument("--field", required=True)
+    gx.add_argument("--size", type=int, default=5)
+    gx.add_argument("--hops", type=int, default=2)
+
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
     sg.add_argument("--text", required=True)
@@ -340,6 +368,44 @@ def main(argv=None) -> int:
 
         print(json.dumps(AliasRegistry(a.root).rollover(
             a.alias, json.loads(a.conditions), dry_run=a.dry_run)))
+    elif a.cmd == "datastream":
+        from raydex.index.datastream import DataStreamRegistry
+
+        reg = DataStreamRegistry(a.root)
+        if a.action == "create":
+            print(json.dumps(reg.create(a.stream)))
+        elif a.action == "rollover":
+            print(json.dumps(reg.rollover(a.stream)))
+        elif a.action == "get":
+            print(json.dumps(reg.get(a.stream)))
+        elif a.action == "delete":
+            reg.delete(a.stream)
+            print(json.dumps({"deleted": a.stream}))
+        elif a.action == "write-dir":
+            print(reg.write_dir(a.stream))
+        else:  # search
+            hits = reg.searcher(a.stream).search_query(
+                json.loads(a.query) if a.query else {"match_all": {}},
+                k=a.k)
+            for h in hits:
+                print(json.dumps(h))
+    elif a.cmd == "ilm-step":
+        from raydex.index.aliases import AliasRegistry
+        from raydex.index.ilm import step
+
+        print(json.dumps(step(AliasRegistry(a.root), a.alias,
+                              json.loads(a.policy))))
+    elif a.cmd == "slm-run":
+        from raydex.index.snapshot import slm_run
+
+        print(json.dumps(slm_run(json.loads(a.policy))))
+    elif a.cmd == "graph":
+        from raydex.search.graph import graph_explore
+        from raydex.search.scatter import LocalSearcher
+
+        print(json.dumps(graph_explore(
+            LocalSearcher(a.index), json.loads(a.dsl), a.field,
+            size=a.size, hops=a.hops)))
     elif a.cmd == "knn":
         from raydex.search.scatter import LocalSearcher, RaySearcher
 

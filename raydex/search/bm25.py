@@ -77,6 +77,39 @@ def term_score(tfs: np.ndarray, denom_add: np.ndarray, idf_t: float) -> np.ndarr
     return idf_t * (K1 + 1.0) * t / (t + denom_add)
 
 
+_CONTRIB_CACHE_CAP = 2048
+
+
+def cached_term_contrib(reader, ti: int, ids: np.ndarray, tfs: np.ndarray,
+                        idf_t: float, avgdl: float) -> np.ndarray:
+    """Per-posting BM25 contributions of one term, cached on the reader.
+
+    The contribution array depends only on (term postings, idf, avgdl)
+    — all query-independent under the engine's dfs stats contract — so
+    repeated query terms (Zipf head) skip the dl gather + float
+    arithmetic entirely. Entries are the exact float64 values the
+    uncached path computes (bitwise-identical scores); keyed by term
+    index and validated against (idf, avgdl) so multi-index union-IDF
+    contexts never reuse a stale array. LRU-capped like the
+    decoded-postings cache (~cap * avg_df * 8B)."""
+    from collections import OrderedDict
+
+    cache = getattr(reader, "_contrib_cache", None)
+    if cache is None:
+        cache = reader._contrib_cache = OrderedDict()
+    hit = cache.get(ti)
+    if hit is not None and hit[0] == idf_t and hit[1] == avgdl \
+            and hit[2].size == ids.size:
+        cache.move_to_end(ti)
+        return hit[2]
+    contrib = term_score(tfs, tf_norm_denom_add(reader.dl_quant[ids], avgdl),
+                         idf_t)
+    cache[ti] = (idf_t, avgdl, contrib)
+    if len(cache) > _CONTRIB_CACHE_CAP:
+        cache.popitem(last=False)
+    return contrib
+
+
 def top_k_select(scores: np.ndarray, k: int, mask: np.ndarray | None = None):
     """Top-k by (score desc, docid asc) over a dense score array.
 
@@ -126,8 +159,8 @@ def brute_force_top_k(
             continue
         n_present += 1
         ids, tfs = reader.postings(ti)
-        denom_add = tf_norm_denom_add(reader.dl_quant[ids], avgdl)
-        scores[ids] += term_score(tfs, denom_add, float(idf(stats.ndocs, gdf)))
+        scores[ids] += cached_term_contrib(
+            reader, ti, ids, tfs, float(idf(stats.ndocs, gdf)), avgdl)
         nmatch[ids] += 1
     if operator == "and":
         need = len(terms)  # every query term must match (even absent ones -> empty)

@@ -333,9 +333,11 @@ def wand_top_k(
             denom = tf_norm_denom_add(dl_quant[ids_h], avgdl)
             scores[ids_h] += term_score(tfs_t[sel], denom, idf_t)
         else:
+            from raydex.search.bm25 import cached_term_contrib
+
             ids_t, tfs_t = reader.postings(ti)
-            denom = tf_norm_denom_add(dl_quant[ids_t], avgdl)
-            scores[ids_t] += term_score(tfs_t, denom, idf_t)
+            scores[ids_t] += cached_term_contrib(
+                reader, ti, ids_t, tfs_t, idf_t, avgdl)
 
     # exact (score desc, docid asc) top-k with brute's tie handling
     from raydex.search.bm25 import top_k_select

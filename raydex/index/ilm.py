@@ -70,8 +70,21 @@ def step(registry, alias: str, policy: dict,
         idx = row["index"]
         if not os.path.exists(idx):
             continue
-        age = (now_age_s(idx) if now_age_s else _age_s(idx))
         st = _load_state(idx)
+        # monotone age: index actions (forcemerge, shrink) rewrite the
+        # manifest and reset its mtime, so the clock anchors on the
+        # FIRST tick's observed age (managed_age_epoch) and only grows —
+        # a regressed clock must never re-open earlier gates or, worse,
+        # let a later phase (delete!) run before its min_age
+        raw_age = (now_age_s(idx) if now_age_s else _age_s(idx))
+        anchor = st.get("managed_age_epoch")
+        if anchor is None:
+            st["managed_age_epoch"] = time.time() - raw_age
+            age = raw_age
+        else:
+            age = max(raw_age, time.time() - anchor)
+        if now_age_s:  # test clock is authoritative when supplied
+            age = raw_age
         # the furthest phase whose min_age has passed
         target = st["phase"]
         for ph in _PHASE_ORDER:
@@ -80,13 +93,17 @@ def step(registry, alias: str, policy: dict,
                 continue
             if age >= float(body.get("min_age_s", 0)):
                 target = ph
-        # run phases from current to target in order
+        # run phases from current to target in order; EVERY phase is
+        # age-gated at execution time — a target that regressed behind
+        # the stored phase must not fall through to later phases
         started = False
         for ph in _PHASE_ORDER:
             if ph == st["phase"]:
                 started = True
             if not started or phases.get(ph) is None:
                 continue
+            if age < float(phases[ph].get("min_age_s", 0)):
+                break  # this phase (and all later ones) not due yet
             actions = phases[ph].get("actions") or {}
             for aname in ("rollover", "forcemerge", "shrink", "delete"):
                 if aname not in actions:
@@ -135,6 +152,8 @@ def step(registry, alias: str, policy: dict,
             if idx is None or ph == target:
                 break
         if idx is not None:
-            st["phase"] = target
+            # phase never regresses (ordered by _PHASE_ORDER)
+            if _PHASE_ORDER.index(target) > _PHASE_ORDER.index(st["phase"]):
+                st["phase"] = target
             _store_state(idx, st)
     return log

@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 _METRICS = ("min", "max", "sum", "value_count", "avg")
 
 
-def _bucketize(ts_col: str, interval_us: int, keep: list[str]):
+def _bucketize(ts_col: str, interval_us: int, keep: list[str],
+               count_fields: list[str] = ()):
     def fn(t: pa.Table) -> pa.Table:
         ts = t[ts_col].combine_chunks()
         if pa.types.is_timestamp(ts.type):
@@ -42,6 +43,10 @@ def _bucketize(ts_col: str, interval_us: int, keep: list[str]):
         cols = {f"{ts_col}.bucket": b}
         for c in keep:
             cols[c] = t[c]
+        # per-field non-null indicators: value_count (and the avg
+        # denominator) must skip nulls exactly like the reference
+        for c in count_fields:
+            cols[f"{c}__n"] = pc.cast(pc.is_valid(t[c]), pa.int64())
         return pa.table(cols)
 
     return fn
@@ -66,6 +71,9 @@ def rollup(ds, ts_col: str, interval_us: int,
     bcol = f"{ts_col}.bucket"
     aggs = [Count()]
     renames = {"count()": "_doc_count"}
+    count_fields = sorted(
+        f for f, ms in metrics.items()
+        if "value_count" in ms or "avg" in ms)
     for f, ms in metrics.items():
         need = set(ms)
         if "avg" in need:  # served from the sum/value_count moments
@@ -79,8 +87,11 @@ def rollup(ds, ts_col: str, interval_us: int,
         if "sum" in need or "value_count" in need:
             aggs.append(Sum(f))
             renames[f"sum({f})"] = f"{f}.sum"
+    for f in count_fields:
+        aggs.append(Sum(f"{f}__n"))
+        renames[f"sum({f}__n)"] = f"{f}.value_count"
     g = (
-        ds.map_batches(_bucketize(ts_col, interval_us, keep),
+        ds.map_batches(_bucketize(ts_col, interval_us, keep, count_fields),
                        batch_format="pyarrow")
         .groupby([bcol, *dims])
         .aggregate(*aggs)
@@ -97,16 +108,13 @@ def rollup(ds, ts_col: str, interval_us: int,
             if i >= 0:
                 t = t.rename_columns(
                     [new if c == old else c for c in t.column_names])
-        # value_count == _doc_count for dense columns (the reference
-        # counts non-null values; testdata metric columns are dense)
-        for f, ms in metrics.items():
-            if "value_count" in ms or "avg" in ms:
-                t = t.append_column(f"{f}.value_count", t["_doc_count"])
         for f in want_avg:
+            # avg = sum / NON-NULL value_count (IndexerUtils serves it
+            # from the stored moments, nulls excluded)
             t = t.append_column(
                 f"{f}.avg",
                 pc.divide(pc.cast(t[f"{f}.sum"], pa.float64()),
-                          pc.cast(t["_doc_count"], pa.float64())),
+                          pc.cast(t[f"{f}.value_count"], pa.float64())),
             )
         for f in drop_sum:
             i = t.schema.get_field_index(f"{f}.sum")
@@ -142,6 +150,9 @@ def transform_pivot(ds, group_by: dict, aggs: dict):
             raise ValueError(f"unsupported pivot agg {kind!r}")
         agg_specs.append((out, kind, body["field"]))
 
+    count_fields = sorted({f for _, kind, f in agg_specs
+                           if kind in ("avg", "value_count")})
+
     def prep(t: pa.Table) -> pa.Table:
         cols = {}
         for out, f, iv in key_specs:
@@ -157,6 +168,8 @@ def transform_pivot(ds, group_by: dict, aggs: dict):
         for _, _, f in agg_specs:
             if f not in cols:
                 cols[f] = t[f]
+        for f in count_fields:  # null-skipping count/avg denominators
+            cols[f"{f}__n"] = pc.cast(pc.is_valid(t[f]), pa.int64())
         return pa.table(cols)
 
     keys = [out for out, _, _ in key_specs]
@@ -168,6 +181,8 @@ def transform_pivot(ds, group_by: dict, aggs: dict):
             ray_aggs.append(Max(f))
         else:  # sum / avg / value_count ride the sum+count moments
             ray_aggs.append(Sum(f))
+    for f in count_fields:
+        ray_aggs.append(Sum(f"{f}__n"))
 
     g = (ds.map_batches(prep, batch_format="pyarrow")
          .groupby(keys).aggregate(*ray_aggs))
@@ -182,11 +197,11 @@ def transform_pivot(ds, group_by: dict, aggs: dict):
             elif kind == "sum":
                 out_cols[out] = t[f"sum({f})"]
             elif kind == "value_count":
-                out_cols[out] = t["count()"]
-            else:  # avg
+                out_cols[out] = t[f"sum({f}__n)"]
+            else:  # avg over non-null values only
                 out_cols[out] = pc.divide(
                     pc.cast(t[f"sum({f})"], pa.float64()),
-                    pc.cast(t["count()"], pa.float64()))
+                    pc.cast(t[f"sum({f}__n)"], pa.float64()))
         return pa.table(out_cols)
 
     return g.map_batches(finish, batch_format="pyarrow")

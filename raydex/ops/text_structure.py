@@ -44,11 +44,18 @@ def _column_type(values: list) -> str:
     if all(isinstance(v, bool) for v in vals):
         return "boolean"
     try:
+        # OverflowError: int(float('inf')); inf/nan cells type as double
         if all(float(v) == int(float(v)) for v in vals):
             return "long"
         float(vals[0])
         [float(v) for v in vals]
         return "double"
+    except OverflowError:
+        try:
+            [float(v) for v in vals]
+            return "double"
+        except (TypeError, ValueError):
+            pass
     except (TypeError, ValueError):
         pass
     svals = [str(v) for v in vals]
@@ -84,11 +91,21 @@ def find_structure(lines: list[str], max_sample: int = 1000) -> dict:
         colvals = {c: [o.get(c) for o in objs] for c in cols}
         return _result("ndjson", cols, colvals, len(sample))
 
-    # --- delimited: a consistent column count > 1 under one delimiter
+    # --- delimited: a consistent column count > 1 under one delimiter,
+    # parsed quote-aware (DelimitedTextStructureFinder uses a real CSV
+    # parser — 'a,"x, y"' is two fields, not three)
+    import csv
+    import io
+
     for delim in (",", "\t", ";", "|"):
-        counts = {ln.count(delim) for ln in sample}
-        if len(counts) == 1 and counts.pop() >= 1:
-            rows = [ln.split(delim) for ln in sample]
+        try:
+            rows = list(csv.reader(io.StringIO("\n".join(sample)),
+                                   delimiter=delim))
+        except csv.Error:
+            continue
+        widths = {len(r) for r in rows if r}
+        if len(widths) == 1 and widths.pop() >= 2:
+            rows = [r for r in rows if r]
             header = [c.strip().strip('"') for c in rows[0]]
             body = rows[1:] if len(rows) > 1 else rows
             # header row iff its cells look like names, not data
@@ -99,7 +116,7 @@ def find_structure(lines: list[str], max_sample: int = 1000) -> dict:
             if not has_header:
                 header = [f"column{i + 1}" for i in range(len(rows[0]))]
                 body = rows
-            colvals = {h: [r[i].strip().strip('"') for r in body]
+            colvals = {h: [r[i].strip() for r in body]
                        for i, h in enumerate(header)}
             out = _result("delimited", header, colvals, len(sample))
             out["delimiter"] = delim

@@ -378,6 +378,12 @@ def _term_filter(body):
 
     inc_rx = re.compile(inc) if isinstance(inc, str) else None
     exc_rx = re.compile(exc) if isinstance(exc, str) else None
+    # value lists compare against the STRINGIFIED bucket key (numeric
+    # doc-values keys stringify before filtering)
+    if inc is not None and inc_rx is None:
+        inc = {str(v) for v in inc}
+    if exc is not None and exc_rx is None:
+        exc = {str(v) for v in exc}
 
     def ok(t: str) -> bool:
         if inc is not None:
@@ -429,14 +435,22 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
         if body.get("missing") is not None:
             covered = np.zeros(reader.ndocs, dtype=bool)
             covered[fr.all_postings_docids()[0]] = True
-            n_miss = int((mask & ~covered).sum())
-            if n_miss:
-                mkey = str(body["missing"])
+            mmask = mask & ~covered
+            n_miss = int(mmask.sum())
+            mkey = str(body["missing"])
+            if n_miss and (keep is None or keep(mkey)):
+                msub: dict = {}
+                if sub_spec:
+                    hit = np.flatnonzero(mmask)
+                    inv = np.zeros(hit.size, dtype=np.int64)
+                    msub = _grouped_metric_partials(
+                        sub_spec, reader, hit, inv, 1, scores, ordinal)[0]
                 got = buckets.get(mkey)
                 if got is None:
-                    buckets[mkey] = {"doc_count": n_miss, "sub": {}}
-                else:
+                    buckets[mkey] = {"doc_count": n_miss, "sub": msub}
+                else:  # missing key collides with a real term: merge
                     got["doc_count"] += n_miss
+                    got["sub"] = reduce_partials([got["sub"], msub])
     else:
         vals = _doc_values(reader, field)[midx]
         keys, inv, counts = np.unique(
@@ -490,9 +504,19 @@ def _collect_multi_terms(reader, mask, midx, body, sub_spec,
     fields = [t["field"] for t in body["terms"]]
     if len(fields) < 2:
         raise ValueError("multi_terms needs at least two fields")
+    # docs missing ANY key field drop out (MultiTermsAggregator skips
+    # docs without a value for every term source)
+    cols = [_multi_doc_values(reader, f)[midx] for f in fields]
+    valid = np.ones(len(midx), dtype=bool)
+    for vals in cols:
+        if vals.dtype == object:
+            valid &= np.array([v is not None for v in vals], dtype=bool)
+        elif np.issubdtype(vals.dtype, np.floating):
+            valid &= ~np.isnan(vals)
+    midx = midx[valid]
     invs, uniqs = [], []
-    for f in fields:
-        vals = _multi_doc_values(reader, f)[midx]
+    for vals in cols:
+        vals = vals[valid]
         u, inv = np.unique(vals.astype(str), return_inverse=True)
         uniqs.append(u)
         invs.append(inv)

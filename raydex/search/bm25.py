@@ -77,7 +77,13 @@ def term_score(tfs: np.ndarray, denom_add: np.ndarray, idf_t: float) -> np.ndarr
     return idf_t * (K1 + 1.0) * t / (t + denom_add)
 
 
-_CONTRIB_CACHE_CAP = 2048
+import os as _os
+
+# byte-capped (NOT entry-capped): entries are df-sized float64 arrays,
+# so 2048 head terms of a multi-M-doc merged segment would otherwise
+# cost gigabytes per reader x replica
+_CONTRIB_CACHE_MAX_BYTES = int(_os.environ.get(
+    "RAYDEX_CONTRIB_CACHE_MAX_BYTES", 128 * 1024 * 1024))
 
 
 def cached_term_contrib(reader, ti: int, ids: np.ndarray, tfs: np.ndarray,
@@ -97,6 +103,7 @@ def cached_term_contrib(reader, ti: int, ids: np.ndarray, tfs: np.ndarray,
     cache = getattr(reader, "_contrib_cache", None)
     if cache is None:
         cache = reader._contrib_cache = OrderedDict()
+        reader._contrib_cache_bytes = 0
     hit = cache.get(ti)
     if hit is not None and hit[0] == idf_t and hit[1] == avgdl \
             and hit[2].size == ids.size:
@@ -104,9 +111,15 @@ def cached_term_contrib(reader, ti: int, ids: np.ndarray, tfs: np.ndarray,
         return hit[2]
     contrib = term_score(tfs, tf_norm_denom_add(reader.dl_quant[ids], avgdl),
                          idf_t)
-    cache[ti] = (idf_t, avgdl, contrib)
-    if len(cache) > _CONTRIB_CACHE_CAP:
-        cache.popitem(last=False)
+    if hit is not None:
+        reader._contrib_cache_bytes -= hit[2].nbytes
+        del cache[ti]
+    if contrib.nbytes <= _CONTRIB_CACHE_MAX_BYTES:
+        cache[ti] = (idf_t, avgdl, contrib)
+        reader._contrib_cache_bytes += contrib.nbytes
+        while reader._contrib_cache_bytes > _CONTRIB_CACHE_MAX_BYTES:
+            _, old = cache.popitem(last=False)
+            reader._contrib_cache_bytes -= old[2].nbytes
     return contrib
 
 

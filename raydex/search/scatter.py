@@ -47,11 +47,14 @@ def _scaled_float_factor(r, field: str) -> float | None:
 
 
 def _part_of_seg(seg_dir: str) -> int | None:
-    """Partition ordinal from the canonical ``part=NNNNN`` path layout."""
+    """Partition ordinal from the canonical ``part=NNNNN`` path layout.
+    The LAST match wins — an index rooted under a directory whose name
+    happens to contain ``part=`` must not shadow the segment's own
+    partition component."""
     import re
 
-    m = re.search(r"part=(\d+)", seg_dir)
-    return int(m.group(1)) if m else None
+    ms = re.findall(r"part=(\d+)", seg_dir)
+    return int(ms[-1]) if ms else None
 
 
 class SegmentGroup:

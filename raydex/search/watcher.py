@@ -133,7 +133,9 @@ def execute_watch(watch: dict, searcher=None) -> dict:
                 out.append({"id": name, "type": "logging",
                             "message": msg})
             elif akind == "index":
-                rows = payload.get("hits", {}).get("hits", [payload])
+                h = payload.get("hits")
+                rows = (h.get("hits", [payload])
+                        if isinstance(h, dict) else [payload])
                 out.append({"id": name, "type": "index",
                             "index": abody.get("index", ""),
                             "indexed": list(rows)})

@@ -54,9 +54,10 @@ _FIXED_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
 
 
 def _split_spec(spec: dict):
-    """(kind, body, sub_aggs) from one agg entry."""
+    """(kind, body, sub_aggs) from one agg entry. The sibling ``meta``
+    key is carried by the render phase, not a kind."""
     sub = spec.get("aggs") or spec.get("aggregations") or {}
-    kinds = [k for k in spec if k not in ("aggs", "aggregations")]
+    kinds = [k for k in spec if k not in ("aggs", "aggregations", "meta")]
     if len(kinds) != 1:
         raise ValueError(f"aggregation spec needs exactly one kind, got {kinds}")
     return kinds[0], spec[kinds[0]], sub
@@ -104,11 +105,10 @@ def _field_subreader(reader, field: str):
     """Keyword-ish index-time sub-field reader (the SortedSetDocValues
     analogue for terms/cardinality/missing: exact multi-value semantics,
     a doc counts once per distinct value), or None when the field has no
-    sub-index (callers fall back to doc-values)."""
-    try:
-        fr = reader.field(field) if hasattr(reader, "field") else None
-    except Exception:
-        return None
+    sub-index (callers fall back to doc-values). A reader-load failure
+    propagates — swallowing it would mask real segment corruption behind
+    a misleading no-doc-values error."""
+    fr = reader.field(field) if hasattr(reader, "field") else None
     return None if fr is None or fr is reader else fr
 
 
@@ -116,6 +116,10 @@ def _field_subreader(reader, field: str):
 
 
 def _metric_partial(kind: str, vals: np.ndarray):
+    # docs without a value are skipped (NaN = arrow null post-conversion)
+    if getattr(vals, "dtype", None) is not None and \
+            np.issubdtype(vals.dtype, np.floating):
+        vals = vals[~np.isnan(vals)]
     n = int(len(vals))
     if kind == "value_count":
         return {"k": "count", "count": n}
@@ -251,7 +255,11 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
             if sub:
                 raise ValueError("metric aggregations take no sub-aggregations")
             if kind == "cardinality":
-                fr = _field_subreader(reader, body["field"])
+                # same precedence as terms/missing: a stored doc-values
+                # column wins over a keyword sub-index of the same name
+                f = body["field"]
+                fr = (None if f in ("dl", "url") or f in reader.doc_values
+                      else _field_subreader(reader, f))
                 if fr is not None:
                     # distinct keyword values among matched docs: one
                     # sweep reduceat; only the surviving terms get
@@ -453,6 +461,7 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
                     got["sub"] = reduce_partials([got["sub"], msub])
     else:
         vals = _doc_values(reader, field)[midx]
+        vals, midx = _drop_nulls(vals, midx)
         keys, inv, counts = np.unique(
             vals, return_inverse=True, return_counts=True)
         subs = (_grouped_metric_partials(sub_spec, reader, midx, inv,
@@ -637,9 +646,25 @@ def _fixed_interval_us(s: str) -> int:
     return int(s[:-1]) * _FIXED_US[unit]
 
 
+def _drop_nulls(vals: np.ndarray, midx: np.ndarray):
+    """Docs without a value never reach a bucket or a metric (arrow
+    nulls surface as NaN after the float64 doc-values conversion; the
+    reference's ValuesSource simply skips such docs)."""
+    if np.issubdtype(vals.dtype, np.floating):
+        ok = ~np.isnan(vals)
+        if not ok.all():
+            return vals[ok], midx[ok]
+    elif vals.dtype == object:
+        ok = np.array([v is not None for v in vals], dtype=bool)
+        if not ok.all():
+            return vals[ok], midx[ok]
+    return vals, midx
+
+
 def _collect_histogram(reader, midx, kind, body, sub_spec,
                        scores=None, ordinal: int = 0):
     vals = _doc_values(reader, body["field"])[midx]
+    vals, midx = _drop_nulls(vals, midx)
     if kind == "histogram":
         interval = float(body["interval"])
         keys_f = np.floor(vals / interval) * interval
@@ -916,13 +941,26 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
             elif okey == "_key":
                 items.sort(key=lambda kv: kv[0], reverse=rev)
             else:
-                # order by a metric sub-aggregation's value
+                # order by a metric sub-aggregation's value; the dotted
+                # `"st.avg"` form addresses one component of a
+                # multi-value metric (the reference's documented syntax)
+                mname, _, comp = okey.partition(".")
+                if mname not in sub:
+                    raise ValueError(
+                        f"terms order references unknown sub-aggregation "
+                        f"{mname!r}")
+
                 def metric_val(kv):
-                    r = render_aggs({okey: sub[okey]}, kv[1]["sub"])[okey]
-                    v = r.get("value", r.get("avg"))
+                    r = render_aggs({mname: sub[mname]}, kv[1]["sub"])[mname]
+                    if comp:
+                        v = r.get(comp)
+                    else:
+                        v = r.get("value", r.get("avg"))
                     return v if v is not None else float("-inf")
-                items.sort(key=lambda kv: (metric_val(kv), str(kv[0])),
-                           reverse=rev)
+                # key tie-break stays ASCENDING regardless of direction
+                # (stable sort over the key-presorted list)
+                items.sort(key=lambda kv: str(kv[0]))
+                items.sort(key=metric_val, reverse=rev)
             items = items[:size]
             out[name] = {"buckets": [
                 {"key": k, "doc_count": b["doc_count"],
@@ -938,14 +976,17 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
                 interval = float(body["interval"])
                 eb = body.get("extended_bounds") or {}
                 keys = list(bkts)
-                lo = min([*keys, eb["min"]] if "min" in eb else keys)
-                hi = max([*keys, eb["max"]] if "max" in eb else keys)
-                lo = float(np.floor(lo / interval) * interval)
-                hi = float(np.floor(hi / interval) * interval)
-                k = lo
-                while k <= hi + 1e-9:
-                    bkts.setdefault(k, {"doc_count": 0, "sub": {}})
-                    k += interval
+                cand_lo = keys + ([eb["min"]] if "min" in eb else [])
+                cand_hi = keys + ([eb["max"]] if "max" in eb else [])
+                if cand_lo and cand_hi:
+                    # integer bucket ordinals: m*interval reproduces the
+                    # collect-side floor(v/interval)*interval keys
+                    # exactly (a += loop drifts on fractional intervals)
+                    m0 = int(np.floor(min(cand_lo) / interval))
+                    m1 = int(np.floor(max(cand_hi) / interval))
+                    for m in range(m0, m1 + 1):
+                        bkts.setdefault(m * interval,
+                                        {"doc_count": 0, "sub": {}})
             items = sorted(bkts.items(), key=lambda kv: kv[0])
             buckets = []
             for k, b in items:
@@ -1002,4 +1043,6 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
             out[name] = {"buckets": [
                 {"key": t, "doc_count": c} for t, c in final
             ]}
+        if "meta" in spec and name in out:
+            out[name]["meta"] = spec["meta"]  # echoed verbatim (ref)
     return out

@@ -701,10 +701,16 @@ class SegmentGroup:
                    fdf: dict | None = None,
                    field_sum_dl: dict | None = None,
                    runtime_mappings: dict | None = None,
-                   join_maps: dict | None = None) -> dict:
+                   join_maps: dict | None = None, k: int = 0):
         """Aggregations phase over the query's matching docs: one merged
         partial tree per segment slice (the shard-level
-        ``InternalAggregation`` stream — metadata-sized, never docs)."""
+        ``InternalAggregation`` stream — metadata-sized, never docs).
+
+        With ``k > 0`` the SAME per-segment evaluation also yields the
+        top-k hits (the reference collects hits and aggs in one shard
+        pass); returns (merged_partials, per_segment_topk) — per_segment
+        rows feed :func:`merge_top_k` exactly like ``query_top_k``'s.
+        With ``k == 0`` returns just the merged partials."""
         from raydex.analysis.tokenizer import get_analyzer
         from raydex.search.aggsphase import (
             collect_filter_queries,
@@ -738,15 +744,27 @@ class SegmentGroup:
                               runtime_mappings=runtime_mappings)
             join_maps = reduce_join_phase1(jnodes, [partial])
         parts = []
+        per_seg_hits = []
         for r, o in zip(self.readers, self.ordinals):
             ev = SegmentEvaluator(
                 r, stats, an, runtime_mappings=runtime_mappings,
                 join_maps=evaluator_join_maps(jnodes, join_maps, r.seg_dir),
             )
             qscores, mask = ev.eval(q)
+            if r.live is not None:  # deleted docs never reach a bucket
+                mask = mask & r.live
             parts.append(collect_partials(r, ev, mask, aggs_spec,
                                           scores=qscores, ordinal=o))
-        return reduce_partials(parts)
+            if k > 0:
+                from raydex.search.bm25 import top_k_select
+
+                ids, sc = top_k_select(
+                    np.where(mask, qscores, 0.0), k, mask)
+                per_seg_hits.append(
+                    (o, ids.tolist(), sc.tolist(),
+                     [r.url_of(d) for d in ids]))
+        merged = reduce_partials(parts)
+        return (merged, per_seg_hits) if k > 0 else merged
 
 
 def merge_top_k(per_segment, k: int):
@@ -1116,18 +1134,18 @@ class LocalSearcher(SearcherBase):
         from raydex.search.aggsphase import fix_significant_bg, render_aggs
 
         df, fdf = self._query_stats(self._aggs_stats_qdict(qdict, aggs))
-        merged = self.group.query_aggs(
+        res = self.group.query_aggs(
             qdict, aggs, self.ndocs, self.sum_dl, df,
             self.manifest["analyzer"], fdf=fdf,
             field_sum_dl=self.field_sum_dl,
-            runtime_mappings=runtime_mappings,
+            runtime_mappings=runtime_mappings, k=k,
         )
+        merged, per_seg = (res if k > 0 else (res, []))
         fix_significant_bg(aggs, merged, self.group.term_stats,
                            self.group.field_term_stats)
         out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
-        if k > 0:
-            out["hits"] = self.search_query(
-                qdict, k=k, runtime_mappings=runtime_mappings)
+        if k > 0:  # hits come from the SAME per-segment pass
+            out["hits"] = merge_top_k(per_seg, k)
         return out
 
     def profile_search(self, qdict: dict, k: int = 10,
@@ -1628,15 +1646,20 @@ class RaySearcher(SearcherBase):
                                 self.manifest["analyzer"], fdf=fdf,
                                 field_sum_dl=self.field_sum_dl,
                                 runtime_mappings=runtime_mappings,
-                                join_maps=jm)
+                                join_maps=jm, k=k)
             for a in self.actors
         ]
-        merged = reduce_partials(self._ray.get(refs))
+        got = self._ray.get(refs)
+        if k > 0:  # hits ride the same per-actor pass
+            merged = reduce_partials([g[0] for g in got])
+            per_seg = [seg for g in got for seg in g[1]]
+        else:
+            merged = reduce_partials(got)
+            per_seg = []
         fix_significant_bg(aggs, merged, self._stats, self._field_stats)
         out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
         if k > 0:
-            out["hits"] = self.search_query(
-                qdict, k=k, runtime_mappings=runtime_mappings)
+            out["hits"] = merge_top_k(per_seg, k)
         return out
 
     def terms_agg(self, field: str, size: int = 10,

@@ -141,6 +141,10 @@ def step(registry, alias: str, policy: dict,
                                 "shrunk_to": dst})
                     st["done"].append(key)
                     _store_state(dst, st)
+                    # the reference's shrink action deletes the source
+                    # index after the swap — keeping it would silently
+                    # double the disk footprint forever
+                    shutil.rmtree(idx, ignore_errors=True)
                     idx = dst  # later phases act on the shrunk index
                 elif aname == "delete":
                     registry.update_aliases(

@@ -308,9 +308,11 @@ def build_segment(
                 f"{seg_id}-f-{spec.name}", False,
             )
             d = pq.read_table(os.path.join(tmp, "docs.parquet"))
+            # nulls STAY null (a doc without a value must not match
+            # "*"; "" would) — list and arrow inputs behave identically
             arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
-                else pa.array(["" if v is None else str(v) for v in values],
-                              pa.string())
+                else pa.array([None if v is None else str(v)
+                               for v in values], pa.string())
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             arr = arr.cast(pa.string())

@@ -43,21 +43,18 @@ def _column_type(values: list) -> str:
         return "keyword"
     if all(isinstance(v, bool) for v in vals):
         return "boolean"
+    import math
+
     try:
-        # OverflowError: int(float('inf')); inf/nan cells type as double
-        if all(float(v) == int(float(v)) for v in vals):
-            return "long"
-        float(vals[0])
-        [float(v) for v in vals]
-        return "double"
-    except OverflowError:
-        try:
-            [float(v) for v in vals]
-            return "double"
-        except (TypeError, ValueError):
-            pass
+        fs = [float(v) for v in vals]
     except (TypeError, ValueError):
-        pass
+        fs = None
+    if fs is not None:
+        # inf/nan cells keep the column numeric (double); int() is only
+        # attempted on finite values so no OverflowError path exists
+        if all(math.isfinite(x) and x == int(x) for x in fs):
+            return "long"
+        return "double"
     svals = [str(v) for v in vals]
     if _timestamp_format(svals):
         return "date"

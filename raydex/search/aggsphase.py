@@ -175,12 +175,23 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
                     reader, mo[starts[b]:ends[b]], scores, ordinal, size)
             continue
         v = _doc_values(reader, body["field"])[midx][order]
+        # null skip (same contract as the standalone metrics): drop
+        # NaN entries and recompute this metric's bucket bounds over
+        # the filtered sorted stream
+        if np.issubdtype(v.dtype, np.floating) and np.isnan(v).any():
+            ok = ~np.isnan(v)
+            v = v[ok]
+            si = sorted_inv[ok]
+            starts_m = np.searchsorted(si, np.arange(n_keys), side="left")
+            ends_m = np.searchsorted(si, np.arange(n_keys), side="right")
+        else:
+            starts_m, ends_m = starts, ends
         if kind in ("cardinality", "percentiles"):
             for b in range(n_keys):
                 per_bucket[b][name] = _metric_partial(
-                    kind, v[starts[b]:ends[b]])
+                    kind, v[starts_m[b]:ends_m[b]])
             continue
-        counts = ends - starts
+        counts = ends_m - starts_m
         if kind == "value_count":
             for b in range(n_keys):
                 per_bucket[b][name] = {"k": "count", "count": int(counts[b])}
@@ -195,7 +206,7 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
             # reduceat windows are exact: ends[b] == starts[b+1] (right
             # bound of b == left bound of b+1 in a sorted stream), so
             # the next NON-EMPTY bucket's start equals this bucket's end
-            st = starts[nz]
+            st = starts_m[nz]
             sums[nz] = np.add.reduceat(vf, st)
             mins[nz] = np.minimum.reduceat(vf, st)
             maxs[nz] = np.maximum.reduceat(vf, st)
@@ -488,12 +499,15 @@ def _jlh(fg, fg_total, bg, bg_total):
 
 
 def _multi_doc_values(reader, field: str):
-    """Per-doc value array for multi_terms keys: a doc-values column, or
-    a single-valued keyword sub-field inverted from the docid sweep
+    """Per-doc value array for multi_terms keys: a doc-values column
+    (first, same precedence as terms/cardinality/missing — a wildcard
+    field's stored string column must win over its 3-gram sub-index),
+    or a single-valued keyword sub-field inverted from the docid sweep
     (multi-valued keyword fields would need per-combination explosion —
     the reference's MultiTermsAggregator has the same per-doc-tuple
     model)."""
-    fr = _field_subreader(reader, field)
+    fr = (None if field in ("dl", "url") or field in reader.doc_values
+          else _field_subreader(reader, field))
     if fr is None:
         return _doc_values(reader, field)
     vals = np.full(reader.ndocs, None, dtype=object)

@@ -14,6 +14,15 @@ from __future__ import annotations
 import itertools
 
 
+def _run_search(index_dir: str, qdict: dict, k: int):
+    from raydex.search.scatter import LocalSearcher
+
+    return LocalSearcher(index_dir).search_query(qdict, k=k)
+
+
+_REMOTE_RUN = None  # the ray.remote wrapper, created once on first use
+
+
 class AsyncSearchService:
     """Session-local async-search store (the reference persists
     responses to the ``.async-search`` system index; this engine's
@@ -33,16 +42,11 @@ class AsyncSearchService:
         """Start the search in a Ray worker; return the id and, when it
         finishes within the wait window, the response inline (the
         reference's partial/complete submit contract)."""
-        ray = self._ray
-
-        @ray.remote(num_cpus=1)
-        def _run(index_dir: str, qdict: dict, k: int):
-            from raydex.search.scatter import LocalSearcher
-
-            return LocalSearcher(index_dir).search_query(qdict, k=k)
-
+        global _REMOTE_RUN
+        if _REMOTE_RUN is None:  # register the remote function ONCE
+            _REMOTE_RUN = self._ray.remote(num_cpus=1)(_run_search)
         sid = f"async_{next(self._ids):06d}"
-        self._tasks[sid] = _run.remote(index_dir, qdict, k)
+        self._tasks[sid] = _REMOTE_RUN.remote(index_dir, qdict, k)
         self._meta[sid] = {"index": index_dir, "k": k}
         return self.get(sid, wait_s=wait_for_completion_s)
 

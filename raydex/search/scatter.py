@@ -46,6 +46,20 @@ def _scaled_float_factor(r, field: str) -> float | None:
     return None
 
 
+def _needs_fetch_phases(qdict: dict) -> bool:
+    """True when hits carry per-hit annotations only the full
+    search_query path produces (matched_queries from ``_name`` clauses,
+    inner_hits from join nodes)."""
+    from raydex.search.query import (
+        collect_join_nodes,
+        collect_named_queries,
+        parse_query,
+    )
+
+    return bool(collect_named_queries(qdict)) or bool(
+        collect_join_nodes(parse_query(qdict)))
+
+
 def _part_of_seg(seg_dir: str) -> int | None:
     """Partition ordinal from the canonical ``part=NNNNN`` path layout.
     The LAST match wins — an index rooted under a directory whose name
@@ -1133,19 +1147,27 @@ class LocalSearcher(SearcherBase):
         idiom)."""
         from raydex.search.aggsphase import fix_significant_bg, render_aggs
 
+        # hits needing the fetch sub-phases (matched_queries attach,
+        # inner_hits) go through search_query; plain hits ride the same
+        # per-segment pass as the aggs collect
+        one_pass_hits = k > 0 and not _needs_fetch_phases(qdict)
         df, fdf = self._query_stats(self._aggs_stats_qdict(qdict, aggs))
         res = self.group.query_aggs(
             qdict, aggs, self.ndocs, self.sum_dl, df,
             self.manifest["analyzer"], fdf=fdf,
             field_sum_dl=self.field_sum_dl,
-            runtime_mappings=runtime_mappings, k=k,
+            runtime_mappings=runtime_mappings,
+            k=k if one_pass_hits else 0,
         )
-        merged, per_seg = (res if k > 0 else (res, []))
+        merged, per_seg = (res if one_pass_hits else (res, []))
         fix_significant_bg(aggs, merged, self.group.term_stats,
                            self.group.field_term_stats)
         out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
-        if k > 0:  # hits come from the SAME per-segment pass
+        if one_pass_hits:
             out["hits"] = merge_top_k(per_seg, k)
+        elif k > 0:
+            out["hits"] = self.search_query(
+                qdict, k=k, runtime_mappings=runtime_mappings)
         return out
 
     def profile_search(self, qdict: dict, k: int = 10,
@@ -1636,6 +1658,7 @@ class RaySearcher(SearcherBase):
             render_aggs,
         )
 
+        one_pass_hits = k > 0 and not _needs_fetch_phases(qdict)
         sq = self._aggs_stats_qdict(qdict, aggs)
         terms, fpairs = self._collect_stats_spec(sq)
         df = self._stats(terms) if terms else {}
@@ -1646,11 +1669,12 @@ class RaySearcher(SearcherBase):
                                 self.manifest["analyzer"], fdf=fdf,
                                 field_sum_dl=self.field_sum_dl,
                                 runtime_mappings=runtime_mappings,
-                                join_maps=jm, k=k)
+                                join_maps=jm,
+                                k=k if one_pass_hits else 0)
             for a in self.actors
         ]
         got = self._ray.get(refs)
-        if k > 0:  # hits ride the same per-actor pass
+        if one_pass_hits:  # hits ride the same per-actor pass
             merged = reduce_partials([g[0] for g in got])
             per_seg = [seg for g in got for seg in g[1]]
         else:
@@ -1658,8 +1682,11 @@ class RaySearcher(SearcherBase):
             per_seg = []
         fix_significant_bg(aggs, merged, self._stats, self._field_stats)
         out = {"hits": [], "aggregations": render_aggs(aggs, merged)}
-        if k > 0:
+        if one_pass_hits:
             out["hits"] = merge_top_k(per_seg, k)
+        elif k > 0:
+            out["hits"] = self.search_query(
+                qdict, k=k, runtime_mappings=runtime_mappings)
         return out
 
     def terms_agg(self, field: str, size: int = 10,

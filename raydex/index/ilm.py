@@ -153,6 +153,21 @@ def step(registry, alias: str, policy: dict,
                     log.append({"index": idx, "action": key})
                     idx = None
                     break
+            # phase-completion gate: the reference blocks the phase
+            # transition until every action of the current phase has
+            # run (WaitForRolloverReadyStep holds a write index in hot
+            # until rollover fires) — an incomplete phase (e.g. unmet
+            # rollover conditions) must NOT fall through to warm/delete,
+            # which would forcemerge/shrink/rmtree an un-rolled write
+            # index and lose data
+            if idx is not None:
+                pending = [a for a in
+                           ("rollover", "forcemerge", "shrink", "delete")
+                           if a in actions
+                           and f"{ph}.{a}" not in st["done"]]
+                if pending:
+                    target = ph  # stored phase must not advance past here
+                    break
             if idx is None or ph == target:
                 break
         if idx is not None:

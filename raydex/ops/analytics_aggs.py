@@ -342,9 +342,11 @@ def string_stats(ds, col: str, show_distribution: bool = False):
     def partial(t: pa.Table) -> pa.Table:
         arr = t[col].combine_chunks().drop_null()
         n = len(arr)
+        # zero-length values COUNT toward min/max/total — the reference
+        # records every value's length including 0
+        # (StringStatsAggregator.java:104-111)
         lens = (pc.utf8_length(arr).to_numpy(zero_copy_only=False)
                 if n else np.empty(0, dtype=np.int64))
-        lens = lens[lens > 0]  # length stats skip empty strings (ref)
         joined = "".join(arr.to_pylist())
         codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
         uniq, cnt = np.unique(codes, return_counts=True)
@@ -374,12 +376,15 @@ def string_stats(ds, col: str, show_distribution: bool = False):
     if total_len:
         p = np.array(sorted(occ.values()), dtype=np.float64) / total_len
         entropy = float(-(p * np.log2(p)).sum())
+    # min/max keyed on COUNT, not total_len: all-empty input still has
+    # lengths (all 0) — the Integer.MAX_VALUE/MIN_VALUE sentinels only
+    # survive when no value was seen at all
     out = {
         "count": int(count),
         "min_length": (min(int(r["mn"]) for r in parts)
-                       if total_len else None),
+                       if count else None),
         "max_length": (max(int(r["mx"]) for r in parts)
-                       if total_len else None),
+                       if count else None),
         "avg_length": (total_len / count if count else None),
         "entropy": entropy,
     }

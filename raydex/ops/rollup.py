@@ -84,7 +84,11 @@ def rollup(ds, ts_col: str, interval_us: int,
         if "max" in need:
             aggs.append(Max(f))
             renames[f"max({f})"] = f"{f}.max"
-        if "sum" in need or "value_count" in need:
+        # Sum(f) backs only the sum/avg moments — value_count is served
+        # from the {f}__n counter, so a value_count-only spec must not
+        # emit a '<f>.sum' column the job never configured (the
+        # reference stores only configured moments)
+        if "sum" in need:
             aggs.append(Sum(f))
             renames[f"sum({f})"] = f"{f}.sum"
     for f in count_fields:
@@ -97,10 +101,10 @@ def rollup(ds, ts_col: str, interval_us: int,
         .aggregate(*aggs)
     )
 
+    # no columns to drop post-agg: Sum(f) is only ever added for
+    # sum/avg specs, and both store the sum moment (avg is served from
+    # sum/value_count at query time, IndexerUtils)
     want_avg = [f for f, ms in metrics.items() if "avg" in ms]
-    drop_sum = [f for f, ms in metrics.items()
-                if "sum" not in ms and "avg" not in ms
-                and "value_count" not in ms]
 
     def finish(t: pa.Table) -> pa.Table:
         for old, new in renames.items():
@@ -116,10 +120,6 @@ def rollup(ds, ts_col: str, interval_us: int,
                 pc.divide(pc.cast(t[f"{f}.sum"], pa.float64()),
                           pc.cast(t[f"{f}.value_count"], pa.float64())),
             )
-        for f in drop_sum:
-            i = t.schema.get_field_index(f"{f}.sum")
-            if i >= 0:
-                t = t.remove_column(i)
         return t
 
     return g.map_batches(finish, batch_format="pyarrow")

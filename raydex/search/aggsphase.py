@@ -575,10 +575,23 @@ def _collect_rare_terms(reader, mask, body):
     reference trades exactness for a bloom filter here, this engine's
     shard partial is matched-vocabulary-bounded instead."""
     field = body["field"]
-    fr = _field_subreader(reader, field)
-    if fr is None:
-        raise ValueError("rare_terms needs a keyword index-time field")
     maxc = int(body.get("max_doc_count", 1))
+    # doc-values precedence, same guard as terms/cardinality/missing:
+    # a wildcard field's sub-index holds anchored 3-GRAMS, not values —
+    # aggregate its stored doc-values column instead
+    fr = (None if field in ("dl", "url")
+          or field in getattr(reader, "doc_values", {})
+          else _field_subreader(reader, field))
+    if fr is None:
+        vals = _doc_values(reader, field)[mask]
+        vals = vals[np.array([v is not None for v in vals], dtype=bool)] \
+            if vals.dtype == object else vals
+        uniq, cnt = np.unique(vals.astype(str), return_counts=True) \
+            if len(vals) else (np.empty(0, dtype=object),
+                               np.empty(0, dtype=np.int64))
+        kept = {str(t): int(c) for t, c in zip(uniq, cnt) if c <= maxc}
+        banned = [str(t) for t, c in zip(uniq, cnt) if c > maxc]
+        return {"k": "rare", "max": maxc, "kept": kept, "banned": banned}
     fg = fr.fg_term_counts(mask)
     nz = np.flatnonzero(fg)
     kept: dict = {}

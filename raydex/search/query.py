@@ -88,6 +88,7 @@ class Prefix(Query):
 class Wildcard(Query):
     pattern: str = ""  # * and ? wildcards
     fld: str = "text"
+    case_insensitive: bool = False
 
 
 @dataclass
@@ -413,7 +414,12 @@ def parse_query(d: dict) -> Query:
         return Prefix(value=v if isinstance(v, str) else v["value"], fld=fld)
     if kind == "wildcard":
         fld, v = _field_body(body)
-        return Wildcard(pattern=v if isinstance(v, str) else v["value"], fld=fld)
+        if isinstance(v, dict):
+            return Wildcard(pattern=v["value"], fld=fld,
+                            boost=v.get("boost", 1.0),
+                            case_insensitive=bool(
+                                v.get("case_insensitive", False)))
+        return Wildcard(pattern=v, fld=fld)
     if kind == "regexp":
         fld, v = _field_body(body)
         return Regexp(pattern=v if isinstance(v, str) else v["value"], fld=fld)
@@ -983,14 +989,18 @@ def expand_prefix(reader, prefix: str) -> list[int]:
     return list(range(lo, hi))
 
 
-def wildcard_field_mask(reader, fld: str, pattern: str) -> np.ndarray:
+def wildcard_field_mask(reader, fld: str, pattern: str,
+                        case_insensitive: bool = False) -> np.ndarray:
     """Wildcard-FIELD evaluation (x-pack ``WildcardFieldMapper.java``):
     approximate candidates from the anchored-3-gram sub-index — the
     conjunction of every 3-gram of each contiguous literal run of the
     (anchor-wrapped, lowercased) pattern — then exact verification of
-    only the candidates against the stored value column. Matching is
-    case-insensitive (the mapper's normalized ngram semantics). A
-    pattern with no usable gram (e.g. ``*a*``) verifies every doc."""
+    only the candidates against the stored value column. The gram
+    approximation is always lowercased (the sub-index is normalized),
+    but verification is CASE-SENSITIVE by default — the reference's
+    ``wildcardQuery`` builds its verifying automaton with
+    ``caseInsensitive=false`` unless the query opts in. A pattern with
+    no usable gram (e.g. ``*a*``) verifies every doc."""
     import re as _re
 
     fr = reader.field(fld) if hasattr(reader, "field") else None
@@ -1013,14 +1023,14 @@ def wildcard_field_mask(reader, fld: str, pattern: str) -> np.ndarray:
             return cand
     rx = _re.compile(
         "^" + "".join(".*" if c == "*" else "." if c == "?"
-                      else _re.escape(c) for c in pattern.lower()) + "$",
-        _re.DOTALL,
+                      else _re.escape(c) for c in pattern) + "$",
+        _re.DOTALL | (_re.IGNORECASE if case_insensitive else 0),
     )
     idx = np.flatnonzero(cand) if cand is not None else np.arange(reader.ndocs)
     out = np.zeros(reader.ndocs, dtype=bool)
     for i in idx:
         v = vals[i]
-        if v is not None and rx.match(str(v).lower()):
+        if v is not None and rx.match(str(v)):
             out[i] = True
     if reader.live is not None:
         out &= reader.live
@@ -1165,15 +1175,15 @@ class SegmentEvaluator:
             mask = names == term
             return np.where(mask, boost, 0.0), mask
         if (meta.get("kind") or meta.get("analyzer")) == "wildcard":
-            # term on a wildcard field = exact (case-insensitive)
-            # equality through the same ngram-approximate + verify
-            # machinery the reference's termQuery rewrite uses; a term
-            # that itself contains wildcard metachars compares directly
+            # term on a wildcard field = exact (case-SENSITIVE, matching
+            # WildcardFieldMapper.termQuery -> wildcardQuery(...,
+            # caseInsensitive=false)) equality through the same
+            # ngram-approximate + verify machinery; a term that itself
+            # contains wildcard metachars compares directly
             if "*" in term or "?" in term:
                 vals = self.r.doc_values.get(field)
-                tl = term.lower()
                 mask = np.fromiter(
-                    (v is not None and str(v).lower() == tl for v in vals),
+                    (v is not None and str(v) == term for v in vals),
                     dtype=bool, count=self.n)
                 if self.r.live is not None:
                     mask &= self.r.live
@@ -1315,7 +1325,9 @@ class SegmentEvaluator:
             if q.fld != "text":
                 meta = getattr(self.r, "fields_meta", {}).get(q.fld, {})
                 if (meta.get("kind") or meta.get("analyzer")) == "wildcard":
-                    mask = wildcard_field_mask(self.r, q.fld, q.pattern)
+                    mask = wildcard_field_mask(
+                        self.r, q.fld, q.pattern,
+                        case_insensitive=q.case_insensitive)
                     return np.where(mask, q.boost, 0.0), mask
                 import regex as _rx
 

@@ -190,6 +190,27 @@ def test_string_stats(events):
     }
 
 
+def test_string_stats_zero_length_values(ray_session):
+    """Zero-length values count toward min/max/avg — the reference
+    records length 0 (StringStatsAggregator.java:104-111): min over
+    ['', 'ab'] is 0, and an all-empty column yields 0s, not None."""
+    from raydex.ops.analytics_aggs import string_stats
+
+    out = string_stats(
+        rd.from_arrow(pa.table({"s": ["", "ab", "abcd", ""]})), "s")
+    assert out["count"] == 4
+    assert out["min_length"] == 0
+    assert out["max_length"] == 4
+    assert out["avg_length"] == pytest.approx(6 / 4)
+    all_empty = string_stats(
+        rd.from_arrow(pa.table({"s": ["", "", ""]})), "s")
+    assert all_empty["count"] == 3
+    assert all_empty["min_length"] == 0
+    assert all_empty["max_length"] == 0
+    assert all_empty["avg_length"] == 0.0
+    assert all_empty["entropy"] == 0.0
+
+
 def test_cumulative_cardinality(events):
     from raydex.ops.analytics_aggs import cumulative_cardinality
 

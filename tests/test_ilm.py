@@ -82,6 +82,37 @@ def test_ilm_phases(ray_session, tmp_path):
     assert shrunk not in {r["index"] for r in reg.get("logs")}
 
 
+def test_ilm_unmet_rollover_blocks_later_phases(ray_session, tmp_path):
+    """An incomplete hot phase (rollover conditions unmet on the write
+    index) must BLOCK warm/delete even past their min_age — the
+    reference's WaitForRolloverReadyStep holds the index in hot; falling
+    through would forcemerge/shrink/rmtree an un-rolled write index
+    (data loss)."""
+    idx = _build(tmp_path, "small", n=5)  # below max_docs=1000
+    reg = AliasRegistry(str(tmp_path / "reg2"))
+    reg.update_aliases([{"add": {"alias": "small", "index": idx,
+                                 "is_write_index": True}}])
+    policy = {"phases": {
+        "hot": {"min_age_s": 0,
+                "actions": {"rollover": {"max_docs": 1000}}},
+        "warm": {"min_age_s": 10,
+                 "actions": {"shrink": {"number_of_shards": 1}}},
+        "delete": {"min_age_s": 20, "actions": {"delete": {}}},
+    }}
+    # way past every min_age, but rollover can't fire (5 < 1000 docs):
+    # nothing may run, the index must survive, phase must stay hot
+    log = step(reg, "small", policy, now_age_s=lambda d: 99_999)
+    assert log == []
+    assert os.path.exists(idx)
+    assert idx in {r["index"] for r in reg.get("small")}
+    # once rollover CAN fire, the pipeline resumes normally
+    policy["phases"]["hot"]["actions"]["rollover"]["max_docs"] = 3
+    log = step(reg, "small", policy, now_age_s=lambda d: 99_999)
+    acts = [e["action"] for e in log]
+    assert acts[0] == "hot.rollover"
+    assert "delete.delete" in acts  # later phases now free to run
+
+
 def test_slm_retention(ray_session, tmp_path):
     """SLM tick: counter naming, max_count retention with GC'd blobs."""
     from raydex.index.snapshot import delete_snapshot, list_snapshots, slm_run

@@ -57,6 +57,21 @@ def test_rollup(events):
     assert "value.sum" in out.columns
 
 
+def test_rollup_value_count_only_no_spurious_sum(events):
+    """A {'f': ['value_count']} spec stores ONLY the configured moment —
+    the reference's rollup index holds just the fields the job asked
+    for, so no '<f>.sum' column may appear."""
+    out = rollup(rd.from_arrow(events), "ts", HOUR,
+                 metrics={"value": ["value_count"]}).to_pandas()
+    assert "value.value_count" in out.columns
+    assert "value.sum" not in out.columns
+    df = _with_bucket(events)
+    g = df.groupby("bucket").agg(n=("value", "size")).reset_index()
+    m = out.merge(g, left_on="ts.bucket", right_on="bucket")
+    assert len(m) == len(g) == len(out)
+    assert (m["value.value_count"] == m["n"]).all()
+
+
 def test_transform_pivot(events):
     pv = transform_pivot(
         rd.from_arrow(events),

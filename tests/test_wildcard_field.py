@@ -46,7 +46,7 @@ def idx(ray_session, tmp_path_factory):
     "*web01*",                    # infix
     "*.log",                      # suffix (anchored grams)
     "/var/log/??/web01.log",      # ? wildcards
-    "*db-master*",                # case-insensitive match
+    "*Db-Master*",                # mixed case, case-sensitive default
     "/var/log/app/*.log.1",       # prefix + suffix
     "*nosuchthing*",              # impossible gram -> empty
     "*a*",                        # no usable gram -> full verify
@@ -57,21 +57,41 @@ def test_wildcard_field_vs_fnmatch(idx, pattern):
     hits = s.search_query({"wildcard": {"path": {"value": pattern}}},
                           k=10_000)
     got = sorted(h["url"] for h in hits)
+    # verification is case-sensitive by default (WildcardFieldMapper
+    # wildcardQuery passes caseInsensitive=false)
     want = sorted(
         f"u{i:04d}.example" for i, p in enumerate(paths)
-        if fnmatch.fnmatchcase(p.lower(), pattern.lower())
+        if fnmatch.fnmatchcase(p, pattern)
     )
     assert got == want, pattern
+
+
+def test_wildcard_field_case_insensitive_opt_in(idx):
+    d, paths = idx
+    s = LocalSearcher(d)
+    # default: 'ABC*' must not match 'abc...' — case-varying pattern
+    # finds nothing without the opt-in
+    assert s.count({"wildcard": {"path": {"value": "*db-master*"}}}) == 0
+    hits = s.search_query(
+        {"wildcard": {"path": {"value": "*db-master*",
+                               "case_insensitive": True}}}, k=10_000)
+    want = sorted(
+        f"u{i:04d}.example" for i, p in enumerate(paths)
+        if fnmatch.fnmatchcase(p.lower(), "*db-master*")
+    )
+    assert sorted(h["url"] for h in hits) == want and want
 
 
 def test_wildcard_field_term_and_count(idx):
     d, paths = idx
     s = LocalSearcher(d)
-    # term = exact case-insensitive equality
+    # term = exact case-SENSITIVE equality by default
     hits = s.search_query(
-        {"term": {"path": "/var/log/db/db-master.gz"}}, k=100)
+        {"term": {"path": "/var/log/db/Db-Master.gz"}}, k=100)
     assert [h["url"] for h in hits] == [
         f"u{paths.index('/var/log/db/Db-Master.gz'):04d}.example"]
+    assert s.search_query(
+        {"term": {"path": "/var/log/db/db-master.gz"}}, k=100) == []
     assert s.count({"wildcard": {"path": {"value": "*.gz"}}}) == \
         sum(p.endswith(".gz") for p in paths)
 
@@ -99,6 +119,23 @@ def test_wildcard_field_acceleration(idx):
     assert 0 < cand_docs.sum() < r.ndocs  # grams narrow the corpus
     mask = wildcard_field_mask(r, "path", "*web01*")
     assert mask.sum() <= cand_docs.sum()
+
+
+def test_rare_terms_on_wildcard_field_uses_stored_values(idx):
+    """rare_terms over a wildcard field must aggregate the stored
+    doc-values column, not its anchored-3-gram sub-index (gram keys
+    contain \\x00 anchors and would leak as buckets)."""
+    d, paths = idx
+    s = LocalSearcher(d)
+    res = s.search_aggs({"match_all": {}},
+                        {"rare": {"rare_terms": {"field": "path",
+                                                 "max_doc_count": 1}}})
+    keys = [b["key"] for b in res["aggregations"]["rare"]["buckets"]]
+    assert all("\x00" not in k for k in keys)
+    from collections import Counter
+
+    want = sorted(t for t, c in Counter(paths).items() if c <= 1)
+    assert sorted(keys) == want
 
 
 def test_wildcard_field_survives_merge(idx, tmp_path):

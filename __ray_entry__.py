@@ -1473,6 +1473,42 @@ def q_dsl_count_suite(sf):
     rows += [(f"o_aggs_range:{b['key']}", b["doc_count"])
              for b in a["rng"]["buckets"]]
     rows.append(("p_aggs_card", a["card"]["value"]))
+    # bucket-under-bucket sub-aggregations (AggregatorFactories builder
+    # tree): terms→histogram, terms→filter, terms→range, and a
+    # three-level terms→histogram→value_count — every leaf mirrored by
+    # a two-key SQL GROUP BY / CASE branch
+    nested = s.search_aggs(
+        {"match": {"text": "batch"}},
+        {"by_lang": {
+            "terms": {"field": "lang", "size": 100},
+            "aggs": {
+                "hist": {"histogram": {"field": "n_chars",
+                                       "interval": 500},
+                         "aggs": {"n": {"value_count":
+                                        {"field": "n_chars"}}}},
+                "also_stream": {"filter": {"match": {"text": "stream"}}},
+                "rng": {"range": {"field": "n_chars",
+                                  "ranges": [{"to": 1000, "key": "lo"},
+                                             {"from": 1000,
+                                              "key": "hi"}]}},
+            }}},
+    )["aggregations"]
+    for b in nested["by_lang"]["buckets"]:
+        lang = b["key"]
+        for h in b["hist"]["buckets"]:
+            rows.append((f"q_nested_hist:{lang}:{int(h['key']):06d}",
+                         h["doc_count"]))
+            rows.append((f"r_nested3_count:{lang}:{int(h['key']):06d}",
+                         h["n"]["value"]))
+        # zero-count child buckets drop: the SQL mirror's GROUP BY
+        # emits no row for an empty group
+        if b["also_stream"]["doc_count"]:
+            rows.append((f"s_nested_filter:{lang}",
+                         b["also_stream"]["doc_count"]))
+        for rb in b["rng"]["buckets"]:
+            if rb["doc_count"]:
+                rows.append((f"t_nested_range:{lang}:{rb['key']}",
+                             rb["doc_count"]))
     rows.sort()
     return pa.table(
         {
@@ -2349,6 +2385,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ' ' || text || ' ' LIKE '% batch %' AND n_chars >= 1600 "
             "UNION ALL SELECT 'p_aggs_card', COUNT(DISTINCT lang) "
             "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %'"
+            # nested bucket sub-aggregations: two-key GROUP BYs
+            "UNION ALL SELECT 'q_nested_hist:' || lang || ':' || "
+            "lpad(CAST(CAST(FLOOR(n_chars / 500.0) * 500 AS BIGINT) "
+            "AS VARCHAR), 6, '0'), COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' GROUP BY 1 "
+            "UNION ALL SELECT 'r_nested3_count:' || lang || ':' || "
+            "lpad(CAST(CAST(FLOOR(n_chars / 500.0) * 500 AS BIGINT) "
+            "AS VARCHAR), 6, '0'), COUNT(n_chars) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' GROUP BY 1 "
+            "UNION ALL SELECT 's_nested_filter:' || lang, COUNT(*) "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND ' ' || text || ' ' LIKE '% stream %' GROUP BY 1 "
+            "UNION ALL SELECT 't_nested_range:' || lang || ':hi', "
+            "COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND n_chars >= 1000 GROUP BY 1 "
+            "UNION ALL SELECT 't_nested_range:' || lang || ':lo', "
+            "COUNT(*) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "AND n_chars < 1000 GROUP BY 1"
             ") ORDER BY kind"
         ),
         # count_min1 = the nested query; terms = nested-context sub-doc

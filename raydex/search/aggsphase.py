@@ -30,10 +30,19 @@ builders under ``search/aggregations/metrics`` and ``bucket``:
 
 Sub-aggregations: ``filter`` / ``global`` / ``range`` / ``missing``
 recurse fully (bucket count is request-bounded); ``terms`` /
-``histogram`` / ``date_histogram`` accept METRIC sub-aggregations,
-computed vectorized with ``argsort`` + ``reduceat`` (an unbounded
-bucket count must not spawn per-bucket Python query evaluation — the
-same keyed-block rule the dedup ops follow).
+``histogram`` / ``date_histogram`` accept metric sub-aggregations
+(vectorized with ``argsort`` + ``reduceat``) AND bucket
+sub-aggregations — terms-per-day, histogram-per-host, arbitrarily
+nested like the reference's ``AggregatorFactories`` builder tree.
+Nested bucketing stays one vectorized pass: the child keys are
+factorized ONCE over all matched docs and fused with the parent
+bucket ordinal into a single combined code (`parent_inv * n_child +
+child_inv`), so a terms→date_histogram→stats tree costs three
+``np.unique``/``reduceat`` sweeps, never per-bucket Python query
+evaluation. A nested ``terms`` may carry ``shard_size`` to trim each
+parent's children to the top-N-by-count at collect (the reference's
+per-shard accuracy trade); without it the partial is exact and
+matched-vocabulary-bounded, like the top-level terms collect.
 
 Partials are plain JSON-able trees: a scatter actor computes one
 merged partial per segment slice and ships only that (bucket keys +
@@ -148,10 +157,16 @@ def _metric_partial(kind: str, vals: np.ndarray):
 
 def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
                              inv: np.ndarray, n_keys: int,
-                             scores=None, ordinal: int = 0):
-    """Per-bucket metric partials under a bucket agg, vectorized:
-    ``midx`` = matched docids, ``inv`` = bucket index per matched doc.
-    Returns [ {name: partial} ] aligned to bucket 0..n_keys-1."""
+                             scores=None, ordinal: int = 0,
+                             evaluator=None):
+    """Per-bucket sub-aggregation partials under a bucket agg,
+    vectorized: ``midx`` = matched docids, ``inv`` = bucket index per
+    matched doc. Returns [ {name: partial} ] aligned to bucket
+    0..n_keys-1. Metric kinds reduce with ``reduceat``; bucket kinds
+    (terms / histogram / date_histogram / filter / filters / range /
+    missing) fuse the child key with the parent ordinal into one
+    combined code and recurse — the whole tree is per-segment
+    vectorized sweeps, one per node."""
     order = np.argsort(inv, kind="stable")
     sorted_inv = inv[order]
     # bucket boundaries in the sorted stream (buckets may be empty)
@@ -160,10 +175,22 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
     per_bucket: list[dict] = [{} for _ in range(n_keys)]
     for name, spec in sub_spec.items():
         kind, body, sub2 = _split_spec(spec)
+        if kind in ("terms", "histogram", "date_histogram"):
+            for b, part in enumerate(_nested_bucket_partials(
+                    kind, body, sub2, reader, evaluator, midx, inv,
+                    n_keys, scores, ordinal)):
+                per_bucket[b][name] = part
+            continue
+        if kind in ("filter", "filters", "missing", "range"):
+            for b, part in enumerate(_nested_mask_partials(
+                    kind, body, sub2, reader, evaluator, midx, inv,
+                    n_keys, scores, ordinal)):
+                per_bucket[b][name] = part
+            continue
         if kind not in _METRICS and kind != "top_hits":
             raise ValueError(
-                f"only metric sub-aggregations are supported under "
-                f"terms/histogram buckets, got {kind!r}"
+                f"unsupported sub-aggregation kind {kind!r} under "
+                f"terms/histogram buckets"
             )
         if sub2:
             raise ValueError("metric aggregations take no sub-aggregations")
@@ -229,6 +256,138 @@ def _py(v):
     return v.item() if hasattr(v, "item") else v
 
 
+_NESTED_K = {"terms": "terms", "histogram": "hist",
+             "date_histogram": "dhist"}
+
+
+def _nested_bucket_partials(kind, body, sub2, reader, evaluator,
+                            midx, inv, n_keys, scores, ordinal):
+    """terms / histogram / date_histogram nested under a bucket agg:
+    one factorization of the child key over ALL matched docs, fused
+    with the parent ordinal (`inv * n_child + child_inv`) so the
+    per-(parent, child) doc counts — and any grandchild recursion —
+    are a single ``np.unique`` pass, never a per-parent-bucket loop
+    over documents (the same keyed-block rule the dedup ops follow).
+    Returns n_keys partials of kind terms/hist/dhist."""
+    field = body["field"]
+    vals = (_multi_doc_values(reader, field)
+            if kind == "terms" else _doc_values(reader, field))[midx]
+    vals, keepm = _null_mask(vals)
+    midx2, inv2 = midx[keepm], inv[keepm]
+    if kind == "terms":
+        ckeys, cinv = np.unique(vals, return_inverse=True)
+    else:
+        ckeys, cinv = np.unique(_hist_keys(vals, kind, body),
+                                return_inverse=True)
+    nck = len(ckeys)
+    if nck == 0:
+        return [{"k": _NESTED_K[kind], "buckets": {}}
+                for _ in range(n_keys)]
+    code = inv2.astype(np.int64) * nck + cinv
+    ucodes, kinv, counts = np.unique(code, return_inverse=True,
+                                     return_counts=True)
+    subs = (_grouped_metric_partials(sub2, reader, midx2, kinv,
+                                     len(ucodes), scores, ordinal,
+                                     evaluator)
+            if sub2 else [{}] * len(ucodes))
+    # assemble per-parent bucket dicts — a loop over (parent, child)
+    # BUCKET pairs (metadata-sized), not over docs
+    per_parent: list[dict] = [{} for _ in range(n_keys)]
+    for i, c in enumerate(ucodes):
+        b, ci = divmod(int(c), nck)
+        per_parent[b][_py(ckeys[ci])] = {
+            "doc_count": int(counts[i]), "sub": subs[i]}
+    ss = body.get("shard_size")
+    if ss is not None and kind == "terms":
+        ss = int(ss)
+        for b in range(n_keys):
+            if len(per_parent[b]) > ss:
+                top = sorted(per_parent[b].items(),
+                             key=lambda kv: (-kv[1]["doc_count"],
+                                             str(kv[0])))[:ss]
+                per_parent[b] = dict(top)
+    return [{"k": _NESTED_K[kind], "buckets": bp} for bp in per_parent]
+
+
+def _nested_mask_partials(kind, body, sub2, reader, evaluator,
+                          midx, inv, n_keys, scores, ordinal):
+    """filter / filters / missing / range nested under a bucket agg:
+    each child's doc mask is evaluated ONCE over the segment, then
+    per-parent doc counts fall out of one ``bincount`` and the
+    grandchild recursion reuses the same parent ordinals restricted to
+    the child's docs. Returns n_keys partials."""
+    from raydex.search.query import parse_query
+
+    def one(childmask_local):
+        # childmask_local: bool over midx entries
+        m2, i2 = midx[childmask_local], inv[childmask_local]
+        cnts = np.bincount(i2, minlength=n_keys)
+        subs = (_grouped_metric_partials(sub2, reader, m2, i2, n_keys,
+                                         scores, ordinal, evaluator)
+                if sub2 else [{}] * n_keys)
+        return [{"k": "filter", "doc_count": int(cnts[b]),
+                 "sub": subs[b]} for b in range(n_keys)]
+
+    if kind == "filter":
+        _, fmask = evaluator.eval(parse_query(body))
+        return one(fmask[midx])
+    if kind == "missing":
+        field = body["field"]
+        fr = (None if field in ("dl", "url")
+              or field in getattr(reader, "doc_values", {})
+              else _field_subreader(reader, field))
+        if fr is not None:
+            covered = np.zeros(reader.ndocs, dtype=bool)
+            covered[fr.all_postings_docids()[0]] = True
+            miss = ~covered
+        else:
+            vals = _doc_values(reader, field)
+            miss = (np.isnan(vals) if vals.dtype.kind == "f"
+                    else np.zeros(reader.ndocs, dtype=bool))
+        return one(miss[midx])
+    if kind == "filters":
+        named = body.get("filters") or {}
+        other = np.ones(len(midx), dtype=bool)
+        cols: dict[str, list] = {}
+        for bname in named:
+            _, fmask = evaluator.eval(parse_query(named[bname]))
+            loc = fmask[midx]
+            other &= ~loc
+            cols[bname] = one(loc)
+        if body.get("other_bucket") or body.get("other_bucket_key"):
+            okey = str(body.get("other_bucket_key") or "_other_")
+            cols[okey] = one(other)
+        return [{"k": "filters",
+                 "buckets": {bn: col[b] for bn, col in cols.items()}}
+                for b in range(n_keys)]
+    # range: per-range local masks from the doc-values column
+    vals = _doc_values(reader, body["field"])[midx]
+    per_range = []
+    for rng in body["ranges"]:
+        m = np.ones(len(vals), dtype=bool)
+        if vals.dtype.kind == "f":
+            m &= ~np.isnan(vals)
+        if rng.get("from") is not None:
+            m &= vals >= rng["from"]
+        if rng.get("to") is not None:
+            m &= vals < rng["to"]
+        per_range.append(one(m))
+    return [{"k": "range", "buckets": [pr[b] for pr in per_range]}
+            for b in range(n_keys)]
+
+
+def _null_mask(vals: np.ndarray):
+    """(non-null values, keep-mask) — mirrors :func:`_drop_nulls` but
+    returns the mask so callers can restrict parallel arrays."""
+    if np.issubdtype(vals.dtype, np.floating):
+        ok = ~np.isnan(vals)
+    elif vals.dtype == object:
+        ok = np.array([v is not None for v in vals], dtype=bool)
+    else:
+        return vals, np.ones(len(vals), dtype=bool)
+    return vals[ok], ok
+
+
 def _top_hits_partial(reader, midx, scores, ordinal, size):
     if scores is None:
         raise ValueError("top_hits needs the main query's scores")
@@ -287,13 +446,13 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
                 kind, _doc_values(reader, body["field"])[midx])
         elif kind in ("significant_terms", "significant_text"):
             out[name] = _collect_significant(reader, mask, body, sub,
-                                             scores, ordinal)
+                                             scores, ordinal, evaluator)
         elif kind == "terms":
-            out[name] = _collect_terms(reader, mask, midx, body, sub,
-                                       scores, ordinal)
+            out[name] = _collect_terms(reader, evaluator, mask, midx,
+                                       body, sub, scores, ordinal)
         elif kind in ("histogram", "date_histogram"):
-            out[name] = _collect_histogram(reader, midx, kind, body, sub,
-                                           scores, ordinal)
+            out[name] = _collect_histogram(reader, evaluator, midx, kind,
+                                           body, sub, scores, ordinal)
         elif kind == "range":
             vals = _doc_values(reader, body["field"])[midx]
             buckets = []
@@ -371,8 +530,8 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
         elif kind == "rare_terms":
             out[name] = _collect_rare_terms(reader, mask, body)
         elif kind == "multi_terms":
-            out[name] = _collect_multi_terms(reader, mask, midx, body, sub,
-                                             scores, ordinal)
+            out[name] = _collect_multi_terms(reader, evaluator, mask, midx,
+                                             body, sub, scores, ordinal)
         elif kind == "global":
             gmask = np.ones(reader.ndocs, dtype=bool)
             if reader.live is not None:
@@ -422,7 +581,7 @@ def _term_filter(body):
     return ok
 
 
-def _collect_terms(reader, mask, midx, body, sub_spec,
+def _collect_terms(reader, evaluator, mask, midx, body, sub_spec,
                    scores=None, ordinal: int = 0):
     field = body["field"]
     fr = None
@@ -449,7 +608,8 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
                 hit = ids[mask[ids]]
                 inv = np.zeros(len(hit), dtype=np.int64)
                 b["sub"] = _grouped_metric_partials(
-                    sub_spec, reader, hit, inv, 1, scores, ordinal)[0]
+                    sub_spec, reader, hit, inv, 1, scores, ordinal,
+                    evaluator)[0]
             buckets[key] = b
         if body.get("missing") is not None:
             covered = np.zeros(reader.ndocs, dtype=bool)
@@ -463,7 +623,8 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
                     hit = np.flatnonzero(mmask)
                     inv = np.zeros(hit.size, dtype=np.int64)
                     msub = _grouped_metric_partials(
-                        sub_spec, reader, hit, inv, 1, scores, ordinal)[0]
+                        sub_spec, reader, hit, inv, 1, scores, ordinal,
+                        evaluator)[0]
                 got = buckets.get(mkey)
                 if got is None:
                     buckets[mkey] = {"doc_count": n_miss, "sub": msub}
@@ -476,7 +637,8 @@ def _collect_terms(reader, mask, midx, body, sub_spec,
         keys, inv, counts = np.unique(
             vals, return_inverse=True, return_counts=True)
         subs = (_grouped_metric_partials(sub_spec, reader, midx, inv,
-                                         len(keys), scores, ordinal)
+                                         len(keys), scores, ordinal,
+                                         evaluator)
                 if sub_spec else [{}] * len(keys))
         for i, k in enumerate(keys):
             k = _py(k)
@@ -518,7 +680,7 @@ def _multi_doc_values(reader, field: str):
     return vals
 
 
-def _collect_multi_terms(reader, mask, midx, body, sub_spec,
+def _collect_multi_terms(reader, evaluator, mask, midx, body, sub_spec,
                          scores=None, ordinal: int = 0):
     """``multi_terms`` (``analytics/multiterms/MultiTermsAggregator``):
     buckets keyed by the TUPLE of per-doc values. Each component is
@@ -549,7 +711,7 @@ def _collect_multi_terms(reader, mask, midx, body, sub_spec,
     keys, kinv, counts = np.unique(code, return_inverse=True,
                                    return_counts=True)
     subs = (_grouped_metric_partials(sub_spec, reader, midx, kinv,
-                                     len(keys), scores, ordinal)
+                                     len(keys), scores, ordinal, evaluator)
             if sub_spec else [{}] * len(keys))
     buckets: dict = {}
     for i, c in enumerate(keys):
@@ -606,7 +768,7 @@ def _collect_rare_terms(reader, mask, body):
 
 
 def _collect_significant(reader, mask, body, sub_spec=None,
-                         scores=None, ordinal: int = 0):
+                         scores=None, ordinal: int = 0, evaluator=None):
     """fg/bg term counts over matched docs, pruned to the shard's
     ``shard_size`` best JLH candidates (SignificantTerms/Text
     aggregators: each shard nominates candidates with EXACT local
@@ -658,7 +820,8 @@ def _collect_significant(reader, mask, body, sub_spec=None,
                     hit = ids[mask[ids]]
                     inv = np.zeros(len(hit), dtype=np.int64)
                     entry.append(_grouped_metric_partials(
-                        sub_spec, reader, hit, inv, 1, scores, ordinal)[0])
+                        sub_spec, reader, hit, inv, 1, scores, ordinal,
+                        evaluator)[0])
                 terms_out[str(fr._terms_pa[int(ti)].as_py())] = entry
     return {
         "k": "sig", "fg_total": fg_total, "bg_total": bg_total,
@@ -688,28 +851,33 @@ def _drop_nulls(vals: np.ndarray, midx: np.ndarray):
     return vals, midx
 
 
-def _collect_histogram(reader, midx, kind, body, sub_spec,
-                       scores=None, ordinal: int = 0):
-    vals = _doc_values(reader, body["field"])[midx]
-    vals, midx = _drop_nulls(vals, midx)
+def _hist_keys(vals: np.ndarray, kind: str, body: dict) -> np.ndarray:
+    """Bucket key per value: floor-to-interval (histogram) or
+    calendar/fixed truncation (date_histogram)."""
     if kind == "histogram":
         interval = float(body["interval"])
-        keys_f = np.floor(vals / interval) * interval
-    elif "calendar_interval" in body:
+        return np.floor(vals / interval) * interval
+    if "calendar_interval" in body:
         unit = _CAL_UNITS.get(body["calendar_interval"])
         if unit is None:
             raise ValueError(
                 f"unsupported calendar_interval {body['calendar_interval']!r}")
         dt = vals.astype("datetime64[us]")
-        keys_f = (dt.astype(f"datetime64[{unit}]")
-                  .astype("datetime64[us]").astype(np.int64))
-    else:
-        iv = _fixed_interval_us(body["fixed_interval"])
-        keys_f = (vals.astype(np.int64) // iv) * iv
+        return (dt.astype(f"datetime64[{unit}]")
+                .astype("datetime64[us]").astype(np.int64))
+    iv = _fixed_interval_us(body["fixed_interval"])
+    return (vals.astype(np.int64) // iv) * iv
+
+
+def _collect_histogram(reader, evaluator, midx, kind, body, sub_spec,
+                       scores=None, ordinal: int = 0):
+    vals = _doc_values(reader, body["field"])[midx]
+    vals, midx = _drop_nulls(vals, midx)
     keys, inv, counts = np.unique(
-        keys_f, return_inverse=True, return_counts=True)
+        _hist_keys(vals, kind, body), return_inverse=True,
+        return_counts=True)
     subs = (_grouped_metric_partials(sub_spec, reader, midx, inv, len(keys),
-                                     scores, ordinal)
+                                     scores, ordinal, evaluator)
             if sub_spec else [{}] * len(keys))
     buckets = {
         _py(k): {"doc_count": int(counts[i]), "sub": subs[i]}
@@ -833,6 +1001,10 @@ def _iter_sig(aggs_spec: dict, merged: dict):
         elif kind == "range":
             for b in p["buckets"]:
                 yield from _iter_sig(sub, b["sub"])
+        elif kind in ("terms", "histogram", "date_histogram",
+                      "multi_terms"):
+            for b in p["buckets"].values():
+                yield from _iter_sig(sub, b.get("sub") or {})
 
 
 def fix_significant_bg(aggs_spec: dict, merged: dict,
@@ -883,6 +1055,24 @@ def _empty_partial(kind: str):
         return {"k": "hits", "size": 0, "hits": []}
     if kind == "percentiles":
         return {"k": "tdigest", "means": [], "weights": []}
+    # bucket kinds: an empty-bucket parent (zero-filled histogram slot)
+    # renders nested bucket aggs as empty bucket lists
+    if kind in ("terms", "rare_terms"):
+        return ({"k": "terms", "buckets": {}} if kind == "terms"
+                else {"k": "rare", "max": 1, "kept": {}, "banned": []})
+    if kind == "histogram":
+        return {"k": "hist", "buckets": {}}
+    if kind == "date_histogram":
+        return {"k": "dhist", "buckets": {}}
+    if kind in ("filter", "global", "missing"):
+        return {"k": "filter", "doc_count": 0, "sub": {}}
+    if kind in ("filters", "multi_terms"):
+        return {"k": "filters" if kind == "filters" else "mterms",
+                "buckets": {}}
+    if kind in ("significant_terms", "significant_text"):
+        return {"k": "sig", "fg_total": 0, "bg_total": 0, "terms": {}}
+    if kind == "range":
+        return {"k": "range", "buckets": None}  # filled by caller below
     return {"k": "stats", "count": 0, "sum": 0.0, "min": None, "max": None,
             "sum_sq": 0.0}
 
@@ -893,8 +1083,11 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
     for name, spec in aggs_spec.items():
         kind, body, sub = _split_spec(spec)
         p = merged.get(name)
-        if p is None and (kind in _METRICS or kind == "top_hits"):
-            p = _empty_partial(kind)  # zero-filled histogram buckets
+        if p is None:  # zero-filled histogram buckets carry no partial
+            p = _empty_partial(kind)
+            if kind == "range":
+                p["buckets"] = [{"doc_count": 0, "sub": {}}
+                                for _ in body["ranges"]]
         if kind in ("avg", "sum", "min", "max"):
             if p["count"] == 0:
                 out[name] = {"value": None}

@@ -152,10 +152,12 @@ def test_aggs_spec_errors(built):
         s.search_aggs({"match_all": {}},
                       {"x": {"terms": {"field": "lang"},
                              "stats": {"field": "dl"}}})
-    with pytest.raises(ValueError, match="metric sub-aggregations"):
+    # bucket-under-bucket is supported now; `global` stays top-level
+    # only (the reference rejects it as a sub-aggregation too)
+    with pytest.raises(ValueError, match="unsupported sub-aggregation"):
         s.search_aggs({"match_all": {}},
                       {"x": {"terms": {"field": "lang"},
-                             "aggs": {"y": {"terms": {"field": "lang"}}}}})
+                             "aggs": {"y": {"global": {}}}}})
     with pytest.raises(ValueError, match="doc-values"):
         s.search_aggs({"match_all": {}},
                       {"x": {"stats": {"field": "nope"}}})
@@ -467,3 +469,136 @@ def test_filters_rare_multi_terms(built):
                               spec)["aggregations"] == a
     finally:
         rs.shutdown()
+
+
+def test_nested_bucket_sub_aggs_vs_oracle(built):
+    """Bucket-under-bucket sub-aggregations (AggregatorFactories
+    builder tree): terms→date_histogram→stats, date_histogram→terms,
+    terms→filter, terms→range — each checked against a pandas oracle
+    over the matched rows, plus scatter parity (nested reduce law)."""
+    import pandas as pd
+
+    idx, rows = built
+    counts = collections.Counter(
+        t for r in rows for t in set(get_analyzer("standard")(r["text"])))
+    token = counts.most_common(1)[0][0]
+    matched = _matches(rows, token)
+    df = pd.DataFrame(matched)
+    df["day"] = df["warc_ts"].astype("datetime64[us]").dt.floor("D")
+    df["day_us"] = df["day"].astype("datetime64[us]").astype("int64")
+
+    spec = {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 100},
+            "aggs": {
+                "per_day": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {"dls": {"stats": {"field": "dl"}}},
+                },
+                "short": {"filter": {"range": {"dl": {"lt": 120}}},
+                          "aggs": {"n": {"value_count": {"field": "dl"}}}},
+                "rng": {"range": {"field": "dl",
+                                  "ranges": [{"to": 100, "key": "lo"},
+                                             {"from": 100, "key": "hi"}]}},
+            },
+        },
+        "by_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 100},
+                               "aggs": {"adl": {"avg": {"field": "dl"}}}}},
+        },
+    }
+    q = {"term": {"text": token}}
+    s = LocalSearcher(idx)
+    a = s.search_aggs(q, spec)["aggregations"]
+
+    # terms -> date_histogram -> stats
+    for b in a["by_lang"]["buckets"]:
+        sub = df[df["lang"] == b["key"]]
+        assert b["doc_count"] == len(sub)
+        want_days = sub.groupby("day")["dl"].agg(["count", "sum", "min",
+                                                  "max"])
+        got_days = {d["key_as_string"]: d for d in b["per_day"]["buckets"]}
+        assert len(got_days) == len(want_days)
+        for day, w in want_days.iterrows():
+            g = got_days[str(day.to_datetime64().astype("datetime64[us]"))]
+            assert g["doc_count"] == w["count"]
+            assert g["dls"]["sum"] == pytest.approx(w["sum"])
+            assert g["dls"]["min"] == w["min"]
+            assert g["dls"]["max"] == w["max"]
+        # terms -> filter (+ metric under it)
+        nshort = int((sub["dl"] < 120).sum())
+        assert b["short"]["doc_count"] == nshort
+        assert b["short"]["n"]["value"] == nshort
+        # terms -> range
+        lo, hi = b["rng"]["buckets"]
+        assert lo["key"] == "lo" and lo["doc_count"] == \
+            int((sub["dl"] < 100).sum())
+        assert hi["doc_count"] == int((sub["dl"] >= 100).sum())
+    assert {b["key"] for b in a["by_lang"]["buckets"]} == set(df["lang"])
+
+    # date_histogram -> terms -> avg
+    for d in a["by_day"]["buckets"]:
+        sub = df[df["day_us"] == np.int64(d["key"]) * 1000]
+        assert d["doc_count"] == len(sub)
+        want = sub.groupby("lang")["dl"].agg(["count", "mean"])
+        got = {b["key"]: b for b in d["langs"]["buckets"]}
+        assert len(got) == len(want)
+        for lang, w in want.iterrows():
+            assert got[lang]["doc_count"] == w["count"]
+            assert got[lang]["adl"]["value"] == pytest.approx(w["mean"])
+
+    # scatter parity: the nested reduce law across 2 actors
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        remote = rs.search_aggs(q, spec)["aggregations"]
+        assert remote == a
+    finally:
+        rs.shutdown()
+
+
+def test_nested_three_levels_and_histogram_parent(built):
+    """histogram parent with terms child; three-level
+    terms→histogram→value_count; filters-under-terms named buckets."""
+    import pandas as pd
+
+    idx, rows = built
+    df = pd.DataFrame(rows)
+    spec = {
+        "h": {"histogram": {"field": "dl", "interval": 100},
+              "aggs": {"langs": {"terms": {"field": "lang", "size": 10}},
+                       "f": {"filters": {
+                           "filters": {"en": {"term": {"lang": "en"}}},
+                           "other_bucket": True},
+                           "aggs": {"mx": {"max": {"field": "dl"}}}}}},
+        "deep": {"terms": {"field": "lang", "size": 10},
+                 "aggs": {"hh": {"histogram": {"field": "dl",
+                                               "interval": 100},
+                                 "aggs": {"n": {"value_count":
+                                                {"field": "dl"}}}}}},
+    }
+    s = LocalSearcher(idx)
+    a = s.search_aggs({"match_all": {}}, spec)["aggregations"]
+    df["hb"] = (df["dl"] // 100) * 100
+
+    for hb in a["h"]["buckets"]:
+        sub = df[df["hb"] == hb["key"]]
+        assert hb["doc_count"] == len(sub)
+        got = {b["key"]: b["doc_count"] for b in hb["langs"]["buckets"]}
+        assert got == dict(sub["lang"].value_counts())
+        en = sub[sub["lang"] == "en"]
+        assert hb["f"]["buckets"]["en"]["doc_count"] == len(en)
+        assert hb["f"]["buckets"]["_other_"]["doc_count"] == \
+            len(sub) - len(en)
+        if len(en):
+            assert hb["f"]["buckets"]["en"]["mx"]["value"] == en["dl"].max()
+
+    for tb in a["deep"]["buckets"]:
+        sub = df[df["lang"] == tb["key"]]
+        want = sub.groupby("hb").size()
+        got = {b["key"]: b for b in tb["hh"]["buckets"]}
+        assert len(got) == len(want)
+        for k, c in want.items():
+            assert got[float(k)]["doc_count"] == c
+            assert got[float(k)]["n"]["value"] == c

@@ -187,9 +187,24 @@ def q_cardinality_source(sf):
 
 
 def q_cardinality_users_hll(sf):
+    """HLL++ estimate CONTRACT gate: the sketch estimate must land
+    inside the published p=14 error envelope of the exact distinct
+    count (rel. std err 1.04/sqrt(2^14) ≈ 0.81%; 5σ bound) — a
+    checkable promise the SQL oracle can mirror with COUNT(DISTINCT)
+    and a constant TRUE, unlike the raw register hash."""
+    from raydex.ops.aggs import cardinality_exact
     from raydex.ops.sketches import cardinality_hll
 
-    return cardinality_hll(_ds(sf, "events", ["user_id"]), "user_id")
+    est = int(cardinality_hll(
+        _ds(sf, "events", ["user_id"]), "user_id")["cardinality"][0].as_py())
+    exact = int(cardinality_exact(
+        _ds(sf, "events", ["user_id"]), "user_id")["cardinality"][0].as_py())
+    bound = max(10.0, 5 * 1.04 / (1 << 7) * exact)
+    return pa.table({
+        "exact_count": pa.array([exact], pa.int64()),
+        "hll_within_bound": pa.array([abs(est - exact) <= bound],
+                                     pa.bool_()),
+    })
 
 
 def q_range_nchars(sf):
@@ -1184,9 +1199,23 @@ def q_auto_date_histogram_events(sf):
 
 
 def q_variable_width_histogram(sf):
+    """Planted-cluster oracle for the data-adaptive clustering: a
+    derived column with three tight clusters (intra-spread ≤ 6,
+    inter-gap ≈ 1000) forces the agglomerative merge to recover
+    exactly the three groups, whose min/max/count are plain SQL
+    GROUP BYs. The float centroid column is dropped from the gate
+    (summation-order float jitter would break the value hash); the
+    8-bucket free-form path stays pytest-covered."""
     from raydex.ops.more_aggs import variable_width_histogram
 
-    return variable_width_histogram(_ds(sf, "documents", ["n_chars"]), "n_chars", buckets=8)
+    def plant(t: pa.Table) -> pa.Table:
+        v = (t["n_chars"].to_numpy() % 7) + 1000 * (t["doc_id"].to_numpy() % 3)
+        return pa.table({"v": pa.array(v.astype(np.float64), pa.float64())})
+
+    ds = _ds(sf, "documents", ["doc_id", "n_chars"]).map_batches(
+        plant, batch_format="pyarrow")
+    return variable_width_histogram(ds, "v", buckets=3).select(
+        ["min", "max", "doc_count"])
 
 
 def q_multi_match_count(sf):
@@ -1789,11 +1818,61 @@ def q_doc_hygiene_docs(sf):
 
 
 def q_signature_docs(sf):
-    """simhash64 + winnowed fingerprint per doc as one table (both are
-    property-tested hash signatures; rows-only driver check)."""
-    s = q_simhash_docs(sf).to_pandas()
-    f = q_fingerprint_docs(sf).to_pandas()
-    return s.merge(f, on="doc_id").sort_values("doc_id").reset_index(drop=True)
+    """Hash-signature CONTRACT gate (planted-duplicate recall +
+    structural law), SQL-oracled: every 50th doc is re-processed as an
+    independent twin (id + 1_000_000, identical text, different
+    batching via repartition) — simhash64 and the winnowed fingerprint
+    must match pairwise (deterministic and batching-invariant), and
+    the fingerprint length must follow the winnowing law
+    min(keep=4, max(1, n_tokens - window + 1)). The raw 64-bit values
+    stay property-tested in pytest (scalar-reference parity)."""
+    import pyarrow.compute as pc
+
+    def keep_50th(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % 50 == 0))
+
+    base = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+        keep_50th, batch_format="pyarrow")
+
+    def twin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"], 1_000_000),
+            "text": t["text"],
+        })
+
+    twins = base.map_batches(twin, batch_format="pyarrow").repartition(3)
+
+    def sigs(ds):
+        from raydex.ops.dedup import simhash64_batch
+        from raydex.ops.text import doc_fingerprint
+
+        def sh(t: pa.Table) -> pa.Table:
+            hs = ["%016x" % h for h in simhash64_batch(t["text"].to_pylist())]
+            return pa.table({"doc_id": t["doc_id"],
+                             "simhash": pa.array(hs, pa.string())})
+
+        s = ds.map_batches(sh, batch_format="pyarrow").to_pandas()
+        f = doc_fingerprint(ds, "text", "doc_id").to_pandas()
+        return s.merge(f, on="doc_id")
+
+    a = sigs(base)
+    b = sigs(twins)
+    b["base_id"] = b["doc_id"] - 1_000_000
+    m = a.merge(b, left_on="doc_id", right_on="base_id",
+                suffixes=("", "_t"))
+    out = pa.table({
+        "doc_id": pa.array(m["doc_id"].astype("int64"), pa.int64()),
+        "twin_id": pa.array(m["doc_id_t"].astype("int64"), pa.int64()),
+        "simhash_equal": pa.array(
+            (m["simhash"] == m["simhash_t"]).tolist(), pa.bool_()),
+        "fingerprint_equal": pa.array(
+            [list(x) == list(y) for x, y in
+             zip(m["fingerprint"], m["fingerprint_t"])], pa.bool_()),
+        "fp_len": pa.array([len(list(x)) for x in m["fingerprint"]],
+                           pa.int64()),
+    })
+    return out.sort_by("doc_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2120,6 +2199,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cardinality_source": (
             "SELECT COUNT(DISTINCT source) AS cardinality FROM documents"
+        ),
+        # HLL contract: exact count hash-matched, estimate-in-envelope
+        # as a boolean promise (the sketch value itself has no SQL twin)
+        "cardinality_users_hll": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_count, "
+            "TRUE AS hll_within_bound FROM events"
+        ),
+        # planted 3-cluster recovery: the adaptive clustering must land
+        # exactly on the derived groups
+        "variable_width_histogram": (
+            "SELECT CAST(MIN(v) AS DOUBLE) AS min, "
+            "CAST(MAX(v) AS DOUBLE) AS max, "
+            "CAST(COUNT(*) AS BIGINT) AS doc_count FROM "
+            "(SELECT (n_chars % 7) + 1000 * (doc_id % 3) AS v, "
+            "doc_id % 3 AS g FROM documents) GROUP BY g ORDER BY 1"
+        ),
+        # planted-twin determinism + winnowing length law
+        "signature_docs": (
+            "SELECT doc_id, doc_id + 1000000 AS twin_id, "
+            "TRUE AS simhash_equal, TRUE AS fingerprint_equal, "
+            "LEAST(4, GREATEST(1, len(string_split(text, ' ')) - 8 + 1)) "
+            "AS fp_len FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id"
         ),
         "range_nchars": (
             "SELECT bucket, COUNT(*) AS doc_count FROM (SELECT CASE "

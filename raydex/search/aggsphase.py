@@ -9,9 +9,12 @@ coordinating node). Supported aggregators mirror the corresponding
 builders under ``search/aggregations/metrics`` and ``bucket``:
 
 - metrics: avg / sum / min / max / stats / value_count / cardinality
-  (exact value-set partials — at shard scale the matched value set is
-  small; the HLL sketch path stays in :mod:`raydex.ops.sketches` for
-  table-scale cardinality) / top_hits (per-scope top-size hits by the
+  (exact value-set partials up to ``precision_threshold`` [default
+  3000, the reference's ``CardinalityAggregatorFactory`` default],
+  then an HLL++ sketch partial from :mod:`raydex.ops.sketches` — the
+  reference's linear-counting→HLL regime switch
+  (``HyperLogLogPlusPlus.java:28``); partials stay bounded at 16 KiB
+  however broad the query) / top_hits (per-scope top-size hits by the
   main query's scores, ``TopHitsAggregationBuilder``)
 - buckets: terms (keyword index-time fields via postings, or any
   doc-values column via ``np.unique``; ``size`` / ``min_doc_count`` /
@@ -124,7 +127,7 @@ def _field_subreader(reader, field: str):
 # ------------------------------------------------------------ collect
 
 
-def _metric_partial(kind: str, vals: np.ndarray):
+def _metric_partial(kind: str, vals: np.ndarray, body: dict | None = None):
     # docs without a value are skipped (NaN = arrow null post-conversion)
     if getattr(vals, "dtype", None) is not None and \
             np.issubdtype(vals.dtype, np.floating):
@@ -133,11 +136,17 @@ def _metric_partial(kind: str, vals: np.ndarray):
     if kind == "value_count":
         return {"k": "count", "count": n}
     if kind == "cardinality":
+        thresh = int((body or {}).get("precision_threshold", 3000))
         if n == 0:
-            return {"k": "set", "values": []}
-        return {"k": "set",
-                "values": [v.item() if hasattr(v, "item") else v
-                           for v in np.unique(vals)]}
+            return {"k": "set", "values": [], "thresh": thresh}
+        uniq = [v.item() if hasattr(v, "item") else v
+                for v in np.unique(vals)]
+        if len(uniq) <= thresh:
+            return {"k": "set", "values": uniq, "thresh": thresh}
+        # above the threshold the partial switches to a fixed-size
+        # HLL++ sketch — a broad query over a high-cardinality field
+        # must not ship a corpus-sized value set off the segment
+        return _set_to_hll(uniq, thresh)
     if kind == "percentiles":
         from raydex.ops.tdigest import TDigest
 
@@ -153,6 +162,43 @@ def _metric_partial(kind: str, vals: np.ndarray):
         "min": float(np.min(vals)), "max": float(np.max(vals)),
         "sum_sq": float(np.sum(np.asarray(vals, dtype=np.float64) ** 2)),
     }
+
+
+def _set_to_hll(values, thresh: int) -> dict:
+    """Exact value set → HLL++ sketch partial (p=14, 16 KiB registers).
+    Values hash via ``str()`` so exact-regime partials fold into sketch
+    partials consistently at merge."""
+    from raydex.ops.sketches import HllPlusPlus
+
+    h = HllPlusPlus(14)
+    h.add([str(v) for v in values])
+    return {"k": "hll", "thresh": thresh, "b": h.to_bytes()}
+
+
+def _merge_cardinality(a: dict, b: dict) -> dict:
+    """set+set (promote to HLL past the threshold), set+hll, hll+hll —
+    the reference's LinearCounting→HyperLogLog upgrade path, with
+    register-MAX merges associative and commutative."""
+    from raydex.ops.sketches import HllPlusPlus
+
+    thresh = max(int(a.get("thresh", 3000)), int(b.get("thresh", 3000)))
+    if a["k"] == "set" and b["k"] == "set":
+        vals = sorted(set(a["values"]) | set(b["values"]),
+                      key=lambda v: (str(type(v)), v))
+        if len(vals) <= thresh:
+            return {"k": "set", "values": vals, "thresh": thresh}
+        return _set_to_hll(vals, thresh)
+    sketches = [HllPlusPlus.from_bytes(x["b"])
+                for x in (a, b) if x["k"] == "hll"]
+    h = sketches[0]
+    if len(sketches) == 2:
+        h.merge(sketches[1])
+    else:
+        exact = a if a["k"] == "set" else b
+        h2 = HllPlusPlus(h.p)
+        h2.add([str(v) for v in exact["values"]])
+        h.merge(h2)
+    return {"k": "hll", "thresh": thresh, "b": h.to_bytes()}
 
 
 def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
@@ -216,7 +262,7 @@ def _grouped_metric_partials(sub_spec: dict, reader, midx: np.ndarray,
         if kind in ("cardinality", "percentiles"):
             for b in range(n_keys):
                 per_bucket[b][name] = _metric_partial(
-                    kind, v[starts_m[b]:ends_m[b]])
+                    kind, v[starts_m[b]:ends_m[b]], body)
             continue
         counts = ends_m - starts_m
         if kind == "value_count":
@@ -440,10 +486,11 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
                         [str(fr._terms_pa[int(ti)].as_py()) for ti in nz],
                         dtype=object,
                     )
-                    out[name] = _metric_partial("cardinality", vals)
+                    out[name] = _metric_partial("cardinality", vals,
+                                                body)
                     continue
             out[name] = _metric_partial(
-                kind, _doc_values(reader, body["field"])[midx])
+                kind, _doc_values(reader, body["field"])[midx], body)
         elif kind in ("significant_terms", "significant_text"):
             out[name] = _collect_significant(reader, mask, body, sub,
                                              scores, ordinal, evaluator)
@@ -898,10 +945,8 @@ def _merge_partial(a, b):
     k = a["k"]
     if k == "count":
         return {"k": "count", "count": a["count"] + b["count"]}
-    if k == "set":
-        return {"k": "set",
-                "values": sorted(set(a["values"]) | set(b["values"]),
-                                 key=lambda v: (str(type(v)), v))}
+    if k in ("set", "hll"):
+        return _merge_cardinality(a, b)
     if k == "stats":
         if a["count"] == 0:
             return b
@@ -1123,7 +1168,13 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
         elif kind == "value_count":
             out[name] = {"value": p["count"]}
         elif kind == "cardinality":
-            out[name] = {"value": len(p["values"])}
+            if p["k"] == "hll":
+                from raydex.ops.sketches import HllPlusPlus
+
+                out[name] = {"value": int(round(
+                    HllPlusPlus.from_bytes(p["b"]).cardinality()))}
+            else:
+                out[name] = {"value": len(p["values"])}
         elif kind == "top_hits":
             out[name] = {"hits": p["hits"]}
         elif kind in ("significant_terms", "significant_text"):

@@ -124,6 +124,25 @@ def test_exact_dedup(docs_ds, con):
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
 
 
+def test_exact_dedup_default_never_materializes_on_driver(
+        docs_ds, con, monkeypatch):
+    """The DEFAULT keep mode must be the scale-safe semi-join path: on
+    a mostly-unique 100 TB corpus the winner-id set is corpus-sized, so
+    `take_all()` on it (the keep='rows' broadcast path) is forbidden
+    unless explicitly opted into."""
+    import ray.data
+
+    def boom(self, *a, **k):
+        raise AssertionError(
+            "exact_dedup default path called Dataset.take_all()")
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", boom)
+    got = dedup.exact_dedup(docs_ds, "text", "doc_id").to_pandas()
+    want = con.execute(
+        "SELECT COUNT(DISTINCT text) FROM documents").fetchone()[0]
+    assert len(got) == want
+
+
 def test_minhash_and_jaccard(ray_session):
     rows = [
         {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog today"},

@@ -602,3 +602,53 @@ def test_nested_three_levels_and_histogram_parent(built):
         for k, c in want.items():
             assert got[float(k)]["doc_count"] == c
             assert got[float(k)]["n"]["value"] == c
+
+
+def test_cardinality_hll_partial_regime(built):
+    """Above ``precision_threshold`` the cardinality partial switches
+    from the exact value set to a fixed-size HLL++ sketch
+    (HyperLogLogPlusPlus linear-counting→HLL regime). Forced low
+    threshold: estimate within the p=14 error bound of exact; partial
+    bytes bounded; exact regime (default threshold) unchanged; scatter
+    merge (set+hll / hll+hll) consistent with local."""
+    idx, rows = built
+    s = LocalSearcher(idx)
+    q = {"match_all": {}}
+    exact_urls = len({r["url"] for r in rows})
+
+    # default threshold: url cardinality (300) < 3000 -> exact
+    a = s.search_aggs(q, {"c": {"cardinality": {"field": "url"}}})
+    assert a["aggregations"]["c"]["value"] == exact_urls
+
+    # forced sketch regime
+    spec = {"c": {"cardinality": {"field": "url",
+                                  "precision_threshold": 10}}}
+    est = s.search_aggs(q, spec)["aggregations"]["c"]["value"]
+    # p=14 relative error ~1.04/sqrt(2^14) = 0.81%; 5 sigma margin
+    assert abs(est - exact_urls) <= max(3, 0.05 * exact_urls)
+
+    # the shipped partial really is a bounded sketch, not a value set
+    from raydex.search.aggsphase import _metric_partial
+
+    urls = np.array(sorted({r["url"] for r in rows}), dtype=object)
+    part = _metric_partial("cardinality", urls,
+                           {"precision_threshold": 10})
+    assert part["k"] == "hll" and len(part["b"]) == (1 << 14) + 1
+
+    # scatter parity: set+hll / hll+hll merges reduce identically
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        remote = rs.search_aggs(q, spec)["aggregations"]["c"]["value"]
+        assert remote == est
+    finally:
+        rs.shutdown()
+
+    # nested under a bucket agg: per-lang url cardinality, forced HLL
+    nested = s.search_aggs(q, {
+        "by_lang": {"terms": {"field": "lang", "size": 100},
+                    "aggs": {"cu": {"cardinality": {
+                        "field": "url", "precision_threshold": 5}}}},
+    })["aggregations"]
+    for b in nested["by_lang"]["buckets"]:
+        want = len({r["url"] for r in rows if r["lang"] == b["key"]})
+        assert abs(b["cu"]["value"] - want) <= max(3, 0.05 * want)

@@ -1388,7 +1388,12 @@ def q_span_near_count(sf):
 
 
 def q_analyze_tokens(sf):
-    """The `_analyze` API analogue (tokens for golden inputs)."""
+    """The `_analyze` API analogue (tokens for golden inputs). Cases
+    0-2 exercise the standard_en analyzer; cases 3-9 the per-language
+    snowball analyzers (tokenize → lowercase → `_<lang>_` stop set →
+    snowball stem) — each golden token hand-traced through the
+    published algorithm (inflection families collapse: travailleurs/
+    travaillaient → travailleur/travaill, Kinder→kind, niños→niñ …)."""
     from raydex.analysis.tokenizer import get_analyzer
 
     an = get_analyzer("standard_en")
@@ -1396,6 +1401,18 @@ def q_analyze_tokens(sf):
     rows = []
     for cid, c in enumerate(cases):
         for pos, tok in enumerate(an(c)):
+            rows.append({"case_id": cid, "position": pos, "token": tok})
+    lang_cases = [
+        ("french", "Les travailleurs travaillaient continuellement"),
+        ("german", "Die Kinder spielten mit den schönen Katzen"),
+        ("spanish", "los niños trabajaban rápidamente"),
+        ("italian", "i lavoratori abbandonati della nazione"),
+        ("portuguese", "os meninos trabalhando importantes"),
+        ("dutch", "de lichamen en lichamelijke banen"),
+        ("russian", "книги и важная процессы"),
+    ]
+    for cid, (lang, text) in enumerate(lang_cases, start=3):
+        for pos, tok in enumerate(get_analyzer(lang)(text)):
             rows.append({"case_id": cid, "position": pos, "token": tok})
     return pa.Table.from_pylist(rows)
 
@@ -2181,7 +2198,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(position AS BIGINT) AS position, token FROM (VALUES "
             "(0, 0, 'wi'), (0, 1, 'fi'), (0, 2, '3.14'), (0, 3, 'o''neil''s'), "
             "(1, 0, 'quick'), (1, 1, 'brown'), (1, 2, 'fox'), "
-            "(2, 0, '日'), (2, 1, '本'), (2, 2, '語'), (2, 3, 'テキスト')"
+            "(2, 0, '日'), (2, 1, '本'), (2, 2, '語'), (2, 3, 'テキスト'), "
+            "(3, 0, 'travailleur'), (3, 1, 'travaill'), (3, 2, 'continuel'), "
+            "(4, 0, 'kind'), (4, 1, 'spielt'), (4, 2, 'schon'), (4, 3, 'katz'), "
+            "(5, 0, 'niñ'), (5, 1, 'trabaj'), (5, 2, 'rapid'), "
+            "(6, 0, 'lavor'), (6, 1, 'abbandon'), (6, 2, 'nazion'), "
+            "(7, 0, 'menin'), (7, 1, 'trabalh'), (7, 2, 'import'), "
+            "(8, 0, 'licham'), (8, 1, 'licham'), (8, 2, 'ban'), "
+            "(9, 0, 'книг'), (9, 1, 'важн'), (9, 2, 'процесс')"
             ") AS t(case_id, position, token)"
         ),
         "terms_lang": (

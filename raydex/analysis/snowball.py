@@ -1,0 +1,1197 @@
+"""Snowball stemmers for the major non-English languages.
+
+Re-implemented from the PUBLISHED Snowball algorithm descriptions
+(M.F. Porter's snowball language pages; the same algorithms behind the
+reference's per-language stemmers in ``modules/analysis-common``
+``StemmerTokenFilterFactory.java`` and the bundled language analyzers,
+``server/.../index/analysis/Analysis.java:101-112`` names the stopword
+sets). The reference ships Lucene's generated Snowball code; this
+module re-derives each algorithm from its public specification —
+structure (R1/R2/RV regions, ordered longest-match suffix tables,
+per-step conditions) follows the spec, so regular inflection families
+collapse to a single stem; generated-code byte parity on exotic edge
+cases is not claimed.
+
+Registered analyzers (``<lang>`` = standard tokenizer → lowercase →
+``_<lang>_`` stop set → snowball stem), mirroring the reference's
+language-analyzer shape: french german spanish italian portuguese
+dutch russian.
+"""
+
+from __future__ import annotations
+
+# ------------------------------------------------------------ regions
+
+
+def _r_after_first_nonvowel_after_vowel(word: str, vowels: str,
+                                        start: int = 0) -> int:
+    """Position after the first non-vowel following a vowel (the
+    standard R1/R2 definition)."""
+    n = len(word)
+    i = start
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    return min(i + 1, n) if i < n else n
+
+
+def _std_regions(word: str, vowels: str) -> tuple[int, int]:
+    r1 = _r_after_first_nonvowel_after_vowel(word, vowels)
+    r2 = _r_after_first_nonvowel_after_vowel(word, vowels, r1)
+    return r1, r2
+
+
+def _rv_romance(word: str, vowels: str) -> int:
+    """RV for Spanish/Italian/Portuguese/French (snowball definition):
+    if the second letter is a consonant, RV is after the next vowel;
+    if the first two letters are vowels, RV is after the next
+    consonant; otherwise (consonant-vowel) RV starts after the third
+    letter. RV is end-of-word if those positions cannot be found."""
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in vowels:
+        i = 2
+        while i < n and word[i] not in vowels:
+            i += 1
+        return min(i + 1, n)
+    if word[0] in vowels and word[1] in vowels:
+        i = 2
+        while i < n and word[i] in vowels:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+def _longest_suffix(word: str, sufs, region_start: int) -> str | None:
+    """Longest suffix from ``sufs`` present in the word whose START is
+    inside the region; None otherwise. ``sufs`` is iterated longest
+    first by sorting."""
+    for s in sorted(sufs, key=len, reverse=True):
+        if word.endswith(s) and len(word) - len(s) >= region_start:
+            return s
+    return None
+
+
+def _ends_any(word: str, sufs) -> str | None:
+    for s in sorted(sufs, key=len, reverse=True):
+        if word.endswith(s):
+            return s
+    return None
+
+
+# ------------------------------------------------------------- german
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"
+_DE_ST_END = "bdfghklmnt"
+
+
+def stem_german(word: str) -> str:
+    """Snowball German2 (snowballstem.org/algorithms/german/stemmer):
+    ß→ss, protected U/Y, R1 (min 3 after word start), three suffix
+    steps, then umlaut folding."""
+    w = word.lower().replace("ß", "ss")
+    # protect u/y between vowels
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] == "u" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = "U"
+        if chars[i] == "y" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = "Y"
+    w = "".join(chars)
+    vowels = _DE_VOWELS
+    r1, r2 = _std_regions(w, vowels)
+    r1 = max(r1, 3)  # R1 is adjusted so that region before it has >= 3
+
+    # step 1
+    s = _longest_suffix(w, ("em", "ern", "er"), r1)
+    if s:
+        w = w[: -len(s)]
+    else:
+        s = _longest_suffix(w, ("e", "en", "es"), r1)
+        if s:
+            w = w[: -len(s)]
+            # undouble niss
+            if w.endswith("niss"):
+                w = w[:-1]
+        elif w.endswith("s") and len(w) - 1 >= r1 \
+                and len(w) >= 2 and w[-2] in _DE_S_END:
+            w = w[:-1]
+
+    # step 2
+    s = _longest_suffix(w, ("en", "er", "est"), r1)
+    if s:
+        w = w[: -len(s)]
+    elif w.endswith("st") and len(w) - 2 >= r1 \
+            and len(w) >= 6 and w[-3] in _DE_ST_END:
+        w = w[:-2]
+
+    # step 3 (d-suffixes, in R2)
+    r2 = _std_regions(w, vowels)[1]
+    s = _longest_suffix(w, ("end", "ung"), r2)
+    if s:
+        w = w[: -len(s)]
+        # 'ig' in (recomputed) R2, not preceded by 'e'
+        if w.endswith("ig") and not w[:-2].endswith("e") \
+                and len(w) - 2 >= _std_regions(w, vowels)[1]:
+            w = w[:-2]
+    else:
+        s = _longest_suffix(w, ("ig", "ik", "isch"), r2)
+        if s and not w[: -len(s)].endswith("e"):
+            w = w[: -len(s)]
+        else:
+            s = _longest_suffix(w, ("lich", "heit"), r2)
+            if s:
+                w = w[: -len(s)]
+                t = _longest_suffix(w, ("er", "en"), max(
+                    _std_regions(w, vowels)[0], 3))
+                if t:
+                    w = w[: -len(t)]
+            else:
+                s = _longest_suffix(w, ("keit",), r2)
+                if s:
+                    w = w[: -len(s)]
+                    t = _longest_suffix(
+                        w, ("lich", "ig"), _std_regions(w, vowels)[1])
+                    if t:
+                        w = w[: -len(t)]
+
+    return (w.replace("U", "u").replace("Y", "y")
+            .replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
+# -------------------------------------------------------------- dutch
+
+_NL_VOWELS = "aeiouyè"
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def stem_dutch(word: str) -> str:
+    """Snowball Dutch (snowballstem.org/algorithms/dutch/stemmer):
+    accent folding, protected I/Y, R1 (min 3), en/s/e removal with
+    undoubling, d-suffixes, vowel undoubling."""
+    w = word.lower()
+    fold = str.maketrans("áéíóúàèìòù", "aeiouaeiou")
+    w = w.translate(fold)
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        if 0 < i < len(chars) - 1 and chars[i] == "i" \
+                and chars[i - 1] in _NL_VOWELS and chars[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    w = "".join(chars)
+    r1, r2 = _std_regions(w, _NL_VOWELS)
+    r1 = max(r1, 3)
+    e_removed = False
+
+    # step 1
+    if w.endswith("heden") and len(w) - 5 >= r1:
+        w = w[:-5] + "heid"
+    else:
+        s = _longest_suffix(w, ("en", "ene"), r1)
+        if s:
+            stem = w[: -len(s)]
+            if stem and stem[-1] not in _NL_VOWELS and not stem.endswith("gem"):
+                w = _nl_undouble(stem)
+        else:
+            s = _longest_suffix(w, ("s", "se"), r1)
+            if s:
+                stem = w[: -len(s)]
+                if stem and stem[-1] not in _NL_VOWELS and stem[-1] != "j":
+                    w = stem
+
+    # step 2: final e
+    if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # step 3a: heid
+    if w.endswith("heid") and len(w) - 4 >= r2 and not w[:-4].endswith("c"):
+        w = w[:-4]
+        if w.endswith("en") and len(w) - 2 >= r1:
+            stem = w[:-2]
+            if stem and stem[-1] not in _NL_VOWELS and not stem.endswith("gem"):
+                w = _nl_undouble(stem)
+
+    # step 3b: d-suffixes
+    s = _longest_suffix(w, ("end", "ing"), r2)
+    if s:
+        w = w[: -len(s)]
+        if w.endswith("ig") and len(w) - 2 >= r2 and not w[:-2].endswith("e"):
+            w = w[:-2]
+        else:
+            w = _nl_undouble(w)
+    elif w.endswith("ig") and len(w) - 2 >= r2 and not w[:-2].endswith("e"):
+        w = w[:-2]
+    elif w.endswith("lijk") and len(w) - 4 >= r2:
+        w = w[:-4]
+        if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 \
+                and w[-2] not in _NL_VOWELS:
+            w = _nl_undouble(w[:-1])
+    elif w.endswith("baar") and len(w) - 4 >= r2:
+        w = w[:-4]
+    elif w.endswith("bar") and len(w) - 3 >= r2 and e_removed:
+        w = w[:-3]
+
+    # step 4: undouble vowel — C v v D -> C v D (D a non-I consonant)
+    if len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou" \
+            and w[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ------------------------------------------------------------- russian
+
+_RU_VOWELS = "аеиоуыэюя"
+_RU_PERF_GERUND_1 = ("в", "вши", "вшись")          # after а/я
+_RU_PERF_GERUND_2 = ("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+_RU_ADJECTIVE = (
+    "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+    "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую", "юю",
+    "ая", "яя", "ою", "ею",
+)
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")   # after а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (                                       # after а/я
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+    "ет", "ют", "ны", "ть", "ешь", "нно",
+)
+_RU_VERB_2 = (
+    "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят",
+    "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю",
+)
+_RU_NOUN = (
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+    "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+    "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия",
+    "ья", "я",
+)
+
+
+def _ru_strip_group(w: str, rv: int, sufs, after_ay) -> tuple[str, bool]:
+    """Remove the longest suffix of the group found in RV; ``after_ay``
+    suffixes additionally require a preceding а/я (which stays)."""
+    best, best_ay = None, False
+    for s in sufs:
+        if w.endswith(s) and len(w) - len(s) >= rv:
+            if best is None or len(s) > len(best):
+                best, best_ay = s, False
+    for s in after_ay:
+        for pre in ("а", "я"):
+            full = pre + s
+            if w.endswith(full) and len(w) - len(s) - 1 >= rv - 1 \
+                    and len(w) - len(full) >= 0:
+                # the а/я must itself be in RV or precede it by one
+                if len(w) - len(full) + 1 > rv - 1 and \
+                        (best is None or len(s) > len(best) or
+                         (len(s) == len(best) and not best_ay)):
+                    if best is None or len(s) >= len(best):
+                        best, best_ay = s, True
+    if best is None:
+        return w, False
+    return w[: -len(best)], True
+
+
+def stem_russian(word: str) -> str:
+    """Snowball Russian (snowballstem.org/algorithms/russian/stemmer):
+    RV after the first vowel; perfective gerund | (reflexive?
+    adjective/participle | verb | noun); derivational ость/ост in R2;
+    tidy-up (double н, superlative ейш(е), final ь)."""
+    w = word.lower().replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _std_regions(w, _RU_VOWELS)
+
+    # step 1: perfective gerund, else (reflexive?, adj/part|verb|noun)
+    w2, done = _ru_strip_group(w, rv, _RU_PERF_GERUND_2,
+                               _RU_PERF_GERUND_1)
+    if done:
+        w = w2
+    else:
+        for s in ("ся", "сь"):
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[: -len(s)]
+                break
+        w2, done = _ru_strip_group(w, rv, _RU_ADJECTIVE, ())
+        if done:
+            w = w2
+            w2, _ = _ru_strip_group(w, rv, _RU_PARTICIPLE_2,
+                                    _RU_PARTICIPLE_1)
+            w = w2
+        else:
+            w2, done = _ru_strip_group(w, rv, _RU_VERB_2, _RU_VERB_1)
+            if done:
+                w = w2
+            else:
+                w2, _ = _ru_strip_group(w, rv, _RU_NOUN, ())
+                w = w2
+
+    # step 2: и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational, in R2
+    for s in ("ость", "ост"):
+        if w.endswith(s) and len(w) - len(s) >= r2:
+            w = w[: -len(s)]
+            break
+
+    # step 4: tidy up
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        for s in ("ейше", "ейш"):
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[: -len(s)]
+                if w.endswith("нн") and len(w) - 1 >= rv:
+                    w = w[:-1]
+                break
+    if w.endswith("ь") and len(w) - 1 >= rv:
+        w = w[:-1]
+    return w
+
+
+# ------------------------------------------------------------- spanish
+
+_ES_VOWELS = "aeiouáéíóúü"
+_ES_STEP0_PRON = ("me", "se", "sela", "selo", "selas", "selos", "la",
+                  "le", "lo", "las", "les", "los", "nos")
+_ES_STEP0_PRE1 = ("iéndo", "ándo", "ár", "ér", "ír")   # de-accent after
+_ES_STEP0_PRE2 = ("iendo", "ando", "ar", "er", "ir")
+_ES_DEACCENT = str.maketrans("áéíóú", "aeiou")
+
+_ES_VERB_SUFFIXES = (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán",
+    "erás", "eríais", "ería", "eréis", "eríamos", "eremos", "erá",
+    "eré", "irían", "irías", "irán", "irás", "iríais", "iría",
+    "iréis", "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida",
+    "ía", "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste",
+    "iste", "an", "aban", "ían", "aran", "ieran", "asen", "iesen",
+    "aron", "ieron", "ado", "ido", "ando", "iendo", "ió", "ar", "er",
+    "ir", "as", "abas", "adas", "idas", "ías", "aras", "ieras",
+    "ases", "ieses", "ís", "áis", "abais", "íais", "arais", "ierais",
+    "aseis", "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+    "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+    "ásemos",
+)
+_ES_VERB_EN = ("en", "es", "éis", "emos")
+
+
+def stem_spanish(word: str) -> str:
+    """Snowball Spanish (snowballstem.org/algorithms/spanish/stemmer):
+    attached-pronoun step, standard-suffix step (R1/R2 tables), verb
+    suffixes in RV, residual vowels, de-accenting."""
+    w = word.lower()
+    rv = _rv_romance(w, _ES_VOWELS)
+    r1, r2 = _std_regions(w, _ES_VOWELS)
+
+    # step 0: attached pronoun
+    p = _ends_any(w, _ES_STEP0_PRON)
+    if p:
+        base = w[: -len(p)]
+        pre1 = _ends_any(base, _ES_STEP0_PRE1)
+        if pre1 and len(base) - len(pre1) >= rv:
+            w = base.translate(_ES_DEACCENT)
+        else:
+            pre2 = _ends_any(base, _ES_STEP0_PRE2)
+            if pre2 and len(base) - len(pre2) >= rv:
+                w = base
+            elif base.endswith("yendo") and base[: -5].endswith("u"):
+                w = base
+
+    # step 1: standard suffixes
+    changed = False
+    s = _longest_suffix(w, (
+        "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+        "able", "ables", "ible", "ibles", "ista", "istas", "oso",
+        "osa", "osos", "osas", "amiento", "amientos", "imiento",
+        "imientos",
+    ), r2)
+    if s:
+        w = w[: -len(s)]
+        changed = True
+    else:
+        s = _longest_suffix(w, ("adora", "ador", "ación", "adoras",
+                                "adores", "aciones", "ante", "antes",
+                                "ancia", "ancias"), r2)
+        if s:
+            w = w[: -len(s)]
+            changed = True
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif _longest_suffix(w, ("logía", "logías"), r2):
+            s = _longest_suffix(w, ("logía", "logías"), r2)
+            w = w[: -len(s)] + "log"
+            changed = True
+        elif _longest_suffix(w, ("ución", "uciones"), r2):
+            s = _longest_suffix(w, ("ución", "uciones"), r2)
+            w = w[: -len(s)] + "u"
+            changed = True
+        elif _longest_suffix(w, ("encia", "encias"), r2):
+            s = _longest_suffix(w, ("encia", "encias"), r2)
+            w = w[: -len(s)] + "ente"
+            changed = True
+        elif w.endswith("amente") and len(w) - 6 >= r1:
+            w = w[:-6]
+            changed = True
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            else:
+                t = _longest_suffix(w, ("os", "ic", "ad"), r2)
+                if t:
+                    w = w[: -len(t)]
+        elif w.endswith("mente") and len(w) - 5 >= r2:
+            w = w[:-5]
+            changed = True
+            t = _longest_suffix(w, ("ante", "able", "ible"), r2)
+            if t:
+                w = w[: -len(t)]
+        elif _longest_suffix(w, ("idad", "idades"), r2):
+            s = _longest_suffix(w, ("idad", "idades"), r2)
+            w = w[: -len(s)]
+            changed = True
+            t = _longest_suffix(w, ("abil", "ic", "iv"), r2)
+            if t:
+                w = w[: -len(t)]
+        elif _longest_suffix(w, ("iva", "ivo", "ivas", "ivos"), r2):
+            s = _longest_suffix(w, ("iva", "ivo", "ivas", "ivos"), r2)
+            w = w[: -len(s)]
+            changed = True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+
+    # step 2a (only if step 1 removed nothing): y-verbs after u
+    if not changed:
+        s = _longest_suffix(w, ("ya", "ye", "yan", "yen", "yeron",
+                                "yendo", "yo", "yó", "yas", "yes",
+                                "yais", "yamos"), rv)
+        if s and w[: -len(s)].endswith("u"):
+            w = w[: -len(s)]
+            changed = True
+    # step 2b: other verb suffixes in RV
+    if not changed:
+        s = _longest_suffix(w, _ES_VERB_EN, rv)
+        s2 = _longest_suffix(w, _ES_VERB_SUFFIXES, rv)
+        if s2 and (not s or len(s2) > len(s)):
+            w = w[: -len(s2)]
+        elif s:
+            w = w[: -len(s)]
+            if w.endswith("gu"):
+                w = w[:-1]
+
+    # step 3: residual suffix
+    s = _longest_suffix(w, ("os", "a", "o", "á", "í", "ó"), rv)
+    if s:
+        w = w[: -len(s)]
+    else:
+        s = _longest_suffix(w, ("e", "é"), rv)
+        if s:
+            w = w[: -len(s)]
+            if w.endswith("gu") and len(w) - 1 >= rv:
+                w = w[:-1]
+
+    return w.translate(_ES_DEACCENT)
+
+
+# ------------------------------------------------------------- italian
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_STEP0_PRON = (
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene",
+)
+_IT_VERB_SUFFIXES = (
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti",
+    "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+    "isco", "iscono", "issero", "ita", "ite", "iti", "ito", "iva",
+    "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta", "ute",
+    "uti", "uto", "ar", "ir",
+)
+
+
+def stem_italian(word: str) -> str:
+    """Snowball Italian (snowballstem.org/algorithms/italian/stemmer):
+    accent normalization (acute→grave), protected U/I after q /
+    between vowels, attached pronouns, standard suffixes, verb
+    suffixes in RV, residual vowel removal, i/h cleanup."""
+    w = word.lower().translate(str.maketrans("áéíóú", "àèìòù"))
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i] in "ui" and chars[i - 1] == "q":
+            chars[i] = chars[i].upper()
+        elif 0 < i < len(chars) - 1 and chars[i] in "ui" \
+                and chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    rv = _rv_romance(w, _IT_VOWELS)
+    r1, r2 = _std_regions(w, _IT_VOWELS)
+
+    # step 0: attached pronoun, preceded by ando/endo (delete) or
+    # ar/er/ir (replace with e), the preceding part in RV
+    p = _ends_any(w, _IT_STEP0_PRON)
+    if p:
+        base = w[: -len(p)]
+        pre = _ends_any(base, ("ando", "endo"))
+        if pre and len(base) - len(pre) >= rv:
+            w = base
+        else:
+            pre = _ends_any(base, ("ar", "er", "ir"))
+            if pre and len(base) - len(pre) >= rv:
+                w = base + "e"
+
+    # step 1: standard suffixes
+    changed = False
+    s = _longest_suffix(w, (
+        "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+        "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+        "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+        "ose", "mente", "atrice", "atrici", "ante", "anti",
+    ), r2)
+    if s:
+        w = w[: -len(s)]
+        changed = True
+    else:
+        s = _longest_suffix(w, ("azione", "azioni", "atore", "atori"), r2)
+        if s:
+            w = w[: -len(s)]
+            changed = True
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif _longest_suffix(w, ("logia", "logie"), r2):
+            s = _longest_suffix(w, ("logia", "logie"), r2)
+            w = w[: -len(s)] + "log"
+            changed = True
+        elif _longest_suffix(w, ("uzione", "uzioni", "usione", "usioni"), r2):
+            s = _longest_suffix(w, ("uzione", "uzioni", "usione",
+                                    "usioni"), r2)
+            w = w[: -len(s)] + "u"
+            changed = True
+        elif _longest_suffix(w, ("enza", "enze"), r2):
+            s = _longest_suffix(w, ("enza", "enze"), r2)
+            w = w[: -len(s)] + "ente"
+            changed = True
+        elif w.endswith("amente") and len(w) - 6 >= r1:
+            w = w[:-6]
+            changed = True
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            else:
+                t = _longest_suffix(w, ("os", "ic", "abil"), r2)
+                if t:
+                    w = w[: -len(t)]
+        elif _longest_suffix(w, ("amento", "amenti", "imento",
+                                 "imenti"), rv):
+            s = _longest_suffix(w, ("amento", "amenti", "imento",
+                                    "imenti"), rv)
+            w = w[: -len(s)]
+            changed = True
+        elif _longest_suffix(w, ("ità",), r2):
+            w = w[:-3]
+            changed = True
+            t = _longest_suffix(w, ("abil", "ic", "iv"), r2)
+            if t:
+                w = w[: -len(t)]
+        elif _longest_suffix(w, ("ivo", "ivi", "iva", "ive"), r2):
+            s = _longest_suffix(w, ("ivo", "ivi", "iva", "ive"), r2)
+            w = w[: -len(s)]
+            changed = True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+
+    # step 2: verb suffixes in RV (only if step 1 removed nothing)
+    if not changed:
+        s = _longest_suffix(w, _IT_VERB_SUFFIXES, rv)
+        if s:
+            w = w[: -len(s)]
+
+    # step 3a: residual vowel in RV (then a preceding i in RV)
+    s = _longest_suffix(w, ("a", "e", "i", "o", "à", "è", "ì", "ò"), rv)
+    if s:
+        w = w[: -1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b: ch/gh -> c/g in RV
+    if (w.endswith("ch") or w.endswith("gh")) and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    return w.replace("U", "u").replace("I", "i")
+
+
+# ---------------------------------------------------------- portuguese
+
+_PT_VOWELS = "aeiouáéíóúâêôàü"
+_PT_VERB_SUFFIXES = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+    "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+    "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+    "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+    "endo", "indo", "arão", "erão", "irão", "ar", "er", "ir", "as",
+    "adas", "idas", "ias", "arias", "erias", "irias", "arás", "aras",
+    "erás", "eras", "irás", "avas", "es", "ardes", "erdes", "irdes",
+    "ares", "eres", "ires", "asses", "esses", "isses", "astes",
+    "estes", "istes", "is", "ais", "eis", "íeis", "aríeis", "eríeis",
+    "iríeis", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "ásseis", "ésseis", "ísseis", "áveis", "aveis", "ados", "idos",
+    "ámos", "amos", "íamos", "aríamos", "eríamos", "iríamos",
+    "áramos", "éramos", "íramos", "ávamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos",
+    "armos", "ermos", "irmos", "eu", "iu", "ou", "ira", "iras",
+)
+
+
+def stem_portuguese(word: str) -> str:
+    """Snowball Portuguese (snowballstem.org/algorithms/portuguese/
+    stemmer): ã/õ encoded a~/o~, standard suffixes, verb suffixes in
+    RV, residual suffix/cedilla cleanup."""
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_romance(w, _PT_VOWELS)
+    r1, r2 = _std_regions(w, _PT_VOWELS)
+
+    changed = False
+    # step 1: standard suffixes
+    s = _longest_suffix(w, (
+        "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+        "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+        "amento", "amentos", "imento", "imentos", "adora", "ador",
+        "aça~o", "adoras", "adores", "aço~es", "ante", "antes",
+        "ância",
+    ), r2)
+    if s:
+        w = w[: -len(s)]
+        changed = True
+        if s in ("adora", "ador", "aça~o", "adoras", "adores",
+                 "aço~es", "ante", "antes", "ância") \
+                and w.endswith("ic") and len(w) - 2 >= r2:
+            w = w[:-2]
+    elif _longest_suffix(w, ("logia", "logias"), r2):
+        s = _longest_suffix(w, ("logia", "logias"), r2)
+        w = w[: -len(s)] + "log"
+        changed = True
+    elif _longest_suffix(w, ("uça~o", "uço~es"), r2):
+        s = _longest_suffix(w, ("uça~o", "uço~es"), r2)
+        w = w[: -len(s)] + "u"
+        changed = True
+    elif _longest_suffix(w, ("ência", "ências"), r2):
+        s = _longest_suffix(w, ("ência", "ências"), r2)
+        w = w[: -len(s)] + "ente"
+        changed = True
+    elif w.endswith("amente") and len(w) - 6 >= r1:
+        w = w[:-6]
+        changed = True
+        if w.endswith("iv") and len(w) - 2 >= r2:
+            w = w[:-2]
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+        else:
+            t = _longest_suffix(w, ("os", "ic", "ad"), r2)
+            if t:
+                w = w[: -len(t)]
+    elif w.endswith("mente") and len(w) - 5 >= r2:
+        w = w[:-5]
+        changed = True
+        t = _longest_suffix(w, ("ante", "avel", "ível"), r2)
+        if t:
+            w = w[: -len(t)]
+    elif _longest_suffix(w, ("idade", "idades"), r2):
+        s = _longest_suffix(w, ("idade", "idades"), r2)
+        w = w[: -len(s)]
+        changed = True
+        t = _longest_suffix(w, ("abil", "ic", "iv"), r2)
+        if t:
+            w = w[: -len(t)]
+    elif _longest_suffix(w, ("iva", "ivo", "ivas", "ivos"), r2):
+        s = _longest_suffix(w, ("iva", "ivo", "ivas", "ivos"), r2)
+        w = w[: -len(s)]
+        changed = True
+        if w.endswith("at") and len(w) - 2 >= r2:
+            w = w[:-2]
+    elif _longest_suffix(w, ("ira", "iras"), rv):
+        s = _longest_suffix(w, ("ira", "iras"), rv)
+        if w[: -len(s)].endswith("e"):
+            w = w[: -len(s)] + "ir"
+            changed = True
+
+    # step 2: verb suffixes in RV (only if step 1 removed nothing)
+    if not changed:
+        s = _longest_suffix(w, _PT_VERB_SUFFIXES, rv)
+        if s:
+            w = w[: -len(s)]
+            changed = True
+
+    # step 3: if steps 1-2 changed, final i preceded by c, in RV
+    if changed and w.endswith("i") and len(w) - 1 >= rv \
+            and w[:-1].endswith("c"):
+        w = w[:-1]
+    # step 4: if steps 1-2 did nothing, residual suffix os/a/i/o/á/í/ó
+    if not changed:
+        s = _longest_suffix(w, ("os", "a", "i", "o", "á", "í", "ó"), rv)
+        if s:
+            w = w[: -len(s)]
+    # step 5: final e/é/ê in RV; gu/ci undouble; ç -> c
+    s = _longest_suffix(w, ("e", "é", "ê"), rv)
+    if s:
+        w = w[: -1]
+        if (w.endswith("gu") and len(w) - 1 >= rv) or \
+                (w.endswith("ci") and len(w) - 1 >= rv):
+            w = w[:-1]
+    if w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# -------------------------------------------------------------- french
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+_FR_VERB_SUFFIXES_I = (  # step 2a: start with i, preceded by non-vowel
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+    "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+    "issant", "issante", "issantes", "issants", "isse", "issent",
+    "isses", "issez", "issiez", "issions", "issons", "it",
+)
+_FR_VERB_SUFFIXES_2B = (
+    "ions", "é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+    "eraIent", "erais", "erait", "eras", "erez", "eriez", "erions",
+    "erons", "eront", "ez", "iez", "âmes", "ât", "âtes", "a", "ai",
+    "aIent", "ais", "ait", "ant", "ante", "antes", "ants", "as",
+    "asse", "assent", "asses", "assiez", "assions",
+)
+
+
+def stem_french(word: str) -> str:
+    """Snowball French (snowballstem.org/algorithms/french/stemmer):
+    protected U/I/Y, standard suffixes, verb suffixes (i-group needs a
+    preceding non-vowel), residual steps, undoubling, accent fold."""
+    w = word.lower()
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        if c in "ui" and 0 < i < n - 1 and chars[i - 1] in _FR_VOWELS \
+                and chars[i + 1] in _FR_VOWELS:
+            chars[i] = c.upper()
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif c == "y" and ((i > 0 and chars[i - 1] in _FR_VOWELS) or
+                           (i < n - 1 and chars[i + 1] in _FR_VOWELS)):
+            chars[i] = "Y"
+    w = "".join(chars)
+    rv = len(w)
+    # French RV: if the word begins with two vowels, RV is after the
+    # third letter; else after the first vowel not at the start
+    if len(w) >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        rv = 3
+    else:
+        for i in range(1, len(w)):
+            if w[i] in _FR_VOWELS:
+                rv = i + 1
+                break
+    r1, r2 = _std_regions(w, _FR_VOWELS)
+
+    orig = w
+    step1_done = False
+    found_step1 = False
+
+    # step 1: standard suffixes (the high-traffic subset of the spec)
+    s = _longest_suffix(w, ("ance", "iqUe", "isme", "able", "iste",
+                            "eux", "ances", "iqUes", "ismes", "ables",
+                            "istes"), r2)
+    if s:
+        w = w[: -len(s)]
+        found_step1 = True
+    else:
+        s = _longest_suffix(w, ("atrice", "ateur", "ation", "atrices",
+                                "ateurs", "ations"), r2)
+        if s:
+            w = w[: -len(s)]
+            found_step1 = True
+            if w.endswith("ic"):
+                if len(w) - 2 >= r2:
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+        elif _longest_suffix(w, ("logie", "logies"), r2):
+            s = _longest_suffix(w, ("logie", "logies"), r2)
+            w = w[: -len(s)] + "log"
+            found_step1 = True
+        elif _longest_suffix(w, ("usion", "ution", "usions", "utions"), r2):
+            s = _longest_suffix(w, ("usion", "ution", "usions",
+                                    "utions"), r2)
+            w = w[: -len(s)] + "u"
+            found_step1 = True
+        elif _longest_suffix(w, ("ence", "ences"), r2):
+            s = _longest_suffix(w, ("ence", "ences"), r2)
+            w = w[: -len(s)] + "ent"
+            found_step1 = True
+        elif _longest_suffix(w, ("ement", "ements"), rv):
+            s = _longest_suffix(w, ("ement", "ements"), rv)
+            w = w[: -len(s)]
+            found_step1 = True
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            elif w.endswith("eus"):
+                if len(w) - 3 >= r2:
+                    w = w[:-3]
+                elif len(w) - 3 >= r1:
+                    w = w[:-3] + "eux"
+            elif w.endswith("abl") and len(w) - 3 >= r2:
+                w = w[:-3]
+            elif w.endswith("iqU") and len(w) - 3 >= r2:
+                w = w[:-3]
+        elif _longest_suffix(w, ("ité", "ités"), r2):
+            s = _longest_suffix(w, ("ité", "ités"), r2)
+            w = w[: -len(s)]
+            found_step1 = True
+            if w.endswith("abil"):
+                w = (w[:-4] if len(w) - 4 >= r2 else w[:-4] + "abl")
+            elif w.endswith("ic"):
+                w = (w[:-2] if len(w) - 2 >= r2 else w[:-2] + "iqU")
+            elif w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif _longest_suffix(w, ("if", "ive", "ifs", "ives"), r2):
+            s = _longest_suffix(w, ("if", "ive", "ifs", "ives"), r2)
+            w = w[: -len(s)]
+            found_step1 = True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic"):
+                    w = (w[:-2] if len(w) - 2 >= r2 else w[:-2] + "iqU")
+        elif w.endswith("eaux"):
+            w = w[:-4] + "eau"
+            found_step1 = True
+        elif w.endswith("aux") and len(w) - 3 >= r1:
+            w = w[:-3] + "al"
+            found_step1 = True
+        elif _longest_suffix(w, ("euse", "euses"), r2):
+            s = _longest_suffix(w, ("euse", "euses"), r2)
+            w = w[: -len(s)]
+            found_step1 = True
+        elif _longest_suffix(w, ("euse", "euses"), r1):
+            s = _longest_suffix(w, ("euse", "euses"), r1)
+            w = w[: -len(s)] + "eux"
+            found_step1 = True
+        elif _longest_suffix(w, ("issement", "issements"), r1):
+            s = _longest_suffix(w, ("issement", "issements"), r1)
+            if not w[: -len(s)] or w[-len(s) - 1] not in _FR_VOWELS:
+                w = w[: -len(s)]
+                found_step1 = True
+        elif _longest_suffix(w, ("amment",), rv):
+            w = w[:-6] + "ant"
+            step1_done = False  # treated as unfinished (spec: goto 2a)
+        elif _longest_suffix(w, ("emment",), rv):
+            w = w[:-6] + "ent"
+        elif _longest_suffix(w, ("ment", "ments"), rv):
+            s = _longest_suffix(w, ("ment", "ments"), rv)
+            if len(w) - len(s) - 1 >= 0 and w[-len(s) - 1] in _FR_VOWELS \
+                    and len(w) - len(s) - 1 >= rv:
+                w = w[: -len(s)]
+
+    step1_changed = w != orig
+    step1_finished = found_step1
+
+    # step 2a (if step 1 left the word unfinished): i-verb suffixes
+    # preceded by a non-vowel, all within RV
+    did2 = False
+    if not step1_finished:
+        s = _longest_suffix(w, _FR_VERB_SUFFIXES_I, rv)
+        if s and len(w) - len(s) - 1 >= 0 \
+                and w[-len(s) - 1] not in _FR_VOWELS \
+                and len(w) - len(s) - 1 >= rv - 1:
+            w = w[: -len(s)]
+            did2 = True
+        elif not did2:
+            # step 2b: other verb suffixes
+            s = _longest_suffix(w, _FR_VERB_SUFFIXES_2B, rv)
+            if s:
+                if s == "ions":
+                    if len(w) - 4 >= r2:
+                        w = w[:-4]
+                        did2 = True
+                elif s[0] in "eè" or s in ("âmes", "ât", "âtes", "a",
+                                           "ai", "aIent", "ais", "ait",
+                                           "ant", "ante", "antes",
+                                           "ants", "as", "asse",
+                                           "assent", "asses", "assiez",
+                                           "assions"):
+                    w = w[: -len(s)]
+                    did2 = True
+                    # preceding e in RV also removed for the a-group
+                    if s[0] in "aâ" and w.endswith("e") \
+                            and len(w) - 1 >= rv:
+                        w = w[:-1]
+                else:
+                    w = w[: -len(s)]
+                    did2 = True
+
+    # step 3 (if altered): final Y->i, ç->c; else step 4 residuals
+    if step1_changed or did2:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4
+        if w.endswith("s") and len(w) >= 2 \
+                and w[-2] not in "aiouès" and w[-2] != "H":
+            w = w[:-1]
+        s = _longest_suffix(w, ("ion",), r2)
+        if s and len(w) - 4 >= 0 and w[-4] in "st" \
+                and len(w) - 3 >= r2:
+            w = w[:-3]
+        else:
+            s = _longest_suffix(w, ("ier", "ière", "Ier", "Ière"), rv)
+            if s:
+                w = w[: -len(s)] + "i"
+            elif w.endswith("e") and len(w) - 1 >= rv:
+                w = w[:-1]
+            elif w.endswith("ë") and len(w) - 1 >= rv \
+                    and w[:-1].endswith("gu"):
+                w = w[:-1]
+
+    # step 5: undouble enn/onn/ett/ell/eill
+    for d in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(d):
+            w = w[:-1]
+            break
+    # step 6: un-accent: é/è + consonants* at end -> e
+    i = len(w) - 1
+    seen_cons = False
+    while i >= 0:
+        if w[i] in _FR_VOWELS or w[i] in "éè":
+            break
+        seen_cons = True
+        i -= 1
+    if i >= 0 and w[i] in "éè" and seen_cons:
+        w = w[:i] + "e" + w[i + 1:]
+
+    return (w.replace("I", "i").replace("U", "u").replace("Y", "y"))
+
+
+# -------------------------------------------------- stopwords + registry
+
+# Named stopword sets (Analysis.java:101-112 `_french_`, `_german_`, …
+# resolve to Lucene's bundled snowball lists; the high-frequency core
+# of each public list is included here — these are function words, not
+# copyrightable content).
+FRENCH_STOP_SET = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il ils je la le les
+leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas
+pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos
+votre vous c d j l à m n s t y été étée étées étés étant suis es est
+sommes êtes sont serai seras sera serons serez seront serais serait
+serions seriez seraient étais était étions étiez étaient fus fut
+furent sois soit soyons soyez soient fût eu eue eues eus ai as avons
+avez ont aurai auras aura aurons aurez auront aurais aurait aurions
+auriez auraient avais avait avions aviez avaient eut eûmes eûtes
+eurent aie aies ait ayons ayez aient eût ayant
+""".split())
+
+GERMAN_STOP_SET = frozenset("""
+aber alle allem allen aller alles als also am an ander andere anderem
+anderen anderer anderes anderm andern anderr anders auch auf aus bei
+bin bis bist da damit dann der den des dem die das daß derselbe
+derselben denselben desselben demselben dieselbe dieselben dasselbe
+dazu dein deine deinem deinen deiner deines denn dessen dich dir du
+dies diese diesem diesen dieser dieses doch dort durch ein eine einem
+einen einer eines einig einige einigem einigen einiger einiges einmal
+er ihn ihm es etwas euer eure eurem euren eurer eures für gegen
+gewesen hab habe haben hat hatte hatten hier hin hinter ich mich mir
+ihr ihre ihrem ihren ihrer ihres euch im in indem ins ist jede jedem
+jeden jeder jedes jene jenem jenen jener jenes jetzt kann kein keine
+keinem keinen keiner keines können könnte machen man manche manchem
+manchen mancher manches mein meine meinem meinen meiner meines mit
+muss musste nach nicht nichts noch nun nur ob oder ohne sehr sein
+seine seinem seinen seiner seines selbst sich sie ihnen sind so
+solche solchem solchen solcher solches soll sollte sondern sonst
+über um und uns unse unsem unsen unser unses unter viel vom von vor
+während war waren warst was weg weil weiter welche welchem welchen
+welcher welches wenn werde werden wie wieder will wir wird wirst wo
+wollen wollte würde würden zu zum zur zwar zwischen
+""".split())
+
+SPANISH_STOP_SET = frozenset("""
+de la que el en y a los del se las por un para con no una su al lo
+como más pero sus le ya o este sí porque esta entre cuando muy sin
+sobre también me hasta hay donde quien desde todo nos durante todos
+uno les ni contra otros ese eso ante ellos e esto mí antes algunos
+qué unos yo otro otras otra él tanto esa estos mucho quienes nada
+muchos cual poco ella estar estas algunas algo nosotros mi mis tú te
+ti tu tus ellas nosotras vosotros vosotras os mío mía míos mías tuyo
+tuya tuyos tuyas suyo suya suyos suyas nuestro nuestra nuestros
+nuestras vuestro vuestra vuestros vuestras esos esas estoy estás está
+estamos estáis están esté estés estemos estéis estén estaré estarás
+estará estaremos estaréis estarán estaría estarías estaríamos
+estaríais estarían estaba estabas estábamos estabais estaban estuve
+estuviste estuvo estuvimos estuvisteis estuvieron ser es soy eres
+somos sois son sea seas seamos seáis sean seré serás será seremos
+seréis serán sería serías seríamos seríais serían era eras éramos
+erais eran fui fuiste fue fuimos fuisteis fueron tener tengo tienes
+tiene tenemos tenéis tienen tenga tengas tengamos tengáis tengan
+tendré tendrás tendrá tendremos tendréis tendrán tenía tenías
+teníamos teníais tenían tuve tuviste tuvo tuvimos tuvisteis tuvieron
+he has ha hemos habéis han haya hayas hayamos hayáis hayan habré
+habrás habrá habremos habréis habrán había habías habíamos habíais
+habían hube hubiste hubo hubimos hubisteis hubieron
+""".split())
+
+ITALIAN_STOP_SET = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai
+dagli dall dagl dalla dalle di del dello dei degli dell degl della
+delle in nel nello nei negli nell negl nella nelle su sul sullo sui
+sugli sull sugl sulla sulle per tra contro io tu lui lei noi voi loro
+mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro nostra
+nostri nostre vostro vostra vostri vostre mi ti ci vi lo la li le gli
+ne il un uno una ma ed se perché anche come dov dove che chi cui non
+più quale quanto quanti quanta quante quello quelli quella quelle
+questo questi questa queste si tutto tutti a c e i l o ho hai ha
+abbiamo avete hanno abbia abbiate abbiano avrò avrai avrà avremo
+avrete avranno avrei avresti avrebbe avremmo avreste avrebbero avevo
+avevi aveva avevamo avevate avevano ebbi avesti ebbe avemmo aveste
+ebbero avessi avesse avessimo avessero avendo avuto avuta avuti avute
+sono sei è siamo siete sia siate siano sarò sarai sarà saremo sarete
+saranno sarei saresti sarebbe saremmo sareste sarebbero ero eri era
+eravamo eravate erano fui fosti fu fummo foste furono fossi fosse
+fossimo fossero essendo faccio fai facciamo fanno faccia facciate
+facciano farò farai farà faremo farete faranno farei faresti farebbe
+faremmo fareste farebbero facevo facevi faceva facevamo facevate
+facevano feci facesti fece facemmo faceste fecero facessi facesse
+facessimo facessero facendo sto stai sta stiamo stanno stia stiate
+stiano starò starai starà staremo starete staranno starei staresti
+starebbe staremmo stareste starebbero stavo stavi stava stavamo
+stavate stavano stetti stesti stette stemmo steste stettero stessi
+stesse stessimo stessero stando
+""".split())
+
+PORTUGUESE_STOP_SET = frozenset("""
+de a o que e do da em um para é com não uma os no se na por mais as
+dos como mas foi ao ele das tem à seu sua ou ser quando muito há nos
+já está eu também só pelo pela até isso ela entre era depois sem
+mesmo aos ter seus quem nas me esse eles estão você tinha foram essa
+num nem suas meu às minha têm numa pelos elas havia seja qual será
+nós tenho lhe deles essas esses pelas este fosse dele tu te vocês
+vos lhes meus minhas teu tua teus tuas nosso nossa nossos nossas
+dela delas esta estes estas aquele aquela aqueles aquelas isto aquilo
+estou está estamos estão estive esteve estivemos estiveram estava
+estávamos estavam esteja estejamos estejam estivesse estivéssemos
+estivessem estiver estivermos estiverem hei há havemos hão houve
+houvemos houveram houvera houvéramos haja hajamos hajam houvesse
+houvéssemos houvessem houver houvermos houverem houverei houverá
+houveremos houverão houveria houveríamos houveriam sou somos são era
+éramos eram fui foi fomos foram fora fôramos seja sejamos sejam
+fosse fôssemos fossem for formos forem serei será seremos serão
+seria seríamos seriam tenho tem temos tém tinha tínhamos tinham
+tive teve tivemos tiveram tivera tivéramos tenha tenhamos tenham
+tivesse tivéssemos tivessem tiver tivermos tiverem terei terá
+teremos terão teria teríamos teriam
+""".split())
+
+DUTCH_STOP_SET = frozenset("""
+de en van ik te dat die in een hij het niet zijn is was op aan met
+als voor had er maar om hem dan zou of wat mijn men dit zo door over
+ze zich bij ook tot je mij uit der daar haar naar heb hoe heeft
+hebben deze u want nog zal me zij nu ge geen omdat iets worden toch
+al waren veel meer doen toen moet ben zonder kan hun dus alles onder
+ja eens hier wie werd altijd doch wordt wezen kunnen ons zelf tegen
+na reeds wil kon niets uw iemand geweest andere
+""".split())
+
+RUSSIAN_STOP_SET = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у же
+вы за бы по только ее мне было вот от меня еще нет о из ему теперь
+когда даже ну вдруг ли если уже или ни быть был него до вас нибудь
+опять уж вам ведь там потом себя ничего ей может они тут где есть
+надо ней для мы тебя их чем была сам чтоб без будто чего раз тоже
+себе под будет ж тогда кто этот того потому этого какой совсем ним
+здесь этом один почти мой тем чтобы нее сейчас были куда зачем всех
+никогда можно при наконец два об другой хоть после над больше тот
+через эти нас про всего них какая много разве три эту моя впрочем
+хорошо свою этой перед иногда лучше чуть том нельзя такой им более
+всегда конечно всю между
+""".split())
+
+SNOWBALL_STEMMERS = {
+    "french": stem_french,
+    "german": stem_german,
+    "spanish": stem_spanish,
+    "italian": stem_italian,
+    "portuguese": stem_portuguese,
+    "dutch": stem_dutch,
+    "russian": stem_russian,
+}
+
+LANGUAGE_STOP_SETS = {
+    "_french_": FRENCH_STOP_SET,
+    "_german_": GERMAN_STOP_SET,
+    "_spanish_": SPANISH_STOP_SET,
+    "_italian_": ITALIAN_STOP_SET,
+    "_portuguese_": PORTUGUESE_STOP_SET,
+    "_dutch_": DUTCH_STOP_SET,
+    "_russian_": RUSSIAN_STOP_SET,
+}
+
+
+def snowball_stem(language: str):
+    """The ``stemmer``/``snowball`` token-filter factory by language
+    name (StemmerTokenFilterFactory dispatch)."""
+    try:
+        return SNOWBALL_STEMMERS[language]
+    except KeyError:
+        raise ValueError(
+            f"unsupported stemmer language {language!r} "
+            f"(available: {sorted(SNOWBALL_STEMMERS)})") from None
+
+
+def _register_language_analyzers():
+    from raydex.analysis.tokenizer import register_analyzer, standard_analyze
+
+    for lang, stemfn in SNOWBALL_STEMMERS.items():
+        stop = LANGUAGE_STOP_SETS[f"_{lang}_"]
+
+        def analyze(text: str, _stop=stop, _stem=stemfn) -> list[str]:
+            return [_stem(t) for t in standard_analyze(text, stopwords=_stop)]
+
+        register_analyzer(lang, analyze)
+
+
+_register_language_analyzers()

@@ -219,11 +219,19 @@ def register_analyzer(name: str, fn: Callable[[str], list[str]],
     return a
 
 
+_SNOWBALL_LANGS = frozenset((
+    "french", "german", "spanish", "italian", "portuguese", "dutch",
+    "russian",
+))
+
+
 def get_analyzer(name: str) -> Analyzer:
     if name not in _REGISTRY and name.startswith("sayt_"):
         import raydex.analysis.sayt  # noqa: F401  (registers sayt_* analyzers)
     if name == "annotated_text" and name not in _REGISTRY:
         import raydex.analysis.annotated  # noqa: F401  (registers it)
+    if name in _SNOWBALL_LANGS and name not in _REGISTRY:
+        import raydex.analysis.snowball  # noqa: F401  (registers them)
     return _REGISTRY[name]
 
 

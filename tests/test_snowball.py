@@ -1,0 +1,149 @@
+"""Snowball stemmer tier: per-language golden vectors (hand-traced
+through the published algorithm specs), inflection-family collapse,
+analyzer registration with the named stop sets, and a multi-language
+index build where stemmed forms cross-match at search time."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.analysis.snowball import (
+    LANGUAGE_STOP_SETS,
+    SNOWBALL_STEMMERS,
+    snowball_stem,
+    stem_dutch,
+    stem_french,
+    stem_german,
+    stem_italian,
+    stem_portuguese,
+    stem_russian,
+    stem_spanish,
+)
+from raydex.analysis.tokenizer import get_analyzer
+
+GOLDEN = {
+    "german": [
+        ("kinder", "kind"), ("kindern", "kind"), ("kategorie", "kategori"),
+        ("gutes", "gut"), ("gutem", "gut"), ("ableitung", "ableit"),
+        ("bedeutung", "bedeut"), ("häufig", "haufig"),
+        ("aufeinander", "aufeinand"), ("schönheit", "schonheit"),
+    ],
+    "dutch": [
+        ("lichamen", "licham"), ("lichamelijk", "licham"),
+        ("lichaam", "licham"), ("banen", "ban"), ("baan", "ban"),
+    ],
+    "russian": [
+        ("книга", "книг"), ("книги", "книг"), ("важный", "важн"),
+        ("важная", "важн"), ("процессы", "процесс"),
+        ("делавшийся", "дела"),
+    ],
+    "spanish": [
+        ("niños", "niñ"), ("niñas", "niñ"), ("importante", "import"),
+        ("importantes", "import"), ("trabajando", "trabaj"),
+        ("trabajaron", "trabaj"), ("comiendo", "com"),
+        ("rápidamente", "rapid"), ("lógica", "logic"),
+        ("cantaría", "cant"), ("generoso", "gener"),
+        ("generosidad", "gener"),
+    ],
+    "italian": [
+        ("abbandonata", "abbandon"), ("abbandonate", "abbandon"),
+        ("abbandonati", "abbandon"), ("nazionale", "nazional"),
+        ("nazionali", "nazional"), ("lavorando", "lavor"),
+        ("lavoratore", "lavor"), ("logica", "logic"),
+    ],
+    "portuguese": [
+        ("meninos", "menin"), ("meninas", "menin"),
+        ("trabalhando", "trabalh"), ("trabalhador", "trabalh"),
+        ("importante", "import"), ("nacionais", "nacion"),
+    ],
+    "french": [
+        ("continuelles", "continuel"), ("continuel", "continuel"),
+        ("nationale", "national"), ("nationaux", "national"),
+        ("majestueusement", "majestu"), ("travailler", "travaill"),
+        ("logique", "logiqu"), ("éternellement", "éternel"),
+    ],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(GOLDEN))
+def test_golden_vectors(lang):
+    stem = snowball_stem(lang)
+    for word, want in GOLDEN[lang]:
+        assert stem(word) == want, (lang, word)
+
+
+def test_family_collapse():
+    """Regular inflection families map to ONE stem — the property that
+    makes recall work for a non-English corpus."""
+    families = [
+        (stem_spanish, ["trabajo", "trabajando", "trabajaron",
+                        "trabajamos"]),
+        (stem_german, ["kind", "kinder", "kindern"]),
+        (stem_italian, ["abbandonata", "abbandonate", "abbandonati",
+                        "abbandonato"]),
+        (stem_portuguese, ["menino", "meninos", "menina", "meninas"]),
+        (stem_russian, ["книга", "книги", "книгу"]),
+        (stem_french, ["continuelle", "continuelles", "continuel"]),
+        (stem_dutch, ["baan", "banen"]),
+    ]
+    for stem, words in families:
+        stems = {stem(w) for w in words}
+        assert len(stems) == 1, (stem.__name__, words, stems)
+
+
+def test_stemmers_deterministic_and_bounded():
+    for lang, stem in SNOWBALL_STEMMERS.items():
+        for word, _ in GOLDEN[lang]:
+            a, b = stem(word), stem(word)
+            assert a == b  # deterministic
+            assert len(a) <= len(word) + 2  # no runaway growth
+
+
+def test_language_analyzers_and_stop_sets():
+    fr = get_analyzer("french")
+    assert fr("Les travailleurs travaillaient continuellement") == [
+        "travailleur", "travaill", "continuel"]
+    # stopwords from the named set never survive
+    for lang in SNOWBALL_STEMMERS:
+        an = get_analyzer(lang)
+        stops = list(LANGUAGE_STOP_SETS[f"_{lang}_"])[:20]
+        toks = an(" ".join(stops))
+        assert toks == [], (lang, toks)
+
+
+def test_snowball_stem_unknown_language():
+    with pytest.raises(ValueError, match="unsupported stemmer language"):
+        snowball_stem("klingon")
+
+
+def test_multilanguage_build_and_stem_match(ray_session, tmp_path):
+    """Index built with the german analyzer: a query form and a doc
+    form that differ by inflection must meet at the same stem."""
+    from raydex.index.build import build_index
+    from raydex.search.scatter import LocalSearcher
+
+    texts = [
+        "die Kinder spielen im Garten",
+        "ein Kind spielte gestern",
+        "die Katzen schlafen",
+        "der Hund bellt laut",
+    ]
+    t = pa.table({
+        "url": pa.array([f"d{i}.example" for i in range(len(texts))]),
+        "warc_ts": pa.array(np.arange(len(texts), dtype="int64"),
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array(texts, pa.large_string()),
+    })
+    p = str(tmp_path / "de.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "de_index")
+    build_index(p, idx, num_partitions=1, analyzer="german",
+                source="text")
+    s = LocalSearcher(idx)
+    # 'Kindern' (dative plural, not in any doc) stems to 'kind' and
+    # matches both the plural and singular docs
+    hits = s.search_query({"match": {"text": "Kindern"}}, k=10)
+    assert sorted(h["url"] for h in hits) == ["d0.example", "d1.example"]
+    assert s.count({"match": {"text": "Katze"}}) == 1
+    assert s.count({"match": {"text": "Hunde"}}) == 1  # plural ↔ Hund

@@ -996,10 +996,19 @@ def q_multi_match_fields_top(sf):
     from raydex.search.scatter import LocalSearcher
 
     s = LocalSearcher(_docs_index_dir(sf))
+    # fetch sub-phases ride the same gate: per-hit `_source`
+    # include/exclude projection (FetchSourcePhase) + a registered
+    # script field (ScriptFieldsPhase) — both SQL-mirrored via a join
+    # on the documents table
     hits = s.search_query(
         {"multi_match": {"query": "batch 17", "fields": ["text", "url"]}},
         k=10,
+        source={"includes": ["n_chars", "lang"]},
+        script_fields={"nc2": {"script": {"source": "doc_value_times",
+                                          "params": {"field": "n_chars",
+                                                     "factor": 2}}}},
     )
+    assert all(set(h["_source"]) <= {"n_chars", "lang"} for h in hits)
     return pa.table(
         {
             "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
@@ -1007,6 +1016,12 @@ def q_multi_match_fields_top(sf):
                 np.asarray([h["score"] for h in hits], np.float32).astype(np.float64),
                 pa.float64(),
             ),
+            "n_chars": pa.array(
+                [int(h["_source"]["n_chars"]) for h in hits], pa.int64()),
+            "lang": pa.array([h["_source"]["lang"] for h in hits],
+                             pa.string()),
+            "nc2": pa.array([int(h["fields"]["nc2"]) for h in hits],
+                            pa.int64()),
         }
     )
 
@@ -2595,8 +2610,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE ' ' || text || ' ' LIKE '% data %') "
             "ORDER BY doc_id"
         ),
-        "multi_match_fields_top": _multi_match_fields_oracle_sql(
-            ["batch", "17"], k=10
+        # score oracle + fetch-phase projection mirror (n_chars/lang
+        # from the documents row, nc2 = the script field's n_chars*2)
+        "multi_match_fields_top": (
+            "SELECT o.doc_id, o.score, d.n_chars, d.lang, "
+            "CAST(d.n_chars * 2 AS BIGINT) AS nc2 FROM ("
+            + _multi_match_fields_oracle_sql(["batch", "17"], k=10)
+            + ") o JOIN documents d USING (doc_id) ORDER BY o.score DESC, o.doc_id"
         ),
         "match_phrase_top": _phrase_bm25_oracle_sql(["batch", "stream"], k=10),
         # Brute-force all-pairs 3-gram Jaccard (valid vs the LSH pipeline

@@ -78,6 +78,12 @@ def main(argv=None) -> int:
     s.add_argument("--docvalue-fields", default=None,
                    help="comma-separated stored doc-values columns to "
                         "return per hit (the docvalue_fields fetch phase)")
+    s.add_argument("--source", dest="source_filter", default=None,
+                   help="per-hit _source projection: 'true', a comma "
+                        "list of include patterns, or a JSON "
+                        "{includes, excludes} body (FetchSourcePhase)")
+    s.add_argument("--script-fields", default=None,
+                   help="JSON script_fields body (registered scripts)")
     s.add_argument("--routing", default=None,
                    help="routing key: search ONLY the partition this key "
                         "routes to (the ?routing= shard-targeting param)")
@@ -263,13 +269,24 @@ def main(argv=None) -> int:
                 print(json.dumps(h))
             print(json.dumps({"profile": out["profile"]}))
             hits = []
-        elif a.dsl:
+        src = None
+        if getattr(a, "source_filter", None):
+            raw = a.source_filter
+            if raw.strip().startswith("{"):
+                src = json.loads(raw)
+            elif raw.lower() in ("true", "false"):
+                src = raw.lower() == "true"
+            else:
+                src = [p.strip() for p in raw.split(",") if p.strip()]
+        sfields = json.loads(a.script_fields) if getattr(
+            a, "script_fields", None) else None
+        if a.dsl:
             hits = searcher.search_query(
                 json.loads(a.dsl), k=a.k, from_=a.from_,
                 min_score=a.min_score, docvalue_fields=dv_fields,
-                routing=a.routing,
+                routing=a.routing, source=src, script_fields=sfields,
             )
-        elif a.min_score is not None or dv_fields:
+        elif a.min_score is not None or dv_fields or src is not None or sfields:
             # plain-text path with fetch/threshold options: route
             # through the DSL entry so the flags are honored
             hits = searcher.search_query(
@@ -277,7 +294,7 @@ def main(argv=None) -> int:
                                     "operator": a.operator}}},
                 k=a.k, from_=a.from_,
                 min_score=a.min_score, docvalue_fields=dv_fields,
-                routing=a.routing,
+                routing=a.routing, source=src, script_fields=sfields,
             )
         else:
             hits = searcher.search(a.query or "", k=a.k, operator=a.operator,

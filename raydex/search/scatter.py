@@ -338,6 +338,50 @@ class SegmentGroup:
             out[(o, d)] = row
         return out
 
+    def fetch_source(self, pairs, includes, excludes,
+                     script_fields=None):
+        """{(ordinal, docid): (source_dict, script_values)} for owned
+        pairs — the FetchSourcePhase/ScriptFieldsPhase sub-phase. The
+        hit's source document is its stored per-doc columns (url, dl,
+        every doc-values column, scaled_float decoded)."""
+        from raydex.search.fetchphase import (
+            filter_source,
+            run_script_fields,
+        )
+
+        own = {o: r for r, o in zip(self.readers, self.ordinals)}
+        out: dict = {}
+        kw_cols: dict = {}  # (ordinal, field) -> per-doc value array
+        for o, d in pairs:
+            r = own.get(o)
+            if r is None:
+                continue
+            doc = {"url": str(r.urls[d]), "dl": int(r.dl[d])}
+            for f, col in r.doc_values.items():
+                v = col[d]
+                sf = _scaled_float_factor(r, f)
+                doc[f] = (float(v) / sf if sf else
+                          (v.item() if hasattr(v, "item") else v))
+            # keyword index-time fields surface too (the reference's
+            # _source carries them); single postings inversion per
+            # (segment, field) per request, shared across its hits
+            for f, meta in getattr(r, "fields_meta", {}).items():
+                if f in doc or (meta.get("kind") or
+                                meta.get("analyzer")) != "keyword":
+                    continue
+                key = (o, f)
+                if key not in kw_cols:
+                    from raydex.search.aggsphase import _multi_doc_values
+
+                    kw_cols[key] = _multi_doc_values(r, f)
+                v = kw_cols[key][d]
+                if v is not None:
+                    doc[f] = v
+            scripts = run_script_fields(doc, script_fields)
+            out[(o, d)] = (filter_source(doc, includes, excludes),
+                           scripts)
+        return out
+
     def query_top_k(self, qdict: dict, k: int, ndocs: int, sum_dl: int,
                     df: dict[str, int], analyzer_name: str,
                     fdf: dict | None = None,
@@ -1066,12 +1110,18 @@ class LocalSearcher(SearcherBase):
                      runtime_mappings: dict | None = None,
                      docvalue_fields: list[str] | None = None,
                      min_score: float | None = None,
-                     routing: str | None = None):
+                     routing: str | None = None,
+                     source=None,
+                     script_fields: dict | None = None):
         """Structured DSL search (`POST _search {"query": ...}` analogue).
         ``runtime_mappings``: per-request runtime fields ({field:
         {"factory": <registered>, "params": {...}}}) — the search body's
         runtime_mappings section; fields resolve inside the segment
-        evaluators with segment-local stats. ``docvalue_fields`` adds a
+        evaluators with segment-local stats. ``source`` /
+        ``script_fields`` run the FetchSourcePhase/ScriptFieldsPhase
+        sub-phase (raydex.search.fetchphase): per-hit ``_source``
+        include/exclude projection over the stored per-doc columns and
+        registered-script computed fields. ``docvalue_fields`` adds a
         per-hit ``fields`` dict of stored doc-values columns (the
         fetch sub-phase; no _source exists in this engine)."""
         from raydex.search.joinquery import (
@@ -1127,6 +1177,20 @@ class LocalSearcher(SearcherBase):
             )
             for h in hits:
                 h["fields"] = dv.get((h["ordinal"], h["docid"]), {})
+        if hits and (source is not None or script_fields):
+            from raydex.search.fetchphase import normalize_source_spec
+
+            spec = normalize_source_spec(source)
+            src = self.group.fetch_source(
+                [(h["ordinal"], h["docid"]) for h in hits],
+                *(spec or ([], [])), script_fields=script_fields)
+            for h in hits:
+                doc, scripts = src.get((h["ordinal"], h["docid"]),
+                                       ({}, {}))
+                if spec is not None:
+                    h["_source"] = doc
+                if script_fields:
+                    h.setdefault("fields", {}).update(scripts)
         return hits
 
     def count(self, qdict: dict, runtime_mappings: dict | None = None) -> int:
@@ -1503,6 +1567,7 @@ class RaySearcher(SearcherBase):
     def search_query(self, qdict: dict, k: int = 10, from_: int = 0,
                      runtime_mappings: dict | None = None,
                      docvalue_fields: list[str] | None = None,
+                     source=None, script_fields: dict | None = None,
                      min_score: float | None = None,
                      routing: str | None = None):
         """Structured DSL search, scatter-gathered over the actor pool.
@@ -1543,8 +1608,14 @@ class RaySearcher(SearcherBase):
         named = collect_named_queries(qdict)
         # launch both fetch sub-phases before gathering either — they
         # are independent, so the scatter round-trips overlap
-        mq_refs = dv_refs = None
-        if hits and (named or docvalue_fields):
+        mq_refs = dv_refs = src_refs = None
+        src_spec = None
+        if hits and (source is not None or script_fields):
+            from raydex.search.fetchphase import normalize_source_spec
+
+            src_spec = normalize_source_spec(source)
+        if hits and (named or docvalue_fields or src_spec is not None
+                     or script_fields):
             pairs = [(h["ordinal"], h["docid"]) for h in hits]
             if named:
                 mq_refs = [
@@ -1560,6 +1631,13 @@ class RaySearcher(SearcherBase):
                     a.docvalue_fields.remote(pairs, docvalue_fields)
                     for a in self.actors
                 ]
+            if src_spec is not None or script_fields:
+                src_refs = [
+                    a.fetch_source.remote(
+                        pairs, *(src_spec or ([], [])),
+                        script_fields=script_fields)
+                    for a in self.actors
+                ]
         if mq_refs is not None:
             mq: dict = {}
             for part in self._ray.get(mq_refs):
@@ -1572,6 +1650,17 @@ class RaySearcher(SearcherBase):
                 dv.update(part)
             for h in hits:
                 h["fields"] = dv.get((h["ordinal"], h["docid"]), {})
+        if src_refs is not None:
+            src: dict = {}
+            for part in self._ray.get(src_refs):
+                src.update(part)
+            for h in hits:
+                doc, scripts = src.get((h["ordinal"], h["docid"]),
+                                       ({}, {}))
+                if src_spec is not None:
+                    h["_source"] = doc
+                if script_fields:
+                    h.setdefault("fields", {}).update(scripts)
         return hits
 
     def profile_search(self, qdict: dict, k: int = 10,

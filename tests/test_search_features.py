@@ -615,3 +615,99 @@ def test_min_score(tmp_path, ray_session):
         assert [(h["url"], h["score"]) for h in rgot] == want
     finally:
         rs.shutdown()
+
+
+def test_fetch_source_and_script_fields(ray_session, tmp_path):
+    """FetchSourcePhase/ScriptFieldsPhase: per-hit _source
+    include/exclude projection (wildcards, includes before excludes),
+    script_fields via the registry, keyword sub-field surfacing, and
+    Local/Ray parity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydex.index.build import build_index
+    from raydex.index.segment import FieldSpec
+    from raydex.search.fetchphase import (
+        filter_source,
+        normalize_source_spec,
+        register_field_script,
+    )
+    from raydex.search.scatter import LocalSearcher, RaySearcher
+
+    n = 40
+    t = pa.table({
+        "url": pa.array([f"u{i}.example" for i in range(n)]),
+        "warc_ts": pa.array(np.arange(n, dtype="int64"),
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"doc body token{i % 3} data" for i in range(n)],
+                         pa.large_string()),
+        "stars": pa.array((np.arange(n) % 5).astype("int64")),
+        "lang": pa.array(["en" if i % 2 else "fr" for i in range(n)]),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard",
+                source="text",
+                fields=[FieldSpec("stars", source="stars",
+                                  analyzer="long"),
+                        FieldSpec("lang", source="lang",
+                                  analyzer="keyword")])
+    s = LocalSearcher(idx)
+    q = {"match": {"text": "data"}}
+
+    # source=True -> full source incl. the keyword sub-field
+    hits = s.search_query(q, k=5, source=True)
+    for h in hits:
+        i = int(h["url"].split(".")[0][1:])
+        assert h["_source"]["stars"] == i % 5
+        assert h["_source"]["lang"] == ("en" if i % 2 else "fr")
+        assert h["_source"]["url"] == h["url"]
+
+    # includes + excludes with wildcards; includes before excludes
+    hits = s.search_query(q, k=3, source={"includes": ["st*", "lang"],
+                                          "excludes": ["stars"]})
+    assert all(set(h["_source"]) == {"lang"} for h in hits)
+    # bare-list shorthand
+    hits = s.search_query(q, k=3, source=["url"])
+    assert all(set(h["_source"]) == {"url"} for h in hits)
+    # source=False -> no _source key
+    hits = s.search_query(q, k=3, source=False)
+    assert all("_source" not in h for h in hits)
+
+    # script_fields without source
+    register_field_script(
+        "stars_plus", lambda doc, p: doc["stars"] + p.get("add", 0))
+    hits = s.search_query(
+        q, k=4,
+        script_fields={"sp": {"script": {"source": "stars_plus",
+                                         "params": {"add": 10}}}})
+    for h in hits:
+        i = int(h["url"].split(".")[0][1:])
+        assert h["fields"]["sp"] == i % 5 + 10
+        assert "_source" not in h
+
+    # Ray parity (scripts resolve per process, so the parity leg uses
+    # a module-registered built-in the actors also have)
+    sf_spec = {"sp": {"script": {"source": "doc_value_times",
+                                 "params": {"field": "stars",
+                                            "factor": 3}}}}
+    local = s.search_query(q, k=5, source=["stars", "lang"],
+                           script_fields=sf_spec)
+    rs = RaySearcher(idx, num_actors=2)
+    try:
+        remote = rs.search_query(q, k=5, source=["stars", "lang"],
+                                 script_fields=sf_spec)
+        assert remote == local
+    finally:
+        rs.shutdown()
+
+    # unit: spec normalization + projection semantics
+    assert normalize_source_spec(False) is None
+    assert normalize_source_spec(True) == ([], [])
+    assert normalize_source_spec("a*") == (["a*"], [])
+    assert normalize_source_spec({"include": "x"}) == (["x"], [])
+    doc = {"ab": 1, "ac": 2, "b": 3}
+    assert filter_source(doc, ["a*"], ["ac"]) == {"ab": 1}
+    assert filter_source(doc, [], ["b"]) == {"ab": 1, "ac": 2}

@@ -35,7 +35,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v6_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v7_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.analysis.sayt import sayt_subfield_specs
@@ -57,6 +57,18 @@ def _docs_index_dir(sf_dir: str) -> str:
                 # doc-values (stats/histogram/range aggs)
                 "lang": t["lang"],
                 "n_chars": t["n_chars"],
+                # derived boolean / ip / long_range field sources
+                # (deterministic from doc_id + n_chars, so every query
+                # over them has an exact SQL mirror)
+                "active": pa.array((ids % 3 == 0).tolist(), pa.bool_()),
+                "ip": pa.array([
+                    "10.%d.%d.%d" % (i % 4, (i * 7) % 256, (i * 13) % 256)
+                    for i in ids
+                ]),
+                "span": pa.array(
+                    [{"gte": int(nc), "lte": int(nc) + int(i % 50)}
+                     for i, nc in zip(ids, t["n_chars"].to_numpy())],
+                    pa.struct([("gte", pa.int64()), ("lte", pa.int64())])),
             }
         )
 
@@ -77,7 +89,12 @@ def _docs_index_dir(sf_dir: str) -> str:
                                   analyzer="rank_feature"),
                         FieldSpec("lang", source="lang", analyzer="keyword"),
                         FieldSpec("n_chars", source="n_chars",
-                                  analyzer="long")]
+                                  analyzer="long"),
+                        FieldSpec("active", source="active",
+                                  analyzer="boolean"),
+                        FieldSpec("ip", source="ip", analyzer="ip"),
+                        FieldSpec("span", source="span",
+                                  analyzer="long_range")]
                 # text is also a search_as_you_type field: _2gram/_3gram
                 # shingles + the edge-gram _index_prefix sub-field, so
                 # match_bool_prefix gates run the DEDICATED-structure
@@ -1504,6 +1521,15 @@ def q_dsl_count_suite(sf):
         # search_as_you_type shingle sub-field: a TERM on text._2gram is
         # the adjacent-bigram containment check (== phrase semantics)
         ("j_sayt_2gram_term", {"term": {"text._2gram": "batch stream"}}),
+        # boolean / ip / range FIELD TYPES (BooleanFieldMapper,
+        # IpFieldMapper, RangeFieldMapper) over derived columns
+        ("u_bool_term", {"term": {"active": True}}),
+        ("v_ip_cidr", {"term": {"ip": "10.1.0.0/16"}}),
+        ("w_ip_range", {"range": {"ip": {"gte": "10.2.0.0",
+                                         "lte": "10.3.255.255"}}}),
+        ("x_range_within", {"range": {"span": {"gte": 500, "lte": 1500,
+                                               "relation": "within"}}}),
+        ("y_range_term", {"term": {"span": "1000"}}),
     ]
     rows = [(k, s.count(q)) for k, q in cases]
     # search-request aggregations phase (AggregationPhase /
@@ -2544,7 +2570,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 't_nested_range:' || lang || ':lo', "
             "COUNT(*) FROM documents "
             "WHERE ' ' || text || ' ' LIKE '% batch %' "
-            "AND n_chars < 1000 GROUP BY 1"
+            "AND n_chars < 1000 GROUP BY 1 "
+            "UNION ALL SELECT 'u_bool_term', COUNT(*) FROM documents "
+            "WHERE doc_id % 3 = 0 "
+            "UNION ALL SELECT 'v_ip_cidr', COUNT(*) FROM documents "
+            "WHERE doc_id % 4 = 1 "
+            "UNION ALL SELECT 'w_ip_range', COUNT(*) FROM documents "
+            "WHERE doc_id % 4 IN (2, 3) "
+            "UNION ALL SELECT 'x_range_within', COUNT(*) FROM documents "
+            "WHERE n_chars >= 500 AND n_chars + doc_id % 50 <= 1500 "
+            "UNION ALL SELECT 'y_range_term', COUNT(*) FROM documents "
+            "WHERE n_chars <= 1000 AND n_chars + doc_id % 50 >= 1000"
             ") ORDER BY kind"
         ),
         # count_min1 = the nested query; terms = nested-context sub-doc

@@ -178,7 +178,8 @@ def build_segment(
     # stored doc-values columns in docs.parquet with per-segment min/max
     # in the manifest (range can-match + field sort use them)
     _DV_KINDS = ("long", "double", "date", "scaled_float", "token_count",
-                 "murmur3", "size")
+                 "murmur3", "size", "boolean", "ip",
+                 "long_range", "double_range", "date_range")
     dv_specs = [
         (s, v) for s, v in (extra_fields or []) if s.analyzer in _DV_KINDS
     ]
@@ -220,6 +221,56 @@ def build_segment(
                 arr = _pc.binary_length(
                     arr.cast(pa.large_binary())
                 ).cast(pa.int64())
+            elif spec.analyzer == "boolean":
+                # BooleanFieldMapper: true/false (bool or string input)
+                # stored as int64 0/1 doc-values
+                if pa.types.is_string(arr.type) or \
+                        pa.types.is_large_string(arr.type):
+                    arr = _pc.equal(_pc.utf8_lower(arr), "true")
+                arr = arr.cast(pa.bool_()).cast(pa.int64())
+            elif spec.analyzer == "ip":
+                # IpFieldMapper: dotted-quad IPv4 stored as the numeric
+                # address in int64 doc-values (deviation: IPv4 only —
+                # the reference packs v6 into 16-byte sorted terms;
+                # 128-bit values exceed this engine's int64 columns)
+                from raydex.ops.aggs import _ipv4_to_u32
+
+                vals, valid = _ipv4_to_u32(arr, strict=False)
+                arr = pa.array(
+                    np.where(valid, vals.astype("int64"), 0),
+                    pa.int64())
+            elif spec.analyzer in ("long_range", "double_range",
+                                   "date_range"):
+                # RangeFieldMapper: per-doc [gte, lte] interval from a
+                # struct<gte, lte> (or list[2]) source column, stored
+                # as TWO doc-values columns <f>__gte / <f>__lte
+                typ = (pa.float64() if spec.analyzer == "double_range"
+                       else pa.int64())
+                if pa.types.is_struct(arr.type):
+                    gte = arr.field("gte")
+                    lte = arr.field("lte")
+                elif pa.types.is_list(arr.type) or \
+                        pa.types.is_large_list(arr.type):
+                    flat = arr.flatten()
+                    gte = flat[0::2]
+                    lte = flat[1::2]
+                else:
+                    raise ValueError(
+                        f"range field {spec.name!r} needs a "
+                        f"struct<gte, lte> or list[2] source column")
+                if spec.analyzer == "date_range":
+                    gte = gte.cast(pa.timestamp("us")).cast(pa.int64())
+                    lte = lte.cast(pa.timestamp("us")).cast(pa.int64())
+                gte, lte = gte.cast(typ), lte.cast(typ)
+                d = d.append_column(f"{spec.name}__gte", gte)
+                d = d.append_column(f"{spec.name}__lte", lte)
+                manifest[f"min_{spec.name}"] = _pc.min(gte).as_py()
+                manifest[f"max_{spec.name}"] = _pc.max(lte).as_py()
+                fields_meta[spec.name] = {
+                    "kind": "range", "analyzer": spec.analyzer,
+                    "source": spec.source, "sum_dl": 0,
+                }
+                continue
             elif spec.analyzer == "token_count":
                 # TokenCountFieldMapper: number of analyzed tokens of the
                 # source string, with the index analyzer

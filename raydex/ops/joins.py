@@ -17,7 +17,6 @@ Both keep exact inner/left semantics and are DuckDB-oracle-checked.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raydex.partition import murmur3_hash_many
@@ -52,9 +51,10 @@ def copartition_join(left_ds, right_ds, key_left: str, key_right: str,
                      num_buckets: int = 32, suffix: str = "_r"):
     """Partitioned hash join of two large Datasets: both sides bucketed
     by murmur3(key) % B, schemas aligned to a superset (right columns
-    suffixed, other side null-padded), one groupby on bucket, pandas
-    merge inside each bucket group. ``left_cols``/``right_cols`` are the
-    projected columns (key included)."""
+    suffixed, other side null-padded), one groupby on bucket, Acero
+    hash join inside each bucket group (Arrow-native — no pandas
+    round-trip). ``left_cols``/``right_cols`` are the projected
+    columns (key included)."""
     right_renamed = [c + suffix for c in right_cols]
     key_right_out = key_right + suffix
     all_cols = left_cols + right_renamed
@@ -94,21 +94,24 @@ def copartition_join(left_ds, right_ds, key_left: str, key_right: str,
     out_cols = [c for c in all_cols if c != key_right_out]
     out_schema = pa.schema([(c, types[c]) for c in out_cols])
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
-        # pandas widens null-padded int columns to float64; cast the merge
-        # output back to the Arrow types recorded from the input schemas so
-        # downstream consumers (and the DuckDB oracle compare) see int32
-        # where the source had int32.
-        l = g[g["_side"] == "l"][left_cols]
-        r = g[g["_side"] == "r"][right_renamed]
-        if l.empty or r.empty:
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native: Acero hash join inside the bucket group — no
+        # pandas round-trip, and the recorded Arrow types survive
+        # unchanged (pandas used to widen null-padded ints to float64)
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g["_side"], "l")
+        l = g.filter(lmask).select(left_cols)
+        r = g.filter(pc.invert(lmask)).select(right_renamed)
+        if l.num_rows == 0 or r.num_rows == 0:
             return out_schema.empty_table()
-        out = l.merge(r, left_on=key_left, right_on=key_right_out, how="inner")
-        out = out.drop(columns=[key_right_out])
-        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+        out = l.join(r, keys=[key_left], right_keys=[key_right_out],
+                     join_type="inner")
+        return out.select(out_cols).cast(out_schema)
 
     both = left.union(right)
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pyarrow")
 
 
 def semi_join(left_ds, right_ds, key_left: str, key_right: str,
@@ -141,18 +144,21 @@ def semi_join(left_ds, right_ds, key_left: str, key_right: str,
         lambda t, _f=tag("r", key_right, []): _f(t), batch_format="pyarrow"
     )
 
-    def filter_bucket(g: pd.DataFrame) -> pa.Table:
-        l = g[g["_side"] == "l"]
-        rkeys = g.loc[g["_side"] == "r", "_k"].unique()
-        if l.empty:
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g["_side"], "l")
+        l = g.filter(lmask)
+        if l.num_rows == 0:
             return out_schema.empty_table()
-        mask = l["_k"].isin(rkeys).to_numpy()
+        rkeys = g.filter(pc.invert(lmask))["_k"].combine_chunks().unique()
+        mask = pc.is_in(l["_k"], value_set=rkeys)
         if anti:
-            mask = ~mask
-        kept = l.loc[mask, left_cols]
-        if kept.empty:
+            mask = pc.invert(mask)
+        kept = l.filter(mask).select(left_cols)
+        if kept.num_rows == 0:
             return out_schema.empty_table()
-        return pa.Table.from_pandas(kept, preserve_index=False).cast(out_schema)
+        return kept.cast(out_schema)
 
     # align schemas for the union: left carries its columns, right only _k
     def pad_right(t: pa.Table) -> pa.Table:
@@ -166,4 +172,5 @@ def semi_join(left_ds, right_ds, key_left: str, key_right: str,
 
     right = right.map_batches(pad_right, batch_format="pyarrow")
     both = left.union(right)
-    return both.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(filter_bucket,
+                                              batch_format="pyarrow")

@@ -116,6 +116,9 @@ class RangeQ(Query):
     gt: object = None
     lte: object = None
     lt: object = None
+    # range-FIELD queries only (RangeFieldMapper): how the query range
+    # relates to the stored per-doc interval
+    relation: str = "intersects"  # | 'within' | 'contains' 
 
 
 @dataclass
@@ -439,7 +442,9 @@ def parse_query(d: dict) -> Query:
         # collapsing everything to "url" made can-match skip on the
         # wrong axis for doc-values ranges
         fld = "dl" if fld in ("dl", "length") else fld
-        return RangeQ(fld=fld, **{k: spec[k] for k in ("gte", "gt", "lte", "lt") if k in spec})
+        return RangeQ(fld=fld,
+                      relation=str(spec.get("relation", "intersects")).lower(),
+                      **{k: spec[k] for k in ("gte", "gt", "lte", "lt") if k in spec})
     if kind == "exists":
         return Exists(fld=body.get("field", "url"))
     if kind == "bool":
@@ -952,14 +957,22 @@ def segment_can_match(manifest: dict, ranges: list["RangeQ"]) -> bool:
             lo, hi = manifest.get(f"min_{r.fld}"), manifest.get(f"max_{r.fld}")
         if lo is None or hi is None:
             continue
-        if r.gte is not None and hi < r.gte:
-            return False
-        if r.gt is not None and hi <= r.gt:
-            return False
-        if r.lte is not None and lo > r.lte:
-            return False
-        if r.lt is not None and lo >= r.lt:
-            return False
+        if getattr(r, "relation", "intersects") != "intersects":
+            continue  # within/contains cannot use the simple bounds
+        try:
+            if r.gte is not None and hi < r.gte:
+                return False
+            if r.gt is not None and hi <= r.gt:
+                return False
+            if r.lte is not None and lo > r.lte:
+                return False
+            if r.lt is not None and lo >= r.lt:
+                return False
+        except TypeError:
+            # incomparable bound/stat types (e.g. a dotted-quad IP
+            # literal vs int64 address stats): never skip on an
+            # incomparable axis
+            continue
     return True
 
 
@@ -987,6 +1000,35 @@ def expand_prefix(reader, prefix: str) -> list[int]:
     lo = int(np.searchsorted(reader.terms, prefix))
     hi = int(np.searchsorted(reader.terms, prefix + "￿"))
     return list(range(lo, hi))
+
+
+def _ip_to_int(s: str) -> int:
+    parts = s.split(".")
+    if len(parts) != 4:
+        raise ValueError(f"malformed IPv4 literal {s!r}")
+    v = 0
+    for p in parts:
+        o = int(p)
+        if not 0 <= o <= 255:
+            raise ValueError(f"malformed IPv4 literal {s!r}")
+        v = (v << 8) | o
+    return v
+
+
+def _ip_term_bounds(term: str) -> tuple[int, int]:
+    """Numeric [lo, hi] of an IPv4 literal or CIDR block (the
+    reference's InetAddresses.parseCidr expansion)."""
+    if "/" in term:
+        addr, _, bits = term.partition("/")
+        nbits = int(bits)
+        if not 0 <= nbits <= 32:
+            raise ValueError(f"malformed CIDR {term!r}")
+        base = _ip_to_int(addr)
+        span = 1 << (32 - nbits)
+        lo = (base // span) * span
+        return lo, lo + span - 1
+    v = _ip_to_int(term)
+    return v, v
 
 
 def wildcard_field_mask(reader, fld: str, pattern: str,
@@ -1167,6 +1209,35 @@ class SegmentEvaluator:
         if field == "text":
             return self._term_leaf(term, boost)
         meta = getattr(self.r, "fields_meta", {}).get(field, {})
+        an = meta.get("analyzer")
+        if an == "boolean":
+            # BooleanFieldMapper.termQuery: true/false (accepts the
+            # JSON bool or its string form) against the 0/1 doc-values
+            want = 1 if str(term).lower() in ("true", "1") else 0
+            mask = self.r.doc_values[field] == want
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, boost, 0.0), mask
+        if an == "ip":
+            # IpFieldMapper.termQuery: exact dotted-quad, or a CIDR
+            # literal expanded to its numeric [lo, hi] block
+            lo, hi = _ip_term_bounds(str(term))
+            dv = self.r.doc_values[field]
+            mask = (dv >= lo) & (dv <= hi)
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, boost, 0.0), mask
+        if meta.get("kind") == "range":
+            # RangeFieldMapper.termQuery: docs whose stored [gte, lte]
+            # interval CONTAINS the queried point
+            v = float(term) if an == "double_range" else int(
+                float(term))
+            g = self.r.doc_values[f"{field}__gte"]
+            l = self.r.doc_values[f"{field}__lte"]
+            mask = (g <= v) & (v <= l)
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, boost, 0.0), mask
         if (meta.get("kind") or meta.get("analyzer")) == "join":
             # term on the join FIELD matches the relation name (the
             # ParentJoinFieldMapper doc-values term — how the reference
@@ -1395,11 +1466,33 @@ class SegmentEvaluator:
             mask = np.fromiter((u in wanted for u in urls), dtype=bool, count=n)
             return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, RangeQ):
+            fmeta = getattr(self.r, "fields_meta", {}).get(q.fld, {})
+            if fmeta.get("kind") == "range":
+                # range FIELD vs query range: relation semantics
+                # (RangeFieldMapper.rangeQuery intersects/within/
+                # contains)
+                g = self.r.doc_values[f"{q.fld}__gte"]
+                l = self.r.doc_values[f"{q.fld}__lte"]
+                qlo = q.gte if q.gte is not None else (
+                    q.gt if q.gt is not None else -np.inf)
+                qhi = q.lte if q.lte is not None else (
+                    q.lt if q.lt is not None else np.inf)
+                if q.relation == "within":
+                    mask = (g >= qlo) & (l <= qhi)
+                elif q.relation == "contains":
+                    mask = (g <= qlo) & (l >= qhi)
+                else:  # intersects (the reference default)
+                    mask = (g <= qhi) & (l >= qlo)
+                # strict bounds exclude the touching endpoint
+                if q.gt is not None and q.relation == "intersects":
+                    mask &= l > q.gt
+                if q.lt is not None and q.relation == "intersects":
+                    mask &= g < q.lt
+                return np.where(mask, q.boost, 0.0), mask
             if q.fld == "dl":
                 vals = self.r.dl  # exact length, not the SmallFloat-quantized one
             elif q.fld in getattr(self.r, "doc_values", {}):
                 vals = self.r.doc_values[q.fld]  # stored doc-values column
-                fmeta = getattr(self.r, "fields_meta", {}).get(q.fld, {})
                 if fmeta.get("analyzer") == "scaled_float":
                     # compare on unscaled doubles derived from the
                     # stored scaled longs (storage lossy like the
@@ -1407,15 +1500,20 @@ class SegmentEvaluator:
                     vals = vals / float(fmeta.get("scaling_factor") or 100.0)
             else:
                 vals = np.asarray(self.r.urls.to_pylist(), dtype=object)
+            ip_field = fmeta.get("analyzer") == "ip"
+
+            def _bound(v):
+                return _ip_to_int(str(v)) if ip_field else v
+
             mask = np.ones(n, dtype=bool)
             if q.gte is not None:
-                mask &= vals >= q.gte
+                mask &= vals >= _bound(q.gte)
             if q.gt is not None:
-                mask &= vals > q.gt
+                mask &= vals > _bound(q.gt)
             if q.lte is not None:
-                mask &= vals <= q.lte
+                mask &= vals <= _bound(q.lte)
             if q.lt is not None:
-                mask &= vals < q.lt
+                mask &= vals < _bound(q.lt)
             return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, Exists):
             return np.full(n, q.boost), np.ones(n, dtype=bool)

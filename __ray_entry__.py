@@ -35,7 +35,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v7_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v8_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.analysis.sayt import sayt_subfield_specs
@@ -69,6 +69,12 @@ def _docs_index_dir(sf_dir: str) -> str:
                     [{"gte": int(nc), "lte": int(nc) + int(i % 50)}
                      for i, nc in zip(ids, t["n_chars"].to_numpy())],
                     pa.struct([("gte", pa.int64()), ("lte", pa.int64())])),
+                "loc": pa.array(
+                    [{"lat": ((int(i) * 37) % 12000) / 100.0 - 60.0,
+                      "lon": ((int(i) * 91) % 36000) / 100.0 - 180.0}
+                     for i in ids],
+                    pa.struct([("lat", pa.float64()),
+                               ("lon", pa.float64())])),
             }
         )
 
@@ -94,7 +100,9 @@ def _docs_index_dir(sf_dir: str) -> str:
                                   analyzer="boolean"),
                         FieldSpec("ip", source="ip", analyzer="ip"),
                         FieldSpec("span", source="span",
-                                  analyzer="long_range")]
+                                  analyzer="long_range"),
+                        FieldSpec("loc", source="loc",
+                                  analyzer="geo_point")]
                 # text is also a search_as_you_type field: _2gram/_3gram
                 # shingles + the edge-gram _index_prefix sub-field, so
                 # match_bool_prefix gates run the DEDICATED-structure
@@ -1530,6 +1538,13 @@ def q_dsl_count_suite(sf):
         ("x_range_within", {"range": {"span": {"gte": 500, "lte": 1500,
                                                "relation": "within"}}}),
         ("y_range_term", {"term": {"span": "1000"}}),
+        # geo_point field type: bbox + haversine distance (the SQL
+        # mirror recomputes both from the derived lat/lon columns)
+        ("z1_geo_bbox", {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 50.0, "lon": -90.0},
+            "bottom_right": {"lat": 0.0, "lon": 90.0}}}}),
+        ("z2_geo_distance", {"geo_distance": {
+            "distance": "3000km", "loc": {"lat": 0.0, "lon": 0.0}}}),
     ]
     rows = [(k, s.count(q)) for k, q in cases]
     # search-request aggregations phase (AggregationPhase /
@@ -1596,6 +1611,14 @@ def q_dsl_count_suite(sf):
             if rb["doc_count"]:
                 rows.append((f"t_nested_range:{lang}:{rb['key']}",
                              rb["doc_count"]))
+    # geotile_grid agg over the derived geo_point (OSM slippy-tile
+    # arithmetic — the exact same formula runs in the SQL mirror)
+    tiles = s.search_aggs(
+        {"match_all": {}},
+        {"tiles": {"geotile_grid": {"field": "loc", "precision": 3,
+                                    "size": 100_000}}},
+    )["aggregations"]["tiles"]["buckets"]
+    rows += [(f"z3_tile:{t['key']}", t["doc_count"]) for t in tiles]
     rows.sort()
     return pa.table(
         {
@@ -2580,7 +2603,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'x_range_within', COUNT(*) FROM documents "
             "WHERE n_chars >= 500 AND n_chars + doc_id % 50 <= 1500 "
             "UNION ALL SELECT 'y_range_term', COUNT(*) FROM documents "
-            "WHERE n_chars <= 1000 AND n_chars + doc_id % 50 >= 1000"
+            "WHERE n_chars <= 1000 AND n_chars + doc_id % 50 >= 1000 "
+            "UNION ALL SELECT 'z1_geo_bbox', COUNT(*) FROM ("
+            "SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS lat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lon "
+            "FROM documents) WHERE lat BETWEEN 0.0 AND 50.0 "
+            "AND lon BETWEEN -90.0 AND 90.0 "
+            "UNION ALL SELECT 'z2_geo_distance', COUNT(*) FROM ("
+            "SELECT radians(((doc_id * 37) % 12000) / 100.0 - 60.0) AS la, "
+            "radians(((doc_id * 91) % 36000) / 100.0 - 180.0) AS lo "
+            "FROM documents) WHERE "
+            "2.0 * CAST(6371008.7714150598 AS DOUBLE) * asin(sqrt("
+            "sin(la / 2.0) * sin(la / 2.0) + cos(0.0) * cos(la) * "
+            "sin(lo / 2.0) * sin(lo / 2.0))) <= 3000000.0 "
+            "UNION ALL SELECT 'z3_tile:' || t, COUNT(*) FROM ("
+            "SELECT '3/' || CAST(CAST(FLOOR((lon + 180.0) / 360.0 * 8) AS BIGINT) AS VARCHAR) "
+            "|| '/' || CAST(CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS BIGINT) AS VARCHAR) AS t "
+            "FROM (SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS lat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lon FROM documents)"
+            ") GROUP BY t"
             ") ORDER BY kind"
         ),
         # count_min1 = the nested query; terms = nested-context sub-doc

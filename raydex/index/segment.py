@@ -179,7 +179,7 @@ def build_segment(
     # in the manifest (range can-match + field sort use them)
     _DV_KINDS = ("long", "double", "date", "scaled_float", "token_count",
                  "murmur3", "size", "boolean", "ip",
-                 "long_range", "double_range", "date_range")
+                 "long_range", "double_range", "date_range", "geo_point")
     dv_specs = [
         (s, v) for s, v in (extra_fields or []) if s.analyzer in _DV_KINDS
     ]
@@ -268,6 +268,34 @@ def build_segment(
                 manifest[f"max_{spec.name}"] = _pc.max(lte).as_py()
                 fields_meta[spec.name] = {
                     "kind": "range", "analyzer": spec.analyzer,
+                    "source": spec.source, "sum_dl": 0,
+                }
+                continue
+            elif spec.analyzer == "geo_point":
+                # GeoPointFieldMapper: per-doc lat/lon as TWO float64
+                # doc-values columns (<f>__lat, <f>__lon) from a
+                # struct<lat, lon> or "lat,lon" string source column;
+                # manifest bounds give bbox can-match an axis
+                if pa.types.is_struct(arr.type):
+                    la = arr.field("lat").cast(pa.float64())
+                    lo2 = arr.field("lon").cast(pa.float64())
+                else:
+                    parts = _pc.split_pattern(
+                        arr.cast(pa.string()), ",")
+                    flat = _pc.list_flatten(parts)
+                    nums = _pc.cast(_pc.utf8_trim_whitespace(flat),
+                                    pa.float64())
+                    npn = nums.to_numpy(zero_copy_only=False)
+                    la = pa.array(npn[0::2], pa.float64())
+                    lo2 = pa.array(npn[1::2], pa.float64())
+                d = d.append_column(f"{spec.name}__lat", la)
+                d = d.append_column(f"{spec.name}__lon", lo2)
+                manifest[f"min_{spec.name}__lat"] = _pc.min(la).as_py()
+                manifest[f"max_{spec.name}__lat"] = _pc.max(la).as_py()
+                manifest[f"min_{spec.name}__lon"] = _pc.min(lo2).as_py()
+                manifest[f"max_{spec.name}__lon"] = _pc.max(lo2).as_py()
+                fields_meta[spec.name] = {
+                    "kind": "geo_point", "analyzer": "geo_point",
                     "source": spec.source, "sum_dl": 0,
                 }
                 continue

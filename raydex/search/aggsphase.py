@@ -576,6 +576,10 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
             out[name] = {"k": "filters", "buckets": bkts}
         elif kind == "rare_terms":
             out[name] = _collect_rare_terms(reader, mask, body)
+        elif kind in ("geo_bounds", "geo_centroid", "geotile_grid",
+                      "geohash_grid", "geo_distance"):
+            out[name] = _collect_geo(reader, evaluator, midx, kind,
+                                     body, sub, scores, ordinal)
         elif kind == "multi_terms":
             out[name] = _collect_multi_terms(reader, evaluator, mask, midx,
                                              body, sub, scores, ordinal)
@@ -934,6 +938,80 @@ def _collect_histogram(reader, evaluator, midx, kind, body, sub_spec,
             "buckets": buckets}
 
 
+def _collect_geo(reader, evaluator, midx, kind, body, sub_spec,
+                 scores=None, ordinal: int = 0):
+    """Geo aggregations over a geo_point field's lat/lon doc-values
+    (``search/aggregations/bucket/geogrid`` + ``metrics/GeoBounds/
+    GeoCentroid``): bounds/centroid ship scalar partials; the grid aggs
+    factorize tile/hash keys once (one vectorized pass) and reuse the
+    terms partial shape; geo_distance reuses the range shape over
+    haversine meters from the origin."""
+    from raydex.ops.geo import (
+        geohash_encode,
+        geotile_keys,
+        haversine_m,
+        parse_distance_m,
+    )
+
+    field = body["field"]
+    la = _doc_values(reader, f"{field}__lat")[midx]
+    lo = _doc_values(reader, f"{field}__lon")[midx]
+    ok = ~(np.isnan(la) | np.isnan(lo))
+    la, lo, midx = la[ok], lo[ok], midx[ok]
+    if kind == "geo_bounds":
+        if la.size == 0:
+            return {"k": "gbounds", "top": None, "bottom": None,
+                    "left": None, "right": None}
+        return {"k": "gbounds", "top": float(la.max()),
+                "bottom": float(la.min()), "left": float(lo.min()),
+                "right": float(lo.max())}
+    if kind == "geo_centroid":
+        return {"k": "gcentroid", "count": int(la.size),
+                "sum_lat": float(la.sum()), "sum_lon": float(lo.sum())}
+    if kind in ("geotile_grid", "geohash_grid"):
+        prec = int(body.get("precision",
+                            7 if kind == "geotile_grid" else 5))
+        keys = (geotile_keys(la, lo, prec) if kind == "geotile_grid"
+                else geohash_encode(la, lo, prec))
+        karr = np.asarray(keys, dtype=object)
+        uk, inv, counts = np.unique(karr, return_inverse=True,
+                                    return_counts=True)
+        subs = (_grouped_metric_partials(sub_spec, reader, midx, inv,
+                                         len(uk), scores, ordinal,
+                                         evaluator)
+                if sub_spec else [{}] * len(uk))
+        return {"k": "terms", "buckets": {
+            str(k): {"doc_count": int(counts[i]), "sub": subs[i]}
+            for i, k in enumerate(uk)
+        }}
+    # geo_distance: range buckets over meters from the origin
+    olat = float((body.get("origin") or {}).get("lat", 0.0)) \
+        if isinstance(body.get("origin"), dict) else None
+    if olat is None:
+        from raydex.search.query import _latlon
+
+        olat, olon = _latlon(body.get("origin"), (0.0, 0.0))
+    else:
+        olon = float(body["origin"].get("lon", 0.0))
+    dist = haversine_m(olat, olon, la, lo)
+    unit = body.get("unit", "m")
+    scale = parse_distance_m("1" + unit)
+    dist = dist / scale
+    buckets = []
+    for rng in body["ranges"]:
+        m = np.ones(len(dist), dtype=bool)
+        if rng.get("from") is not None:
+            m &= dist >= float(rng["from"])
+        if rng.get("to") is not None:
+            m &= dist < float(rng["to"])
+        sub = (_grouped_metric_partials(
+            sub_spec, reader, midx[m],
+            np.zeros(int(m.sum()), dtype=np.int64), 1, scores,
+            ordinal, evaluator)[0] if sub_spec else {})
+        buckets.append({"doc_count": int(m.sum()), "sub": sub})
+    return {"k": "range", "buckets": buckets}
+
+
 # ------------------------------------------------------------- reduce
 
 
@@ -999,6 +1077,20 @@ def _merge_partial(a, b):
         return {"k": "filter",
                 "doc_count": a["doc_count"] + b["doc_count"],
                 "sub": reduce_partials([a["sub"], b["sub"]])}
+    if k == "gbounds":
+        if a["top"] is None:
+            return b
+        if b["top"] is None:
+            return a
+        return {"k": "gbounds",
+                "top": max(a["top"], b["top"]),
+                "bottom": min(a["bottom"], b["bottom"]),
+                "left": min(a["left"], b["left"]),
+                "right": max(a["right"], b["right"])}
+    if k == "gcentroid":
+        return {"k": "gcentroid", "count": a["count"] + b["count"],
+                "sum_lat": a["sum_lat"] + b["sum_lat"],
+                "sum_lon": a["sum_lon"] + b["sum_lon"]}
     if k == "hits":
         merged = sorted(
             a["hits"] + b["hits"],
@@ -1116,6 +1208,16 @@ def _empty_partial(kind: str):
                 "buckets": {}}
     if kind in ("significant_terms", "significant_text"):
         return {"k": "sig", "fg_total": 0, "bg_total": 0, "terms": {}}
+    if kind in ("geotile_grid", "geohash_grid"):
+        return {"k": "terms", "buckets": {}}
+    if kind == "geo_bounds":
+        return {"k": "gbounds", "top": None, "bottom": None,
+                "left": None, "right": None}
+    if kind == "geo_centroid":
+        return {"k": "gcentroid", "count": 0, "sum_lat": 0.0,
+                "sum_lon": 0.0}
+    if kind == "geo_distance":
+        return {"k": "range", "buckets": None}  # filled like range
     if kind == "range":
         return {"k": "range", "buckets": None}  # filled by caller below
     return {"k": "stats", "count": 0, "sum": 0.0, "min": None, "max": None,
@@ -1130,7 +1232,7 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
         p = merged.get(name)
         if p is None:  # zero-filled histogram buckets carry no partial
             p = _empty_partial(kind)
-            if kind == "range":
+            if kind in ("range", "geo_distance"):
                 p["buckets"] = [{"doc_count": 0, "sub": {}}
                                 for _ in body["ranges"]]
         if kind in ("avg", "sum", "min", "max"):
@@ -1306,6 +1408,43 @@ def render_aggs(aggs_spec: dict, merged: dict) -> dict:
                  **render_aggs(sub, b["sub"])}
                 for b in items
             ]}
+        elif kind in ("geotile_grid", "geohash_grid"):
+            size = int(body.get("size", 10_000))
+            items = sorted(p["buckets"].items(),
+                           key=lambda kv: (-kv[1]["doc_count"],
+                                           str(kv[0])))[:size]
+            out[name] = {"buckets": [
+                {"key": k, "doc_count": b["doc_count"],
+                 **render_aggs(sub, b["sub"])}
+                for k, b in items
+            ]}
+        elif kind == "geo_distance":
+            buckets = []
+            for rng, b in zip(body["ranges"], p["buckets"]):
+                frm, to = rng.get("from"), rng.get("to")
+                key = rng.get("key") or (
+                    f"{'*' if frm is None else float(frm)}-"
+                    f"{'*' if to is None else float(to)}")
+                row = {"key": key, "doc_count": b["doc_count"],
+                       **render_aggs(sub, b["sub"])}
+                if frm is not None:
+                    row["from"] = float(frm)
+                if to is not None:
+                    row["to"] = float(to)
+                buckets.append(row)
+            out[name] = {"buckets": buckets}
+        elif kind == "geo_bounds":
+            out[name] = ({"bounds": None} if p["top"] is None else
+                         {"bounds": {
+                             "top_left": {"lat": p["top"],
+                                          "lon": p["left"]},
+                             "bottom_right": {"lat": p["bottom"],
+                                              "lon": p["right"]}}})
+        elif kind == "geo_centroid":
+            c = p["count"]
+            out[name] = {"count": c, "location": (
+                None if c == 0 else {"lat": p["sum_lat"] / c,
+                                     "lon": p["sum_lon"] / c})}
         elif kind == "rare_terms":
             banned = set(p["banned"])
             final = [(t, c) for t, c in p["kept"].items()

@@ -105,6 +105,23 @@ class Fuzzy(Query):
 
 
 @dataclass
+class GeoBoundingBox(Query):
+    fld: str = ""
+    top: float = 90.0
+    left: float = -180.0
+    bottom: float = -90.0
+    right: float = 180.0
+
+
+@dataclass
+class GeoDistance(Query):
+    fld: str = ""
+    lat: float = 0.0
+    lon: float = 0.0
+    distance_m: float = 0.0
+
+
+@dataclass
 class Ids(Query):
     values: tuple = ()  # urls
 
@@ -433,6 +450,31 @@ def parse_query(d: dict) -> Query:
         return Fuzzy(value=v, fld=fld)
     if kind == "ids":
         return Ids(values=tuple(body["values"]))
+    if kind == "geo_bounding_box":
+        fld = [k for k in body if k not in
+               ("validation_method", "_name", "boost")][0]
+        box = body[fld]
+        if "top_left" in box or "bottom_right" in box:
+            tl = box.get("top_left") or {}
+            br = box.get("bottom_right") or {}
+            top, left = _latlon(tl, (90.0, -180.0))
+            bottom, right = _latlon(br, (-90.0, 180.0))
+        else:
+            top = float(box.get("top", 90.0))
+            left = float(box.get("left", -180.0))
+            bottom = float(box.get("bottom", -90.0))
+            right = float(box.get("right", 180.0))
+        return GeoBoundingBox(fld=fld, top=top, left=left,
+                              bottom=bottom, right=right)
+    if kind == "geo_distance":
+        from raydex.ops.geo import parse_distance_m
+
+        dist = parse_distance_m(body["distance"])
+        fld = [k for k in body if k not in
+               ("distance", "distance_type", "_name", "boost",
+                "validation_method")][0]
+        lat, lon = _latlon(body[fld], (0.0, 0.0))
+        return GeoDistance(fld=fld, lat=lat, lon=lon, distance_m=dist)
     if kind == "range":
         fld, spec = _field_body(body)
         if not isinstance(spec, dict):
@@ -1002,6 +1044,18 @@ def expand_prefix(reader, prefix: str) -> list[int]:
     return list(range(lo, hi))
 
 
+def _latlon(spec, default) -> tuple[float, float]:
+    """(lat, lon) from the reference's accepted point forms: {lat, lon}
+    object, [lon, lat] GeoJSON array, or "lat,lon" string."""
+    if isinstance(spec, dict):
+        return float(spec.get("lat", default[0])), \
+            float(spec.get("lon", default[1]))
+    if isinstance(spec, (list, tuple)):
+        return float(spec[1]), float(spec[0])  # GeoJSON order lon,lat
+    a, b = str(spec).split(",")
+    return float(a), float(b)
+
+
 def _ip_to_int(s: str) -> int:
     parts = s.split(".")
     if len(parts) != 4:
@@ -1514,6 +1568,24 @@ class SegmentEvaluator:
                 mask &= vals <= _bound(q.lte)
             if q.lt is not None:
                 mask &= vals < _bound(q.lt)
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, GeoBoundingBox):
+            from raydex.ops.geo import bbox_mask
+
+            la = self.r.doc_values[f"{q.fld}__lat"]
+            lo = self.r.doc_values[f"{q.fld}__lon"]
+            mask = bbox_mask(la, lo, q.top, q.left, q.bottom, q.right)
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, GeoDistance):
+            from raydex.ops.geo import haversine_m
+
+            la = self.r.doc_values[f"{q.fld}__lat"]
+            lo = self.r.doc_values[f"{q.fld}__lon"]
+            mask = haversine_m(q.lat, q.lon, la, lo) <= q.distance_m
+            if self.r.live is not None:
+                mask = mask & self.r.live
             return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, Exists):
             return np.full(n, q.boost), np.ones(n, dtype=bool)

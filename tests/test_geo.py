@@ -1,0 +1,161 @@
+"""Geo tier: geo_point field type, geo_bounding_box / geo_distance
+queries, geo_bounds / geo_centroid / geotile_grid / geohash_grid /
+geo_distance aggregations — python-oracle checked, with canonical
+test vectors for the hash/tile/haversine math and scatter parity."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.index.build import build_index
+from raydex.index.segment import FieldSpec
+from raydex.ops.geo import (
+    geohash_encode,
+    geotile_xy,
+    haversine_m,
+    parse_distance_m,
+)
+from raydex.search.scatter import LocalSearcher, RaySearcher
+
+N = 200
+
+
+def test_geo_math_canonical_vectors():
+    # geohash: the canonical Niemeyer example
+    assert geohash_encode([57.64911], [10.40744], 11) == ["u4pruydqqvj"]
+    # OSM slippy tile for Chicago at z7
+    x, y = geotile_xy([41.85], [-87.65], 7)
+    assert (int(x[0]), int(y[0])) == (32, 47)
+    # haversine Paris-London ~343.6 km; one equatorial degree ~111.195km
+    assert float(haversine_m(48.8566, 2.3522,
+                             51.5074, -0.1278)) == pytest.approx(
+        343_556, rel=1e-3)
+    assert float(haversine_m(0, 0, 0, 1)) == pytest.approx(111_195,
+                                                           rel=1e-3)
+    assert parse_distance_m("2.5km") == 2500.0
+    assert parse_distance_m(300) == 300.0
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(40.0, 60.0, N).round(4)
+    lon = rng.uniform(-10.0, 20.0, N).round(4)
+    t = pa.table({
+        "url": pa.array([f"g{i:03d}.example" for i in range(N)]),
+        "warc_ts": pa.array(np.arange(N, dtype="int64"),
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"place {i} body" for i in range(N)],
+                         pa.large_string()),
+        "loc": pa.array([{"lat": float(a), "lon": float(b)}
+                         for a, b in zip(lat, lon)],
+                        pa.struct([("lat", pa.float64()),
+                                   ("lon", pa.float64())])),
+    })
+    p = str(tmp_path_factory.mktemp("geo_pages") / "pages.parquet")
+    pq.write_table(t, p)
+    d = str(tmp_path_factory.mktemp("geo_idx") / "index")
+    build_index(p, d, num_partitions=2, analyzer="standard",
+                source="text",
+                fields=[FieldSpec("loc", source="loc",
+                                  analyzer="geo_point")])
+    return d, lat, lon
+
+
+def test_geo_bounding_box_query(idx):
+    d, lat, lon = idx
+    s = LocalSearcher(d)
+    q = {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 55.0, "lon": -5.0},
+        "bottom_right": {"lat": 45.0, "lon": 10.0}}}}
+    want = sorted(f"g{i:03d}.example" for i in range(N)
+                  if 45.0 <= lat[i] <= 55.0 and -5.0 <= lon[i] <= 10.0)
+    got = sorted(h["url"] for h in s.search_query(q, k=N))
+    assert got == want and want
+    # string lat,lon corner form
+    q2 = {"geo_bounding_box": {"loc": {"top_left": "55.0,-5.0",
+                                       "bottom_right": "45.0,10.0"}}}
+    assert s.count(q2) == len(want)
+
+
+def test_geo_distance_query(idx):
+    d, lat, lon = idx
+    s = LocalSearcher(d)
+    origin = {"lat": 50.0, "lon": 5.0}
+    q = {"geo_distance": {"distance": "500km", "loc": origin}}
+    dist = haversine_m(50.0, 5.0, lat, lon)
+    want = sorted(f"g{i:03d}.example" for i in range(N)
+                  if dist[i] <= 500_000)
+    got = sorted(h["url"] for h in s.search_query(q, k=N))
+    assert got == want and want
+
+
+def test_geo_aggs_vs_oracle(idx):
+    d, lat, lon = idx
+    s = LocalSearcher(d)
+    a = s.search_aggs({"match_all": {}}, {
+        "bounds": {"geo_bounds": {"field": "loc"}},
+        "centroid": {"geo_centroid": {"field": "loc"}},
+        "tiles": {"geotile_grid": {"field": "loc", "precision": 4}},
+        "hashes": {"geohash_grid": {"field": "loc", "precision": 2}},
+        "rings": {"geo_distance": {
+            "field": "loc", "origin": {"lat": 50.0, "lon": 5.0},
+            "unit": "km",
+            "ranges": [{"to": 300}, {"from": 300, "to": 800},
+                       {"from": 800}]},
+            "aggs": {"n": {"value_count": {"field": "dl"}}}},
+    })["aggregations"]
+
+    b = a["bounds"]["bounds"]
+    assert b["top_left"]["lat"] == lat.max()
+    assert b["top_left"]["lon"] == lon.min()
+    assert b["bottom_right"]["lat"] == lat.min()
+    assert b["bottom_right"]["lon"] == lon.max()
+    c = a["centroid"]
+    assert c["count"] == N
+    assert c["location"]["lat"] == pytest.approx(lat.mean())
+    assert c["location"]["lon"] == pytest.approx(lon.mean())
+
+    from collections import Counter
+
+    x, y = geotile_xy(lat, lon, 4)
+    want_tiles = Counter(f"4/{int(a_)}/{int(b_)}"
+                         for a_, b_ in zip(x, y))
+    got_tiles = {t["key"]: t["doc_count"] for t in a["tiles"]["buckets"]}
+    assert got_tiles == dict(want_tiles)
+
+    want_hash = Counter(geohash_encode(lat, lon, 2))
+    got_hash = {t["key"]: t["doc_count"] for t in a["hashes"]["buckets"]}
+    assert got_hash == dict(want_hash)
+
+    dist_km = haversine_m(50.0, 5.0, lat, lon) / 1000.0
+    ring_want = [int((dist_km < 300).sum()),
+                 int(((dist_km >= 300) & (dist_km < 800)).sum()),
+                 int((dist_km >= 800).sum())]
+    rings = a["rings"]["buckets"]
+    assert [r["doc_count"] for r in rings] == ring_want
+    assert [r["n"]["value"] for r in rings] == ring_want  # sub-agg
+    assert rings[1]["from"] == 300.0 and rings[1]["to"] == 800.0
+
+
+def test_geo_scatter_parity_and_compose(idx):
+    d, lat, lon = idx
+    s = LocalSearcher(d)
+    q = {"bool": {"filter": [
+        {"geo_distance": {"distance": "900km",
+                          "loc": {"lat": 50.0, "lon": 5.0}}},
+        {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 60.0, "lon": -10.0},
+            "bottom_right": {"lat": 48.0, "lon": 20.0}}}},
+    ]}}
+    spec = {"tiles": {"geotile_grid": {"field": "loc", "precision": 3}},
+            "bounds": {"geo_bounds": {"field": "loc"}}}
+    local_hits = s.search_query(q, k=N)
+    local_aggs = s.search_aggs(q, spec)["aggregations"]
+    rs = RaySearcher(d, num_actors=2)
+    try:
+        assert rs.search_query(q, k=N) == local_hits
+        assert rs.search_aggs(q, spec)["aggregations"] == local_aggs
+    finally:
+        rs.shutdown()

@@ -41,6 +41,18 @@ from raydex.analysis.tokenizer import get_analyzer
 from raydex.index.postings import encode_postings
 
 
+def version_sort_key(v) -> str | None:
+    """Semver-ordered sort key for the ``version`` field type
+    (VersionStringFieldMapper): numeric runs zero-padded to fixed width
+    so lexicographic order equals semantic order (1.10.0 > 1.9.0)."""
+    import re as _re
+
+    if v is None:
+        return None
+    parts = _re.split(r"(\d+)", str(v))
+    return "".join(p.zfill(12) if p.isdigit() else p for p in parts)
+
+
 @dataclass(frozen=True)
 class FieldSpec:
     """An index-time mapped field (the reference's per-field mapper,
@@ -179,7 +191,9 @@ def build_segment(
     # in the manifest (range can-match + field sort use them)
     _DV_KINDS = ("long", "double", "date", "scaled_float", "token_count",
                  "murmur3", "size", "boolean", "ip",
-                 "long_range", "double_range", "date_range", "geo_point")
+                 "long_range", "double_range", "date_range", "geo_point",
+                 "integer", "short", "byte", "float", "half_float",
+                 "unsigned_long", "binary", "version")
     dv_specs = [
         (s, v) for s, v in (extra_fields or []) if s.analyzer in _DV_KINDS
     ]
@@ -195,8 +209,47 @@ def build_segment(
             extra_meta: dict = {}
             if spec.analyzer == "long":
                 arr = arr.cast(pa.int64())
+            elif spec.analyzer in ("integer", "short", "byte"):
+                # narrow-int mappers (NumberFieldMapper.NumberType):
+                # out-of-range values REJECT at index time like the
+                # reference's coercion bounds; storage stays int64
+                bound = {"integer": 2**31, "short": 2**15,
+                         "byte": 2**7}[spec.analyzer]
+                arr = arr.cast(pa.int64())
+                mn_, mx_ = _pc.min(arr).as_py(), _pc.max(arr).as_py()
+                if mn_ is not None and (mn_ < -bound or mx_ >= bound):
+                    raise ValueError(
+                        f"value out of range for {spec.analyzer} "
+                        f"field {spec.name!r}")
             elif spec.analyzer == "double":
                 arr = arr.cast(pa.float64())
+            elif spec.analyzer == "float":
+                # float32 storage precision: values quantize through a
+                # float32 round-trip exactly like the reference's
+                # FloatPoint encoding
+                arr = arr.cast(pa.float32()).cast(pa.float64())
+            elif spec.analyzer == "half_float":
+                # HalfFloatPoint: IEEE float16 round-trip quantization
+                f16 = arr.cast(pa.float64()).to_numpy(
+                    zero_copy_only=False).astype(np.float16)
+                arr = pa.array(f16.astype(np.float64), pa.float64())
+            elif spec.analyzer == "unsigned_long":
+                arr = arr.cast(pa.uint64())
+            elif spec.analyzer == "binary":
+                # BinaryFieldMapper: opaque stored blob — doc-values
+                # only (surfaced by the fetch phase; not queryable,
+                # like the reference's non-indexed binary default)
+                arr = arr.cast(pa.large_binary())
+            elif spec.analyzer == "version":
+                # VersionStringFieldMapper: the raw string column plus
+                # a semver-ordered sort key (numeric parts zero-padded)
+                # so range/sort compare semantically (1.10.0 > 1.9.0)
+                raw = arr.cast(pa.string())
+                d = d.append_column(
+                    f"{spec.name}__sort",
+                    pa.array([version_sort_key(v)
+                              for v in raw.to_pylist()], pa.string()))
+                arr = raw
             elif spec.analyzer == "scaled_float":
                 # ScaledFloatFieldMapper: round(v * factor) stored as
                 # int64 (lossy exactly like the reference's encoding)
@@ -315,7 +368,15 @@ def build_segment(
             if spec.name not in d.column_names:  # may double as sort col
                 d = d.append_column(spec.name, arr)
             stat = arr.cast(pa.int64()) if spec.analyzer == "date" else arr
-            mn, mx = _pc.min(stat).as_py(), _pc.max(stat).as_py()
+            if spec.analyzer == "binary":
+                mn = mx = None  # opaque blobs: no ordered stats (and
+                # bytes would not survive the JSON manifest)
+            else:
+                try:
+                    mn, mx = (_pc.min(stat).as_py(),
+                              _pc.max(stat).as_py())
+                except pa.ArrowNotImplementedError:
+                    mn = mx = None
             if spec.analyzer == "scaled_float" and mn is not None:
                 # manifest bounds in DECODED units: can-match compares
                 # them against the query's (unscaled) range bounds

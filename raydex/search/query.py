@@ -1281,6 +1281,13 @@ class SegmentEvaluator:
             if self.r.live is not None:
                 mask = mask & self.r.live
             return np.where(mask, boost, 0.0), mask
+        if an == "version":
+            # exact match on the raw version string
+            dv = self.r.doc_values[field]
+            mask = np.array([v == term for v in dv], dtype=bool)
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, boost, 0.0), mask
         if meta.get("kind") == "range":
             # RangeFieldMapper.termQuery: docs whose stored [gte, lte]
             # interval CONTAINS the queried point
@@ -1555,9 +1562,17 @@ class SegmentEvaluator:
             else:
                 vals = np.asarray(self.r.urls.to_pylist(), dtype=object)
             ip_field = fmeta.get("analyzer") == "ip"
+            if fmeta.get("analyzer") == "version":
+                # semver-ordered compare on the padded sort key
+                from raydex.index.segment import version_sort_key
 
-            def _bound(v):
-                return _ip_to_int(str(v)) if ip_field else v
+                vals = self.r.doc_values[f"{q.fld}__sort"]
+
+                def _bound(v):
+                    return version_sort_key(v)
+            else:
+                def _bound(v):
+                    return _ip_to_int(str(v)) if ip_field else v
 
             mask = np.ones(n, dtype=bool)
             if q.gte is not None:

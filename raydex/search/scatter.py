@@ -531,7 +531,36 @@ class SegmentGroup:
         sorted, each {url, sort_value, ordinal, docid}."""
         from raydex.search.query import SegmentEvaluator, parse_query
 
-        if sort_field not in ("dl", "url") and not all(
+        # geo_distance sort ({"_geo_distance": {field: point, "unit":
+        # ...}} — search/sort/GeoDistanceSortBuilder): sort values are
+        # haversine distances computed per segment from the geo_point
+        # lat/lon doc-values; no stored bounds, so segment skipping is
+        # disabled (every segment is evaluated, like the reference
+        # without a bounding-box rewrite)
+        geo_spec = None
+        if isinstance(sort_field, dict) and "_geo_distance" in sort_field:
+            from raydex.ops.geo import haversine_m, parse_distance_m
+            from raydex.search.query import _latlon
+
+            gb = sort_field["_geo_distance"]
+            gfield = [kk for kk in gb if kk not in
+                      ("unit", "order", "distance_type", "mode")][0]
+            glat, glon = _latlon(gb[gfield], (0.0, 0.0))
+            gscale = parse_distance_m("1" + gb.get("unit", "m"))
+
+            def _geo_vals(r, cand):
+                la = r.doc_values[f"{gfield}__lat"][cand]
+                ln = r.doc_values[f"{gfield}__lon"][cand]
+                return haversine_m(glat, glon, la, ln) / gscale
+
+            geo_spec = (gfield, _geo_vals)
+            sort_field = f"__geo_distance__{gfield}"
+            if not all(f"{gfield}__lat" in r.doc_values
+                       for r in self.readers):
+                raise ValueError(
+                    f"geo_distance sort needs a geo_point field "
+                    f"{gfield!r} on every segment")
+        if geo_spec is None and sort_field not in ("dl", "url") and not all(
             sort_field in r.doc_values for r in self.readers
         ):
             raise ValueError(
@@ -608,7 +637,9 @@ class SegmentGroup:
                 # field sort): keep only docs strictly beyond
                 # (value, ordinal, docid) in sort order
                 av, ao, ad = search_after
-                if sort_field == "dl":
+                if geo_spec is not None:
+                    vv = geo_spec[1](r, cand)
+                elif sort_field == "dl":
                     vv = r.dl[cand]
                 elif sort_field in r.doc_values:
                     vv = r.doc_values[sort_field][cand]
@@ -638,7 +669,14 @@ class SegmentGroup:
                 self.last_sort_early_terminated = (
                     getattr(self, "last_sort_early_terminated", 0) + 1
                 )
-            if sort_field == "dl":
+            if geo_spec is not None:
+                v = geo_spec[1](r, cand)
+                if cand.size > k:
+                    part = (np.argpartition(v, k - 1)[:k] if order == "asc"
+                            else np.argpartition(-v, k - 1)[:k])
+                    cand, v = cand[part], v[part]
+                seg_vals = [float(x) for x in v]
+            elif sort_field == "dl":
                 v = r.dl[cand]
                 if cand.size > k:  # per-segment narrowing before the sort
                     part = (np.argpartition(v, k - 1)[:k] if order == "asc"

@@ -156,3 +156,81 @@ def test_manifest_bounds_for_can_match(idx):
     # numeric bound beyond the segment max: skip
     assert not segment_can_match(
         man, [RangeQ(fld="span", gte=man["max_span"] + 1)])
+
+
+def test_numeric_variants_and_version(ray_session, tmp_path):
+    """float/half_float quantization, byte/short/integer range
+    rejection, unsigned_long, binary blobs in _source, and the
+    version field's semver ordering (1.10.0 > 1.9.0)."""
+    from raydex.index.segment import version_sort_key
+
+    n = 20
+    vers = [f"1.{i}.0" for i in range(n)]  # 1.0.0 .. 1.19.0
+    t = pa.table({
+        "url": pa.array([f"v{i:02d}.example" for i in range(n)]),
+        "warc_ts": pa.array(np.arange(n, dtype="int64"),
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"pkg {i} release" for i in range(n)],
+                         pa.large_string()),
+        "score_f": pa.array(np.linspace(0, 1, n) + 1e-9),
+        "score_h": pa.array(np.linspace(0, 1000, n) + 0.123),
+        "big": pa.array((2**63 + np.arange(n).astype(np.uint64))
+                        .astype(np.uint64), pa.uint64()),
+        "blob": pa.array([bytes([i, i + 1]) for i in range(n)],
+                         pa.binary()),
+        "ver": pa.array(vers),
+        "tiny": pa.array(np.arange(n, dtype="int64") - 10),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=1, analyzer="standard",
+                source="text",
+                fields=[FieldSpec("score_f", source="score_f",
+                                  analyzer="float"),
+                        FieldSpec("score_h", source="score_h",
+                                  analyzer="half_float"),
+                        FieldSpec("big", source="big",
+                                  analyzer="unsigned_long"),
+                        FieldSpec("blob", source="blob",
+                                  analyzer="binary"),
+                        FieldSpec("ver", source="ver",
+                                  analyzer="version"),
+                        FieldSpec("tiny", source="tiny",
+                                  analyzer="byte")])
+    s = LocalSearcher(idx)
+    r = s.group.readers[0]
+    # float32 / float16 quantization applied at index time
+    assert np.allclose(r.doc_values["score_f"],
+                       (np.linspace(0, 1, n) + 1e-9).astype(np.float32))
+    assert np.allclose(r.doc_values["score_h"],
+                       (np.linspace(0, 1000, n) + 0.123)
+                       .astype(np.float16).astype(np.float64))
+    # unsigned_long holds values beyond int64
+    assert int(r.doc_values["big"].max()) == 2**63 + n - 1
+    # binary surfaces through the fetch phase
+    h = s.search_query({"match": {"text": "release"}}, k=1,
+                       source=["blob"])[0]
+    assert isinstance(h["_source"]["blob"], bytes)
+    # version: semver range (1.9.0 < 1.10.0) + exact term
+    got = s.search_query(
+        {"range": {"ver": {"gte": "1.9.0", "lte": "1.10.0"}}}, k=n)
+    assert sorted(h["url"] for h in got) == ["v09.example",
+                                             "v10.example"]
+    assert [h["url"] for h in s.search_query(
+        {"term": {"ver": "1.15.0"}}, k=5)] == ["v15.example"]
+    assert version_sort_key("2.0.0-alpha") < version_sort_key("2.0.0.1")
+    # byte bounds: out-of-range value rejects at build
+    bad = pa.table({
+        "url": pa.array(["x.example"]),
+        "warc_ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array(["body"], pa.large_string()),
+        "tiny": pa.array([300], pa.int64()),
+    })
+    pb = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, pb)
+    with pytest.raises(Exception, match="out of range"):
+        build_index(pb, str(tmp_path / "bad_idx"), num_partitions=1,
+                    analyzer="standard", source="text",
+                    fields=[FieldSpec("tiny", source="tiny",
+                                      analyzer="byte")])

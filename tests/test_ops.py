@@ -295,6 +295,22 @@ def test_text_ops(docs_ds, con):
             for i in range(len(padded) - 7)
         ]
         assert text.rolling_fingerprints(str(s), 8) == want
+    # vectorized doc_fingerprint == scalar winnow, per doc (corpus +
+    # edge lengths: empty, shorter-than-window, exactly-window)
+    import pyarrow as pa
+
+    edge = ["", "a", "a b c", "a b c d e f g h", "x " * 40]
+    texts = list(docs["text"][:50]) + edge
+    et = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([str(s) for s in texts]),
+    })
+    got = (
+        text.doc_fingerprint(rd.from_arrow(et), "text", "doc_id")
+        .to_pandas().sort_values("doc_id")["fingerprint"]
+    )
+    for g, s in zip(got, texts):
+        assert list(g) == sorted(text.rolling_fingerprints(str(s), 8))[:4]
 
 
 def test_multimodal_stub(ray_session):

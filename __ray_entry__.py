@@ -11,6 +11,7 @@ by the driver — nothing here calls ray.init/shutdown.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from collections.abc import Callable
 from typing import Any
@@ -35,7 +36,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v8_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v9_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.analysis.sayt import sayt_subfield_specs
@@ -75,6 +76,20 @@ def _docs_index_dir(sf_dir: str) -> str:
                      for i in ids],
                     pa.struct([("lat", pa.float64()),
                                ("lon", pa.float64())])),
+                # geo_shape source: an envelope anchored at loc whose
+                # width/height derive from doc_id, so every relation
+                # has an exact interval-logic SQL mirror
+                "shp": pa.array([
+                    json.dumps({"type": "envelope", "coordinates": [
+                        [((int(i) * 91) % 36000) / 100.0 - 180.0,
+                         ((int(i) * 37) % 12000) / 100.0 - 60.0
+                         + (2.0 + int(i) % 5)
+                         * (20.0 if int(i) % 10 == 0 else 1.0)],
+                        [((int(i) * 91) % 36000) / 100.0 - 180.0
+                         + (2.0 + int(i) % 7)
+                         * (20.0 if int(i) % 10 == 0 else 1.0),
+                         ((int(i) * 37) % 12000) / 100.0 - 60.0]]})
+                    for i in ids]),
             }
         )
 
@@ -102,7 +117,9 @@ def _docs_index_dir(sf_dir: str) -> str:
                         FieldSpec("span", source="span",
                                   analyzer="long_range"),
                         FieldSpec("loc", source="loc",
-                                  analyzer="geo_point")]
+                                  analyzer="geo_point"),
+                        FieldSpec("shp", source="shp",
+                                  analyzer="geo_shape")]
                 # text is also a search_as_you_type field: _2gram/_3gram
                 # shingles + the edge-gram _index_prefix sub-field, so
                 # match_bool_prefix gates run the DEDICATED-structure
@@ -1545,6 +1562,27 @@ def q_dsl_count_suite(sf):
             "bottom_right": {"lat": 0.0, "lon": 90.0}}}}),
         ("z2_geo_distance", {"geo_distance": {
             "distance": "3000km", "loc": {"lat": 0.0, "lon": 0.0}}}),
+        # geo_polygon over the geo_point (convex triangle: the SQL
+        # mirror is three half-plane cross-product signs) and the four
+        # geo_shape relations over the derived envelope field (the SQL
+        # mirror is pure interval logic on the same arithmetic)
+        ("z4_geo_polygon", {"geo_polygon": {"loc": {"points": [
+            [-89.937, -49.713], [0.1234, 54.321], [90.271, -50.107]]}}}),
+        ("z5_shape_intersects", {"geo_shape": {"shp": {"shape": {
+            "type": "envelope",
+            "coordinates": [[-30.0, 20.0], [30.0, -20.0]]}}}}),
+        ("z6_shape_within", {"geo_shape": {"shp": {"shape": {
+            "type": "envelope",
+            "coordinates": [[-30.0, 20.0], [30.0, -20.0]]},
+            "relation": "within"}}}),
+        ("z7_shape_contains", {"geo_shape": {"shp": {"shape": {
+            "type": "envelope",
+            "coordinates": [[10.0, 5.3], [10.9, 5.0]]},
+            "relation": "contains"}}}),
+        ("z8_shape_disjoint", {"geo_shape": {"shp": {"shape": {
+            "type": "envelope",
+            "coordinates": [[-30.0, 20.0], [30.0, -20.0]]},
+            "relation": "disjoint"}}}),
     ]
     rows = [(k, s.count(q)) for k, q in cases]
     # search-request aggregations phase (AggregationPhase /
@@ -2616,6 +2654,52 @@ def oracle_sql() -> dict[str, str]:
             "2.0 * CAST(6371008.7714150598 AS DOUBLE) * asin(sqrt("
             "sin(la / 2.0) * sin(la / 2.0) + cos(0.0) * cos(la) * "
             "sin(lo / 2.0) * sin(lo / 2.0))) <= 3000000.0 "
+            "UNION ALL SELECT 'z4_geo_polygon', COUNT(*) FROM ("
+            "SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS la, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lo "
+            "FROM documents) WHERE "
+            "(0.1234 - (-89.937)) * (la - (-49.713)) "
+            "- (54.321 - (-49.713)) * (lo - (-89.937)) < 0 AND "
+            "(90.271 - 0.1234) * (la - 54.321) "
+            "- ((-50.107) - 54.321) * (lo - 0.1234) < 0 AND "
+            "((-89.937) - 90.271) * (la - (-50.107)) "
+            "- ((-49.713) - (-50.107)) * (lo - 90.271) < 0 "
+            "UNION ALL SELECT 'z5_shape_intersects', COUNT(*) FROM "
+            "(SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS minlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS minlon, "
+            "((doc_id * 37) % 12000) / 100.0 - 60.0 + (2.0 + doc_id % 5) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 + (2.0 + doc_id % 7) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlon "
+            "FROM documents) WHERE minlon <= 30.0 AND maxlon >= -30.0 "
+            "AND minlat <= 20.0 AND maxlat >= -20.0 "
+            "UNION ALL SELECT 'z6_shape_within', COUNT(*) FROM "
+            "(SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS minlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS minlon, "
+            "((doc_id * 37) % 12000) / 100.0 - 60.0 + (2.0 + doc_id % 5) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 + (2.0 + doc_id % 7) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlon "
+            "FROM documents) WHERE minlon >= -30.0 AND maxlon <= 30.0 "
+            "AND minlat >= -20.0 AND maxlat <= 20.0 "
+            "UNION ALL SELECT 'z7_shape_contains', COUNT(*) FROM "
+            "(SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS minlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS minlon, "
+            "((doc_id * 37) % 12000) / 100.0 - 60.0 + (2.0 + doc_id % 5) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 + (2.0 + doc_id % 7) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlon "
+            "FROM documents) WHERE minlon <= 10.0 AND maxlon >= 10.9 "
+            "AND minlat <= 5.0 AND maxlat >= 5.3 "
+            "UNION ALL SELECT 'z8_shape_disjoint', COUNT(*) FROM "
+            "(SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS minlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS minlon, "
+            "((doc_id * 37) % 12000) / 100.0 - 60.0 + (2.0 + doc_id % 5) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlat, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 + (2.0 + doc_id % 7) "
+            "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlon "
+            "FROM documents) WHERE NOT (minlon <= 30.0 AND maxlon >= -30.0 "
+            "AND minlat <= 20.0 AND maxlat >= -20.0) "
             "UNION ALL SELECT 'z3_tile:' || t, COUNT(*) FROM ("
             "SELECT '3/' || CAST(CAST(FLOOR((lon + 180.0) / 360.0 * 8) AS BIGINT) AS VARCHAR) "
             "|| '/' || CAST(CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS BIGINT) AS VARCHAR) AS t "

@@ -192,8 +192,8 @@ def build_segment(
     _DV_KINDS = ("long", "double", "date", "scaled_float", "token_count",
                  "murmur3", "size", "boolean", "ip",
                  "long_range", "double_range", "date_range", "geo_point",
-                 "integer", "short", "byte", "float", "half_float",
-                 "unsigned_long", "binary", "version")
+                 "geo_shape", "integer", "short", "byte", "float",
+                 "half_float", "unsigned_long", "binary", "version")
     dv_specs = [
         (s, v) for s, v in (extra_fields or []) if s.analyzer in _DV_KINDS
     ]
@@ -349,6 +349,51 @@ def build_segment(
                 manifest[f"max_{spec.name}__lon"] = _pc.max(lo2).as_py()
                 fields_meta[spec.name] = {
                     "kind": "geo_point", "analyzer": "geo_point",
+                    "source": spec.source, "sum_dl": 0,
+                }
+                continue
+            elif spec.analyzer == "geo_shape":
+                # GeoShapeFieldMapper analogue: the shape itself is a
+                # stored GeoJSON string doc-value (<f>__shape) and its
+                # bounding box four float64 doc-values columns — the
+                # vectorized candidate filter for every relation (the
+                # reference's LatLonShape BKD tree serves the same
+                # role); exact relate runs only on bbox survivors.
+                # Source: a JSON string column or a struct column.
+                import json as _json
+
+                if pa.types.is_struct(arr.type):
+                    shp_objs = arr.to_pylist()
+                    shp_strs = [_json.dumps(o, sort_keys=True)
+                                if o is not None else None
+                                for o in shp_objs]
+                else:
+                    shp_strs = arr.cast(pa.string()).to_pylist()
+                    shp_objs = [_json.loads(s) if s is not None else None
+                                for s in shp_strs]
+                from raydex.ops.geo import shape_bbox
+
+                bb = np.full((len(shp_objs), 4), np.nan, np.float64)
+                for bi, o in enumerate(shp_objs):
+                    if o is not None:
+                        bb[bi] = shape_bbox(o)
+                d = d.append_column(f"{spec.name}__shape",
+                                    pa.array(shp_strs, pa.string()))
+                for ci, cname in enumerate(("minlon", "minlat",
+                                            "maxlon", "maxlat")):
+                    d = d.append_column(f"{spec.name}__{cname}",
+                                        pa.array(bb[:, ci], pa.float64()))
+                if np.isfinite(bb).any():
+                    manifest[f"min_{spec.name}__lon"] = float(
+                        np.nanmin(bb[:, 0]))
+                    manifest[f"min_{spec.name}__lat"] = float(
+                        np.nanmin(bb[:, 1]))
+                    manifest[f"max_{spec.name}__lon"] = float(
+                        np.nanmax(bb[:, 2]))
+                    manifest[f"max_{spec.name}__lat"] = float(
+                        np.nanmax(bb[:, 3]))
+                fields_meta[spec.name] = {
+                    "kind": "geo_shape", "analyzer": "geo_shape",
                     "source": spec.source, "sum_dl": 0,
                 }
                 continue

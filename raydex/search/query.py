@@ -122,6 +122,25 @@ class GeoDistance(Query):
 
 
 @dataclass
+class GeoPolygon(Query):
+    """GeoPolygonQueryBuilder: point-in-polygon over a geo_point
+    field's lat/lon doc-values (vectorized even-odd)."""
+    fld: str = ""
+    points: tuple = ()  # ((lon, lat), ...)
+
+
+@dataclass
+class GeoShapeQ(Query):
+    """GeoShapeQueryBuilder: relation between the indexed shape and a
+    query shape — intersects (default) / disjoint / within / contains.
+    Candidates via the stored bbox doc-values, exact relate on
+    survivors (ops.geo.shape_relation)."""
+    fld: str = ""
+    shape: object = None  # GeoJSON-style dict
+    relation: str = "intersects"
+
+
+@dataclass
 class Ids(Query):
     values: tuple = ()  # urls
 
@@ -466,6 +485,29 @@ def parse_query(d: dict) -> Query:
             right = float(box.get("right", 180.0))
         return GeoBoundingBox(fld=fld, top=top, left=left,
                               bottom=bottom, right=right)
+    if kind == "geo_polygon":
+        fld = [k for k in body if k not in
+               ("validation_method", "_name", "boost")][0]
+        pts = []
+        for p in body[fld]["points"]:
+            if isinstance(p, dict):
+                pts.append((float(p["lon"]), float(p["lat"])))
+            elif isinstance(p, str):
+                la, lo = p.split(",")
+                pts.append((float(lo), float(la)))
+            else:
+                pts.append((float(p[0]), float(p[1])))
+        return GeoPolygon(fld=fld, points=tuple(pts))
+    if kind == "geo_shape":
+        fld = [k for k in body if k not in
+               ("ignore_unmapped", "_name", "boost")][0]
+        spec = body[fld]
+        if "shape" not in spec:
+            raise ValueError("geo_shape needs an inline `shape` "
+                             "(indexed-shape lookup is not supported)")
+        return GeoShapeQ(fld=fld, shape=spec["shape"],
+                         relation=str(spec.get("relation",
+                                                "intersects")).lower())
     if kind == "geo_distance":
         from raydex.ops.geo import parse_distance_m
 
@@ -1590,6 +1632,54 @@ class SegmentEvaluator:
             la = self.r.doc_values[f"{q.fld}__lat"]
             lo = self.r.doc_values[f"{q.fld}__lon"]
             mask = bbox_mask(la, lo, q.top, q.left, q.bottom, q.right)
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, GeoPolygon):
+            from raydex.ops.geo import points_in_polygon_mask
+
+            la = self.r.doc_values[f"{q.fld}__lat"]
+            lo = self.r.doc_values[f"{q.fld}__lon"]
+            mask = points_in_polygon_mask(la, lo, list(q.points))
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, q.boost, 0.0), mask
+        if isinstance(q, GeoShapeQ):
+            import json as _json
+
+            from raydex.ops.geo import shape_bbox, shape_relation
+
+            dv = self.r.doc_values
+            bmin_lon = dv[f"{q.fld}__minlon"]
+            bmin_lat = dv[f"{q.fld}__minlat"]
+            bmax_lon = dv[f"{q.fld}__maxlon"]
+            bmax_lat = dv[f"{q.fld}__maxlat"]
+            qlo, qla, qhi, qha = shape_bbox(q.shape)
+            valid = np.isfinite(bmin_lon)
+            rel = q.relation
+            if rel in ("intersects", "disjoint"):
+                cand = valid & (bmin_lon <= qhi) & (bmax_lon >= qlo) \
+                    & (bmin_lat <= qha) & (bmax_lat >= qla)
+            elif rel == "within":
+                # bbox(doc) ⊆ bbox(query) is necessary for within
+                cand = valid & (bmin_lon >= qlo) & (bmax_lon <= qhi) \
+                    & (bmin_lat >= qla) & (bmax_lat <= qha)
+            elif rel == "contains":
+                cand = valid & (bmin_lon <= qlo) & (bmax_lon >= qhi) \
+                    & (bmin_lat <= qla) & (bmax_lat >= qha)
+            else:
+                raise ValueError(
+                    f"unsupported geo_shape relation {rel!r}")
+            shapes_col = dv[f"{q.fld}__shape"]
+            mask = np.zeros(n, dtype=bool)
+            verify_rel = "intersects" if rel == "disjoint" else rel
+            for i in np.nonzero(cand)[0]:
+                mask[i] = shape_relation(_json.loads(shapes_col[i]),
+                                         q.shape, verify_rel)
+            if rel == "disjoint":
+                # bbox-disjoint docs are disjoint without verification;
+                # a missing shape matches nothing (reference semantics)
+                mask = valid & ~mask
             if self.r.live is not None:
                 mask = mask & self.r.live
             return np.where(mask, q.boost, 0.0), mask

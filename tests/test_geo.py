@@ -199,3 +199,116 @@ def test_geo_distance_sort(idx):
                                 order="asc", k=10) == hits
     finally:
         rs.shutdown()
+
+
+# ---------------------------------------------------------------- shapes
+
+
+@pytest.fixture(scope="module")
+def shape_idx(ray_session, tmp_path_factory):
+    """geo_shape field: 60 envelope docs on a deterministic grid plus a
+    triangle, a holed polygon, a linestring and a point doc — exercises
+    the generic relate kernels, not just rectangles."""
+    import json
+
+    docs = []
+    for i in range(60):
+        minlon = float((i * 7) % 50)
+        minlat = float((i * 11) % 40)
+        docs.append({"type": "envelope",
+                     "coordinates": [[minlon, minlat + 4.0],
+                                     [minlon + 6.0, minlat]]})
+    docs.append({"type": "Polygon",
+                 "coordinates": [[[0, 0], [30, 0], [0, 30], [0, 0]]]})
+    docs.append({"type": "Polygon",
+                 "coordinates": [[[10, 10], [40, 10], [40, 40], [10, 40],
+                                  [10, 10]],
+                                 [[20, 20], [30, 20], [30, 30], [20, 30],
+                                  [20, 20]]]})
+    docs.append({"type": "LineString",
+                 "coordinates": [[-20, -20], [60, 55]]})
+    docs.append({"type": "Point", "coordinates": [12.5, 12.5]})
+    n = len(docs)
+    t = pa.table({
+        "url": pa.array([f"s{i:03d}" for i in range(n)]),
+        "warc_ts": pa.array(np.arange(n, dtype="int64"),
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"shape {i}" for i in range(n)],
+                         pa.large_string()),
+        "shp": pa.array([json.dumps(s) for s in docs]),
+    })
+    p = str(tmp_path_factory.mktemp("shape_pages") / "pages.parquet")
+    pq.write_table(t, p)
+    d = str(tmp_path_factory.mktemp("shape_idx") / "index")
+    build_index(p, d, num_partitions=2, analyzer="standard",
+                source="text",
+                fields=[FieldSpec("shp", source="shp",
+                                  analyzer="geo_shape")])
+    return d, docs
+
+
+def test_geo_shape_relations_vs_scalar_oracle(shape_idx):
+    from raydex.ops.geo import shape_relation
+
+    d, docs = shape_idx
+    s = LocalSearcher(d)
+    queries = [
+        {"type": "envelope", "coordinates": [[5.0, 25.0], [35.0, 5.0]]},
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [25, 0], [25, 25], [0, 25], [0, 0]]]},
+        {"type": "Point", "coordinates": [12.5, 12.5]},
+        {"type": "LineString", "coordinates": [[0, 45], [55, 0]]},
+    ]
+    for qs in queries:
+        for rel in ("intersects", "disjoint", "within", "contains"):
+            if rel in ("within", "contains") and \
+                    qs["type"] in ("Point", "LineString"):
+                if rel == "within":
+                    continue  # needs polygonal target
+            q = {"geo_shape": {"shp": {"shape": qs, "relation": rel}}}
+            want = sorted(
+                f"s{i:03d}" for i, ds in enumerate(docs)
+                if shape_relation(ds, qs, rel))
+            got = sorted(h["url"] for h in s.search_query(q, k=100))
+            assert got == want, (qs["type"], rel)
+    # default relation is intersects
+    q = {"geo_shape": {"shp": {"shape": queries[0]}}}
+    assert s.count(q) == s.count(
+        {"geo_shape": {"shp": {"shape": queries[0],
+                               "relation": "intersects"}}})
+    # composable in bool
+    both = s.count({"bool": {"must": [
+        {"geo_shape": {"shp": {"shape": queries[0]}}},
+        {"match": {"text": "shape"}}]}})
+    assert both == s.count({"geo_shape": {"shp": {"shape": queries[0]}}})
+
+
+def test_geo_shape_scatter_parity(shape_idx):
+    d, docs = shape_idx
+    s = LocalSearcher(d)
+    qs = {"type": "envelope", "coordinates": [[5.0, 25.0], [35.0, 5.0]]}
+    q = {"geo_shape": {"shp": {"shape": qs, "relation": "within"}}}
+    rs = RaySearcher(d, num_actors=2)
+    try:
+        assert sorted(h["url"] for h in rs.search_query(q, k=100)) == \
+            sorted(h["url"] for h in s.search_query(q, k=100))
+    finally:
+        rs.shutdown()
+
+
+def test_geo_polygon_query(idx):
+    from raydex.ops.geo import points_in_polygon_mask
+
+    d, lat, lon = idx
+    s = LocalSearcher(d)
+    poly = [{"lat": 40.0, "lon": -10.0}, {"lat": 60.0, "lon": 5.0},
+            {"lat": 40.0, "lon": 20.0}]
+    q = {"geo_polygon": {"loc": {"points": poly}}}
+    want_mask = points_in_polygon_mask(lat, lon, poly)
+    want = sorted(f"g{i:03d}.example" for i in range(N) if want_mask[i])
+    got = sorted(h["url"] for h in s.search_query(q, k=N))
+    assert got == want and 0 < len(want) < N
+    # [lon, lat] array form parses identically
+    q2 = {"geo_polygon": {"loc": {"points": [
+        [-10.0, 40.0], [5.0, 60.0], [20.0, 40.0]]}}}
+    assert s.count(q2) == len(want)

@@ -1216,6 +1216,45 @@ def q_analytics_aggs_events(sf):
         key = f"{day}|{row['event_type']}"
         rows.append(("f_rollup_cnt", key, float(row["_doc_count"])))
         rows.append(("g_rollup_usum", key, float(row["user_id.sum"])))
+
+    # transform `latest`: per user the event with the max ts (event_id
+    # tiebreak) — the SQL mirror is ROW_NUMBER() = 1
+    from raydex.ops.rollup import transform_latest
+
+    lt = transform_latest(
+        _ds(sf, "events", ["event_id", "ts", "user_id"]),
+        "user_id", "ts", "event_id",
+    ).to_pandas()
+    for _, row in lt.iterrows():
+        rows.append(("h_latest", str(int(row["user_id"])),
+                     float(row["event_id"])))
+
+    # geo_line: per event_type the first-5-by-ts [lon, lat] track over
+    # derived coordinates + true doc_count despite the size cap
+    from raydex.ops.more_aggs import geo_line_agg
+
+    def derive_pts(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy()
+        return pa.table({
+            "event_type": t["event_type"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "lat": pa.array(((e * 37) % 12000) / 100.0 - 60.0),
+            "lon": pa.array(((e * 91) % 36000) / 100.0 - 180.0),
+        })
+
+    gl = geo_line_agg(
+        _ds(sf, "events", ["event_id", "ts", "event_type"]).map_batches(
+            derive_pts, batch_format="pyarrow"),
+        "event_type", "lat", "lon", "ts", "event_id", size=5,
+    ).to_pandas()
+    for _, row in gl.iterrows():
+        et = row["event_type"]
+        rows.append((f"i_geo_count:{et}", "", float(row["doc_count"])))
+        rows.append((f"i_geo_complete:{et}", "",
+                     1.0 if row["complete"] else 0.0))
+        for p, pt in enumerate(row["line"]):
+            rows.append((f"i_geo_lon:{et}:{p}", "", float(pt[0])))
+            rows.append((f"i_geo_lat:{et}:{p}", "", float(pt[1])))
     return pa.table(
         {
             "tag": pa.array([r[0] for r in rows], pa.string()),
@@ -2544,7 +2583,34 @@ def oracle_sql() -> dict[str, str]:
             "|| '|' || event_type, CAST(COUNT(*) AS DOUBLE) FROM events GROUP BY 2 "
             "UNION ALL "
             "SELECT 'g_rollup_usum', strftime(date_trunc('day', ts), '%Y-%m-%d') "
-            "|| '|' || event_type, CAST(SUM(user_id) AS DOUBLE) FROM events GROUP BY 2"
+            "|| '|' || event_type, CAST(SUM(user_id) AS DOUBLE) FROM events GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'h_latest', CAST(user_id AS VARCHAR), "
+            "CAST(event_id AS DOUBLE) FROM ("
+            "SELECT user_id, event_id, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn "
+            "FROM events) WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT 'i_geo_count:' || event_type, '', "
+            "CAST(COUNT(*) AS DOUBLE) FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'i_geo_complete:' || event_type, '', "
+            "CASE WHEN COUNT(*) <= 5 THEN 1.0 ELSE 0.0 END "
+            "FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'i_geo_lon:' || event_type || ':' "
+            "|| CAST(rn - 1 AS VARCHAR), '', "
+            "((event_id * 91) % 36000) / 100.0 - 180.0 FROM ("
+            "SELECT event_type, event_id, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rn "
+            "FROM events) WHERE rn <= 5 "
+            "UNION ALL "
+            "SELECT 'i_geo_lat:' || event_type || ':' "
+            "|| CAST(rn - 1 AS VARCHAR), '', "
+            "((event_id * 37) % 12000) / 100.0 - 60.0 FROM ("
+            "SELECT event_type, event_id, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rn "
+            "FROM events) WHERE rn <= 5"
             ") ORDER BY tag, key"
         ),
         "adjacency_matrix_events": (

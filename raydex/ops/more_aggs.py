@@ -449,3 +449,84 @@ def _register() -> None:
 
 
 _register()
+
+
+def geo_line_agg(ds, key_col: str, lat_col: str, lon_col: str,
+                 sort_col: str, tiebreak_col: str, size: int = 10000,
+                 sort_order: str = "asc"):
+    """``geo_line`` aggregation (x-pack spatial ``GeoLineAggregator``):
+    per ``key_col`` bucket, the [lon, lat] track of its docs ordered by
+    ``sort_col``, truncated to the first ``size`` points with a
+    ``complete`` flag — the reference's size-capped per-bucket buffer.
+    Ties break by ``tiebreak_col`` (explicit determinism; the reference
+    inherits doc order). Block-local prune (each block's per-key first
+    ``size`` points is a safe superset of the global ones) shrinks the
+    data before ONE keyed shuffle; true doc counts survive the prune as
+    per-block contribution rows summed after the shuffle."""
+    desc = sort_order == "desc"
+
+    def order(t: pa.Table) -> pa.Table:
+        return t.sort_by([
+            (key_col, "ascending"),
+            (sort_col, "descending" if desc else "ascending"),
+            (tiebreak_col, "ascending"),
+        ])
+
+    def grp_rank(t: pa.Table):
+        keys = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.r_[True, keys[1:] != keys[:-1]]
+        grp = np.cumsum(starts) - 1
+        idx = np.arange(keys.size)
+        rank = idx - idx[starts][grp]
+        return starts, grp, rank
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__cnt", pa.array([], pa.int64()))
+        t = order(t)
+        starts, grp, rank = grp_rank(t)
+        sizes = np.bincount(grp)
+        contrib = np.where(rank == 0, sizes[grp], 0)
+        t = t.append_column("__cnt", pa.array(contrib, pa.int64()))
+        return t.filter(pa.array(rank < size))
+
+    def assemble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "doc_count": pa.array([], pa.int64()),
+                "complete": pa.array([], pa.bool_()),
+                "line": pa.array([], pa.list_(pa.list_(pa.float64()))),
+            })
+        t = order(t)
+        starts, grp, rank = grp_rank(t)
+        counts = np.zeros(grp[-1] + 1, np.int64)
+        np.add.at(counts, grp,
+                  t["__cnt"].combine_chunks().to_numpy(zero_copy_only=False))
+        keep = rank < size
+        lons = t[lon_col].combine_chunks().to_numpy(zero_copy_only=False)[keep]
+        lats = t[lat_col].combine_chunks().to_numpy(zero_copy_only=False)[keep]
+        kept_per_grp = np.bincount(grp[keep], minlength=len(counts))
+        inner_vals = pa.array(
+            np.column_stack([lons, lats]).ravel(), pa.float64())
+        inner = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(lons) + 1) * 2, pa.int32()), inner_vals)
+        outer = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(kept_per_grp))),
+                     pa.int32()), inner)
+        first_keys = t[key_col].combine_chunks().filter(
+            pa.array(np.r_[True, grp[1:] != grp[:-1]]))
+        return pa.table({
+            key_col: first_keys,
+            "doc_count": pa.array(counts, pa.int64()),
+            "complete": pa.array(counts <= size, pa.bool_()),
+            "line": outer,
+        })
+
+    from raydex.shuffle import scoped_hash_shuffle
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    with scoped_hash_shuffle(pruned) as ncpu:
+        return pruned.repartition(
+            num_blocks=2 * ncpu, keys=[key_col]
+        ).map_batches(assemble, batch_format="pyarrow", batch_size=None)

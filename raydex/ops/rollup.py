@@ -205,3 +205,30 @@ def transform_pivot(ds, group_by: dict, aggs: dict):
         return pa.table(out_cols)
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def transform_latest(ds, unique_key, sort_col: str, tiebreak_col: str):
+    """``transform`` latest (x-pack transform ``latest/Latest.java``):
+    one output row per ``unique_key`` — the whole row holding the
+    greatest ``sort_col`` value. Ties break by ``tiebreak_col``
+    ascending (an explicit determinism guarantee; the reference
+    inherits doc order). Rides collapse_top_rows: block-local prune,
+    ONE keyed shuffle, no per-group tasks. Composite keys join into a
+    temp column for the shuffle and are dropped on the way out."""
+    from raydex.ops.aggs import collapse_top_rows
+
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    if len(keys) == 1:
+        return collapse_top_rows(ds, keys[0], sort_col, tiebreak_col, k=1)
+
+    def mk(t: pa.Table) -> pa.Table:
+        parts = [pc.cast(t[k], pa.string()) for k in keys]
+        return t.append_column(
+            "__latest_key",
+            pc.binary_join_element_wise(*parts, "\x00"))
+
+    out = collapse_top_rows(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        "__latest_key", sort_col, tiebreak_col, k=1)
+    return out.map_batches(lambda t: t.drop_columns(["__latest_key"]),
+                           batch_format="pyarrow")

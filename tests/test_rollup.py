@@ -102,3 +102,50 @@ def test_rollup_errors(events):
     with pytest.raises(ValueError, match="unsupported group_by"):
         transform_pivot(rd.from_arrow(events),
                         {"x": {"histogram": {"field": "value"}}}, {})
+
+
+def test_transform_latest(events):
+    from raydex.ops.rollup import transform_latest
+
+    t = events.append_column(
+        "eid", pa.array(np.arange(events.num_rows), pa.int64()))
+    got = (transform_latest(rd.from_arrow(t).repartition(6),
+                            "user_id", "ts", "eid")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    df = t.to_pandas()
+    want = (df.sort_values(["ts", "eid"], ascending=[False, True])
+            .groupby("user_id").head(1)
+            .sort_values("user_id").reset_index(drop=True))
+    assert got["eid"].tolist() == want["eid"].tolist()
+    assert len(got) == df["user_id"].nunique()
+    # composite unique_key joins and drops the temp column
+    got2 = transform_latest(rd.from_arrow(t).repartition(3),
+                            ["event_type", "user_id"], "ts", "eid")
+    g2 = got2.to_pandas()
+    assert "__latest_key" not in g2.columns
+    want2 = (df.sort_values(["ts", "eid"], ascending=[False, True])
+             .groupby(["event_type", "user_id"]).head(1))
+    assert sorted(g2["eid"]) == sorted(want2["eid"])
+
+
+def test_geo_line(events):
+    from raydex.ops.more_aggs import geo_line_agg
+
+    n = events.num_rows
+    rng = np.random.default_rng(11)
+    t = (events
+         .append_column("eid", pa.array(np.arange(n), pa.int64()))
+         .append_column("lat", pa.array(rng.uniform(-60, 60, n)))
+         .append_column("lon", pa.array(rng.uniform(-180, 180, n))))
+    got = (geo_line_agg(rd.from_arrow(t).repartition(5), "event_type",
+                        "lat", "lon", "ts", "eid", size=7)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    df = t.to_pandas()
+    for _, row in got.iterrows():
+        sub = df[df["event_type"] == row["event_type"]].sort_values(
+            ["ts", "eid"])
+        assert row["doc_count"] == len(sub)          # cap-surviving count
+        assert row["complete"] == (len(sub) <= 7)
+        assert np.allclose(np.array([list(p) for p in row["line"]]),
+                           sub.head(7)[["lon", "lat"]].to_numpy())
+    assert set(got["event_type"]) == set(df["event_type"])

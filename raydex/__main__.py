@@ -87,6 +87,10 @@ def main(argv=None) -> int:
     s.add_argument("--routing", default=None,
                    help="routing key: search ONLY the partition this key "
                         "routes to (the ?routing= shard-targeting param)")
+    s.add_argument("--pit", default=None,
+                   help="point-in-time id (from `pit --action open`): "
+                        "search the pinned segment set, renewing its "
+                        "keep_alive lease")
     s.add_argument("--aggs", default=None,
                    help="JSON aggregations body (the `_search` aggs "
                         "section: terms/stats/histogram/date_histogram/"
@@ -96,6 +100,7 @@ def main(argv=None) -> int:
     c = sub.add_parser("count")
     c.add_argument("--index", required=True)
     c.add_argument("--dsl", required=True)
+    c.add_argument("--pit", default=None, help="point-in-time id")
 
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)
@@ -202,6 +207,16 @@ def main(argv=None) -> int:
     sg.add_argument("--field", default=None,
                     help="dedicated completion field name (mode=completion)")
 
+    pt = sub.add_parser("pit", help="point-in-time readers: open pins "
+                        "the current segment set (hardlinked view), "
+                        "search the returned id via --pit")
+    pt.add_argument("--action", required=True,
+                    choices=["open", "close", "expire"])
+    pt.add_argument("--index", default=None,
+                    help="index dir (open / expire)")
+    pt.add_argument("--id", default=None, help="pit id (close)")
+    pt.add_argument("--keep-alive", type=float, default=300.0)
+
     a = p.parse_args(argv)
 
     if a.cmd == "build":
@@ -229,6 +244,10 @@ def main(argv=None) -> int:
     elif a.cmd == "search":
         from raydex.search.scatter import LocalSearcher, RaySearcher
 
+        if a.pit:
+            from raydex.search.pit import pit_dir
+
+            a.index = pit_dir(a.pit, keep_alive_s=300.0)
         if a.actors > 0:
             _ray()
             searcher = RaySearcher(a.index, num_actors=a.actors)
@@ -304,6 +323,10 @@ def main(argv=None) -> int:
     elif a.cmd == "count":
         from raydex.search.scatter import LocalSearcher
 
+        if a.pit:
+            from raydex.search.pit import pit_dir
+
+            a.index = pit_dir(a.pit, keep_alive_s=300.0)
         print(LocalSearcher(a.index).count(json.loads(a.dsl)))
     elif a.cmd == "stats":
         from raydex.index.build import load_index_manifest
@@ -438,6 +461,16 @@ def main(argv=None) -> int:
         )
         for h in hits:
             print(json.dumps(h))
+    elif a.cmd == "pit":
+        from raydex.search.pit import close_pit, expire_pits, open_pit
+
+        if a.action == "open":
+            pid = open_pit(a.index, keep_alive_s=a.keep_alive)
+            print(json.dumps({"id": pid}))
+        elif a.action == "close":
+            print(json.dumps({"succeeded": close_pit(a.id)}))
+        else:
+            print(json.dumps({"expired": expire_pits(a.index)}))
     elif a.cmd == "suggest":
         from raydex.index.build import segment_dirs
         from raydex.index.segment import SegmentReader

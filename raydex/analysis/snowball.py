@@ -1150,6 +1150,120 @@ RUSSIAN_STOP_SET = frozenset("""
 всегда конечно всю между
 """.split())
 
+# ------------------------------------------------- scandinavian trio
+# Danish / Norwegian / Swedish share the snowball skeleton: R1 with the
+# min-3 adjustment, ONE longest-match step-1 table (noun/verb endings +
+# the conditional final-s), a consonant-pair step 2, and a small step-3
+# cleanup. Per the spec, the LONGEST table match is selected first and
+# its region/letter condition then tested — no fallback to a shorter
+# suffix when the test fails.
+
+_DA_VOWELS = "aeiouyæåø"
+_NO_VOWELS = "aeiouyæåø"
+_SV_VOWELS = "aeiouyäåö"
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+_SV_S_END = "bcdfghjklmnoprtvy"
+
+_DA_STEP1 = (
+    "hed ethed ered e erede ende erende ene erne ere en heden eren er "
+    "heder erer heds es endes erendes enes ernes eres ens hedens erens "
+    "ers ets erets et eret").split()
+_NO_STEP1 = (
+    "a e ede ande ende ane ene hetene en heten ar er heter as es edes "
+    "endes enes hetenes ens hetens ers ets et het ast").split()
+_SV_STEP1 = (
+    "a arna erna heterna orna ad e ade ande arne are aste en anden "
+    "aren heten ern ar er heter or as arnas ernas ornas es ades andes "
+    "ens arens hetens erns at andet het ast").split()
+
+
+def _scand_r1(w: str, vowels: str) -> int:
+    return max(_r_after_first_nonvowel_after_vowel(w, vowels), 3)
+
+
+def stem_danish(word: str) -> str:
+    """Snowball Danish (snowballstem.org/algorithms/danish/stemmer)."""
+    w = word.lower()
+    r1 = _scand_r1(w, _DA_VOWELS)
+    s = _ends_any(w, _DA_STEP1 + ["s"])
+    if s == "s":
+        if len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _DA_S_END:
+            w = w[:-1]
+    elif s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+    if _ends_any(w, ("gd", "dt", "gt", "kt")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w.endswith("igst"):
+        w = w[:-2]
+    s = _ends_any(w, ("elig", "lig", "els", "ig", "løst"))
+    if s == "løst":
+        if len(w) - 4 >= r1:
+            w = w[:-1]
+    elif s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+        if _ends_any(w, ("gd", "dt", "gt", "kt")) and len(w) - 2 >= r1:
+            w = w[:-1]
+    # undouble: final double consonant in R1
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    return w
+
+
+def stem_norwegian(word: str) -> str:
+    """Snowball Norwegian (snowballstem.org/algorithms/norwegian/
+    stemmer); the final-s condition allows `k` only after a
+    non-vowel."""
+    w = word.lower()
+    r1 = _scand_r1(w, _NO_VOWELS)
+    s = _ends_any(w, _NO_STEP1 + ["s", "erte", "ert"])
+    if s == "s":
+        ok = len(w) >= 2 and (
+            w[-2] in _NO_S_END
+            or (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS)))
+        if ok and len(w) - 1 >= r1:
+            w = w[:-1]
+    elif s in ("erte", "ert"):
+        if len(w) - len(s) >= r1:
+            w = w[: -len(s)] + "er"
+    elif s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+    if _ends_any(w, ("dt", "vt")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    s = _ends_any(w, ("hetslov", "slov", "elov", "lov", "elig", "eleg",
+                      "lig", "leg", "eig", "ig", "els"))
+    if s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+    return w
+
+
+def stem_swedish(word: str) -> str:
+    """Snowball Swedish (snowballstem.org/algorithms/swedish/stemmer)."""
+    w = word.lower()
+    r1 = _scand_r1(w, _SV_VOWELS)
+    s = _ends_any(w, _SV_STEP1 + ["s"])
+    if s == "s":
+        if len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _SV_S_END:
+            w = w[:-1]
+    elif s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+    if _ends_any(w, ("dd", "gd", "nn", "dt", "gt", "kt", "tt")) \
+            and len(w) - 2 >= r1:
+        w = w[:-1]
+    s = _ends_any(w, ("lig", "ig", "els", "löst", "fullt"))
+    if s in ("lig", "ig", "els"):
+        if len(w) - len(s) >= r1:
+            w = w[: -len(s)]
+    elif s == "löst":
+        if len(w) - 4 >= r1:
+            w = w[:-1]
+    elif s == "fullt":
+        if len(w) - 5 >= r1:
+            w = w[:-1]
+    return w
+
+
 SNOWBALL_STEMMERS = {
     "french": stem_french,
     "german": stem_german,
@@ -1158,7 +1272,40 @@ SNOWBALL_STEMMERS = {
     "portuguese": stem_portuguese,
     "dutch": stem_dutch,
     "russian": stem_russian,
+    "danish": stem_danish,
+    "norwegian": stem_norwegian,
+    "swedish": stem_swedish,
 }
+
+DANISH_STOP_SET = frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der var
+mig sig men et har om vi min havde ham hun nu over da fra du ud sin
+dem os op man hans hvor eller hvad skal selv her alle vil blev kunne
+ind når være dog noget ville jo deres efter ned skulle denne end dette
+mit også under have dig anden hende mine alt meget sit sine vor mod
+disse hvis din nogle hos blive mange ad bliver hendes været thi jer
+sådan
+""".split())
+
+NORWEGIAN_STOP_SET = frozenset("""
+og i jeg det at en et den til er som på de med han av ikke der så var
+meg seg men ett har om vi min mitt ha hadde hun nå over da ved fra du
+ut sin dem oss opp man kan hans hvor eller hva skal selv her alle vil
+bli ble blitt kunne inn når være kom noen noe ville deres etter ned
+skulle denne for deg si sine sitt mot uten hvordan ingen din ditt blir
+samme hvilken mellom vår hver hvem hvis både
+""".split())
+
+SWEDISH_STOP_SET = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men
+ett om hade de av icke mig du henne då sin nu har inte hans honom
+skulle hennes där min man ej vid kunde något från ut när efter upp vi
+dem vara vad över än dig kan sina här ha mot alla under någon eller
+allt mycket sedan ju denna själv detta åt utan varit hur ingen mitt ni
+bli blev oss din dessa några deras blir mina samma vilken er sådan vår
+blivit dess inom mellan sådant varför varje vilka ditt vem vilket
+sådana vart dina vars vårt våra ert era vilkas
+""".split())
 
 LANGUAGE_STOP_SETS = {
     "_french_": FRENCH_STOP_SET,
@@ -1168,6 +1315,9 @@ LANGUAGE_STOP_SETS = {
     "_portuguese_": PORTUGUESE_STOP_SET,
     "_dutch_": DUTCH_STOP_SET,
     "_russian_": RUSSIAN_STOP_SET,
+    "_danish_": DANISH_STOP_SET,
+    "_norwegian_": NORWEGIAN_STOP_SET,
+    "_swedish_": SWEDISH_STOP_SET,
 }
 
 

@@ -221,7 +221,7 @@ def register_analyzer(name: str, fn: Callable[[str], list[str]],
 
 _SNOWBALL_LANGS = frozenset((
     "french", "german", "spanish", "italian", "portuguese", "dutch",
-    "russian",
+    "russian", "danish", "norwegian", "swedish",
 ))
 
 

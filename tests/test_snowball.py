@@ -12,13 +12,16 @@ from raydex.analysis.snowball import (
     LANGUAGE_STOP_SETS,
     SNOWBALL_STEMMERS,
     snowball_stem,
+    stem_danish,
     stem_dutch,
     stem_french,
     stem_german,
     stem_italian,
+    stem_norwegian,
     stem_portuguese,
     stem_russian,
     stem_spanish,
+    stem_swedish,
 )
 from raydex.analysis.tokenizer import get_analyzer
 
@@ -63,6 +66,26 @@ GOLDEN = {
         ("majestueusement", "majestu"), ("travailler", "travaill"),
         ("logique", "logiqu"), ("éternellement", "éternel"),
     ],
+    "swedish": [
+        ("bilarna", "bil"), ("bilens", "bil"), ("hundarnas", "hund"),
+        ("springande", "spring"), ("starkast", "stark"),
+        ("stolthetens", "stolt"), ("flickorna", "flick"),
+        ("jakten", "jakt"), ("klockor", "klock"),
+    ],
+    "danish": [
+        ("huset", "hus"), ("bilerne", "bil"), ("hundens", "hund"),
+        ("hoppende", "hop"), ("arbejderne", "arbejd"),
+        # longest-match-no-fallback: 'hedens' matches but starts
+        # before R1, so NOTHING is removed (spec semantics)
+        ("frihedens", "frihedens"),
+        # step 3: igst -> ig, then lig in R1 deletes, aggressive
+        ("billigst", "bil"),
+    ],
+    "norwegian": [
+        ("huset", "hus"), ("bilene", "bil"), ("bilens", "bil"),
+        ("hans", "han"), ("dansende", "dans"),
+        ("kjærligheten", "kjær"), ("arbeidet", "arbeid"),
+    ],
 }
 
 
@@ -86,6 +109,9 @@ def test_family_collapse():
         (stem_russian, ["книга", "книги", "книгу"]),
         (stem_french, ["continuelle", "continuelles", "continuel"]),
         (stem_dutch, ["baan", "banen"]),
+        (stem_swedish, ["bil", "bilen", "bilar", "bilarna", "bilens"]),
+        (stem_danish, ["bil", "bilen", "biler", "bilerne"]),
+        (stem_norwegian, ["bil", "bilen", "bilene", "bilens"]),
     ]
     for stem, words in families:
         stems = {stem(w) for w in words}

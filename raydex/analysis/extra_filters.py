@@ -398,3 +398,106 @@ def phonetic_filter(tokens, encoder: str = "soundex", replace: bool = True):
         else:
             out.extend((t, enc))
     return out
+
+
+# ------------------------------------------------- elision / apostrophe
+
+# Lucene FrenchAnalyzer's DEFAULT_ARTICLES (ElisionFilter); Italian's
+# set is longer (ItalianAnalyzer.ITALIAN_ARTICLES)
+FRENCH_ELISION_ARTICLES = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split())
+ITALIAN_ELISION_ARTICLES = frozenset(
+    "c l all dall dell nell sull coll pell gl agl dagl degl negl sugl "
+    "un m t s v d".split())
+
+_APOSTROPHES = ("'", "’")
+
+
+def elision_filter(tokens, articles=FRENCH_ELISION_ARTICLES):
+    """`elision` token filter (ElisionFilter): when the text before the
+    FIRST apostrophe is a listed article, drop it and the apostrophe
+    (l'avion -> avion)."""
+    out = []
+    for t in tokens:
+        for ap in _APOSTROPHES:
+            i = t.find(ap)
+            if i != -1 and t[:i].lower() in articles:
+                t = t[i + 1:]
+                break
+        if t:
+            out.append(t)
+    return out
+
+
+def apostrophe_filter(tokens):
+    """`apostrophe` token filter (the Turkish-analyzer step,
+    ApostropheFilter): strip the first apostrophe and EVERYTHING after
+    it (Türkiye'den -> Türkiye)."""
+    out = []
+    for t in tokens:
+        for ap in _APOSTROPHES:
+            i = t.find(ap)
+            if i != -1:
+                t = t[:i]
+                break
+        if t:
+            out.append(t)
+    return out
+
+
+def decimal_digit_filter(tokens):
+    """`decimal_digit` token filter (DecimalDigitFilter): fold every
+    Unicode decimal digit to its 0-9 form (٤٥٦ -> 456)."""
+    import unicodedata
+
+    out = []
+    for t in tokens:
+        out.append("".join(
+            str(unicodedata.decimal(ch)) if unicodedata.decimal(ch, None)
+            is not None else ch for ch in t))
+    return out
+
+
+def limit_filter(tokens, max_token_count: int = 1):
+    """`limit` token filter (LimitTokenCountFilter): keep only the
+    first ``max_token_count`` tokens."""
+    return list(tokens)[:max_token_count]
+
+
+def keep_filter(tokens, keep_words, case_sensitive: bool = False):
+    """`keep` token filter (KeepWordFilter): the inverse of stop —
+    only listed words survive."""
+    if case_sensitive:
+        kw = set(keep_words)
+        return [t for t in tokens if t in kw]
+    kw = {w.lower() for w in keep_words}
+    return [t for t in tokens if t.lower() in kw]
+
+
+def stemmer_override_filter(overrides: dict):
+    """`stemmer_override` (StemmerOverrideFilter): a token with a
+    mapping is replaced by it AND protected from the downstream
+    stemmer (returned pre-stemmed; compose BEFORE make_stemming_filter
+    with the override targets in its protected set)."""
+    def fn(tokens):
+        return [overrides.get(t, t) for t in tokens]
+
+    return fn
+
+
+def fingerprint_analyze(text: str, max_output_size: int = 255,
+                        separator: str = " ") -> list[str]:
+    """The `fingerprint` ANALYZER (FingerprintAnalyzer): standard
+    tokenize -> lowercase -> asciifold -> sort -> dedup -> ONE joined
+    token, emitted only if it fits max_output_size — the OpenRefine
+    clustering fingerprint."""
+    from raydex.analysis.tokenizer import standard_analyze
+
+    toks = sorted(set(asciifolding_filter(standard_analyze(text))))
+    joined = separator.join(toks)
+    if not joined or len(joined) > max_output_size:
+        return []
+    return [joined]
+
+
+register_analyzer("fingerprint", fingerprint_analyze)

@@ -1333,13 +1333,28 @@ def snowball_stem(language: str):
 
 
 def _register_language_analyzers():
+    from raydex.analysis.extra_filters import (
+        FRENCH_ELISION_ARTICLES,
+        ITALIAN_ELISION_ARTICLES,
+        elision_filter,
+    )
     from raydex.analysis.tokenizer import register_analyzer, standard_analyze
+
+    # the reference's French/Italian analyzers run ElisionFilter before
+    # stop/stem (FrenchAnalyzer/ItalianAnalyzer createComponents)
+    elision_sets = {"french": FRENCH_ELISION_ARTICLES,
+                    "italian": ITALIAN_ELISION_ARTICLES}
 
     for lang, stemfn in SNOWBALL_STEMMERS.items():
         stop = LANGUAGE_STOP_SETS[f"_{lang}_"]
+        arts = elision_sets.get(lang)
 
-        def analyze(text: str, _stop=stop, _stem=stemfn) -> list[str]:
-            return [_stem(t) for t in standard_analyze(text, stopwords=_stop)]
+        def analyze(text: str, _stop=stop, _stem=stemfn,
+                    _arts=arts) -> list[str]:
+            toks = standard_analyze(text)
+            if _arts is not None:
+                toks = elision_filter(toks, _arts)
+            return [_stem(t) for t in toks if t not in _stop]
 
         register_analyzer(lang, analyze)
 

@@ -711,3 +711,37 @@ def test_fetch_source_and_script_fields(ray_session, tmp_path):
     doc = {"ab": 1, "ac": 2, "b": 3}
     assert filter_source(doc, ["a*"], ["ac"]) == {"ab": 1}
     assert filter_source(doc, [], ["b"]) == {"ab": 1, "ac": 2}
+
+
+def test_common_filter_roundout():
+    """elision / apostrophe / decimal_digit / limit / keep /
+    stemmer_override / fingerprint analyzer (CommonAnalysisPlugin
+    inventory round-out)."""
+    from raydex.analysis.extra_filters import (
+        ITALIAN_ELISION_ARTICLES,
+        apostrophe_filter,
+        decimal_digit_filter,
+        elision_filter,
+        keep_filter,
+        limit_filter,
+        stemmer_override_filter,
+    )
+    from raydex.analysis.tokenizer import get_analyzer
+
+    assert elision_filter(["l'avion", "qu'il", "xyz'abc"]) == [
+        "avion", "il", "xyz'abc"]
+    assert elision_filter(["dell'arte"], ITALIAN_ELISION_ARTICLES) == ["arte"]
+    assert apostrophe_filter(["türkiye'den", "plain"]) == ["türkiye", "plain"]
+    assert decimal_digit_filter(["٤٥٦", "١x٢"]) == ["456", "1x2"]
+    assert limit_filter(["a", "b", "c"], 2) == ["a", "b"]
+    assert keep_filter(["Cat", "dog"], ["cat"]) == ["Cat"]
+    assert stemmer_override_filter({"running": "run"})(["running", "x"]) == [
+        "run", "x"]
+    assert get_analyzer("fingerprint")("The QUICK brown Fox the fox") == [
+        "brown fox quick the"]
+    # elision is wired into the french/italian language analyzers
+    assert get_analyzer("french")("L'avion des travailleurs") == [
+        "avion", "travailleur"]
+    # arte keeps its final e (outside RV) — the elision is the point
+    assert get_analyzer("italian")("dell'arte nazionale") == [
+        "arte", "nazional"]

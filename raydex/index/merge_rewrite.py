@@ -229,15 +229,23 @@ def merge_segments_rewrite(part_dir: str, seg_ids: list[str],
             )
         elif kind == "alias":
             fields_meta[fname] = dict(metas[0])  # pointer only, no files
-        elif kind == "doc_values":
-            # column data concats with docs.parquet below; merged bounds
-            # = bounds of the per-input bounds (no rescan)
+        elif kind in ("doc_values", "range", "geo_point", "geo_shape"):
+            # purely columnar kinds: the data lives in docs.parquet
+            # columns that concat below (extra_cols); merged bounds =
+            # bounds of the per-input bounds (no rescan). Bound keys
+            # differ per kind: plain/range use the field name,
+            # geo kinds track lat/lon axes.
             fields_meta[fname] = dict(metas[0])
-            los = [r.manifest.get(f"min_{fname}") for r in readers]
-            his = [r.manifest.get(f"max_{fname}") for r in readers]
-            if all(v is not None for v in los + his):
-                manifest[f"min_{fname}"] = min(los)
-                manifest[f"max_{fname}"] = max(his)
+            if kind in ("geo_point", "geo_shape"):
+                bound_keys = [f"{fname}__lat", f"{fname}__lon"]
+            else:
+                bound_keys = [fname]
+            for bk in bound_keys:
+                los = [r.manifest.get(f"min_{bk}") for r in readers]
+                his = [r.manifest.get(f"max_{bk}") for r in readers]
+                if all(v is not None for v in los + his):
+                    manifest[f"min_{bk}"] = min(los)
+                    manifest[f"max_{bk}"] = max(his)
         elif kind == "completion":
             # inputs must stay input-SORTED for the prefix bisect: concat
             # then re-sort by (input, docid)

@@ -203,3 +203,91 @@ def test_index_sorted_merge_multisorter(ray_session, tmp_path):
     assert s1.count({"match_phrase": {"text": "hot item"}}) == before_phrase
     for u in ["s0.example/p/0", "s4.example/p/159"]:
         assert get_doc(idx, u)["url"] == u
+
+
+def test_merge_columnar_field_kinds(ray_session, tmp_path):
+    """geo_point / geo_shape / range fields are purely columnar: merge
+    must NOT route them through the text-layout union (they have no
+    postings sub-index) — data concats with docs.parquet and manifest
+    can-match bounds combine as bounds-of-bounds. Regression for the
+    kind-dispatch falling into the text-like else branch."""
+    from raydex.index.segment import FieldSpec
+
+    n = 80
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(40.0, 60.0, n).round(4)
+    lon = rng.uniform(-10.0, 20.0, n).round(4)
+    lo = rng.integers(0, 50, n)
+    hi = lo + rng.integers(1, 30, n)
+    t = pa.table({
+        "url": pa.array([f"c{i:03d}.example" for i in range(n)]),
+        "warc_ts": pa.array(np.arange(n, dtype="int64"),
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"spot {i} body" for i in range(n)],
+                         pa.large_string()),
+        "loc": pa.array([{"lat": float(a), "lon": float(b)}
+                         for a, b in zip(lat, lon)],
+                        pa.struct([("lat", pa.float64()),
+                                   ("lon", pa.float64())])),
+        "span": pa.array([{"gte": int(a), "lte": int(b)}
+                          for a, b in zip(lo, hi)],
+                         pa.struct([("gte", pa.int64()),
+                                    ("lte", pa.int64())])),
+        "shp": pa.array(
+            [{"type": "Point", "coordinates": [float(b), float(a)]}
+             for a, b in zip(lat, lon)],
+            pa.struct([("type", pa.string()),
+                       ("coordinates", pa.list_(pa.float64()))])),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard",
+                source="text", max_docs_per_segment=15,
+                fields=[FieldSpec("loc", source="loc",
+                                  analyzer="geo_point"),
+                        FieldSpec("span", source="span",
+                                  analyzer="long_range"),
+                        FieldSpec("shp", source="shp",
+                                  analyzer="geo_shape")])
+    m0 = load_index_manifest(idx)
+    assert len(m0["segments"]) > 4
+
+    geo_q = {"geo_distance": {"distance": "700km",
+                              "loc": {"lat": 50.0, "lon": 5.0}}}
+    rng_q = {"range": {"span": {"gte": 20, "lte": 40,
+                                "relation": "intersects"}}}
+    shp_q = {"geo_shape": {"shp": {"relation": "within", "shape": {
+        "type": "envelope", "coordinates": [[-10.0, 60.0], [5.0, 45.0]]}}}}
+    s0 = LocalSearcher(idx)
+    before = {k: sorted(h["url"] for h in s0.search_query(q, k=n))
+              for k, q in (("geo", geo_q), ("rng", rng_q), ("shp", shp_q))}
+    assert all(0 < len(v) < n for v in before.values())
+
+    plan = {pp: [r["seg_id"] for r in m0["segments"] if r["part"] == pp]
+            for pp in {r["part"] for r in m0["segments"]}}
+    merge_partition_segments(idx, plan, num_buckets=4)
+    m1 = load_index_manifest(idx)
+    assert len(m1["segments"]) == 2 and m1["doc_count"] == n
+    for f, an in (("loc", "geo_point"), ("span", "long_range"),
+                  ("shp", "geo_shape")):
+        assert m1["fields"][f]["analyzer"] == an
+
+    from raydex.index.segment import SegmentReader
+
+    for sd in segment_dirs(idx, m1):
+        r = SegmentReader(sd)
+        # merged bounds == bounds over the merged column (can-match law)
+        assert r.manifest["min_loc__lat"] == pytest.approx(
+            float(np.min(r.doc_values["loc__lat"])))
+        assert r.manifest["max_loc__lon"] == pytest.approx(
+            float(np.max(r.doc_values["loc__lon"])))
+        assert r.manifest["min_span"] == int(np.min(
+            r.doc_values["span__gte"]))
+        assert r.manifest["max_span"] == int(np.max(
+            r.doc_values["span__lte"]))
+
+    s1 = LocalSearcher(idx)
+    after = {k: sorted(h["url"] for h in s1.search_query(q, k=n))
+             for k, q in (("geo", geo_q), ("rng", rng_q), ("shp", shp_q))}
+    assert after == before

@@ -1696,6 +1696,34 @@ def q_dsl_count_suite(sf):
                                     "size": 100_000}}},
     )["aggregations"]["tiles"]["buckets"]
     rows += [(f"z3_tile:{t['key']}", t["doc_count"]) for t in tiles]
+    # _terms_enum (x-pack TransportTermsEnumAction): sorted term-dict
+    # walk with size cap + search_after resume — two pages must tile
+    # the distinct lang set in sorted order (n_docs = 1-based ordinal,
+    # mirrored by a ROW_NUMBER over SELECT DISTINCT)
+    from raydex.search.terms_enum import terms_enum
+
+    idx = _docs_index_dir(sf)
+    p1 = terms_enum(idx, "lang", string="", size=3)
+    p2 = terms_enum(idx, "lang", string="", size=3,
+                    search_after=p1["terms"][-1])
+    rows += [(f"z9_terms_enum:{t}", i + 1)
+             for i, t in enumerate(p1["terms"] + p2["terms"])]
+    # scroll API: PIT-pinned cursor paging over `match text batch`
+    # sorted by url — every page's (page#, last-url, size) is mirrored
+    # by a ROW_NUMBER page-boundary SQL, so the scroll provably tiles
+    # the full result set in order with no overlap or miss
+    from raydex.search.scroll import clear_scroll, open_scroll
+    from raydex.search.scroll import scroll as scroll_next
+
+    out = open_scroll(idx, {"match": {"text": "batch"}}, size=101,
+                      sort_field="url")
+    sid, page_no, hits = out["_scroll_id"], 0, out["hits"]
+    while hits:
+        rows.append((f"za_scroll:{page_no:04d}:{hits[-1]['url']}",
+                     len(hits)))
+        page_no += 1
+        hits = scroll_next(sid)["hits"]
+    clear_scroll(sid)
     rows.sort()
     return pa.table(
         {
@@ -2771,7 +2799,20 @@ def oracle_sql() -> dict[str, str]:
             "|| '/' || CAST(CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS BIGINT) AS VARCHAR) AS t "
             "FROM (SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS lat, "
             "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lon FROM documents)"
-            ") GROUP BY t"
+            ") GROUP BY t "
+            # _terms_enum: sorted distinct walk, 1-based ordinal
+            "UNION ALL SELECT 'z9_terms_enum:' || lang, "
+            "ROW_NUMBER() OVER (ORDER BY lang) "
+            "FROM (SELECT DISTINCT lang FROM documents) "
+            # scroll paging: page boundaries of the url-ordered match set
+            "UNION ALL SELECT 'za_scroll:' || "
+            "lpad(CAST((rn - 1) // 101 AS VARCHAR), 4, '0') || ':' || url, "
+            "CASE WHEN rn = t THEN ((t - 1) % 101) + 1 ELSE 101 END FROM ("
+            "SELECT CAST(doc_id AS VARCHAR) AS url, "
+            "ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rn, "
+            "COUNT(*) OVER () AS t FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %') "
+            "WHERE rn % 101 = 0 OR rn = t"
             ") ORDER BY kind"
         ),
         # count_min1 = the nested query; terms = nested-context sub-doc

@@ -15,7 +15,7 @@ cases is not claimed.
 Registered analyzers (``<lang>`` = standard tokenizer → lowercase →
 ``_<lang>_`` stop set → snowball stem), mirroring the reference's
 language-analyzer shape: french german spanish italian portuguese
-dutch russian.
+dutch russian danish norwegian swedish finnish romanian hungarian.
 """
 
 from __future__ import annotations
@@ -1264,6 +1264,430 @@ def stem_swedish(word: str) -> str:
     return w
 
 
+# ------------------------------------------------------------ finnish
+
+_FI_VOWELS = "aeiouyäö"
+_FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = ("kin", "kaan", "kään", "ko", "kö", "han", "hän",
+                 "pa", "pä")
+_FI_CASES_PLAIN = ("ta", "tä", "ssa", "ssä", "sta", "stä", "lla",
+                   "llä", "lta", "ltä", "lle", "na", "nä", "ksi",
+                   "ine")
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+           "hun": "u", "hyn": "y", "hän": "ä", "hön": "ö"}
+
+
+def stem_finnish(word: str) -> str:
+    """Snowball Finnish (snowballstem.org/algorithms/finnish/stemmer):
+    particles -> possessives -> cases -> comparatives -> i/j|t
+    cleanup -> tidy. Longest table match first; a failed condition on
+    the longest match does NOT fall back to a shorter suffix."""
+    w = word.lower()
+    r1, r2 = _std_regions(w, _FI_VOWELS)
+
+    # step 1: particles (condition on the preceding letter) + -sti (R2)
+    s = _longest_suffix(w, _FI_PARTICLES + ("sti",), r1)
+    if s == "sti":
+        if len(w) - 3 >= r2:
+            w = w[:-3]
+    elif s:
+        prev = w[len(w) - len(s) - 1] if len(w) > len(s) else ""
+        if prev in "nt" or prev in _FI_VOWELS:
+            w = w[: -len(s)]
+
+    # step 2: possessives
+    s = _longest_suffix(
+        w, ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en"),
+        r1)
+    if s == "si":
+        if not w[:-2].endswith("k"):
+            w = w[:-2]
+    elif s == "ni":
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-3] + "ksi"
+    elif s in ("nsa", "nsä", "mme", "nne"):
+        w = w[: -len(s)]
+    elif s == "an":
+        if _ends_any(w[:-2], ("ta", "ssa", "sta", "lla", "lta", "na")):
+            w = w[:-2]
+    elif s == "än":
+        if _ends_any(w[:-2], ("tä", "ssä", "stä", "llä", "ltä", "nä")):
+            w = w[:-2]
+    elif s == "en":
+        if _ends_any(w[:-2], ("lle", "ine")):
+            w = w[:-2]
+
+    # step 3: cases
+    ending_removed = False
+    s = _longest_suffix(
+        w,
+        tuple(_FI_HXN) + ("siin", "den", "tten", "seen", "a", "ä",
+                          "tta", "ttä", "n") + _FI_CASES_PLAIN,
+        r1)
+    if s in _FI_HXN:
+        if w[:-3].endswith(_FI_HXN[s]):
+            w = w[:-3]
+            ending_removed = True
+    elif s in ("siin", "den", "tten"):
+        stem = w[: -len(s)]
+        if len(stem) >= 2 and stem[-1] == "i" and stem[-2] in _FI_VOWELS:
+            w = stem
+            ending_removed = True
+    elif s == "seen":
+        if _ends_any(w[:-4], _FI_LV):
+            w = w[:-4]
+            ending_removed = True
+    elif s in ("a", "ä"):
+        # preceded by cv: consonant then vowel directly before the a/ä
+        if (len(w) >= 3 and w[-2] in _FI_VOWELS
+                and w[-3] not in _FI_VOWELS):
+            w = w[:-1]
+            ending_removed = True
+    elif s in ("tta", "ttä"):
+        if w[:-3].endswith("e"):
+            w = w[:-3]
+            ending_removed = True
+    elif s in _FI_CASES_PLAIN:
+        w = w[: -len(s)]
+        ending_removed = True
+    elif s == "n":
+        w = w[:-1]
+        ending_removed = True
+        if _ends_any(w, _FI_LV) or w.endswith("ie"):
+            w = w[:-1]
+
+    # step 4: other endings (R2); mpi family blocked after 'po'
+    s = _longest_suffix(
+        w, ("mpi", "mpa", "mpä", "mmi", "mma", "mmä", "impi", "impa",
+            "impä", "immi", "imma", "immä", "eja", "ejä"), r2)
+    if s in ("impi", "impa", "impä", "immi", "imma", "immä",
+             "eja", "ejä"):
+        w = w[: -len(s)]
+    elif s:
+        if not w[: -len(s)].endswith("po"):
+            w = w[: -len(s)]
+
+    # step 5
+    if ending_removed:
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        if (w.endswith("t") and len(w) - 1 >= r1 and len(w) >= 2
+                and w[-2] in _FI_VOWELS):
+            w = w[:-1]
+            s = _longest_suffix(w, ("mma", "imma"), r2)
+            if s == "imma":
+                w = w[:-4]
+            elif s == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # step 6: tidy
+    if _ends_any(w, _FI_LV) and len(w) - 1 >= r1:
+        w = w[:-1]
+    if (len(w) >= 2 and w[-1] in "aäei" and w[-2] not in _FI_VOWELS
+            and len(w) - 1 >= r1):
+        w = w[:-1]
+    if (w.endswith("oj") or w.endswith("uj")) and len(w) - 1 >= r1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 1 >= r1:
+        w = w[:-1]
+    # undouble a final double consonant followed by zero or more vowels
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_VOWELS:
+        i -= 1
+    if (i >= 2 and w[i - 1] == w[i - 2]
+            and w[i - 1] not in _FI_VOWELS):
+        w = w[: i - 1] + w[i:]
+    return w
+
+
+# ----------------------------------------------------------- romanian
+
+_RO_VOWELS = "aăâeiîou"
+
+_RO_STEP1 = {
+    "abilitate": "abil", "abilitati": "abil", "abilităi": "abil",
+    "abilităţi": "abil",
+    "ibilitate": "ibil",
+    "ivitate": "iv", "ivitati": "iv", "ivităi": "iv", "ivităţi": "iv",
+    "icitate": "ic", "icitati": "ic", "icităi": "ic", "icităţi": "ic",
+    "icator": "ic", "icatori": "ic",
+    "iciv": "ic", "iciva": "ic", "icive": "ic", "icivi": "ic",
+    "icivă": "ic",
+    "ical": "ic", "icala": "ic", "icale": "ic", "icali": "ic",
+    "icală": "ic",
+    "ativ": "at", "ativa": "at", "ative": "at", "ativi": "at",
+    "ativă": "at", "aţiune": "at", "atoare": "at", "ator": "at",
+    "atori": "at", "ătoare": "at", "ător": "at", "ători": "at",
+    "itiv": "it", "itiva": "it", "itive": "it", "itivi": "it",
+    "itivă": "it", "iţiune": "it", "itoare": "it", "itor": "it",
+    "itori": "it",
+}
+
+_RO_STEP2_DELETE = (
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti",
+    "ute", "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice",
+    "ici", "ică", "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă", "oasa", "oasă",
+    "oase", "os", "osi", "oşi", "ant", "anta", "ante", "anti",
+    "antă", "ator", "atori", "itate", "itati", "ităi", "ităţi",
+    "iv", "iva", "ive", "ivi", "ivă")
+_RO_STEP2_IST = ("ism", "isme", "ist", "ista", "iste", "isti",
+                 "istă", "işti")
+
+_RO_VERB_COND = (
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc",
+    "ăşti", "ăşte", "am", "ai", "au", "eam", "eai", "eau", "iam",
+    "iai", "iau", "ui", "âi", "aşi", "arăm", "arăţi", "ară", "âşi",
+    "ârăm", "ârăţi", "âră", "işi", "irăm", "irăţi", "iră", "em",
+    "eţi", "im", "iţi", "âm", "âţi", "ăm", "aţi", "eaţi", "iaţi")
+_RO_VERB_UNCOND = (
+    "sei", "seşi", "serăm", "serăţi", "seră", "se", "sesem",
+    "seseşi", "sese", "seserăm", "seserăţi", "seseră")
+
+
+def stem_romanian(word: str) -> str:
+    """Snowball Romanian (snowballstem.org/algorithms/romanian/
+    stemmer): i/u-between-vowels prelude, plural step 0, repeated
+    combining-suffix reduction, standard-suffix removal in R2, verb
+    suffixes in RV only when steps 1-2 removed nothing, final-vowel
+    step 4. Uses the cedilla forms (ş/ţ) like the reference's bundled
+    generated stemmer."""
+    w = word.lower()
+    # prelude: i/u between vowels -> consonant markers I/U
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if (chars[i] in "iu" and chars[i - 1] in _RO_VOWELS
+                and chars[i + 1] in _RO_VOWELS):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _std_regions(w, _RO_VOWELS)
+    rv = _rv_romance(w, _RO_VOWELS)
+
+    # step 0: plurals and simplifications (R1)
+    s = _longest_suffix(
+        w, ("ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua",
+            "iei", "iile", "iilor", "ilor", "ile", "atei", "aţie",
+            "aţia"), r1)
+    if s in ("ul", "ului"):
+        w = w[: -len(s)]
+    elif s == "aua":
+        w = w[:-3] + "a"
+    elif s in ("ea", "ele", "elor"):
+        w = w[: -len(s)] + "e"
+    elif s in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+        w = w[: -len(s)] + "i"
+    elif s == "ile":
+        if not w[:-3].endswith("ab"):
+            w = w[:-3] + "i"
+    elif s == "atei":
+        w = w[:-4] + "at"
+    elif s in ("aţie", "aţia"):
+        w = w[:-4] + "aţi"
+
+    # step 1: combining suffixes — repeat while a replacement fires
+    removed_12 = False
+    while True:
+        s = _longest_suffix(w, _RO_STEP1, r1)
+        if not s:
+            break
+        w = w[: -len(s)] + _RO_STEP1[s]
+        removed_12 = True
+
+    # step 2: standard suffixes (R2)
+    s = _longest_suffix(
+        w, _RO_STEP2_DELETE + ("iune", "iuni") + _RO_STEP2_IST, r2)
+    if s in ("iune", "iuni"):
+        if w[: -len(s)].endswith("ţ"):
+            w = w[: -len(s) - 1] + "t"
+            removed_12 = True
+    elif s in _RO_STEP2_IST:
+        w = w[: -len(s)] + "ist"
+        removed_12 = True
+    elif s:
+        w = w[: -len(s)]
+        removed_12 = True
+
+    # step 3: verb suffixes (RV), only when steps 1-2 removed nothing
+    if not removed_12:
+        s = _longest_suffix(w, _RO_VERB_COND + _RO_VERB_UNCOND, rv)
+        if s in _RO_VERB_UNCOND:
+            w = w[: -len(s)]
+        elif s:
+            i = len(w) - len(s) - 1
+            if i >= rv and (w[i] not in _RO_VOWELS or w[i] == "u"):
+                w = w[: -len(s)]
+
+    # step 4: final vowel (RV)
+    s = _longest_suffix(w, ("a", "e", "i", "ie", "ă"), rv)
+    if s:
+        w = w[: -len(s)]
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------- hungarian
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk",
+               "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss",
+               "ssz", "tt", "tty", "vv", "zz", "zzs")
+
+_HU_STEP2 = ("ban", "ben", "ba", "be", "ra", "re", "nak", "nek",
+             "val", "vel", "tól", "től", "ról", "ről", "ból", "ből",
+             "hoz", "hez", "höz", "nál", "nél", "ig", "at", "et",
+             "ot", "öt", "ért", "képp", "képpen", "kor", "ul", "ül",
+             "vá", "vé", "onként", "enként", "anként", "ként", "en",
+             "on", "an", "ön", "n", "t")
+_HU_STEP7_DEL = ("ünk", "unk", "nk", "juk", "jük", "uk", "ük", "em",
+                 "om", "am", "m", "od", "ed", "ad", "öd", "d", "ja",
+                 "je", "a", "e", "o")
+_HU_STEP7_A = ("ánk", "ájuk", "ám", "ád", "á")
+_HU_STEP7_E = ("énk", "éjük", "ém", "éd", "é")
+# the plural-owner paradigm is the -i- possessive marker plus person
+# endings (im/id/i/ink/itek/ik with a/e linking vowels and j-glides);
+# bare m/d/nk/k belong to steps 7 and 9, not here — including them
+# would shadow the plural step entirely (házak must reach step 9)
+_HU_STEP8_DEL = ("jaim", "jeim", "im", "aim", "eim", "jaid",
+                 "jeid", "id", "aid", "eid", "jai", "jei", "i",
+                 "ai", "ei", "jaink", "jeink", "ink", "aink", "eink",
+                 "jaitok", "jeitek", "itek", "aitok", "eitek",
+                 "jaik", "jeik", "ik", "aik", "eik")
+_HU_STEP8_A = ("áim", "áid", "ái", "áink", "áitok", "áik")
+_HU_STEP8_E = ("éim", "éid", "éi", "éink", "éitek", "éik")
+
+
+def _hu_r1(w: str) -> int:
+    """Hungarian R1: after the first consonant-or-digraph when the
+    word begins with a vowel, else after the first vowel."""
+    n = len(w)
+    if not n:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 0
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        if w[i:i + 3] == "dzs":
+            return min(i + 3, n)
+        if w[i:i + 2] in _HU_DIGRAPHS:
+            return min(i + 2, n)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return min(i + 1, n) if i < n else n
+
+
+def _hu_undouble(stem: str) -> str:
+    """Remove one letter of a trailing double consonant (doubled
+    digraphs like ``ssz`` keep the digraph: ssz -> sz)."""
+    d = _ends_any(stem, _HU_DOUBLES)
+    if d:
+        return stem[: -len(d)] + d[1:]
+    return stem
+
+
+def _hu_a_e(w: str) -> str:
+    if w.endswith("á"):
+        return w[:-1] + "a"
+    if w.endswith("é"):
+        return w[:-1] + "e"
+    return w
+
+
+def stem_hungarian(word: str) -> str:
+    """Snowball Hungarian (snowballstem.org/algorithms/hungarian/
+    stemmer): digraph-aware R1, then nine ordered suffix steps —
+    instrumental (undouble), frequent cases (with final á/é
+    shortening), special/other cases, factive (undouble), owned,
+    singular-owner, plural-owner, plural."""
+    w = word.lower()
+    r1 = _hu_r1(w)
+
+    # step 1: instrumental case (al/el preceded by a double consonant)
+    s = _longest_suffix(w, ("al", "el"), r1)
+    if s:
+        stem = w[:-2]
+        if _ends_any(stem, _HU_DOUBLES):
+            w = _hu_undouble(stem)
+
+    # step 2: frequent cases, then shorten a trailing á/é
+    s = _longest_suffix(w, _HU_STEP2, r1)
+    if s:
+        w = _hu_a_e(w[: -len(s)])
+
+    # step 3: special cases
+    s = _longest_suffix(w, ("án", "ánként", "én"), r1)
+    if s in ("án", "ánként"):
+        w = w[: -len(s)] + "a"
+    elif s == "én":
+        w = w[:-2] + "e"
+
+    # step 4: other cases
+    s = _longest_suffix(
+        w, ("astul", "estül", "ástul", "éstül", "stul", "stül"), r1)
+    if s == "ástul":
+        w = w[:-5] + "a"
+    elif s == "éstül":
+        w = w[:-5] + "e"
+    elif s:
+        w = w[: -len(s)]
+
+    # step 5: factive case (á/é preceded by a double consonant)
+    s = _longest_suffix(w, ("á", "é"), r1)
+    if s:
+        stem = w[:-1]
+        if _ends_any(stem, _HU_DOUBLES):
+            w = _hu_undouble(stem)
+
+    # step 6: owned
+    s = _longest_suffix(
+        w, ("oké", "öké", "aké", "eké", "ké", "éi", "é", "áké",
+            "áéi", "éké", "ééi", "éé"), r1)
+    if s in ("áké", "áéi"):
+        w = w[: -len(s)] + "a"
+    elif s in ("éké", "ééi", "éé"):
+        w = w[: -len(s)] + "e"
+    elif s:
+        w = w[: -len(s)]
+
+    # step 7: singular owner suffixes
+    s = _longest_suffix(w, _HU_STEP7_DEL + _HU_STEP7_A + _HU_STEP7_E,
+                        r1)
+    if s in _HU_STEP7_A:
+        w = w[: -len(s)] + "a"
+    elif s in _HU_STEP7_E:
+        w = w[: -len(s)] + "e"
+    elif s:
+        w = w[: -len(s)]
+
+    # step 8: plural owner suffixes
+    s = _longest_suffix(w, _HU_STEP8_DEL + _HU_STEP8_A + _HU_STEP8_E,
+                        r1)
+    if s in _HU_STEP8_A:
+        w = w[: -len(s)] + "a"
+    elif s in _HU_STEP8_E:
+        w = w[: -len(s)] + "e"
+    elif s:
+        w = w[: -len(s)]
+
+    # step 9: plural
+    s = _longest_suffix(w, ("ák", "ék", "ök", "ok", "ek", "ak", "k"),
+                        r1)
+    if s == "ák":
+        w = w[:-2] + "a"
+    elif s == "ék":
+        w = w[:-2] + "e"
+    elif s:
+        w = w[: -len(s)]
+    return w
+
+
 SNOWBALL_STEMMERS = {
     "french": stem_french,
     "german": stem_german,
@@ -1275,7 +1699,77 @@ SNOWBALL_STEMMERS = {
     "danish": stem_danish,
     "norwegian": stem_norwegian,
     "swedish": stem_swedish,
+    "finnish": stem_finnish,
+    "romanian": stem_romanian,
+    "hungarian": stem_hungarian,
 }
+
+FINNISH_STOP_SET = frozenset("""
+olen olet on olemme olette ovat ole oli olisi olisit olisin olisimme
+olisitte olisivat olit olin olimme olitte olivat ollut olleet en et ei
+emme ette eivät minä minun minut minua minussa minusta minuun minulla
+minulta minulle sinä sinun sinut sinua sinussa sinusta sinuun sinulla
+sinulta sinulle hän hänen hänet häntä hänessä hänestä häneen hänellä
+häneltä hänelle me meidän meidät meitä meissä meistä meihin meillä
+meiltä meille te teidän teidät teitä teissä teistä teihin teillä
+teiltä teille he heidän heidät heitä heissä heistä heihin heillä
+heiltä heille tämä tämän tätä tässä tästä tähän tällä tältä tälle
+tänä täksi tuo tuon tuota tuossa tuosta tuohon tuolla tuolta tuolle
+tuona tuoksi se sen sitä siinä siitä siihen sillä siltä sille siksi
+nämä näiden näitä näissä näistä näihin näillä näiltä näille näinä
+näiksi nuo noiden noita noissa noista noihin noilla noilta noille
+noina noiksi ne niiden niitä niissä niistä niihin niillä niiltä
+niille niinä niiksi kuka kenen kenet ketä kenessä kenestä keneen
+kenellä keneltä kenelle kenenä keneksi ketkä keiden keitä keissä
+keistä keihin keillä keiltä keille keinä keiksi mikä minkä mitä missä
+mistä mihin millä miltä mille miksi mitkä joka jonka jota jossa josta
+johon jolla jolta jolle jona joksi jotka joiden joita joissa joista
+joihin joilla joilta joille joina joiksi että ja jos koska kuin mutta
+niin sekä tai vaan vai vaikka kanssa mukaan noin poikki yli kun nyt
+itse
+""".split())
+
+ROMANIAN_STOP_SET = frozenset("""
+acea aceasta această aceea acei aceia acel acela acele acelea acest
+acesta aceste acestea aceşti aceştia acolo acum ai aia aibă aici al
+ăla ale alea ălea altceva altcineva am ar are aş aşadar asemenea asta
+ăsta astăzi astea ăstea ăştia asupra aţi au avea avem aveţi azi bine
+bucur bună ca că căci când care cărei căror cărui cât câte câţi către
+câtva ce cel ceva chiar cînd cine cineva cît cîte cîţi cîtva contra
+cu cum cumva curând curînd da dă dacă dar datorită de deci deja
+deoarece departe deşi din dinaintea dintr dintre drept după ea ei el
+ele eram este eşti eu face fără fi fie fiecare fii fim fiţi iar ieri
+îi îl îmi împotriva în înainte înaintea încât încît încotro între
+întrucât întrucît îţi la lângă le li lîngă lor lui mă mâine mea mei
+mele mereu meu mi mine mult multă mulţi ne nicăieri nici nimeni nişte
+noastră noastre noi noştri nostru nu ori oricând oricare oricât orice
+oricînd oricine oricît oricum oriunde până pe pentru peste pînă poate
+pot prea prima primul prin printr sa să săi sale sau său se şi sînt
+sîntem sînteţi spre sub sunt suntem sunteţi ta tale tău te ţi ţie
+timp tine toată toate tot toţi totuşi tu un una unde undeva unei
+unele uneori unor vă vi voastră voastre voi voştri vostru vouă vreo
+vreun
+""".split())
+
+HUNGARIAN_STOP_SET = frozenset("""
+a ahogy ahol aki akik akkor alatt által általában amely amelyek
+amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor át
+abban ahhoz annak arra arról az azok azon azt azzal azért aztán
+azután azonban bár be belül benne cikk cikkek cikkeket csak de e
+eddig egész egy egyes egyetlen egyéb egyik egyre ekkor el elég ellen
+elő először előtt első én éppen ebben ehhez emilyen ennek erre ez
+ezt ezek ezen ezzel ezért és fel felé hanem hiszen hogy hogyan igen
+így illetve ill ilyen ilyenkor ismét itt jó jól jobban kell kellett
+keresztül ki kívül között közül legalább lehet lehetett legyen lenne
+lenni lesz lett maga magát majd már más másik meg még mellett mert
+mely melyek mi mit míg miért milyen mikor minden mindent mindenki
+mindig mint mintha mivel most nagy nagyobb nagyon ne néha nekem neki
+nem néhány nélkül nincs olyan ott össze ő ők őket pedig persze rá s
+saját sem semmi sok sokat sokkal számára szemben szerint szinte talán
+tehát teljes tovább továbbá több úgy ugyanis új újabb újra után utána
+utolsó vagy vagyis valaki valami valamint való vagyok van vannak volt
+voltam voltak voltunk vissza vele viszont volna
+""".split())
 
 DANISH_STOP_SET = frozenset("""
 og i jeg det at en den til er som på de med han af for ikke der var
@@ -1318,6 +1812,9 @@ LANGUAGE_STOP_SETS = {
     "_danish_": DANISH_STOP_SET,
     "_norwegian_": NORWEGIAN_STOP_SET,
     "_swedish_": SWEDISH_STOP_SET,
+    "_finnish_": FINNISH_STOP_SET,
+    "_romanian_": ROMANIAN_STOP_SET,
+    "_hungarian_": HUNGARIAN_STOP_SET,
 }
 
 

@@ -14,11 +14,14 @@ from raydex.analysis.snowball import (
     snowball_stem,
     stem_danish,
     stem_dutch,
+    stem_finnish,
     stem_french,
     stem_german,
+    stem_hungarian,
     stem_italian,
     stem_norwegian,
     stem_portuguese,
+    stem_romanian,
     stem_russian,
     stem_spanish,
     stem_swedish,
@@ -86,6 +89,36 @@ GOLDEN = {
         ("hans", "han"), ("dansende", "dans"),
         ("kjærligheten", "kjær"), ("arbeidet", "arbeid"),
     ],
+    "finnish": [
+        ("taloissa", "talo"), ("taloista", "talo"), ("talossa", "talo"),
+        ("talon", "talo"), ("talot", "talo"),
+        ("kaupungissa", "kaupung"), ("kaupungeissa", "kaupung"),
+        ("puhumme", "puhu"), ("kysymme", "kysy"),
+        # tidy step: R1 ends consonant + a/ä/e/i -> drop the vowel
+        ("kirjassa", "kirj"), ("edellä", "ed"),
+        ("opiskelijoiden", "opiskelij"),
+    ],
+    "romanian": [
+        ("copiilor", "cop"), ("abilitate", "abil"),
+        ("important", "import"), ("importante", "import"),
+        # step 1 combining suffix: ivitate -> iv inside R1
+        ("importanta", "import"), ("activitate", "activ"),
+        # step 0 plural: aua -> a; ele -> e (then final-vowel step 4)
+        ("cartea", "cart"), ("muncitorii", "muncit"),
+    ],
+    "hungarian": [
+        ("házakat", "ház"), ("házak", "ház"), ("házat", "ház"),
+        ("házam", "ház"), ("házaim", "ház"), ("háza", "ház"),
+        # instrumental with assimilated double consonant, undoubled
+        ("babbal", "bab"), ("könyvekkel", "könyv"),
+        # digraph-aware R1: asztalon R1 starts after 'sz'
+        ("asztalon", "asztal"),
+        # final á shortens to a after case removal
+        ("fát", "fa"), ("almák", "alma"),
+        ("emberek", "ember"), ("városokban", "város"),
+        ("gyerekeknek", "gyerek"), ("szebbé", "szeb"),
+        ("barátaik", "barát"),
+    ],
 }
 
 
@@ -112,6 +145,11 @@ def test_family_collapse():
         (stem_swedish, ["bil", "bilen", "bilar", "bilarna", "bilens"]),
         (stem_danish, ["bil", "bilen", "biler", "bilerne"]),
         (stem_norwegian, ["bil", "bilen", "bilene", "bilens"]),
+        (stem_finnish, ["talo", "talon", "talot", "talossa",
+                        "taloissa", "talosta"]),
+        (stem_hungarian, ["ház", "háza", "házat", "házak", "házakat",
+                          "házam", "házaim"]),
+        (stem_romanian, ["important", "importante", "importanta"]),
     ]
     for stem, words in families:
         stems = {stem(w) for w in words}

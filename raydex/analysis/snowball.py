@@ -15,7 +15,9 @@ cases is not claimed.
 Registered analyzers (``<lang>`` = standard tokenizer → lowercase →
 ``_<lang>_`` stop set → snowball stem), mirroring the reference's
 language-analyzer shape: french german spanish italian portuguese
-dutch russian danish norwegian swedish finnish romanian hungarian.
+dutch russian danish norwegian swedish finnish romanian hungarian
+turkish (turkish swaps in its own casing rule İ→i / I→ı and the
+apostrophe filter, per TurkishAnalyzer).
 """
 
 from __future__ import annotations
@@ -1688,6 +1690,196 @@ def stem_hungarian(word: str) -> str:
     return w
 
 
+# ------------------------------------------------------------ turkish
+
+_TR_VOWELS = "aeıioöuü"
+# Turkish vowel harmony: the suffix's first vowel must agree with the
+# last vowel of the remaining stem (snowball turkish
+# check_vowel_harmony; 2-fold a/e and 4-fold ı/i/u/ü alternations)
+_TR_HARMONY = {
+    "a": "aıou", "e": "eiöü",
+    "ı": "aı", "i": "ei", "u": "ou", "ü": "öü",
+    "o": "aıou", "ö": "eiöü",
+}
+
+
+def _tr_last_vowel(w: str) -> str | None:
+    for c in reversed(w):
+        if c in _TR_VOWELS:
+            return c
+    return None
+
+
+def _tr_harmony_ok(stem: str, suffix: str) -> bool:
+    sv = next((c for c in suffix if c in _TR_VOWELS), None)
+    if sv is None:
+        return True  # invariant suffix (-ki)
+    pv = _tr_last_vowel(stem)
+    return pv is not None and pv in _TR_HARMONY[sv]
+
+
+def _4fold(pre: str = "", post: str = "") -> tuple[str, ...]:
+    return tuple(pre + v + post for v in "ıiuü")
+
+
+def _2fold(pre: str = "", post: str = "") -> tuple[str, ...]:
+    return tuple(pre + v + post for v in "ae")
+
+
+def _tr_surfaces(bodies, opts: str) -> tuple[tuple[str, str], ...]:
+    """Expand a suffix class into concrete (surface, body) forms:
+    every optional buffer consonant + body, then the bare body —
+    sorted longest surface first so ``yla`` beats ``a``."""
+    out = []
+    for body in set(bodies):
+        for o in opts:
+            out.append((o + body, body))
+        out.append((body, body))
+    return tuple(sorted(out, key=lambda t: len(t[0]), reverse=True))
+
+
+def _tr_strip(word: str, surfaces) -> str | None:
+    """Strip one suffix surface form. A buffered form (surface longer
+    than body) requires a vowel before the buffer consonant (snowball
+    mark_suffix_with_optional_*_consonant); a bare single-consonant
+    body (the post-vocalic allomorph of -(U)m / -(U)n) requires a
+    vowel before it. The remainder must keep a vowel and pass vowel
+    harmony against the body's first vowel."""
+    for surface, body in surfaces:
+        if not word.endswith(surface):
+            continue
+        rem = word[: -len(surface)]
+        if len(rem) < 2 or _tr_last_vowel(rem) is None:
+            continue
+        if len(surface) > len(body) and rem[-1] not in _TR_VOWELS:
+            continue  # buffer consonant must follow a vowel
+        if (len(body) == 1 and body not in _TR_VOWELS
+                and rem[-1] not in _TR_VOWELS):
+            continue  # bare post-vocalic allomorph after a consonant
+        if _tr_harmony_ok(rem, body):
+            return rem
+    return None
+
+
+# nominal-verb (copula/tense/person) suffix classes, most specific
+# first; each entry pre-expanded to (surface, body) forms
+_TR_NOMINAL_VERB = tuple(_tr_surfaces(bodies, opts) for bodies, opts in (
+    (("casına", "cesine"), ""),                       # -cAsInA
+    (_4fold("d", "r") + _4fold("t", "r"), ""),        # -DUr
+    (_4fold("sın", "z"), ""),                         # -sUnUz
+    (_4fold("m", "ş"), "y"),                          # -(y)mUş
+    (_4fold("d") + _4fold("t"), "y"),                 # -(y)DU
+    (_2fold("s"), "y"),                               # -(y)sA
+    (("ken",), "y"),                                  # -(y)ken
+    (_2fold("l", "r"), ""),                           # -lAr
+    (_4fold("", "z"), "y"),                           # -(y)Uz
+    (_4fold("s", "n"), ""),                           # -sUn
+    (_4fold("", "m"), "y"),                           # -(y)Um
+))
+
+# noun (possessive/case) suffix classes; the chain loop lets EACH
+# class fire at most once (agglutinative chains: ev-ler-i-nden strips
+# -nDAn then -lArI; the once-per-class rule bounds over-stemming)
+_TR_NOUN = tuple(_tr_surfaces(bodies, opts) for bodies, opts in (
+    (("ları", "leri"), ""),                           # -lArI
+    (("ımız", "imiz", "umuz", "ümüz"), ""),           # -(U)mUz
+    (("ınız", "iniz", "unuz", "ünüz"), ""),           # -(U)nUz
+    (_2fold("nd", "n"), ""),                          # -nDAn
+    (_2fold("nd"), ""),                               # -nDA
+    (_4fold("n", "n"), ""),                           # -nUn
+    (_2fold("d", "n") + _2fold("t", "n"), ""),        # -DAn
+    (_2fold("l"), "y"),                               # -(y)lA
+    (_4fold("m", "z"), ""),                           # -mUz
+    (_4fold("n", "z"), ""),                           # -nUz
+    (_2fold("d") + _2fold("t"), ""),                  # -DA
+    (_2fold("c") + _2fold("ç"), ""),                  # -çA
+    (_2fold("l", "r"), ""),                           # -lAr
+    (("ki",), ""),                                    # -ki (invariant)
+    (_4fold("", "m"), ""),                            # -(U)m
+    (_4fold("", "n"), "y"),                           # -(U)n / -(y)Un
+    (_2fold(), "ny"),                                 # -(y)A / -nA
+    (_4fold(), "sy"),                                 # -(s)U / -(y)U
+))
+# deliberately absent: the bare post-vocalic -m/-n possessive
+# allomorphs (araba-m, araba-n) — stripping a lone consonant after a
+# vowel destroys far more roots (insan, adam, gün, zaman) than it
+# collapses 1sg/2sg possessives in web text
+
+
+def stem_turkish(word: str) -> str:
+    """Snowball Turkish (snowballstem.org/algorithms/turkish/stemmer,
+    E. Çilden's algorithm; the reference registers it via
+    StemmerTokenFilterFactory and the ``turkish`` analyzer): strip one
+    nominal-verb suffix chain, then loop the noun possessive/case
+    suffix classes, every strip gated on vowel harmony and the
+    optional-buffer-consonant rule; post-process un-does final-stop
+    voicing (b→p c→ç d→t ğ→k after a vowel) and restores the harmony
+    vowel after a stranded d/g (kanadı→kanat, geldim→geldi). Structure
+    follows the spec; generated-code byte parity is not claimed."""
+    w = word.lower()
+    if sum(c in _TR_VOWELS for c in w) < 2:
+        return w  # snowball: only stem words of more than one syllable
+
+    stemmed = False
+
+    def noun_chain(w: str, stemmed: bool) -> tuple[str, bool]:
+        for _ in range(5):
+            for surfaces in _TR_NOUN:
+                rem = _tr_strip(w, surfaces)
+                if rem is not None:
+                    w, stemmed = rem, True
+                    break
+            else:
+                break
+        return w, stemmed
+
+    # noun possessive/case chain first (deviation from the spec's
+    # nominal-verb-first order: running the noun chain first keeps
+    # noun inflection families — kanat/kanadı, sevgi/sevgisi —
+    # collapsed instead of letting -(y)DU eat a noun's -dU ending)
+    w, stemmed = noun_chain(w, stemmed)
+
+    # nominal verb suffixes: each class at most once, re-chasing the
+    # noun chain after every strip (gelmişlerdir → -DUr → -lAr →
+    # gelmiş → -(y)mUş → gel; the spec composes person + tense
+    # alternatives the same way)
+    for surfaces in _TR_NOMINAL_VERB:
+        rem = _tr_strip(w, surfaces)
+        if rem is not None:
+            w, stemmed = rem, True
+            w, stemmed = noun_chain(w, stemmed)
+
+    if stemmed and len(w) >= 2:
+        last, prev = w[-1], w[-2]
+        if last in "bcdğ" and prev in _TR_VOWELS:
+            w = w[:-1] + {"b": "p", "c": "ç", "d": "t", "ğ": "k"}[last]
+        elif last in "dg":
+            lv = _tr_last_vowel(w)
+            if lv is not None:
+                for sv in "ıiuü":
+                    if lv in _TR_HARMONY[sv]:
+                        w = w + sv
+                        break
+    return w
+
+
+# Turkish casing: dotted İ lowers to i, dotless I lowers to ı
+# (TurkishLowerCaseFilter; Python str.lower() maps İ→i+combining-dot
+# and I→i, both wrong for Turkish)
+_TR_CASE = str.maketrans({"İ": "i", "I": "ı"})
+
+
+def turkish_lowercase(text: str) -> str:
+    return text.translate(_TR_CASE).lower()
+
+
+def apostrophe_filter(tokens: list[str]) -> list[str]:
+    """The reference's ``apostrophe`` token filter (Turkish analyzer
+    chain): drop everything from the first apostrophe on —
+    Türkiye'nin → Türkiye."""
+    return [t.split("'", 1)[0] for t in tokens if t.split("'", 1)[0]]
+
+
 SNOWBALL_STEMMERS = {
     "french": stem_french,
     "german": stem_german,
@@ -1702,6 +1894,7 @@ SNOWBALL_STEMMERS = {
     "finnish": stem_finnish,
     "romanian": stem_romanian,
     "hungarian": stem_hungarian,
+    "turkish": stem_turkish,
 }
 
 FINNISH_STOP_SET = frozenset("""
@@ -1801,6 +1994,26 @@ blivit dess inom mellan sådant varför varje vilka ditt vem vilket
 sådana vart dina vars vårt våra ert era vilkas
 """.split())
 
+TURKISH_STOP_SET = frozenset("""
+acaba altı ama ancak arada aslında ayrıca bana bazı belki ben benden
+beni benim beri beş bile bin bir biri birkaç birçok birşey biz bizden
+bize bizi bizim bu buna bunda bundan bunlar bunları bunların bunu
+bunun burada böyle böylece çok çünkü da daha dahi de defa değil diye
+diğer dolayı dolayısıyla edecek eden ederek edilecek ediliyor edilmesi
+ediyor elli en etmesi etti ettiği ettiğini eğer gibi göre halen hangi
+hatta hem henüz hep hepsi her herhangi herkesin hiç hiçbir iki ile
+ilgili ise itibaren itibariyle için işte kadar karşın kendi
+kendilerine kendini kendisi kendisine kendisini kez ki kim kimden
+kime kimi kimse mi mu mü mı nasıl ne neden nedenle nerde nerede
+nereye niye niçin o olan olarak oldu olduklarını olduğu olduğunu
+olmadı olmadığı olmak olması olmayan olmaz olsa olsun olup olur
+olursa oluyor on ona ondan onlar onlardan onları onların onu onun
+otuz oysa sanki sekiz sen senden seni senin siz sizden sizi sizin
+tarafından tüm var vardı ve veya ya yani yapacak yapılan yapılması
+yapıyor yapmak yaptı yaptığı yaptığını yaptıkları yedi yine yirmi
+yoksa yüz zaten
+""".split())
+
 LANGUAGE_STOP_SETS = {
     "_french_": FRENCH_STOP_SET,
     "_german_": GERMAN_STOP_SET,
@@ -1815,6 +2028,7 @@ LANGUAGE_STOP_SETS = {
     "_finnish_": FINNISH_STOP_SET,
     "_romanian_": ROMANIAN_STOP_SET,
     "_hungarian_": HUNGARIAN_STOP_SET,
+    "_turkish_": TURKISH_STOP_SET,
 }
 
 
@@ -1846,12 +2060,21 @@ def _register_language_analyzers():
         stop = LANGUAGE_STOP_SETS[f"_{lang}_"]
         arts = elision_sets.get(lang)
 
-        def analyze(text: str, _stop=stop, _stem=stemfn,
-                    _arts=arts) -> list[str]:
-            toks = standard_analyze(text)
-            if _arts is not None:
-                toks = elision_filter(toks, _arts)
-            return [_stem(t) for t in toks if t not in _stop]
+        if lang == "turkish":
+            # TurkishAnalyzer chain: apostrophe filter →
+            # turkish_lowercase → stop → snowball (createComponents in
+            # the bundled analyzer; the apostrophe filter runs first)
+            def analyze(text: str, _stop=stop, _stem=stemfn):
+                from raydex.analysis.tokenizer import tokenize
+                toks = apostrophe_filter(tokenize(turkish_lowercase(text)))
+                return [_stem(t) for t in toks if t not in _stop]
+        else:
+            def analyze(text: str, _stop=stop, _stem=stemfn,
+                        _arts=arts) -> list[str]:
+                toks = standard_analyze(text)
+                if _arts is not None:
+                    toks = elision_filter(toks, _arts)
+                return [_stem(t) for t in toks if t not in _stop]
 
         register_analyzer(lang, analyze)
 

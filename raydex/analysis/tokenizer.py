@@ -222,7 +222,7 @@ def register_analyzer(name: str, fn: Callable[[str], list[str]],
 _SNOWBALL_LANGS = frozenset((
     "french", "german", "spanish", "italian", "portuguese", "dutch",
     "russian", "danish", "norwegian", "swedish", "finnish", "romanian",
-    "hungarian",
+    "hungarian", "turkish",
 ))
 
 

@@ -25,6 +25,8 @@ from raydex.analysis.snowball import (
     stem_russian,
     stem_spanish,
     stem_swedish,
+    stem_turkish,
+    turkish_lowercase,
 )
 from raydex.analysis.tokenizer import get_analyzer
 
@@ -106,6 +108,23 @@ GOLDEN = {
         # step 0 plural: aua -> a; ele -> e (then final-vowel step 4)
         ("cartea", "cart"), ("muncitorii", "muncit"),
     ],
+    "turkish": [
+        # noun case/possessive chains with vowel harmony, final-stop
+        # devoicing undo (kitabı→kitap), -lArI, buffered -(y)lA/-(s)U
+        ("kitaplar", "kitap"), ("kitabı", "kitap"), ("kitaptan", "kitap"),
+        ("evlerinden", "ev"), ("evleri", "ev"), ("evimiz", "ev"),
+        ("çocukları", "çocuk"), ("çocuğu", "çocuk"),
+        ("okullarda", "okul"), ("okulun", "okul"),
+        ("arabayla", "arap"), ("arabası", "arap"),
+        ("kanadı", "kanat"), ("yapacağı", "yapacak"),
+        ("insanların", "insan"), ("gözlerimizin", "göz"),
+        # d-final stem restores the harmony vowel (append_U rule)
+        ("geldim", "geldi"),
+        # roots protected from the bare -m/-n allomorphs
+        ("insan", "insan"), ("adam", "adam"), ("gün", "gün"),
+        # single-syllable words are never stemmed
+        ("ev", "ev"), ("su", "su"),
+    ],
     "hungarian": [
         ("házakat", "ház"), ("házak", "ház"), ("házat", "ház"),
         ("házam", "ház"), ("házaim", "ház"), ("háza", "ház"),
@@ -150,6 +169,12 @@ def test_family_collapse():
         (stem_hungarian, ["ház", "háza", "házat", "házak", "házakat",
                           "házam", "házaim"]),
         (stem_romanian, ["important", "importante", "importanta"]),
+        (stem_turkish, ["kitap", "kitaplar", "kitabı", "kitapları",
+                        "kitapta", "kitaptan"]),
+        (stem_turkish, ["ev", "evler", "evi", "evde", "evinde",
+                        "evlerinden", "evleri", "evimiz"]),
+        (stem_turkish, ["çocuk", "çocuklar", "çocuğu", "çocukları",
+                        "çocuklara"]),
     ]
     for stem, words in families:
         stems = {stem(w) for w in words}
@@ -174,6 +199,17 @@ def test_language_analyzers_and_stop_sets():
         stops = list(LANGUAGE_STOP_SETS[f"_{lang}_"])[:20]
         toks = an(" ".join(stops))
         assert toks == [], (lang, toks)
+
+
+def test_turkish_analyzer_chain():
+    """apostrophe filter → turkish lowercase (İ→i, I→ı) → stop →
+    snowball, per the reference TurkishAnalyzer createComponents."""
+    assert turkish_lowercase("İIıi") == "iııi"
+    tr = get_analyzer("turkish")
+    toks = tr("Türkiye'nin İstanbul'daki okullarında ÇOCUKLAR "
+              "kitaplar okuyor ve bu çok iyi")
+    assert toks[:4] == ["türki", "istanbul", "okul", "çocuk"]
+    assert "ve" not in toks and "bu" not in toks and "çok" not in toks
 
 
 def test_snowball_stem_unknown_language():

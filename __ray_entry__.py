@@ -1506,6 +1506,17 @@ def q_analyze_tokens(sf):
         ("portuguese", "os meninos trabalhando importantes"),
         ("dutch", "de lichamen en lichamelijke banen"),
         ("russian", "книги и важная процессы"),
+        # round-4 tier: light stemmers + second snowball tier + thai
+        ("arabic", "الكتاب في المدرسة"),
+        ("greek", "Οι εργαζόμενοι στις πόλεις"),
+        ("catalan", "els treballadors de l'administració"),
+        ("indonesian", "mereka membacakan buku untuk anak"),
+        ("czech", "knihami v městech"),
+        ("bulgarian", "книгите и градовете"),
+        ("hindi", "लड़कियाँ किताबें पढ़ती"),
+        ("lithuanian", "knygos miestuose dirbame"),
+        ("estonian", "raamatutes ja linnades"),
+        ("thai", "ประเทศไทยสวยงาม"),
     ]
     for cid, (lang, text) in enumerate(lang_cases, start=3):
         for pos, tok in enumerate(get_analyzer(lang)(text)):
@@ -2374,7 +2385,18 @@ def oracle_sql() -> dict[str, str]:
             "(6, 0, 'lavor'), (6, 1, 'abbandon'), (6, 2, 'nazion'), "
             "(7, 0, 'menin'), (7, 1, 'trabalh'), (7, 2, 'import'), "
             "(8, 0, 'licham'), (8, 1, 'licham'), (8, 2, 'ban'), "
-            "(9, 0, 'книг'), (9, 1, 'важн'), (9, 2, 'процесс')"
+            "(9, 0, 'книг'), (9, 1, 'важн'), (9, 2, 'процесс'), "
+            "(10, 0, 'كتاب'), (10, 1, 'مدرس'), "
+            "(11, 0, 'εργαζομεν'), (11, 1, 'πολ'), "
+            "(12, 0, 'treball'), (12, 1, 'administr'), "
+            "(13, 0, 'baca'), (13, 1, 'buku'), (13, 2, 'anak'), "
+            "(14, 0, 'knih'), (14, 1, 'měst'), "
+            "(15, 0, 'книги'), (15, 1, 'град'), "
+            "(16, 0, 'लडक'), (16, 1, 'किताब'), (16, 2, 'पढ'), "
+            "(17, 0, 'knyg'), (17, 1, 'miest'), (17, 2, 'dirb'), "
+            "(18, 0, 'raamatu'), (18, 1, 'linna'), "
+            "(19, 0, 'ประ'), (19, 1, 'เทศ'), (19, 2, 'ไท'), "
+            "(19, 3, 'ย'), (19, 4, 'สวย'), (19, 5, 'งาม')"
             ") AS t(case_id, position, token)"
         ),
         "terms_lang": (

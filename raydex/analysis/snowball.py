@@ -2080,3 +2080,12 @@ def _register_language_analyzers():
 
 
 _register_language_analyzers()
+
+
+# second snowball tier (catalan/basque/armenian/irish/lithuanian/
+# estonian) merges into the same dispatch so snowball_stem() and the
+# named stop sets cover all twenty languages
+from raydex.analysis import snowball2 as _snowball2  # noqa: E402, F401
+
+# (the merge itself happens at the bottom of snowball2 so either
+# import order initializes exactly once)

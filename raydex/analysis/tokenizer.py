@@ -223,6 +223,13 @@ _SNOWBALL_LANGS = frozenset((
     "french", "german", "spanish", "italian", "portuguese", "dutch",
     "russian", "danish", "norwegian", "swedish", "finnish", "romanian",
     "hungarian", "turkish",
+    "catalan", "basque", "armenian", "irish", "lithuanian", "estonian",
+))
+
+_LIGHT_LANGS = frozenset((
+    "arabic", "persian", "hindi", "bengali", "sorani",
+    "greek", "bulgarian", "czech", "latvian", "galician", "brazilian",
+    "indonesian", "thai", "chinese", "cjk",
 ))
 
 
@@ -233,6 +240,11 @@ def get_analyzer(name: str) -> Analyzer:
         import raydex.analysis.annotated  # noqa: F401  (registers it)
     if name in _SNOWBALL_LANGS and name not in _REGISTRY:
         import raydex.analysis.snowball  # noqa: F401  (registers them)
+    if name in _LIGHT_LANGS and name not in _REGISTRY:
+        import raydex.analysis.light_stemmers  # noqa: F401
+        import raydex.analysis.euro_stemmers  # noqa: F401
+    if name == "english" and name not in _REGISTRY:
+        import raydex.analysis.stemmer  # noqa: F401  (registers it)
     return _REGISTRY[name]
 
 

@@ -183,7 +183,8 @@ def test_family_collapse():
 
 def test_stemmers_deterministic_and_bounded():
     for lang, stem in SNOWBALL_STEMMERS.items():
-        for word, _ in GOLDEN[lang]:
+        # second-tier languages carry their goldens in test_lang_tier
+        for word, _ in GOLDEN.get(lang, []):
             a, b = stem(word), stem(word)
             assert a == b  # deterministic
             assert len(a) <= len(word) + 2  # no runaway growth

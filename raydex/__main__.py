@@ -217,6 +217,54 @@ def main(argv=None) -> int:
     pt.add_argument("--id", default=None, help="pit id (close)")
     pt.add_argument("--keep-alive", type=float, default=300.0)
 
+    ms = sub.add_parser("msearch", help="multi-search: one JSON body "
+                        "per --item, per-item error isolation")
+    ms.add_argument("--index", required=True)
+    ms.add_argument("--item", action="append", required=True,
+                    help="search body JSON (repeatable)")
+
+    gs = sub.add_parser("get-source", help="GET _source/<id> with "
+                        "include/exclude projection")
+    gs.add_argument("--index", required=True)
+    gs.add_argument("--id", required=True)
+    gs.add_argument("--source", default=None,
+                    help="comma includes or JSON {includes, excludes}")
+
+    sh = sub.add_parser("search-shards")
+    sh.add_argument("--index", required=True)
+
+    sg2 = sub.add_parser("segments", help="per-partition segment rows "
+                         "(docs, deletes, bytes)")
+    sg2.add_argument("--index", required=True)
+
+    ist = sub.add_parser("index-stats", help="_stats: docs/store/segments")
+    ist.add_argument("--index", required=True)
+
+    mp = sub.add_parser("mapping", help="get / get-field / put (additive)")
+    mp.add_argument("--index", required=True)
+    mp.add_argument("--action", default="get",
+                    choices=["get", "field", "put"])
+    mp.add_argument("--fields", default=None, help="comma globs (field)")
+    mp.add_argument("--properties", default=None, help="JSON (put)")
+
+    en = sub.add_parser("enrich", help="enrich policy lifecycle")
+    en.add_argument("--root", required=True)
+    en.add_argument("--action", required=True,
+                    choices=["put", "get", "delete", "execute"])
+    en.add_argument("--name", default=None)
+    en.add_argument("--policy", default=None, help="policy JSON (put)")
+
+    rv = sub.add_parser("resolve", help="_resolve/index over dirs, "
+                        "aliases, data streams")
+    rv.add_argument("--expression", required=True)
+    rv.add_argument("--alias-root", default=None)
+    rv.add_argument("--ds-root", default=None)
+
+    rls = sub.add_parser("rollup-search", help="aggregate FROM a rolled-up "
+                         "parquet table (stored-moment recombination)")
+    rls.add_argument("--table", required=True, help="rollup parquet path")
+    rls.add_argument("--body", required=True, help="aggregations JSON")
+
     a = p.parse_args(argv)
 
     if a.cmd == "build":
@@ -461,6 +509,75 @@ def main(argv=None) -> int:
         )
         for h in hits:
             print(json.dumps(h))
+    elif a.cmd == "msearch":
+        from raydex.search.misc_api import msearch
+        from raydex.search.scatter import LocalSearcher
+
+        res = msearch(LocalSearcher(a.index),
+                      [json.loads(it) for it in a.item])
+        for r in res:
+            print(json.dumps(r))
+    elif a.cmd == "get-source":
+        from raydex.search.misc_api import get_source
+
+        src = None
+        if a.source:
+            src = (json.loads(a.source) if a.source.lstrip().startswith("{")
+                   else [f.strip() for f in a.source.split(",")])
+        doc = get_source(a.index, a.id, source=src)
+        print(json.dumps(doc if doc is not None else {"found": False}))
+    elif a.cmd == "search-shards":
+        from raydex.search.misc_api import search_shards
+
+        print(json.dumps(search_shards(a.index)))
+    elif a.cmd == "segments":
+        from raydex.index.stats_api import index_segments
+
+        print(json.dumps(index_segments(a.index)))
+    elif a.cmd == "index-stats":
+        from raydex.index.stats_api import index_stats
+
+        print(json.dumps(index_stats(a.index)))
+    elif a.cmd == "mapping":
+        from raydex.index.stats_api import (
+            get_field_mapping,
+            get_mapping,
+            put_mapping,
+        )
+
+        if a.action == "get":
+            print(json.dumps(get_mapping(a.index)))
+        elif a.action == "field":
+            fields = [f.strip() for f in (a.fields or "*").split(",")]
+            print(json.dumps(get_field_mapping(a.index, fields)))
+        else:
+            print(json.dumps(put_mapping(a.index,
+                                         json.loads(a.properties))))
+    elif a.cmd == "enrich":
+        from raydex.ops.enrich import EnrichRegistry
+
+        reg = EnrichRegistry(a.root)
+        if a.action == "put":
+            print(json.dumps(reg.put_policy(a.name, json.loads(a.policy))))
+        elif a.action == "get":
+            print(json.dumps(reg.get_policy(a.name)))
+        elif a.action == "delete":
+            print(json.dumps(reg.delete_policy(a.name)))
+        else:
+            print(json.dumps(reg.execute_policy(a.name)))
+    elif a.cmd == "resolve":
+        from raydex.index.aliases import resolve_index
+
+        print(json.dumps(resolve_index(a.expression,
+                                       alias_root=a.alias_root,
+                                       ds_root=a.ds_root)))
+    elif a.cmd == "rollup-search":
+        import pyarrow.parquet as _pq
+
+        from raydex.ops.rollup import rollup_search
+
+        print(json.dumps(rollup_search(_pq.read_table(a.table),
+                                       json.loads(a.body))))
     elif a.cmd == "pit":
         from raydex.search.pit import close_pit, expire_pits, open_pit
 

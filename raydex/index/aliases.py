@@ -250,3 +250,51 @@ class AliasedSearcher:
         return sum(
             s.count(wrap_alias_filter(qdict, flt)) for flt, s in self.parts
         )
+
+
+def resolve_index(expression: str, alias_root: str | None = None,
+                  ds_root: str | None = None) -> dict:
+    """`GET _resolve/index/<expression>` analogue
+    (ResolveIndexAction): classify what an expression resolves to —
+    concrete index dirs (glob-aware), aliases from a registry root,
+    and data streams from a stream root — in the reference's response
+    shape ({indices, aliases, data_streams})."""
+    import fnmatch
+
+    from raydex.search.scatter import resolve_index_dirs
+
+    out = {"indices": [], "aliases": [], "data_streams": []}
+    parts = [p.strip() for p in str(expression).split(",") if p.strip()]
+
+    alias_map = {}
+    if alias_root is not None:
+        alias_map = AliasRegistry(alias_root).aliases()
+    streams = {}
+    if ds_root is not None:
+        from raydex.index.datastream import DataStreamRegistry
+        streams = DataStreamRegistry(ds_root).streams()
+
+    seen_idx: set[str] = set()
+    for p in parts:
+        for name, entries in sorted(alias_map.items()):
+            if fnmatch.fnmatchcase(name, p):
+                out["aliases"].append(
+                    {"name": name,
+                     "indices": [e["index"] for e in entries]})
+        for name, meta in sorted(streams.items()):
+            if fnmatch.fnmatchcase(name, p):
+                out["data_streams"].append(
+                    {"name": name,
+                     "backing_indices": list(meta.get("indices", []))})
+        try:
+            for d in resolve_index_dirs(p):
+                import os
+                if d in seen_idx:
+                    continue
+                if os.path.exists(os.path.join(d, "index_manifest.json")):
+                    seen_idx.add(d)
+                    out["indices"].append(
+                        {"name": d, "attributes": ["open"]})
+        except ValueError:
+            pass  # pure alias/stream expressions have no concrete dir
+    return out

@@ -377,6 +377,11 @@ def build_index(
     import ray.data as rd
     from ray.data.context import DataContext, ShuffleStrategy
 
+    if os.path.exists(os.path.join(index_dir, "index_state.json")):
+        from raydex.index.blocks import check_write
+
+        check_write(index_dir)  # closed / write-blocked index
+
     # key-based repartition requires the hash-shuffle backend (also the
     # right choice for this workload: no global sort needed). Cap the
     # aggregator actor pool and its CPU reservation so the shuffle does

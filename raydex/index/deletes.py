@@ -97,8 +97,10 @@ def delete_by_query(index_dir: str, qdict: dict, use_ray: bool = True) -> dict:
     opens readers, so the op is metadata-sized at any index size), then
     one task per segment writes its bitmap.
     Returns {"deleted": n, "segments_touched": m}."""
+    from raydex.index.blocks import check_write
     from raydex.search.scatter import SearcherBase
 
+    check_write(index_dir)  # write-blocked / closed indexes reject
     s = SearcherBase(index_dir)  # manifest + analyzer only, no readers
     terms, fpairs = s._collect_stats_spec(qdict)
     if use_ray:

@@ -1293,11 +1293,18 @@ class SegmentReader:
             else:
                 fn = RUNTIME_FIELDS.get(name)
                 if fn is None:
-                    raise ValueError(
-                        f"no stored column or registered runtime field "
-                        f"{name!r} (register_runtime_field)"
-                    )
-                vals = fn(self)
+                    if name in self.manifest.get("mapped_dataless", []):
+                        # mapped via PUT _mapping after this segment was
+                        # built: the reference matches nothing on a
+                        # mapped field with no indexed data
+                        vals = [""] * self.ndocs
+                    else:
+                        raise ValueError(
+                            f"no stored column or registered runtime "
+                            f"field {name!r} (register_runtime_field)"
+                        )
+                else:
+                    vals = fn(self)
             self._derived[key] = DerivedFieldIndex(vals)
         return self._derived[key]
 

@@ -154,3 +154,41 @@ def _patterns_overlap(a: str, b: str) -> bool:
     return (
         fnmatch.fnmatchcase(probe_a, b) or fnmatch.fnmatchcase(probe_b, a)
     )
+
+
+def simulate_index_template(registry: IndexTemplateRegistry,
+                            index_name: str) -> dict:
+    """`POST _index_template/_simulate_index/<name>` analogue
+    (TransportSimulateIndexTemplateAction): the effective merged
+    template a new index with this name would get, plus every OTHER
+    matching template it overrides (the `overlapping` list)."""
+    data = registry._load()
+    winner = registry.match(index_name)
+    overlapping = []
+    for name, t in sorted(data["templates"].items()):
+        if name == winner:
+            continue
+        if any(fnmatch.fnmatchcase(index_name, p)
+               for p in t["index_patterns"]):
+            overlapping.append(
+                {"name": name, "index_patterns": t["index_patterns"]})
+    return {"template": registry.resolve(index_name),
+            "matched_template": winner,
+            "overlapping": overlapping}
+
+
+def simulate_template(registry: IndexTemplateRegistry,
+                      name: str) -> dict:
+    """`POST _index_template/_simulate/<name>`: the fully composed body
+    of one NAMED template (components merged in composed_of order)."""
+    data = registry._load()
+    if name not in data["templates"]:
+        raise KeyError(name)
+    t = data["templates"][name]
+    out: dict = {"settings": {}, "mappings": []}
+    for comp in t["composed_of"]:
+        _merge(out, data["components"][comp]["template"])
+    _merge(out, t["template"])
+    return {"template": out,
+            "index_patterns": t["index_patterns"],
+            "priority": t["priority"]}

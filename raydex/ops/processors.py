@@ -218,14 +218,38 @@ def p_dissect(batch, field, pattern, _rx_cache={}):
     return batch
 
 
+# built-in grok pattern library (the published logstash/grok core set;
+# `GET _ingest/processor/grok` serves it via grok_patterns())
+GROK_BUILTIN_PATTERNS = {
+    "WORD": r"\w+", "NUMBER": r"-?\d+(?:\.\d+)?", "INT": r"-?\d+",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}", "NOTSPACE": r"\S+",
+    "DATA": r".*?", "GREEDYDATA": r".*",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "MAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "LOGLEVEL": (r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|"
+                 r"[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn?(?:ing)?|"
+                 r"WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|"
+                 r"[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|"
+                 r"[Ss]evere|SEVERE)"),
+    "TIMESTAMP_ISO8601": (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                          r"(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?"),
+    "HOSTNAME": (r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+                 r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b"),
+    "QUOTEDSTRING": r'"[^"]*"|\'[^\']*\'',
+}
+
+
+def grok_patterns() -> dict:
+    """`GET _ingest/processor/grok` analogue: the built-in pattern
+    bank (GrokProcessorGetAction returns the bundled pattern map)."""
+    return {"patterns": dict(GROK_BUILTIN_PATTERNS)}
+
+
 def p_grok(batch, field, pattern, _rx_cache={}, patterns: dict | None = None):
-    """`grok` processor: named-capture regex with a small built-in
+    """`grok` processor: named-capture regex with the built-in
     pattern library (%{WORD:name} style)."""
-    lib = {
-        "WORD": r"\w+", "NUMBER": r"-?\d+(?:\.\d+)?", "INT": r"-?\d+",
-        "IP": r"\d{1,3}(?:\.\d{1,3}){3}", "NOTSPACE": r"\S+",
-        "DATA": r".*?", "GREEDYDATA": r".*",
-    }
+    lib = dict(GROK_BUILTIN_PATTERNS)
     if patterns:
         lib.update(patterns)
     rx = _rx_cache.get(pattern)

@@ -232,3 +232,71 @@ def transform_latest(ds, unique_key, sort_col: str, tiebreak_col: str):
         "__latest_key", sort_col, tiebreak_col, k=1)
     return out.map_batches(lambda t: t.drop_columns(["__latest_key"]),
                            batch_format="pyarrow")
+
+
+def rollup_search(table: pa.Table, body: dict) -> dict:
+    """`_rollup_search` analogue (RollupSearchAction /
+    RollupResponseTranslator): answer a live-style aggregation request
+    FROM a rolled-up table by re-combining the stored moments —
+    doc_count = Σ_doc_count, sum = Σ<f>.sum, value_count =
+    Σ<f>.value_count, min = min(<f>.min), max = max(<f>.max),
+    avg = Σsum / Σvalue_count. One bucketing agg (terms or
+    date_histogram over a rolled-up group column) with metric
+    sub-aggs, the reference's supported shape."""
+    import pyarrow.compute as pc
+
+    aggs = body.get("aggregations") or body.get("aggs") or {}
+    if len(aggs) != 1:
+        raise ValueError("rollup_search supports exactly one top agg")
+    name, spec = next(iter(aggs.items()))
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    if "date_histogram" in spec:
+        field = spec["date_histogram"]["field"]
+        key_col = f"{field}.bucket"
+    elif "terms" in spec:
+        key_col = spec["terms"]["field"]
+    else:
+        raise ValueError("rollup_search needs terms or date_histogram")
+    if key_col not in table.column_names:
+        raise ValueError(
+            f"field {key_col!r} was not rolled up into this table")
+
+    plan = [("_doc_count", "sum")]
+    finals = []  # (out_name, kind, field)
+    for sname, sspec in sub.items():
+        (kind, body2), = sspec.items()
+        f = body2["field"]
+        if kind in ("sum", "avg", "min", "max", "value_count"):
+            finals.append((sname, kind, f))
+        else:
+            raise ValueError(f"unsupported rollup metric {kind!r}")
+        need = {"avg": ("sum", "value_count"), "sum": ("sum",),
+                "min": ("min",), "max": ("max",),
+                "value_count": ("value_count",)}[kind]
+        for moment in need:
+            col = f"{f}.{moment}"
+            if col not in table.column_names:
+                raise ValueError(f"moment {col!r} missing from rollup")
+            comb = "min" if moment == "min" else (
+                "max" if moment == "max" else "sum")
+            plan.append((col, comb))
+    plan = sorted(set(plan))
+    g = table.group_by([key_col]).aggregate(plan)
+    order = pc.sort_indices(g[key_col])
+    g = g.take(order)
+
+    buckets = []
+    for i in range(g.num_rows):
+        b = {"key": g[key_col][i].as_py(),
+             "doc_count": int(g["_doc_count_sum"][i].as_py())}
+        for sname, kind, f in finals:
+            if kind == "avg":
+                s = g[f"{f}.sum_sum"][i].as_py()
+                n = g[f"{f}.value_count_sum"][i].as_py()
+                b[sname] = {"value": (s / n) if n else None}
+            else:
+                comb = "min" if kind == "min" else (
+                    "max" if kind == "max" else "sum")
+                b[sname] = {"value": g[f"{f}.{kind}_{comb}"][i].as_py()}
+        buckets.append(b)
+    return {"aggregations": {name: {"buckets": buckets}}}

@@ -931,9 +931,12 @@ class SearcherBase:
     IDF over the union, the dfs_query_then_fetch-consistent mode."""
 
     def __init__(self, index_dir):
+        from raydex.index.blocks import check_read
         from raydex.index.build import load_index_manifest, segment_dirs
 
         dirs = resolve_index_dirs(index_dir)
+        for d in dirs:
+            check_read(d)  # closed / read-blocked indexes reject search
         manifests = [load_index_manifest(d) for d in dirs]
         analyzers = {m["analyzer"] for m in manifests}
         if len(analyzers) > 1:

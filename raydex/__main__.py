@@ -113,6 +113,19 @@ def main(argv=None) -> int:
     g.add_argument("--id", required=True, nargs="+",
                    help="one or more document ids (urls)")
 
+    dw = sub.add_parser("doc", help="single-document writes: index / "
+                        "update / delete (refresh-gated visibility)")
+    dw.add_argument("action", choices=["index", "create", "update",
+                                       "delete"])
+    dw.add_argument("--index", required=True)
+    dw.add_argument("--id", help="document id (url); for index/create "
+                    "it may instead live in the --doc body")
+    dw.add_argument("--doc", help="JSON source body (full doc for "
+                    "index/create, partial for update)")
+    dw.add_argument("--doc-as-upsert", action="store_true")
+    dw.add_argument("--no-refresh", action="store_true",
+                    help="buffer only (caller refreshes later)")
+
     an = sub.add_parser("analyze")
     an.add_argument("--text", required=True)
     an.add_argument("--analyzer", default="standard_en")
@@ -397,6 +410,25 @@ def main(argv=None) -> int:
             print(json.dumps(row if row is None or "text" not in row
                              else {**row, "text": row["text"][:200]},
                              default=str))
+    elif a.cmd == "doc":
+        from raydex.index import docwrite
+
+        body = json.loads(a.doc) if a.doc else {}
+        if a.id:
+            body.setdefault("url", a.id)
+        refresh = not a.no_refresh
+        if a.action in ("index", "create"):
+            r = docwrite.index_doc(a.index, body,
+                                   create=(a.action == "create"),
+                                   refresh=refresh)
+        elif a.action == "update":
+            r = docwrite.update_doc(a.index, body.pop("url"), doc=body,
+                                    doc_as_upsert=a.doc_as_upsert,
+                                    refresh=refresh)
+        else:
+            r = docwrite.delete_doc(a.index, body.pop("url"),
+                                    refresh=refresh)
+        print(json.dumps(r, default=str))
     elif a.cmd == "analyze":
         # the `_analyze` API analogue (es/action/admin/indices/analyze)
         from raydex.analysis.tokenizer import get_analyzer

@@ -1,0 +1,475 @@
+"""Single-document write path — ``PUT _doc`` / ``_update`` / ``DELETE _doc``.
+
+Reference: ``server/src/main/java/org/elasticsearch/action/index/
+TransportIndexAction.java`` (single-doc index routed to one shard by
+murmur3), ``action/update/TransportUpdateAction.java`` + ``UpdateHelper
+.java`` (GET-then-reindex partial update, ``doc_as_upsert``,
+``detect_noop``), ``action/delete/TransportDeleteAction.java``, and
+``index/engine/InternalEngine.java``: writes land in an in-memory
+indexing buffer (Lucene's IndexWriter RAM buffer) and become searchable
+only at **refresh**, which cuts a new small segment
+(``RefreshListeners.java`` / the ``?refresh=wait_for`` contract).
+
+raydex mapping:
+
+- ``DocWriter`` is the per-index engine buffer. ``index_doc`` /
+  ``update_doc`` / ``delete_doc`` mutate only the buffer (plus a
+  monotonic ``_seq_no`` persisted in ``write_log.json`` — the
+  per-shard sequence-number service, ``SequenceNumbers.java``).
+- ``refresh()`` makes the buffer visible: it soft-deletes superseded
+  copies (latest-wins, the same contract the bulk build enforces) in
+  the ROUTED partitions only — a micro-write never touches the other
+  N-1 partitions of a 10^12-doc index — then cuts one micro-segment
+  per touched partition with the index's recorded build parameters
+  (same analyzer, same field specs, same index sort) and appends it to
+  the manifests atomically. Segment ids sort after the bulk-build ids
+  (``seg-PPPPP-wNNNN``), keeping the global (part, seg_id) tie-break
+  order stable.
+- Micro-segments additionally STORE the full source columns the doc
+  arrived with (the ``_source``/translog analogue) so point GETs and
+  partial updates round-trip. Bulk-build segments intentionally do
+  not store text (at corpus scale the source stays in the lineage
+  parquet); a partial ``_update`` against such a doc therefore raises
+  the ``DocumentSourceMissingException`` analogue exactly like the
+  reference does when ``_source`` is disabled (``UpdateHelper.java``).
+
+The buffered path is deliberately driver-local (no Ray tasks): a
+single-document write is a latency operation, not a throughput one —
+the bulk build remains the scale path, and a refresh touches
+O(buffered partitions) segments, never the whole index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from raydex.index.build import (
+    INDEX_MANIFEST,
+    PART_MANIFEST,
+    _part_dir,
+    load_index_manifest,
+)
+from raydex.index.segment import FieldSpec, build_segment
+from raydex.partition import route_partitions
+
+_RESERVED = {"part", "_seg_id", "_docid", "_seq_no"}
+
+
+class DocumentSourceMissing(KeyError):
+    """Partial update against a doc whose source is not stored
+    (bulk-built segments) — the reference's
+    ``DocumentSourceMissingException``."""
+
+
+class VersionConflict(ValueError):
+    """``op_type=create`` on an existing id — the reference's 409
+    ``VersionConflictEngineException``."""
+
+
+def _seq_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "write_log.json")
+
+
+def _load_seq(index_dir: str) -> int:
+    p = _seq_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f)["seq_no"])
+    return -1
+
+
+def _store_seq(index_dir: str, seq: int) -> None:
+    tmp = _seq_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"seq_no": seq}, f)
+    os.replace(tmp, _seq_path(index_dir))
+
+
+class DocWriter:
+    """Buffered single-document writer over a built index."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = load_index_manifest(index_dir)
+        with open(os.path.join(index_dir, "build_params.json")) as f:
+            self.params = json.load(f)
+        self.fields = [FieldSpec.from_json(d)
+                       for d in self.params.get("fields") or []]
+        self.num_partitions = int(self.params["num_partitions"])
+        # url -> full source doc (dict); insertion order irrelevant —
+        # the dict itself IS the latest-wins buffer
+        self.buffer: dict[str, dict] = {}
+        self.tombstones: set[str] = set()
+        self._seq = _load_seq(index_dir)
+
+    # -- buffer ops ------------------------------------------------------
+
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def _get_stored(self, url: str, columns=None) -> dict | None:
+        from raydex.search.get import get_doc
+
+        return get_doc(self.index_dir, url, columns=columns)
+
+    def index_doc(self, doc: dict, create: bool = False) -> dict:
+        """``PUT <index>/_doc/<id>`` (``op_type=index`` default;
+        ``create=True`` = ``op_type=create`` → conflict if the id
+        exists). ``doc`` must carry ``url`` and the source columns the
+        index's build parameters analyze (``text`` — or ``html`` when
+        the build extracted — plus every mapped field's source)."""
+        url = doc.get("url")
+        if not url:
+            raise ValueError("doc requires a non-empty 'url' (the _id)")
+        exists = (url in self.buffer
+                  or (url not in self.tombstones
+                      and self._get_stored(url, columns=["url"]) is not None))
+        if create and exists:
+            raise VersionConflict(
+                f"[{url}]: version conflict, document already exists")
+        self._check_source(doc)
+        self.buffer[url] = dict(doc)
+        self.tombstones.discard(url)
+        return {"_id": url, "result": "updated" if exists else "created",
+                "_seq_no": self._next_seq()}
+
+    def _check_source(self, doc: dict) -> None:
+        need = ["html"] if self.params.get("source") == "html" else ["text"]
+        if self.params.get("source") == "verify":
+            need = ["html", "text"]
+        for spec in self.fields:
+            if spec.analyzer == "alias":
+                continue
+            srcs = (spec.source if isinstance(spec.source, (list, tuple))
+                    else [spec.source])
+            need.extend(srcs)
+        if self.params.get("index_sort"):
+            need.append(self.params["index_sort"][0])
+        missing = [c for c in dict.fromkeys(need) if c not in doc]
+        if missing:
+            raise ValueError(
+                f"doc is missing required source columns {missing} "
+                f"(build params demand them)")
+
+    def update_doc(self, url: str, doc: dict | None = None,
+                   doc_as_upsert: bool = False, upsert: dict | None = None,
+                   detect_noop: bool = True) -> dict:
+        """``POST <index>/_update/<id>``: GET-then-merge-then-reindex
+        (``UpdateHelper.prepare``). ``doc`` is the partial source;
+        ``doc_as_upsert``/``upsert`` supply the create path when the id
+        is absent. ``detect_noop`` returns ``result='noop'`` when the
+        merge changes nothing (reference default true)."""
+        doc = dict(doc or {})
+        current = self.buffer.get(url)
+        if current is None and url not in self.tombstones:
+            stored = self._get_stored(url)
+            if stored is not None:
+                if not stored.get("_stored_source"):
+                    raise DocumentSourceMissing(
+                        f"[{url}]: document source missing — the doc "
+                        "was bulk-built without stored source (the "
+                        "reference's DocumentSourceMissingException "
+                        "when _source is disabled)")
+                current = {k: v for k, v in stored.items()
+                           if k not in _RESERVED
+                           and k not in ("dl", "norm", "_stored_source")}
+        if current is None:
+            if doc_as_upsert:
+                merged = dict(doc)
+                merged.setdefault("url", url)
+            elif upsert is not None:
+                merged = dict(upsert)
+                merged.setdefault("url", url)
+            else:
+                raise KeyError(f"[{url}]: document missing")
+            self._check_source(merged)
+            self.buffer[url] = merged
+            self.tombstones.discard(url)
+            return {"_id": url, "result": "created",
+                    "_seq_no": self._next_seq()}
+        merged = {**current, **doc, "url": url}
+        if detect_noop and all(current.get(k) == v for k, v in doc.items()):
+            return {"_id": url, "result": "noop", "_seq_no": self._seq}
+        self._check_source(merged)
+        self.buffer[url] = merged
+        return {"_id": url, "result": "updated",
+                "_seq_no": self._next_seq()}
+
+    def delete_doc(self, url: str) -> dict:
+        """``DELETE <index>/_doc/<id>``."""
+        buffered = self.buffer.pop(url, None)
+        on_disk = self._get_stored(url, columns=["url"]) is not None
+        if on_disk:
+            self.tombstones.add(url)
+        if buffered is None and not on_disk:
+            return {"_id": url, "result": "not_found", "_seq_no": self._seq}
+        return {"_id": url, "result": "deleted", "_seq_no": self._next_seq()}
+
+    # -- refresh: make the buffer searchable ------------------------------
+
+    def refresh(self) -> dict:
+        """Cut one micro-segment per buffered partition + apply
+        tombstones. Touches only routed partitions. Returns
+        ``{"segments": n, "docs": n, "deleted": n}``."""
+        if not self.buffer and not self.tombstones:
+            _store_seq(self.index_dir, self._seq)
+            return {"segments": 0, "docs": 0, "deleted": 0}
+        kill = sorted(set(self.buffer) | self.tombstones)
+        deleted = _delete_ids_routed(self.index_dir, kill,
+                                     self.num_partitions)
+        new_rows = self._flush_segments() if self.buffer else []
+        if new_rows:
+            _append_manifest_rows(self.index_dir, new_rows)
+            self.manifest = load_index_manifest(self.index_dir)
+        self.buffer.clear()
+        self.tombstones.clear()
+        _store_seq(self.index_dir, self._seq)
+        return {"segments": len(new_rows),
+                "docs": int(sum(r["doc_count"] for r in new_rows)),
+                "deleted": deleted}
+
+    def _routing_keys(self, urls: list[str], docs: list[dict]) -> list[str]:
+        join_specs = [s for s in self.fields if s.analyzer == "join"]
+        if not join_specs:
+            return urls
+        from raydex.index.joinfield import join_routing_keys
+
+        src = join_specs[0].source
+        vals = pa.array([d.get(src) for d in docs])
+        return join_routing_keys(vals, urls)
+
+    def _flush_segments(self) -> list[dict]:
+        from raydex.analysis.html_strip import extract_text_many
+
+        urls = sorted(self.buffer)
+        docs = [self.buffer[u] for u in urls]
+        parts = route_partitions(self._routing_keys(urls, docs),
+                                 self.num_partitions)
+        by_part: dict[int, list[int]] = {}
+        for i, p in enumerate(parts):
+            by_part.setdefault(int(p), []).append(i)
+        rows = []
+        for p in sorted(by_part):
+            idxs = by_part[p]  # url-ascending (urls sorted)
+            p_urls = [urls[i] for i in idxs]
+            p_docs = [docs[i] for i in idxs]
+            src_mode = self.params.get("source", "text")
+            if src_mode in ("html", "verify"):
+                texts = extract_text_many(
+                    [d.get("html", b"") for d in p_docs])
+                if src_mode == "verify":
+                    for u, got, d in zip(p_urls, texts, p_docs):
+                        if got != d.get("text"):
+                            raise ValueError(
+                                f"extracted text != text column for "
+                                f"url={u!r}")
+            else:
+                texts = [str(d.get("text") or "") for d in p_docs]
+            isort = self.params.get("index_sort")
+            order = list(range(len(p_urls)))
+            if isort:
+                sf, sdir = isort
+                keys = [p_docs[i].get(sf) for i in order]
+                order.sort(key=lambda i: (p_docs[i].get(sf),),
+                           reverse=(sdir == "desc"))
+                p_urls = [p_urls[i] for i in order]
+                p_docs = [p_docs[i] for i in order]
+                texts = [texts[i] for i in order]
+            extra_fields = []
+            for spec in self.fields:
+                if spec.analyzer == "alias":
+                    extra_fields.append((spec, None))
+                    continue
+                if isinstance(spec.source, (list, tuple)):
+                    vals = pa.array(
+                        [" ".join(str(d.get(c) or "") for c in spec.source)
+                         for d in p_docs], type=pa.large_string())
+                else:
+                    vals = pa.array([d.get(spec.source) for d in p_docs])
+                extra_fields.append((spec, vals))
+            # stored source: every non-reserved doc column except the
+            # primary text inputs already stored elsewhere
+            dv: dict[str, pa.Array] = {}
+            src_cols = sorted(
+                {k for d in p_docs for k in d} - _RESERVED - {"url"})
+            for c in src_cols:
+                dv[c] = pa.array([d.get(c) for d in p_docs])
+            dv["_stored_source"] = pa.array([True] * len(p_docs))
+            part_dir = _part_dir(self.index_dir, p)
+            os.makedirs(part_dir, exist_ok=True)
+            n = sum(1 for r in self.manifest["segments"]
+                    if r["part"] == p and "-w" in r["seg_id"])
+            while True:
+                seg_id = f"seg-{p:05d}-w{n:04d}"
+                if not os.path.exists(os.path.join(part_dir, seg_id)):
+                    break
+                n += 1
+            m = build_segment(
+                os.path.join(part_dir, seg_id),
+                p_urls,
+                pa.array(texts, type=pa.large_string()),
+                analyzer=self.params["analyzer"],
+                input_fragments=["<doc-writes>"],
+                seg_id=seg_id,
+                store_positions=bool(self.params.get("store_positions")),
+                extra_fields=extra_fields,
+                doc_values=dv or None,
+                index_sort=tuple(isort) if isort else None,
+            )
+            rows.append(_manifest_row(p, seg_id, m))
+        return rows
+
+
+def _manifest_row(p: int, seg_id: str, m: dict) -> dict:
+    """The same row shape ``_BuildPartition`` appends (build.py:244)."""
+    return {
+        "part": int(p),
+        "seg_id": seg_id,
+        "doc_count": m["doc_count"],
+        "sum_dl": m["sum_dl"],
+        "term_count": m["term_count"],
+        "max_df": m["max_df"],
+        "content_hash": m["content_hash"],
+        "field_sum_dl": json.dumps(
+            {f: fm["sum_dl"] for f, fm in m.get("fields", {}).items()}),
+        "field_extra": json.dumps(
+            {f: ({"dims": fm.get("dims", 0),
+                  "similarity": fm.get("similarity", "cosine")}
+                 if fm.get("kind") == "dense_vector"
+                 else {"value_count": fm.get("value_count", 0),
+                       "sum_ln": fm.get("sum_ln", 0.0),
+                       "positive_count": fm.get("positive_count", 0)})
+             for f, fm in m.get("fields", {}).items()
+             if fm.get("kind") in ("rank_feature", "dense_vector")}),
+    }
+
+
+def _append_manifest_rows(index_dir: str, new_rows: list[dict]) -> None:
+    """Append micro-segment rows + recompute global totals (same law as
+    compact.py's manifest rewrite), atomically; keep each touched
+    partition's ``partition_manifest.json`` consistent for resume."""
+    m = load_index_manifest(index_dir)
+    rows = list(m["segments"]) + new_rows
+    rows.sort(key=lambda r: (r["part"], r["seg_id"]))
+    field_sum_dl: dict[str, int] = {}
+    field_extra: dict[str, dict] = {}
+    for r in rows:
+        for f, v in json.loads(r.get("field_sum_dl") or "{}").items():
+            field_sum_dl[f] = field_sum_dl.get(f, 0) + int(v)
+        for f, fx in json.loads(r.get("field_extra") or "{}").items():
+            if "dims" in fx:
+                field_extra[f] = fx
+            else:
+                acc = field_extra.setdefault(
+                    f, {"value_count": 0, "sum_ln": 0.0,
+                        "positive_count": 0})
+                acc["value_count"] += int(fx.get("value_count", 0))
+                acc["sum_ln"] += float(fx.get("sum_ln", 0.0))
+                acc["positive_count"] += int(fx.get("positive_count", 0))
+    m.update(
+        doc_count=int(sum(r["doc_count"] for r in rows)),
+        sum_dl=int(sum(r["sum_dl"] for r in rows)),
+        segments=rows,
+    )
+    for fname, meta in (m.get("fields") or {}).items():
+        meta = dict(meta)
+        meta["sum_dl"] = field_sum_dl.get(fname, 0)
+        meta.update(field_extra.get(fname, {}))
+        m["fields"][fname] = meta
+    for p in sorted({r["part"] for r in new_rows}):
+        pdir = _part_dir(index_dir, p)
+        prow = [r for r in rows if r["part"] == p]
+        pm_path = os.path.join(pdir, PART_MANIFEST)
+        pm = {}
+        if os.path.exists(pm_path):
+            with open(pm_path) as f:
+                pm = json.load(f)
+        pm.update(
+            partition_id=int(p),
+            segment_ids=[r["seg_id"] for r in prow],
+            doc_count=int(sum(r["doc_count"] for r in prow)),
+            sum_dl=int(sum(r["sum_dl"] for r in prow)),
+            term_count=int(sum(r["term_count"] for r in prow)),
+            max_df=int(max((r["max_df"] for r in prow), default=0)),
+            content_hash="|".join(r["content_hash"] for r in prow),
+            status="complete",
+        )
+        pm.setdefault("input_fragments", [])
+        tmp = pm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pm, f)
+        os.replace(tmp, pm_path)
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+
+
+def _delete_ids_routed(index_dir: str, urls: list[str],
+                       num_partitions: int) -> int:
+    """Soft-delete ids touching ONLY their routed partitions' segments
+    — a micro-write against a 10^12-doc index opens O(touched
+    partitions) segments, not the whole index (delete_by_query's global
+    sweep stays the query-form path)."""
+    if not urls:
+        return 0
+    from raydex.index.blocks import check_write
+    from raydex.index.deletes import _segment_delete, _segment_stats
+    from raydex.search.scatter import SearcherBase
+
+    check_write(index_dir)
+    parts = {int(p) for p in route_partitions(urls, num_partitions)}
+    s = SearcherBase(index_dir)
+    tags = {f"part={p:05d}" for p in parts}
+    seg_dirs = [d for d in s.seg_dirs
+                if os.path.basename(os.path.dirname(d)) in tags]
+    qdict = {"ids": {"values": list(urls)}}
+    terms, fpairs = s._collect_stats_spec(qdict)
+    df = dict.fromkeys(terms, 0)
+    fdf: dict = {tuple(p): 0 for p in fpairs}
+    for d in seg_dirs:
+        pdf, pfdf = _segment_stats(d, terms, fpairs)
+        for t, v in pdf.items():
+            df[t] += v
+        for k, v in pfdf.items():
+            fdf[k] += v
+    args = (qdict, s.ndocs, s.sum_dl, df, s.manifest["analyzer"],
+            fdf, s.field_sum_dl)
+    return int(sum(_segment_delete(d, *args) for d in seg_dirs))
+
+
+# -- one-shot conveniences (the REST verb surface) -------------------------
+
+def index_doc(index_dir: str, doc: dict, create: bool = False,
+              refresh: bool = True) -> dict:
+    """``PUT <index>/_doc/<id>?refresh=true`` one-shot."""
+    w = DocWriter(index_dir)
+    r = w.index_doc(doc, create=create)
+    if refresh:
+        w.refresh()
+    return r
+
+
+def update_doc(index_dir: str, url: str, doc: dict | None = None,
+               doc_as_upsert: bool = False, upsert: dict | None = None,
+               detect_noop: bool = True, refresh: bool = True) -> dict:
+    """``POST <index>/_update/<id>?refresh=true`` one-shot."""
+    w = DocWriter(index_dir)
+    r = w.update_doc(url, doc=doc, doc_as_upsert=doc_as_upsert,
+                     upsert=upsert, detect_noop=detect_noop)
+    if refresh:
+        w.refresh()
+    return r
+
+
+def delete_doc(index_dir: str, url: str, refresh: bool = True) -> dict:
+    """``DELETE <index>/_doc/<id>?refresh=true`` one-shot."""
+    w = DocWriter(index_dir)
+    r = w.delete_doc(url)
+    if refresh:
+        w.refresh()
+    return r

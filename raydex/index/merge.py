@@ -443,8 +443,26 @@ def merge_partition_segments(
             base += sm["doc_count"]
             doc_tables.append(pq.read_table(os.path.join(sd, "docs.parquet")))
             seg_manifests.append(sm)
-        docs = pa.concat_tables(doc_tables)
+        # promote: doc-write micro-segments store source columns the
+        # bulk segments lack (docwrite.py) — missing columns fill null
+        docs = pa.concat_tables(doc_tables, promote_options="default")
         pq.write_table(docs, os.path.join(tmp, "docs.parquet"))
+        # build-cut segments carry disjoint url ranges, so the concat
+        # stays url-sorted; a doc-write micro-segment OVERLAPS them —
+        # emit the url_index sidecar so point GETs keep their bisect
+        # contract (same rule as index-sorted segments)
+        u = docs["url"].combine_chunks()
+        import pyarrow.compute as _pc
+
+        if len(u) > 1 and not _pc.all(
+            _pc.less_equal(u.slice(0, len(u) - 1), u.slice(1))
+        ).as_py():
+            order = _pc.sort_indices(u)
+            pq.write_table(
+                pa.table({"url": u.take(order),
+                          "docid": order.cast(pa.int64())}),
+                os.path.join(tmp, "url_index.parquet"),
+            )
         doc_meta[part] = {
             "doc_count": int(sum(m["doc_count"] for m in seg_manifests)),
             "sum_dl": int(sum(m["sum_dl"] for m in seg_manifests)),

@@ -270,13 +270,23 @@ def merge_segments_rewrite(part_dir: str, seg_ids: list[str],
         dst_docs = pq.read_table(os.path.join(tmp, "docs.parquet"))
         for cname in extra_cols:
             cols = []
-            for sid in seg_ids:
+            for sid, r in zip(seg_ids, readers):
+                # doc-write micro-segments store source columns their
+                # bulk siblings lack — absent columns fill null
+                if cname not in r.doc_values:
+                    cols.append(None)
+                    continue
                 t = pq.read_table(
                     os.path.join(part_dir, sid, "docs.parquet"),
                     columns=[cname],
                 )
-                cols.append(t[cname])
-            arr = pa.concat_arrays([c.combine_chunks() for c in cols])
+                cols.append(t[cname].combine_chunks())
+            typ = next(c.type for c in cols if c is not None)
+            cols = [
+                c if c is not None else pa.nulls(r.ndocs, typ)
+                for c, r in zip(cols, readers)
+            ]
+            arr = pa.concat_arrays([c.cast(typ) for c in cols])
             if inv is not None:
                 arr = arr.take(pa.array(inv))
             dst_docs = dst_docs.append_column(cname, arr)

@@ -1,0 +1,183 @@
+"""Single-document write path: PUT _doc / _update / DELETE _doc with
+refresh-gated visibility (TransportIndexAction / UpdateHelper /
+InternalEngine refresh semantics)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raydex.index.build import build_index, load_index_manifest
+from raydex.index.docwrite import (
+    DocumentSourceMissing,
+    DocWriter,
+    VersionConflict,
+    delete_doc,
+    index_doc,
+    update_doc,
+)
+from raydex.search.get import get_doc
+from raydex.search.scatter import LocalSearcher
+
+N = 40
+
+
+def _pages():
+    return pa.table(
+        {
+            "url": pa.array([f"s{i % 5}.example/p/{i}" for i in range(N)]),
+            "warc_ts": pa.array(list(range(N)), pa.int64()).cast(
+                pa.timestamp("us")),
+            "text": pa.array(
+                [f"page {'red' if i % 2 else 'blue'} item number {i}"
+                 for i in range(N)], pa.large_string()),
+        }
+    )
+
+
+@pytest.fixture()
+def built(ray_session, tmp_path):
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(_pages(), p)
+    idx = str(tmp_path / "index")
+    build_index(p, idx, num_partitions=4, analyzer="standard_en",
+                max_docs_per_segment=15)
+    return idx
+
+
+def test_index_doc_visible_after_refresh(built):
+    w = DocWriter(built)
+    r = w.index_doc({"url": "new.example/a", "text": "a shiny zebra page"})
+    assert r["result"] == "created"
+    # buffered, not yet searchable (refresh gate)
+    assert LocalSearcher(built).count({"term": {"text": "zebra"}}) == 0
+    assert get_doc(built, "new.example/a") is None
+    out = w.refresh()
+    assert out["segments"] == 1 and out["docs"] == 1
+    s = LocalSearcher(built)
+    assert s.count({"term": {"text": "zebra"}}) == 1
+    hit = s.search_query({"term": {"text": "zebra"}}, k=1)[0]
+    assert hit["url"] == "new.example/a"
+    # micro-segments store the source (translog/_source analogue)
+    row = get_doc(built, "new.example/a")
+    assert row["text"] == "a shiny zebra page"
+    m = load_index_manifest(built)
+    assert m["doc_count"] == N + 1
+
+
+def test_reindex_latest_wins_and_create_conflict(built):
+    url = "s1.example/p/1"  # exists in the bulk build ("red" doc)
+    s0 = LocalSearcher(built)
+    n_red = s0.count({"term": {"text": "red"}})
+    r = index_doc(built, {"url": url, "text": "now a green page"})
+    assert r["result"] == "updated"
+    s = LocalSearcher(built)
+    # old copy soft-deleted: red count drops by one, doc now matches green
+    assert s.count({"term": {"text": "red"}}) == n_red - 1
+    assert s.count({"term": {"text": "green"}}) == 1
+    assert s.count({"match_all": {}}) == N  # net doc count unchanged
+    got = get_doc(built, url)
+    assert got["text"] == "now a green page"
+    with pytest.raises(VersionConflict):
+        index_doc(built, {"url": url, "text": "x"}, create=True)
+    # create on a FREE id works
+    r2 = index_doc(built, {"url": "free.example/x", "text": "words"},
+                   create=True)
+    assert r2["result"] == "created"
+
+
+def test_update_doc_merge_noop_upsert(built):
+    # seed a doc through the writer so its source is stored
+    index_doc(built, {"url": "u.example/1", "text": "alpha beta",
+                      "lang": "en"})
+    r = update_doc(built, "u.example/1", doc={"lang": "fr"})
+    assert r["result"] == "updated"
+    row = get_doc(built, "u.example/1")
+    assert row["lang"] == "fr" and row["text"] == "alpha beta"
+    # text untouched -> still searchable
+    assert LocalSearcher(built).count({"term": {"text": "alpha"}}) == 1
+    # noop detection
+    r = update_doc(built, "u.example/1", doc={"lang": "fr"})
+    assert r["result"] == "noop"
+    # missing id: plain update raises; doc_as_upsert creates
+    with pytest.raises(KeyError):
+        update_doc(built, "ghost.example/1", doc={"text": "boo"})
+    r = update_doc(built, "ghost.example/1", doc={"text": "boo"},
+                   doc_as_upsert=True)
+    assert r["result"] == "created"
+    assert get_doc(built, "ghost.example/1")["text"] == "boo"
+    # bulk-built docs carry no stored source -> the reference's
+    # DocumentSourceMissingException analogue
+    with pytest.raises(DocumentSourceMissing):
+        update_doc(built, "s3.example/p/3", doc={"lang": "de"})
+
+
+def test_delete_doc(built):
+    url = "s2.example/p/2"
+    assert get_doc(built, url) is not None
+    r = delete_doc(built, url)
+    assert r["result"] == "deleted"
+    assert get_doc(built, url) is None
+    assert LocalSearcher(built).count({"match_all": {}}) == N - 1
+    r = delete_doc(built, url)
+    assert r["result"] == "not_found"
+    # delete of a doc that only exists in the buffer never hits disk
+    w = DocWriter(built)
+    w.index_doc({"url": "temp.example/1", "text": "fleeting"})
+    w.delete_doc("temp.example/1")
+    out = w.refresh()
+    assert out["segments"] == 0
+    assert get_doc(built, "temp.example/1") is None
+
+
+def test_buffered_batch_one_segment_per_partition(built):
+    w = DocWriter(built)
+    for i in range(12):
+        w.index_doc({"url": f"batch.example/{i}", "text": f"fresh word{i}"})
+    out = w.refresh()
+    assert out["docs"] == 12
+    # <= num_partitions micro-segments for the whole batch
+    assert out["segments"] <= 4
+    s = LocalSearcher(built)
+    assert s.count({"match_all": {}}) == N + 12
+    # second refresh round gets distinct seg ids
+    w2 = DocWriter(built)
+    w2.index_doc({"url": "batch.example/0", "text": "fresh replaced"})
+    w2.refresh()
+    assert get_doc(built, "batch.example/0")["text"] == "fresh replaced"
+    assert LocalSearcher(built).count({"match_all": {}}) == N + 12
+    m = load_index_manifest(built)
+    seg_ids = [r["seg_id"] for r in m["segments"]]
+    assert len(seg_ids) == len(set(seg_ids))
+
+
+def test_seq_no_monotonic_across_writers(built):
+    r1 = index_doc(built, {"url": "a.example/1", "text": "one"})
+    r2 = index_doc(built, {"url": "a.example/2", "text": "two"})
+    assert r2["_seq_no"] > r1["_seq_no"]
+    w = DocWriter(built)
+    r3 = w.delete_doc("a.example/1")
+    assert r3["_seq_no"] > r2["_seq_no"]
+
+
+def test_docwrite_survives_merge(built):
+    """Micro-segments carry stored-source columns the bulk segments
+    lack and OVERLAP their url ranges — both merge paths must keep the
+    point-GET bisect contract (url_index sidecar) and null-fill the
+    missing columns."""
+    from raydex.index.merge import merge_partition_segments
+
+    index_doc(built, {"url": "new.example/a", "text": "zebra words",
+                      "lang": "en"})
+    index_doc(built, {"url": "s1.example/p/1", "text": "replaced words"})
+    m = load_index_manifest(built)
+    merges: dict = {}
+    for r in m["segments"]:
+        merges.setdefault(r["part"], []).append(r["seg_id"])
+    merge_partition_segments(built, merges)
+    s = LocalSearcher(built)
+    assert s.count({"match_all": {}}) == N + 1
+    assert s.count({"term": {"text": "zebra"}}) == 1
+    assert get_doc(built, "new.example/a")["text"] == "zebra words"
+    assert get_doc(built, "s1.example/p/1")["text"] == "replaced words"
+    # a bulk doc with no stored source still resolves post-merge
+    assert get_doc(built, "s2.example/p/2")["url"] == "s2.example/p/2"

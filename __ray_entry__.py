@@ -899,28 +899,103 @@ def _lifecycle_index(sf: str) -> str:
     return idx
 
 
+def _docwrite_index(sf: str) -> str:
+    """Build-once documents index (marker tokens, NO sort), then apply
+    a ONE-SHOT deterministic single-document write script through
+    DocWriter (raydex/index/docwrite.py): re-index docs 0-19 to
+    lang_zz/src_moved, partial-UPDATE docs 0-9 to src_updated (the
+    GET-then-reindex path against stored micro-segment source), DELETE
+    docs 20-29, and CREATE ten new docs w0-w9 (lang_xx/src_synthetic).
+    A done-marker makes repeat gate runs reuse the final state; a
+    half-written dir is rebuilt from scratch."""
+    import shutil
+
+    from raydex.index.build import build_index
+    from raydex.index.docwrite import DocWriter
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    idx = f"/tmp/raydex_cache/docwrite_index_v1_{tag}"
+    done = os.path.join(idx, "writes_done.json")
+    if os.path.exists(done):
+        return idx
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        txt = [f"lang_{l} src_{s}"
+               for l, s in zip(t["lang"].to_pylist(),
+                               t["source"].to_pylist())]
+        return pa.table(
+            {"url": pa.array([str(i) for i in ids], pa.string()),
+             "warc_ts": pa.array(ids.astype("int64")).cast(
+                 pa.timestamp("us")),
+             "text": pa.array(txt, pa.large_string())})
+
+    ds = _ds(sf, "documents", ["doc_id", "lang", "source"]).map_batches(
+        to_pages, batch_format="pyarrow")
+    build_index(None, idx, num_partitions=2, analyzer="standard_en",
+                source="text", max_docs_per_segment=100_000, ray_ds=ds)
+    w = DocWriter(idx)
+    for i in range(20):
+        w.index_doc({"url": str(i), "text": "lang_zz src_moved"})
+    w.refresh()  # stored-source micro-segments the updates read back
+    w2 = DocWriter(idx)
+    for i in range(10):
+        w2.update_doc(str(i), doc={"text": "lang_zz src_updated"})
+    for i in range(20, 30):
+        w2.delete_doc(str(i))
+    for j in range(10):
+        w2.index_doc({"url": f"w{j}", "text": "lang_xx src_synthetic"},
+                     create=True)
+    w2.refresh()
+    with open(done, "w") as f:
+        json.dump({"ok": True}, f)
+    return idx
+
+
 def q_delete_lifecycle_docs(sf):
-    """End-to-end deletes lifecycle through the driver gate: build a
-    documents index with unambiguous lang/source marker tokens,
+    """Two-branch write/delete lifecycle suite.
+
+    a_delete: build a documents index with marker tokens,
     `_delete_by_query` lang=de (liveDocs bitmaps), forcemerge
     only_expunge_deletes (compacting rewrite), then per-source counts
     via term queries over the COMPACTED index — mirrored exactly in SQL
     as `lang <> 'de'` group-by. Idempotent: re-running on the cached
-    compacted index deletes 0 and re-counts the same."""
+    compacted index deletes 0 and re-counts the same.
+
+    b_docwrite: the single-document write path (PUT _doc / _update /
+    DELETE _doc / op_type=create through DocWriter micro-segments) —
+    marker counts over the post-write index, mirrored in SQL by
+    simulating the final corpus (docs 0-19 rewritten, 0-9 re-updated,
+    20-29 deleted, w0-w9 created)."""
     from raydex.search.scatter import LocalSearcher
 
-    s = LocalSearcher(_lifecycle_index(sf))
     sources = sorted(
         pq.read_table(f"{sf}/documents.parquet", columns=["source"])
         ["source"].unique().to_pylist()
     )
-    rows = [(src, s.count({"term": {"text": f"src_{src}"}}))
+    langs = sorted(
+        pq.read_table(f"{sf}/documents.parquet", columns=["lang"])
+        ["lang"].unique().to_pylist()
+    )
+    s = LocalSearcher(_lifecycle_index(sf))
+    rows = [("a_delete", src, s.count({"term": {"text": f"src_{src}"}}))
             for src in sources]
-    rows = [r for r in rows if r[1] > 0]
+    sw = LocalSearcher(_docwrite_index(sf))
+    markers = sorted(
+        {f"lang_{l}" for l in langs} | {f"src_{x}" for x in sources}
+        | {"lang_zz", "lang_xx", "src_moved", "src_updated",
+           "src_synthetic"}
+    )
+    rows += [("b_docwrite", mk, sw.count({"term": {"text": mk}}))
+             for mk in markers]
+    rows = [r for r in rows if r[2] > 0]
+    rows.sort()
     return pa.table(
         {
-            "source": pa.array([r[0] for r in rows], pa.string()),
-            "doc_count": pa.array([r[1] for r in rows], pa.int64()),
+            "tag": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "doc_count": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
 
@@ -2587,9 +2662,25 @@ def oracle_sql() -> dict[str, str]:
         # delete_by_query + expunge-deletes lifecycle: post-compaction
         # per-source counts == the surviving (lang <> 'de') group-by
         "delete_lifecycle_docs": (
-            "SELECT source, COUNT(*) AS doc_count FROM documents "
+            # a_delete: delete_by_query lang=de + expunge; b_docwrite:
+            # simulate the deterministic single-doc write script
+            # (docs 0-19 -> lang_zz/src_moved, 0-9 -> src_updated,
+            # 20-29 deleted, w0-w9 created as lang_xx/src_synthetic)
+            "WITH final AS ("
+            "SELECT CASE WHEN doc_id < 20 THEN 'zz' ELSE lang END AS lang, "
+            "CASE WHEN doc_id < 10 THEN 'updated' "
+            "WHEN doc_id < 20 THEN 'moved' ELSE source END AS source "
+            "FROM documents WHERE doc_id < 20 OR doc_id >= 30 "
+            "UNION ALL SELECT 'xx', 'synthetic' FROM range(10)) "
+            "SELECT * FROM ("
+            "SELECT 'a_delete' AS tag, source AS key, "
+            "CAST(COUNT(*) AS BIGINT) AS doc_count FROM documents "
             "WHERE lang <> 'de' GROUP BY source HAVING COUNT(*) > 0 "
-            "ORDER BY source"
+            "UNION ALL "
+            "SELECT 'b_docwrite', marker, CAST(COUNT(*) AS BIGINT) FROM ("
+            "SELECT 'lang_' || lang AS marker FROM final "
+            "UNION ALL SELECT 'src_' || source FROM final) GROUP BY marker"
+            ") ORDER BY tag, key"
         ),
         # index-sorted top-k (early-termination path) over the same
         # compacted lifecycle index

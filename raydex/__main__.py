@@ -126,6 +126,13 @@ def main(argv=None) -> int:
     dw.add_argument("--no-refresh", action="store_true",
                     help="buffer only (caller refreshes later)")
 
+    bk = sub.add_parser("bulk", help="_bulk NDJSON action-line format "
+                        "over an existing index (incremental writes)")
+    bk.add_argument("--index", required=True)
+    bk.add_argument("--body", required=True,
+                    help="path to the NDJSON bulk body")
+    bk.add_argument("--no-refresh", action="store_true")
+
     an = sub.add_parser("analyze")
     an.add_argument("--text", required=True)
     an.add_argument("--analyzer", default="standard_en")
@@ -429,6 +436,12 @@ def main(argv=None) -> int:
             r = docwrite.delete_doc(a.index, body.pop("url"),
                                     refresh=refresh)
         print(json.dumps(r, default=str))
+    elif a.cmd == "bulk":
+        from raydex.index.docwrite import bulk_apply
+
+        print(json.dumps(bulk_apply(a.index, a.body,
+                                    refresh=not a.no_refresh),
+                         default=str))
     elif a.cmd == "analyze":
         # the `_analyze` API analogue (es/action/admin/indices/analyze)
         from raydex.analysis.tokenizer import get_analyzer

@@ -473,3 +473,100 @@ def delete_doc(index_dir: str, url: str, refresh: bool = True) -> dict:
     if refresh:
         w.refresh()
     return r
+
+
+# -- _bulk wire format ------------------------------------------------------
+
+_BULK_OPS = ("index", "create", "update", "delete")
+
+
+def bulk_apply(index_dir: str, body, refresh: bool = True) -> dict:
+    """``POST _bulk`` over an existing index: the reference's NDJSON
+    action-line format (``TransportBulkAction.java`` /
+    ``BulkRequestParser.java``) — an action metadata line
+    (``{"index"|"create"|"update"|"delete": {"_id": ...}}``) followed,
+    except for delete, by the source line (for update: ``{"doc": ...,
+    "doc_as_upsert": ..., "upsert": ...}``). Per-item error isolation
+    (BulkItemResponse): one bad item never fails the request. One
+    refresh at the end makes the whole batch visible atomically per
+    partition.
+
+    ``body``: an iterable of JSON strings/dicts or a path to an NDJSON
+    file. Returns ``{"errors": bool, "items": [...]}`` with
+    reference-style per-item status codes (201 created / 200 ok /
+    404 not_found / 409 conflict / 400 bad action).
+
+    The INITIAL corpus load stays with ``build_index`` (the Ray Data
+    throughput path — raydex's `_bulk` NDJSON reader); this is the
+    incremental maintenance form.
+    """
+    if isinstance(body, str):
+        with open(body) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    else:
+        lines = [ln for ln in body
+                 if (ln.strip() if isinstance(ln, str) else True)]
+    w = DocWriter(index_dir)
+    items: list[dict] = []
+    i = 0
+    while i < len(lines):
+        raw = lines[i]
+        i += 1
+        try:
+            action = json.loads(raw) if isinstance(raw, str) else raw
+            if (not isinstance(action, dict) or len(action) != 1
+                    or next(iter(action)) not in _BULK_OPS):
+                raise ValueError(
+                    f"expected one of {_BULK_OPS} as the action key, "
+                    f"got {action!r}")
+        except Exception as e:  # malformed action line: hard error —
+            # the reference aborts parsing here too (can't resync)
+            raise ValueError(f"malformed bulk action line {i}: {e}") from e
+        op = next(iter(action))
+        meta = action[op] or {}
+        src = None
+        if op != "delete":
+            if i >= len(lines):
+                raise ValueError(f"bulk action {op!r} at line {i} has "
+                                 "no source line")
+            raw_src = lines[i]
+            i += 1
+            src = (json.loads(raw_src) if isinstance(raw_src, str)
+                   else dict(raw_src))
+        _id = meta.get("_id")
+        try:
+            if op in ("index", "create"):
+                doc = dict(src)
+                if _id:
+                    doc.setdefault("url", _id)
+                r = w.index_doc(doc, create=(op == "create"))
+                status = 201 if r["result"] == "created" else 200
+            elif op == "update":
+                if not _id:
+                    raise ValueError("update requires _id")
+                r = w.update_doc(
+                    _id, doc=src.get("doc"),
+                    doc_as_upsert=bool(src.get("doc_as_upsert")),
+                    upsert=src.get("upsert"),
+                    detect_noop=bool(src.get("detect_noop", True)))
+                status = 201 if r["result"] == "created" else 200
+            else:
+                if not _id:
+                    raise ValueError("delete requires _id")
+                r = w.delete_doc(_id)
+                status = 404 if r["result"] == "not_found" else 200
+            items.append({op: {**r, "status": status}})
+        except VersionConflict as e:
+            items.append({op: {"_id": _id, "status": 409,
+                               "error": str(e)}})
+        except (DocumentSourceMissing, KeyError) as e:
+            items.append({op: {"_id": _id, "status": 404,
+                               "error": str(e)}})
+        except Exception as e:
+            items.append({op: {"_id": _id, "status": 400,
+                               "error": str(e)}})
+    if refresh:
+        w.refresh()
+    return {"errors": any(v.get("status", 200) >= 300
+                          for it in items for v in it.values()),
+            "items": items}

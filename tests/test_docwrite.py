@@ -181,3 +181,42 @@ def test_docwrite_survives_merge(built):
     assert get_doc(built, "s1.example/p/1")["text"] == "replaced words"
     # a bulk doc with no stored source still resolves post-merge
     assert get_doc(built, "s2.example/p/2")["url"] == "s2.example/p/2"
+
+
+def test_bulk_apply_wire_format(built):
+    """_bulk action-line NDJSON: per-item isolation + one refresh."""
+    from raydex.index.docwrite import bulk_apply
+
+    body = [
+        '{"index": {"_id": "b.example/1"}}',
+        '{"text": "walrus one"}',
+        '{"create": {"_id": "b.example/2"}}',
+        '{"text": "walrus two"}',
+        '{"create": {"_id": "b.example/2"}}',   # conflict -> 409
+        '{"text": "dupe"}',
+        '{"update": {"_id": "b.example/1"}}',
+        '{"doc": {"lang": "en"}}',
+        '{"update": {"_id": "ghost.example/9"}}',  # missing -> 404
+        '{"doc": {"text": "x"}}',
+        '{"delete": {"_id": "s2.example/p/2"}}',
+        '{"delete": {"_id": "never.example/1"}}',  # not_found -> 404
+    ]
+    out = bulk_apply(built, body)
+    assert out["errors"] is True
+    st = [list(it.values())[0]["status"] for it in out["items"]]
+    assert st == [201, 201, 409, 200, 404, 200, 404]
+    s = LocalSearcher(built)
+    assert s.count({"term": {"text": "walrus"}}) == 2
+    assert get_doc(built, "b.example/1")["lang"] == "en"
+    assert get_doc(built, "s2.example/p/2") is None
+    assert s.count({"match_all": {}}) == N + 1  # +2 created -1 deleted
+    # file-path form + idempotent re-delete
+    import os
+    p = os.path.join(os.path.dirname(built), "bulk.ndjson")
+    with open(p, "w") as f:
+        f.write('{"delete": {"_id": "b.example/1"}}\n')
+        f.write('{"index": {"_id": "b.example/3"}}\n')
+        f.write('{"text": "walrus three"}\n')
+    out2 = bulk_apply(built, p)
+    assert out2["errors"] is False
+    assert LocalSearcher(built).count({"term": {"text": "walrus"}}) == 2

@@ -88,6 +88,35 @@ def _store_seq(index_dir: str, seq: int) -> None:
     os.replace(tmp, _seq_path(index_dir))
 
 
+_UPDATE_SCRIPTS: dict = {}
+
+
+def register_update_script(name: str, fn) -> None:
+    """Register a scripted-update callable ``fn(ctx, params)`` — the
+    painless ``ctx._source`` contract (mutate ``ctx['_source']`` in
+    place; set ``ctx['op']`` to index/delete/none)."""
+    _UPDATE_SCRIPTS[name] = fn
+
+
+def update_script(name: str):
+    try:
+        return _UPDATE_SCRIPTS[name]
+    except KeyError:
+        raise ValueError(f"unknown update script {name!r}") from None
+
+
+# the reference doc examples' counter/tag one-liners
+register_update_script(
+    "increment_field", lambda ctx, p: ctx["_source"].__setitem__(
+        p.get("field", "counter"),
+        (ctx["_source"].get(p.get("field", "counter")) or 0)
+        + p.get("by", 1)))
+register_update_script(
+    "delete_if_eq", lambda ctx, p: ctx.__setitem__(
+        "op", "delete" if ctx["_source"].get(p["field"]) == p["value"]
+        else "none"))
+
+
 class DocWriter:
     """Buffered single-document writer over a built index."""
 
@@ -157,12 +186,28 @@ class DocWriter:
 
     def update_doc(self, url: str, doc: dict | None = None,
                    doc_as_upsert: bool = False, upsert: dict | None = None,
-                   detect_noop: bool = True) -> dict:
+                   detect_noop: bool = True,
+                   script: dict | None = None) -> dict:
         """``POST <index>/_update/<id>``: GET-then-merge-then-reindex
         (``UpdateHelper.prepare``). ``doc`` is the partial source;
         ``doc_as_upsert``/``upsert`` supply the create path when the id
         is absent. ``detect_noop`` returns ``result='noop'`` when the
-        merge changes nothing (reference default true)."""
+        merge changes nothing (reference default true).
+
+        ``script``: the scripted-update form — ``{"source":
+        <registered name or callable>, "params": {...}}`` run against
+        ``ctx = {"_source": {...}, "op": "index"}`` exactly like the
+        reference's painless ``ctx._source`` contract; the script may
+        mutate ``_source`` in place and set ``ctx["op"]`` to
+        ``"index"`` (reindex), ``"delete"`` (tombstone) or ``"none"``
+        (noop). Scripts resolve through the engine-wide Python
+        registry convention (``register_update_script``). Mutually
+        exclusive with ``doc`` (the reference rejects both too)."""
+        if script is not None:
+            if doc:
+                raise ValueError(
+                    "update requires either 'doc' or 'script', not both")
+            return self._scripted_update(url, script, upsert)
         doc = dict(doc or {})
         current = self.buffer.get(url)
         if current is None and url not in self.tombstones:
@@ -194,6 +239,48 @@ class DocWriter:
         merged = {**current, **doc, "url": url}
         if detect_noop and all(current.get(k) == v for k, v in doc.items()):
             return {"_id": url, "result": "noop", "_seq_no": self._seq}
+        self._check_source(merged)
+        self.buffer[url] = merged
+        return {"_id": url, "result": "updated",
+                "_seq_no": self._next_seq()}
+
+    def _scripted_update(self, url: str, script: dict,
+                         upsert: dict | None) -> dict:
+        fn = script.get("source")
+        if not callable(fn):
+            fn = update_script(str(fn))
+        params = dict(script.get("params") or {})
+        current = self.buffer.get(url)
+        if current is None and url not in self.tombstones:
+            stored = self._get_stored(url)
+            if stored is not None:
+                if not stored.get("_stored_source"):
+                    raise DocumentSourceMissing(
+                        f"[{url}]: document source missing")
+                current = {k: v for k, v in stored.items()
+                           if k not in _RESERVED
+                           and k not in ("dl", "norm", "_stored_source")}
+        if current is None:
+            if upsert is None:
+                raise KeyError(f"[{url}]: document missing")
+            # reference semantics: the upsert doc is indexed as-is;
+            # the script does NOT run on it (scripted_upsert=false)
+            merged = dict(upsert)
+            merged.setdefault("url", url)
+            self._check_source(merged)
+            self.buffer[url] = merged
+            self.tombstones.discard(url)
+            return {"_id": url, "result": "created",
+                    "_seq_no": self._next_seq()}
+        ctx = {"_source": dict(current), "op": "index"}
+        fn(ctx, params)
+        if ctx["op"] == "none":
+            return {"_id": url, "result": "noop", "_seq_no": self._seq}
+        if ctx["op"] == "delete":
+            return self.delete_doc(url)
+        if ctx["op"] != "index":
+            raise ValueError(f"script set unknown ctx.op {ctx['op']!r}")
+        merged = {**ctx["_source"], "url": url}
         self._check_source(merged)
         self.buffer[url] = merged
         return {"_id": url, "result": "updated",
@@ -456,11 +543,13 @@ def index_doc(index_dir: str, doc: dict, create: bool = False,
 
 def update_doc(index_dir: str, url: str, doc: dict | None = None,
                doc_as_upsert: bool = False, upsert: dict | None = None,
-               detect_noop: bool = True, refresh: bool = True) -> dict:
+               detect_noop: bool = True, refresh: bool = True,
+               script: dict | None = None) -> dict:
     """``POST <index>/_update/<id>?refresh=true`` one-shot."""
     w = DocWriter(index_dir)
     r = w.update_doc(url, doc=doc, doc_as_upsert=doc_as_upsert,
-                     upsert=upsert, detect_noop=detect_noop)
+                     upsert=upsert, detect_noop=detect_noop,
+                     script=script)
     if refresh:
         w.refresh()
     return r
@@ -548,7 +637,8 @@ def bulk_apply(index_dir: str, body, refresh: bool = True) -> dict:
                     _id, doc=src.get("doc"),
                     doc_as_upsert=bool(src.get("doc_as_upsert")),
                     upsert=src.get("upsert"),
-                    detect_noop=bool(src.get("detect_noop", True)))
+                    detect_noop=bool(src.get("detect_noop", True)),
+                    script=src.get("script"))
                 status = 201 if r["result"] == "created" else 200
             else:
                 if not _id:

@@ -220,3 +220,45 @@ def test_bulk_apply_wire_format(built):
     out2 = bulk_apply(built, p)
     assert out2["errors"] is False
     assert LocalSearcher(built).count({"term": {"text": "walrus"}}) == 2
+
+
+def test_scripted_update(built):
+    """Scripted _update: ctx._source mutation + ctx.op index/delete/
+    none (UpdateHelper.executeScriptedUpsert contract)."""
+    from raydex.index.docwrite import register_update_script
+
+    index_doc(built, {"url": "sc.example/1", "text": "counter doc",
+                      "counter": 1})
+    w = DocWriter(built)
+    r = w.update_doc("sc.example/1",
+                     script={"source": "increment_field",
+                             "params": {"field": "counter", "by": 4}})
+    assert r["result"] == "updated"
+    w.refresh()
+    assert get_doc(built, "sc.example/1")["counter"] == 5
+    # ctx.op = none -> noop; ctx.op = delete -> tombstone
+    r = update_doc(built, "sc.example/1",
+                   script={"source": "delete_if_eq",
+                           "params": {"field": "counter", "value": 99}})
+    assert r["result"] == "noop"
+    r = update_doc(built, "sc.example/1",
+                   script={"source": "delete_if_eq",
+                           "params": {"field": "counter", "value": 5}})
+    assert r["result"] == "deleted"
+    assert get_doc(built, "sc.example/1") is None
+    # missing doc + upsert: upsert indexed as-is, script NOT run
+    register_update_script("set_tag", lambda ctx, p: ctx["_source"]
+                           .__setitem__("tag", p["tag"]))
+    r = update_doc(built, "sc.example/2",
+                   script={"source": "set_tag", "params": {"tag": "t"}},
+                   upsert={"text": "upserted words"})
+    assert r["result"] == "created"
+    row = get_doc(built, "sc.example/2")
+    assert row["text"] == "upserted words" and "tag" not in row
+    # doc + script together rejected
+    with pytest.raises(ValueError):
+        update_doc(built, "sc.example/2", doc={"lang": "en"},
+                   script={"source": "set_tag", "params": {"tag": "x"}})
+    # unknown script name
+    with pytest.raises(ValueError):
+        update_doc(built, "sc.example/2", script={"source": "nope"})

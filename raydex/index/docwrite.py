@@ -133,6 +133,10 @@ class DocWriter:
         self.buffer: dict[str, dict] = {}
         self.tombstones: set[str] = set()
         self._seq = _load_seq(index_dir)
+        # on-disk existence memo (the live-version-map analogue): a
+        # bulk body primes it with ONE routed mget instead of one
+        # point-GET per action line
+        self._exist_cache: dict[str, bool] = {}
 
     # -- buffer ops ------------------------------------------------------
 
@@ -143,7 +147,28 @@ class DocWriter:
     def _get_stored(self, url: str, columns=None) -> dict | None:
         from raydex.search.get import get_doc
 
-        return get_doc(self.index_dir, url, columns=columns)
+        row = get_doc(self.index_dir, url, columns=columns)
+        self._exist_cache[url] = row is not None
+        return row
+
+    def _exists_on_disk(self, url: str) -> bool:
+        if url in self._exist_cache:
+            return self._exist_cache[url]
+        return self._get_stored(url, columns=["url"]) is not None
+
+    def prime_existence(self, urls: list[str]) -> None:
+        """Seed the on-disk existence memo with ONE routed mget — the
+        bulk path's per-item created/updated resolution then never
+        re-opens a partition per action line."""
+        from raydex.search.get import mget
+
+        todo = [u for u in dict.fromkeys(urls)
+                if u not in self._exist_cache]
+        if not todo:
+            return
+        for u, row in zip(todo, mget(self.index_dir, todo,
+                                     columns=["url"])):
+            self._exist_cache[u] = row is not None
 
     def index_doc(self, doc: dict, create: bool = False) -> dict:
         """``PUT <index>/_doc/<id>`` (``op_type=index`` default;
@@ -156,7 +181,7 @@ class DocWriter:
             raise ValueError("doc requires a non-empty 'url' (the _id)")
         exists = (url in self.buffer
                   or (url not in self.tombstones
-                      and self._get_stored(url, columns=["url"]) is not None))
+                      and self._exists_on_disk(url)))
         if create and exists:
             raise VersionConflict(
                 f"[{url}]: version conflict, document already exists")
@@ -289,7 +314,7 @@ class DocWriter:
     def delete_doc(self, url: str) -> dict:
         """``DELETE <index>/_doc/<id>``."""
         buffered = self.buffer.pop(url, None)
-        on_disk = self._get_stored(url, columns=["url"]) is not None
+        on_disk = self._exists_on_disk(url)
         if on_disk:
             self.tombstones.add(url)
         if buffered is None and not on_disk:
@@ -312,6 +337,10 @@ class DocWriter:
         if new_rows:
             _append_manifest_rows(self.index_dir, new_rows)
             self.manifest = load_index_manifest(self.index_dir)
+        for u in self.buffer:
+            self._exist_cache[u] = True
+        for u in self.tombstones:
+            self._exist_cache[u] = False
         self.buffer.clear()
         self.tombstones.clear()
         _store_seq(self.index_dir, self._seq)
@@ -596,6 +625,20 @@ def bulk_apply(index_dir: str, body, refresh: bool = True) -> dict:
         lines = [ln for ln in body
                  if (ln.strip() if isinstance(ln, str) else True)]
     w = DocWriter(index_dir)
+    # ONE routed mget resolves every item's created/updated status —
+    # never a per-action partition read
+    ids = []
+    for ln in lines:
+        try:
+            d = json.loads(ln) if isinstance(ln, str) else ln
+        except Exception:
+            continue
+        if isinstance(d, dict) and len(d) == 1:
+            op0 = next(iter(d))
+            if op0 in _BULK_OPS and isinstance(d[op0], dict) \
+                    and d[op0].get("_id"):
+                ids.append(d[op0]["_id"])
+    w.prime_existence(ids)
     items: list[dict] = []
     i = 0
     while i < len(lines):

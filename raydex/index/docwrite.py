@@ -321,6 +321,19 @@ class DocWriter:
             return {"_id": url, "result": "not_found", "_seq_no": self._seq}
         return {"_id": url, "result": "deleted", "_seq_no": self._next_seq()}
 
+    def get(self, url: str, columns=None) -> dict | None:
+        """Realtime GET (``TransportGetAction`` ``realtime=true``):
+        reads the writer's buffer — the translog read — before
+        falling back to segments, so a just-indexed doc is fetchable
+        BEFORE refresh even though it is not yet searchable."""
+        if url in self.tombstones:
+            return None
+        if url in self.buffer:
+            row = dict(self.buffer[url])
+            return ({k: row[k] for k in columns if k in row}
+                    if columns else row)
+        return self._get_stored(url, columns=columns)
+
     # -- refresh: make the buffer searchable ------------------------------
 
     def refresh(self) -> dict:

@@ -262,3 +262,20 @@ def test_scripted_update(built):
     # unknown script name
     with pytest.raises(ValueError):
         update_doc(built, "sc.example/2", script={"source": "nope"})
+
+
+def test_realtime_get_reads_buffer(built):
+    """realtime GET: buffered docs fetchable before refresh; deleted
+    docs invisible; searchability still refresh-gated."""
+    w = DocWriter(built)
+    w.index_doc({"url": "rt.example/1", "text": "realtime ocelot"})
+    assert w.get("rt.example/1")["text"] == "realtime ocelot"
+    assert get_doc(built, "rt.example/1") is None  # non-realtime path
+    assert LocalSearcher(built).count(
+        {"term": {"text": "ocelot"}}) == 0
+    w.delete_doc("s4.example/p/4")
+    assert w.get("s4.example/p/4") is None          # tombstone wins
+    assert get_doc(built, "s4.example/p/4") is not None
+    w.refresh()
+    assert get_doc(built, "rt.example/1")["text"] == "realtime ocelot"
+    assert get_doc(built, "s4.example/p/4") is None

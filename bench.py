@@ -152,6 +152,38 @@ def run_bench() -> dict:
     terms_agg(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]), "lang").to_pandas()
     timings["terms_agg"] = round(time.perf_counter() - t0, 3)
 
+    # ---- ingest-processor tier: 10-step pipeline over every document
+    # row, Arrow tier vs the pandas tier (same steps, same batches) —
+    # the ingest path runs over EVERY row of the corpus, so this is the
+    # zero-copy-vs-per-row-Python comparison that matters at 100 TB
+    from raydex.ops.processors import (apply_pipeline, compile_pipeline,
+                                       _arrow_capable)
+
+    ingest_steps = [
+        ("uppercase", {"field": "lang", "target": "lang_up"}),
+        ("uri_parts", {"field": "url"}),
+        ("urldecode", {"field": "uri_path", "target": "path_dec"}),
+        ("trim", {"field": "text", "target": "text_t"}),
+        ("gsub", {"field": "text_t", "pattern": r"\s+", "replacement": " "}),
+        ("split", {"field": "text_t", "separator": " ", "target": "toks"}),
+        ("join", {"field": "toks", "separator": "|", "target": "joined"}),
+        ("fingerprint", {"fields": ["lang", "url"], "target": "fp"}),
+        ("remove", {"field": "toks"}),
+        ("rename", {"field": "text_t", "target": "text_norm"}),
+    ]
+    assert _arrow_capable(ingest_steps)
+    ingest_in = rd.read_parquet(
+        corpus, columns=["url", "text", "lang"]
+    ).materialize()
+    t0 = time.perf_counter()
+    apply_pipeline(ingest_in, ingest_steps).count()
+    timings["ingest_arrow_x10"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ingest_in.map_batches(
+        compile_pipeline(ingest_steps), batch_format="pandas", batch_size=4096
+    ).count()
+    timings["ingest_pandas_x10"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     exact_dedup(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),

@@ -11,6 +11,18 @@ Implemented processors: set, remove, rename, lowercase, uppercase,
 trim, gsub, split, join, convert, fingerprint, json (extract), kv,
 urldecode, uri_parts, html_strip, script (user fn), drop (predicate),
 append, bytes, date. Stateless; regexes compiled at pipeline build.
+
+Two execution tiers share one registry of names:
+
+* **Arrow tier** (``ARROW_PROCESSORS``) — zero-copy ``pyarrow.Table``
+  in/out, every kernel a ``pyarrow.compute`` call (RE2 regexes, SIMD
+  string ops). This is the hot path ``apply_pipeline`` picks whenever
+  every step in the pipeline has an Arrow implementation, because the
+  ingest tier runs over EVERY row of the corpus.
+* **pandas tier** (``PROCESSORS``) — the original per-row-capable
+  implementations, kept for ``_simulate``, for processors whose output
+  is a Python object column (kv, csv, dot_expander, foreach) and for
+  user-callable steps (script, drop, fail predicates, enrich).
 """
 
 from __future__ import annotations
@@ -22,6 +34,8 @@ import urllib.parse
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _series(batch: pd.DataFrame, field: str) -> pd.Series:
@@ -468,6 +482,231 @@ def p_network_direction(batch, source_ip="source_ip", dest_ip="dest_ip",
     return batch
 
 
+# ---------------------------------------------------------------------------
+# Arrow tier: the same processors as pyarrow.compute kernels over a
+# zero-copy pa.Table. Null handling mirrors the pandas tier's
+# `_series` contract (cast to string, nulls -> "").
+# ---------------------------------------------------------------------------
+
+
+def _astr(t: pa.Table, field: str) -> pa.ChunkedArray:
+    return pc.fill_null(pc.cast(t[field], pa.string()), "")
+
+
+def _put(t: pa.Table, name: str, arr) -> pa.Table:
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, arr)
+    return t.append_column(name, arr)
+
+
+def a_set(t, field, value):
+    return _put(t, field, pa.array([value] * t.num_rows))
+
+
+def a_remove(t, field):
+    return t.drop_columns([field])
+
+
+def a_rename(t, field, target):
+    return t.rename_columns([target if c == field else c for c in t.column_names])
+
+
+def a_lowercase(t, field, target=None):
+    return _put(t, target or field, pc.utf8_lower(_astr(t, field)))
+
+
+def a_uppercase(t, field, target=None):
+    return _put(t, target or field, pc.utf8_upper(_astr(t, field)))
+
+
+def a_trim(t, field, target=None):
+    return _put(t, target or field, pc.utf8_trim_whitespace(_astr(t, field)))
+
+
+def a_gsub(t, field, pattern, replacement, target=None):
+    out = pc.replace_substring_regex(_astr(t, field), pattern=pattern,
+                                     replacement=replacement)
+    return _put(t, target or field, out)
+
+
+def a_split(t, field, separator, target=None):
+    return _put(t, target or field,
+                pc.split_pattern(_astr(t, field), pattern=separator))
+
+
+def a_join(t, field, separator, target=None):
+    return _put(t, target or field, pc.binary_join(t[field], separator))
+
+
+_ARROW_TYPES = {"integer": pa.int64(), "long": pa.int64(),
+                "float": pa.float64(), "double": pa.float64(),
+                "string": pa.string(), "boolean": pa.bool_()}
+
+
+def a_convert(t, field, type, target=None):
+    return _put(t, target or field, pc.cast(t[field], _ARROW_TYPES[type]))
+
+
+def a_fingerprint(t, fields, target="fingerprint", method="md5"):
+    cols = [pc.cast(t[f], pa.string()) for f in fields]
+    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "|")
+    h = getattr(hashlib, method)
+    out = [h(s.encode()).hexdigest() if s is not None else None
+           for s in joined.to_pylist()]
+    return _put(t, target, pa.array(out, pa.string()))
+
+
+def a_append(t, field, value, target=None):
+    """Append one scalar to every row of a list column — rebuilt from
+    flat values + shifted offsets, no per-row Python."""
+    col = t[field].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # zero chunks edge
+        col = pa.concat_arrays(col.chunks) if col.chunks else pa.array([], pa.list_(pa.string()))
+    n = len(col)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values
+    new_vals_parts = []
+    new_offsets = offsets + np.arange(n + 1, dtype=np.int64)
+    ins = pa.array([value], values.type)
+    for i in range(n):
+        new_vals_parts.append(values.slice(offsets[i], offsets[i + 1] - offsets[i]))
+        new_vals_parts.append(ins)
+    new_values = pa.concat_arrays(new_vals_parts) if new_vals_parts else ins.slice(0, 0)
+    out = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), new_values)
+    return _put(t, target or field, out)
+
+
+_BYTES_RX = r"^(?P<num>\d+(?:\.\d+)?)\s*(?P<unit>gb|mb|kb|b)?$"
+_BYTES_MULT = {"": 1, "b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3}
+
+
+def a_bytes(t, field, target=None):
+    s = pc.utf8_lower(pc.utf8_trim_whitespace(_astr(t, field)))
+    ex = pc.extract_regex(s, _BYTES_RX)
+    num = pc.cast(pc.struct_field(ex, "num"), pa.float64())
+    unit = pc.struct_field(ex, "unit")
+    mult_keys = pa.array(list(_BYTES_MULT), pa.string())
+    mult_vals = np.array(list(_BYTES_MULT.values()), np.float64)
+    idx = pc.index_in(unit, mult_keys).to_numpy(zero_copy_only=False)
+    mult = pa.array(mult_vals[np.where(np.isnan(idx.astype(np.float64)), 0, idx).astype(np.int64)])
+    out = pc.cast(pc.multiply(num, mult), pa.int64())
+    return _put(t, target or field, out)
+
+
+def a_date(t, field, target=None, unit="ms"):
+    col = t[field]
+    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+        out = pc.cast(pc.cast(col, pa.int64()), pa.timestamp(unit))
+    else:
+        out = pc.cast(col, pa.timestamp("us"))  # ISO-8601 parse
+    return _put(t, target or field, out)
+
+
+def a_urldecode(t, field, target=None):
+    s = _astr(t, field)
+    # fast path: percent-decode only the rows that contain '%'
+    has = pc.match_substring(s, "%")
+    if not pc.any(has).as_py():
+        return _put(t, target or field, s)
+    vals = s.to_pylist()
+    mask = has.to_pylist()
+    out = [urllib.parse.unquote(v) if m else v for v, m in zip(vals, mask)]
+    return _put(t, target or field, pa.array(out, pa.string()))
+
+
+def a_uri_parts(t, field, prefix="uri_"):
+    ex = pc.extract_regex(_astr(t, field), _URI_RX.pattern)
+    for part in ("scheme", "host", "path", "query"):
+        t = _put(t, prefix + part,
+                 pc.fill_null(pc.struct_field(ex, part), ""))
+    return t
+
+
+def a_date_index_name(t, field, date_rounding="d", index_name_prefix="",
+                      index_name_format=None, target="_index"):
+    unit = {"y": "year", "M": "month", "w": "week", "d": "day",
+            "h": "hour", "m": "minute", "s": "second"}[date_rounding]
+    fmt = index_name_format or {
+        "y": "%Y", "M": "%Y-%m", "w": "%Y-%m-%d", "d": "%Y-%m-%d",
+        "h": "%Y-%m-%d-%H", "m": "%Y-%m-%d-%H-%M", "s": "%Y-%m-%d-%H-%M-%S",
+    }[date_rounding]
+    col = t[field]
+    if not pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    rounded = pc.floor_temporal(col, unit=unit)
+    names = pc.strftime(rounded, format=fmt)
+    if index_name_prefix:
+        names = pc.binary_join_element_wise(
+            pa.array([index_name_prefix] * t.num_rows), names, "")
+    return _put(t, target, names)
+
+
+def _compile_named_regex(pattern: str, lib: dict | None = None,
+                         grok: bool = False, anchor: bool = False):
+    """Compile a dissect/grok pattern to an RE2-compatible regex string
+    with named groups, or return None if RE2 rejects it."""
+    if grok:
+        bank = dict(GROK_BUILTIN_PATTERNS)
+        if lib:
+            bank.update(lib)
+
+        def sub(m):
+            name, _, alias = m.group(1).partition(":")
+            body = bank[name]
+            return f"(?P<{alias}>{body})" if alias else f"(?:{body})"
+
+        rx = re.sub(r"%\{([^}]+)\}", sub, pattern)
+    else:
+        parts = re.split(r"(%\{[^}]+\})", pattern)
+        rx = ""
+        for p in parts:
+            if p.startswith("%{") and p.endswith("}"):
+                rx += f"(?P<{p[2:-1]}>.*?)"
+            else:
+                rx += re.escape(p)
+        if anchor:
+            rx = "^" + rx + "$"
+    try:
+        pc.extract_regex(pa.array([], pa.string()), rx)
+    except Exception:
+        return None
+    return rx
+
+
+def a_dissect(t, field, pattern):
+    rx = _compile_named_regex(pattern, anchor=True)
+    if rx is None:  # RE2 can't express it: per-batch pandas fallback
+        return pa.Table.from_pandas(
+            p_dissect(t.to_pandas(), field, pattern), preserve_index=False)
+    ex = pc.extract_regex(_astr(t, field), rx)
+    for k in re.compile(rx).groupindex:
+        t = _put(t, k, pc.struct_field(ex, k))
+    return t
+
+
+def a_grok(t, field, pattern, patterns: dict | None = None):
+    rx = _compile_named_regex(pattern, lib=patterns, grok=True)
+    if rx is None:
+        return pa.Table.from_pandas(
+            p_grok(t.to_pandas(), field, pattern, patterns=patterns),
+            preserve_index=False)
+    ex = pc.extract_regex(_astr(t, field), rx)
+    for k in re.compile(rx).groupindex:
+        t = _put(t, k, pc.struct_field(ex, k))
+    return t
+
+
+ARROW_PROCESSORS = {
+    "set": a_set, "remove": a_remove, "rename": a_rename,
+    "lowercase": a_lowercase, "uppercase": a_uppercase, "trim": a_trim,
+    "gsub": a_gsub, "split": a_split, "join": a_join, "convert": a_convert,
+    "fingerprint": a_fingerprint, "append": a_append, "bytes": a_bytes,
+    "date": a_date, "urldecode": a_urldecode, "uri_parts": a_uri_parts,
+    "date_index_name": a_date_index_name,
+    "dissect": a_dissect, "grok": a_grok,
+}
+
+
 PROCESSORS = {
     "set": p_set, "remove": p_remove, "rename": p_rename,
     "lowercase": p_lowercase, "uppercase": p_uppercase, "trim": p_trim,
@@ -525,8 +764,52 @@ def compile_pipeline(steps: list[tuple[str, dict]], on_failure=None):
     return run
 
 
+def compile_pipeline_arrow(steps: list[tuple[str, dict]], on_failure=None):
+    """Arrow-tier CompoundProcessor: one composed pa.Table -> pa.Table
+    fn. Tables are immutable, so the failure path needs no defensive
+    copy of the pre-pipeline state."""
+    fns = [(name, ARROW_PROCESSORS[name], kw) for name, kw in steps]
+    fail_fns = ([(ARROW_PROCESSORS[n], kw) for n, kw in on_failure]
+                if on_failure else None)
+
+    def run(t: pa.Table) -> pa.Table:
+        original = t
+        for name, fn, kw in fns:
+            try:
+                t = fn(t, **kw)
+            except Exception as e:
+                if fail_fns is None:
+                    raise
+                out = original
+                out = _put(out, "_ingest.on_failure_message",
+                           pa.array([str(e)] * out.num_rows))
+                out = _put(out, "_ingest.on_failure_processor_type",
+                           pa.array([name] * out.num_rows))
+                for ffn, fkw in fail_fns:
+                    out = ffn(out, **fkw)
+                return out
+        return t
+
+    return run
+
+
+def _arrow_capable(steps, on_failure=None) -> bool:
+    all_steps = list(steps) + list(on_failure or [])
+    return all(name in ARROW_PROCESSORS for name, _ in all_steps)
+
+
 def apply_pipeline(ds, steps: list[tuple[str, dict]], batch_size: int = 4096,
                    on_failure=None):
+    """Run an ingest pipeline over a Dataset. Hot path: when every step
+    has a ``pyarrow.compute`` implementation the whole pipeline runs
+    zero-copy Arrow (``batch_format="pyarrow"``); otherwise it falls
+    back to the pandas tier (script/foreach/kv/csv/object-valued
+    processors)."""
+    if _arrow_capable(steps, on_failure):
+        return ds.map_batches(
+            compile_pipeline_arrow(steps, on_failure=on_failure),
+            batch_format="pyarrow", batch_size=batch_size,
+        )
     return ds.map_batches(
         compile_pipeline(steps, on_failure=on_failure),
         batch_format="pandas", batch_size=batch_size,

@@ -233,3 +233,90 @@ def test_simulate_pipeline_and_on_failure():
     assert res["_ingest.on_failure_processor_type"].iloc[0] == "fail"
     assert "boom" in res["_ingest.on_failure_message"].iloc[0]
     assert res["msg"].iloc[0] == "  Hello World  "  # original state
+
+
+def test_arrow_tier_parity():
+    """Every ARROW_PROCESSORS kernel must agree with its pandas twin."""
+    import pyarrow as pa
+
+    from raydex.ops.processors import (ARROW_PROCESSORS,
+                                       compile_pipeline_arrow)
+
+    t = pa.table({
+        "s": ["  Hello World ", "FOO src bar", None],
+        "lang": ["en", "de", "fr"],
+        "n": [1, 2, 3],
+        "lst": [["b", "a"], ["x"], []],
+        "sz": ["12kb", " 3.5 MB ", "7"],
+        "ts": [1700000000000, 1700003600000, 1700007200000],
+        "url": ["https://a.b/c/d?x=1", "http://e.f/g", "no-scheme/path"],
+        "enc": ["a%20b", "plain", "%2Fx"],
+        "log": ["GET /x 200", "POST /y 404", "nope"],
+    })
+    steps = [
+        ("lowercase", {"field": "s", "target": "lo"}),
+        ("trim", {"field": "s", "target": "tr"}),
+        ("gsub", {"field": "s", "pattern": "src", "replacement": "S_", "target": "g"}),
+        ("split", {"field": "s", "separator": " ", "target": "sp"}),
+        ("fingerprint", {"fields": ["lang", "sz"], "target": "fp"}),
+        ("bytes", {"field": "sz", "target": "bz"}),
+        ("date", {"field": "ts", "target": "dt", "unit": "ms"}),
+        ("uri_parts", {"field": "url"}),
+        ("urldecode", {"field": "enc", "target": "dec"}),
+        ("date_index_name", {"field": "dt", "date_rounding": "M",
+                             "index_name_prefix": "logs-"}),
+        ("append", {"field": "lst", "value": "z"}),
+        ("join", {"field": "lst", "separator": ",", "target": "j"}),
+        ("convert", {"field": "n", "type": "double", "target": "nd"}),
+        ("set", {"field": "k", "value": "v"}),
+        ("rename", {"field": "k", "target": "k2"}),
+        ("grok", {"field": "log",
+                  "pattern": "%{WORD:verb} %{NOTSPACE:pth} %{INT:status}"}),
+        ("dissect", {"field": "log", "pattern": "%{m} %{p} %{c}"}),
+    ]
+    out = compile_pipeline_arrow(steps)(t)
+    pd_out = compile_pipeline(steps)(t.to_pandas())
+    for c in ["lo", "tr", "g", "bz", "dec", "_index", "j", "k2",
+              "verb", "status", "m", "nd"]:
+        a = out[c].to_pylist()
+        b = [None if v != v else v for v in pd_out[c]] \
+            if pd_out[c].dtype.kind == "f" else \
+            [None if v is None or (isinstance(v, float) and v != v) else v
+             for v in pd_out[c]]
+        assert a == b, (c, a, b)
+    assert out["lst"].to_pylist() == [["b", "a", "z"], ["x", "z"], ["z"]]
+    assert out["uri_host"].to_pylist() == ["a.b", "e.f", ""]
+
+
+def test_apply_pipeline_picks_arrow(ray_session, sf_dir):
+    """apply_pipeline must run the zero-copy Arrow tier when every step
+    has a pyarrow.compute implementation."""
+    import ray.data as rd
+
+    from raydex.ops.processors import _arrow_capable, apply_pipeline
+
+    assert _arrow_capable([("lowercase", {}), ("gsub", {})])
+    assert not _arrow_capable([("lowercase", {}), ("kv", {})])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "lang"])
+    out = apply_pipeline(ds, [
+        ("lowercase", {"field": "source", "target": "lo"}),
+        ("fingerprint", {"fields": ["lang", "source"]}),
+    ]).to_pandas()
+    assert out["lo"].str.islower().all()
+    assert out["fingerprint"].str.len().eq(32).all()
+
+
+def test_arrow_tier_on_failure():
+    import pyarrow as pa
+
+    from raydex.ops.processors import compile_pipeline_arrow
+
+    run = compile_pipeline_arrow(
+        [("convert", {"field": "a", "type": "integer"})],
+        on_failure=[("set", {"field": "err", "value": "handled"})],
+    )
+    out = run(pa.table({"a": ["not-a-number"]}))
+    assert out["err"].to_pylist() == ["handled"]
+    assert out["_ingest.on_failure_processor_type"].to_pylist() == ["convert"]

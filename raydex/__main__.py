@@ -423,6 +423,9 @@ def main(argv=None) -> int:
         body = json.loads(a.doc) if a.doc else {}
         if a.id:
             body.setdefault("url", a.id)
+        if a.action in ("update", "delete") and "url" not in body:
+            p.error(f"doc {a.action} requires --id (or a 'url' key in "
+                    "--doc)")
         refresh = not a.no_refresh
         if a.action in ("index", "create"):
             r = docwrite.index_doc(a.index, body,

@@ -73,18 +73,26 @@ def _seq_path(index_dir: str) -> str:
     return os.path.join(index_dir, "write_log.json")
 
 
-def _load_seq(index_dir: str) -> int:
+def _load_log(index_dir: str) -> dict:
     p = _seq_path(index_dir)
     if os.path.exists(p):
         with open(p) as f:
-            return int(json.load(f)["seq_no"])
-    return -1
+            return json.load(f)
+    return {"seq_no": -1}
 
 
-def _store_seq(index_dir: str, seq: int) -> None:
+def _store_seq(index_dir: str, seq: int, pending: dict | None = None) -> None:
+    """Persist the sequence number — and, when ``pending`` is given,
+    the buffered operations themselves (the translog analogue:
+    ``Translog.java`` journals every op before it reaches Lucene so a
+    crash between the soft-delete and the segment append replays
+    instead of losing the update)."""
+    body: dict = {"seq_no": seq}
+    if pending:
+        body["pending"] = pending
     tmp = _seq_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"seq_no": seq}, f)
+        json.dump(body, f)
     os.replace(tmp, _seq_path(index_dir))
 
 
@@ -128,15 +136,29 @@ class DocWriter:
         self.fields = [FieldSpec.from_json(d)
                        for d in self.params.get("fields") or []]
         self.num_partitions = int(self.params["num_partitions"])
+        self.join_spec = next(
+            (s for s in self.fields if s.analyzer == "join"), None)
         # url -> full source doc (dict); insertion order irrelevant —
         # the dict itself IS the latest-wins buffer
         self.buffer: dict[str, dict] = {}
-        self.tombstones: set[str] = set()
-        self._seq = _load_seq(index_dir)
+        # url -> routing key of the deleted doc (url itself when the
+        # index has no join field)
+        self.tombstones: dict[str, str] = {}
+        log = _load_log(index_dir)
+        self._seq = int(log["seq_no"])
         # on-disk existence memo (the live-version-map analogue): a
         # bulk body primes it with ONE routed mget instead of one
         # point-GET per action line
         self._exist_cache: dict[str, bool] = {}
+        # translog replay: a crash mid-refresh leaves the journaled ops
+        # in write_log.json — restore them into the buffer so the next
+        # refresh() completes the interrupted one (soft deletes are
+        # idempotent; a half-appended micro-segment's copies get
+        # superseded latest-wins by the replayed flush)
+        pending = log.get("pending")
+        if pending:
+            self.buffer.update(pending.get("docs") or {})
+            self.tombstones.update(pending.get("tombstones") or {})
 
     # -- buffer ops ------------------------------------------------------
 
@@ -144,30 +166,74 @@ class DocWriter:
         self._seq += 1
         return self._seq
 
-    def _get_stored(self, url: str, columns=None) -> dict | None:
+    def _doc_routing(self, url: str, doc: dict) -> str:
+        """Routing key for a doc we hold: the parent id for join-field
+        child docs (``routing ?? _id``), the url otherwise."""
+        if self.join_spec is None:
+            return url
+        from raydex.index.joinfield import join_routing_keys
+
+        vals = pa.array([doc.get(self.join_spec.source)])
+        return join_routing_keys(vals, [url])[0]
+
+    def _resolve_routing(self, url: str, routing: str | None) -> str:
+        """Routing for an id-only operation (get/update/delete). On a
+        join-field index an explicit ``routing`` is REQUIRED unless the
+        id resolves via self-routing (i.e. it is a parent / self-routed
+        doc) — mirroring the reference's routing-required contract for
+        join fields (``ParentJoinFieldMapper``: a child written or
+        deleted without routing would silently target the wrong
+        shard)."""
+        if routing is not None:
+            return routing
+        if self.join_spec is None:
+            return url
+        if url in self.buffer:
+            return self._doc_routing(url, self.buffer[url])
+        if url in self.tombstones:
+            return self.tombstones[url]
+        # resolvable iff the doc lives in its self-routed partition
         from raydex.search.get import get_doc
 
-        row = get_doc(self.index_dir, url, columns=columns)
+        row = get_doc(self.index_dir, url, columns=["url"], routing=url)
+        if row is not None:
+            self._exist_cache[url] = True
+            return url
+        raise ValueError(
+            f"[{url}]: routing is required on a join-field index — the "
+            "id does not resolve via self-routing (child docs live in "
+            "their parent's partition; pass routing=<parent id>)")
+
+    def _get_stored(self, url: str, columns=None,
+                    routing: str | None = None) -> dict | None:
+        from raydex.search.get import get_doc
+
+        row = get_doc(self.index_dir, url, columns=columns,
+                      routing=self._resolve_routing(url, routing))
         self._exist_cache[url] = row is not None
         return row
 
-    def _exists_on_disk(self, url: str) -> bool:
+    def _exists_on_disk(self, url: str, routing: str | None = None) -> bool:
         if url in self._exist_cache:
             return self._exist_cache[url]
-        return self._get_stored(url, columns=["url"]) is not None
+        return self._get_stored(url, columns=["url"],
+                                routing=routing) is not None
 
-    def prime_existence(self, urls: list[str]) -> None:
+    def prime_existence(self, urls: list[str],
+                        routing: dict[str, str] | None = None) -> None:
         """Seed the on-disk existence memo with ONE routed mget — the
         bulk path's per-item created/updated resolution then never
-        re-opens a partition per action line."""
+        re-opens a partition per action line. ``routing``: optional
+        id -> routing-key map (join-field children)."""
         from raydex.search.get import mget
 
         todo = [u for u in dict.fromkeys(urls)
                 if u not in self._exist_cache]
         if not todo:
             return
+        keys = [(routing or {}).get(u, u) for u in todo]
         for u, row in zip(todo, mget(self.index_dir, todo,
-                                     columns=["url"])):
+                                     columns=["url"], routing=keys)):
             self._exist_cache[u] = row is not None
 
     def index_doc(self, doc: dict, create: bool = False) -> dict:
@@ -179,15 +245,16 @@ class DocWriter:
         url = doc.get("url")
         if not url:
             raise ValueError("doc requires a non-empty 'url' (the _id)")
+        routing = self._doc_routing(url, doc)
         exists = (url in self.buffer
                   or (url not in self.tombstones
-                      and self._exists_on_disk(url)))
+                      and self._exists_on_disk(url, routing=routing)))
         if create and exists:
             raise VersionConflict(
                 f"[{url}]: version conflict, document already exists")
         self._check_source(doc)
         self.buffer[url] = dict(doc)
-        self.tombstones.discard(url)
+        self.tombstones.pop(url, None)
         return {"_id": url, "result": "updated" if exists else "created",
                 "_seq_no": self._next_seq()}
 
@@ -212,7 +279,8 @@ class DocWriter:
     def update_doc(self, url: str, doc: dict | None = None,
                    doc_as_upsert: bool = False, upsert: dict | None = None,
                    detect_noop: bool = True,
-                   script: dict | None = None) -> dict:
+                   script: dict | None = None,
+                   routing: str | None = None) -> dict:
         """``POST <index>/_update/<id>``: GET-then-merge-then-reindex
         (``UpdateHelper.prepare``). ``doc`` is the partial source;
         ``doc_as_upsert``/``upsert`` supply the create path when the id
@@ -232,11 +300,12 @@ class DocWriter:
             if doc:
                 raise ValueError(
                     "update requires either 'doc' or 'script', not both")
-            return self._scripted_update(url, script, upsert)
+            return self._scripted_update(url, script, upsert,
+                                         routing=routing)
         doc = dict(doc or {})
         current = self.buffer.get(url)
         if current is None and url not in self.tombstones:
-            stored = self._get_stored(url)
+            stored = self._get_stored(url, routing=routing)
             if stored is not None:
                 if not stored.get("_stored_source"):
                     raise DocumentSourceMissing(
@@ -258,7 +327,7 @@ class DocWriter:
                 raise KeyError(f"[{url}]: document missing")
             self._check_source(merged)
             self.buffer[url] = merged
-            self.tombstones.discard(url)
+            self.tombstones.pop(url, None)
             return {"_id": url, "result": "created",
                     "_seq_no": self._next_seq()}
         merged = {**current, **doc, "url": url}
@@ -270,14 +339,15 @@ class DocWriter:
                 "_seq_no": self._next_seq()}
 
     def _scripted_update(self, url: str, script: dict,
-                         upsert: dict | None) -> dict:
+                         upsert: dict | None,
+                         routing: str | None = None) -> dict:
         fn = script.get("source")
         if not callable(fn):
             fn = update_script(str(fn))
         params = dict(script.get("params") or {})
         current = self.buffer.get(url)
         if current is None and url not in self.tombstones:
-            stored = self._get_stored(url)
+            stored = self._get_stored(url, routing=routing)
             if stored is not None:
                 if not stored.get("_stored_source"):
                     raise DocumentSourceMissing(
@@ -294,7 +364,7 @@ class DocWriter:
             merged.setdefault("url", url)
             self._check_source(merged)
             self.buffer[url] = merged
-            self.tombstones.discard(url)
+            self.tombstones.pop(url, None)
             return {"_id": url, "result": "created",
                     "_seq_no": self._next_seq()}
         ctx = {"_source": dict(current), "op": "index"}
@@ -302,7 +372,7 @@ class DocWriter:
         if ctx["op"] == "none":
             return {"_id": url, "result": "noop", "_seq_no": self._seq}
         if ctx["op"] == "delete":
-            return self.delete_doc(url)
+            return self.delete_doc(url, routing=routing)
         if ctx["op"] != "index":
             raise ValueError(f"script set unknown ctx.op {ctx['op']!r}")
         merged = {**ctx["_source"], "url": url}
@@ -311,17 +381,21 @@ class DocWriter:
         return {"_id": url, "result": "updated",
                 "_seq_no": self._next_seq()}
 
-    def delete_doc(self, url: str) -> dict:
-        """``DELETE <index>/_doc/<id>``."""
+    def delete_doc(self, url: str, routing: str | None = None) -> dict:
+        """``DELETE <index>/_doc/<id>``. On a join-field index the
+        routing key is required unless the id self-routes (see
+        ``_resolve_routing``)."""
         buffered = self.buffer.pop(url, None)
-        on_disk = self._exists_on_disk(url)
+        rkey = self._resolve_routing(url, routing)
+        on_disk = self._exists_on_disk(url, routing=rkey)
         if on_disk:
-            self.tombstones.add(url)
+            self.tombstones[url] = rkey
         if buffered is None and not on_disk:
             return {"_id": url, "result": "not_found", "_seq_no": self._seq}
         return {"_id": url, "result": "deleted", "_seq_no": self._next_seq()}
 
-    def get(self, url: str, columns=None) -> dict | None:
+    def get(self, url: str, columns=None,
+            routing: str | None = None) -> dict | None:
         """Realtime GET (``TransportGetAction`` ``realtime=true``):
         reads the writer's buffer — the translog read — before
         falling back to segments, so a just-indexed doc is fetchable
@@ -332,24 +406,46 @@ class DocWriter:
             row = dict(self.buffer[url])
             return ({k: row[k] for k in columns if k in row}
                     if columns else row)
-        return self._get_stored(url, columns=columns)
+        return self._get_stored(url, columns=columns, routing=routing)
 
     # -- refresh: make the buffer searchable ------------------------------
 
     def refresh(self) -> dict:
         """Cut one micro-segment per buffered partition + apply
         tombstones. Touches only routed partitions. Returns
-        ``{"segments": n, "docs": n, "deleted": n}``."""
+        ``{"segments": n, "docs": n, "deleted": n}``.
+
+        Crash-safety order (the translog contract): (1) journal the
+        buffered ops into write_log.json, (2) cut + append the NEW
+        micro-segments, (3) soft-delete the superseded copies in the
+        pre-existing segments only. A crash at any point loses nothing:
+        before (2) the journal replays on the next DocWriter open;
+        between (2) and (3) the index holds a recoverable duplicate
+        that the replayed refresh's delete pass resolves latest-wins."""
         if not self.buffer and not self.tombstones:
             _store_seq(self.index_dir, self._seq)
             return {"segments": 0, "docs": 0, "deleted": 0}
-        kill = sorted(set(self.buffer) | self.tombstones)
-        deleted = _delete_ids_routed(self.index_dir, kill,
-                                     self.num_partitions)
+        try:
+            _store_seq(self.index_dir, self._seq,
+                       pending={"docs": self.buffer,
+                                "tombstones": self.tombstones})
+        except TypeError:
+            # non-JSON-serializable source values: skip the journal
+            # (the append-before-delete order below still guarantees
+            # no loss, only a transient duplicate on crash)
+            pass
+        kill_routing = {u: self._doc_routing(u, d)
+                        for u, d in self.buffer.items()}
+        kill_routing.update(self.tombstones)
         new_rows = self._flush_segments() if self.buffer else []
         if new_rows:
             _append_manifest_rows(self.index_dir, new_rows)
             self.manifest = load_index_manifest(self.index_dir)
+        kill = sorted(kill_routing)
+        deleted = _delete_ids_routed(
+            self.index_dir, kill, self.num_partitions,
+            routing=[kill_routing[u] for u in kill],
+            exclude_segs={r["seg_id"] for r in new_rows})
         for u in self.buffer:
             self._exist_cache[u] = True
         for u in self.tombstones:
@@ -402,9 +498,20 @@ class DocWriter:
             order = list(range(len(p_urls)))
             if isort:
                 sf, sdir = isort
-                keys = [p_docs[i].get(sf) for i in order]
-                order.sort(key=lambda i: (p_docs[i].get(sf),),
-                           reverse=(sdir == "desc"))
+                # None-safe sort key (missing values sort last, the
+                # reference's missing:_last default); mixed
+                # incomparable types are a mapping violation
+                try:
+                    order.sort(
+                        key=lambda i: (p_docs[i].get(sf) is None,
+                                       p_docs[i].get(sf)),
+                        reverse=(sdir == "desc"))
+                except TypeError:
+                    bad = sorted({type(p_docs[i].get(sf)).__name__
+                                  for i in order})
+                    raise ValueError(
+                        f"index-sort field {sf!r} holds mutually "
+                        f"incomparable value types {bad}") from None
                 p_urls = [p_urls[i] for i in order]
                 p_docs = [p_docs[i] for i in order]
                 texts = [texts[i] for i in order]
@@ -424,7 +531,8 @@ class DocWriter:
             # primary text inputs already stored elsewhere
             dv: dict[str, pa.Array] = {}
             src_cols = sorted(
-                {k for d in p_docs for k in d} - _RESERVED - {"url"})
+                {k for d in p_docs for k in d} - _RESERVED
+                - {"url", "dl", "norm", "_stored_source"})
             for c in src_cols:
                 dv[c] = pa.array([d.get(c) for d in p_docs])
             dv["_stored_source"] = pa.array([True] * len(p_docs))
@@ -539,11 +647,16 @@ def _append_manifest_rows(index_dir: str, new_rows: list[dict]) -> None:
 
 
 def _delete_ids_routed(index_dir: str, urls: list[str],
-                       num_partitions: int) -> int:
+                       num_partitions: int,
+                       routing: list[str] | None = None,
+                       exclude_segs: set | None = None) -> int:
     """Soft-delete ids touching ONLY their routed partitions' segments
     — a micro-write against a 10^12-doc index opens O(touched
     partitions) segments, not the whole index (delete_by_query's global
-    sweep stays the query-form path)."""
+    sweep stays the query-form path). ``routing``: per-id routing keys
+    (join-field children live in the parent's partition);
+    ``exclude_segs``: seg_ids to skip (the just-appended micro-segments
+    whose fresh copies must stay live)."""
     if not urls:
         return 0
     from raydex.index.blocks import check_write
@@ -551,11 +664,13 @@ def _delete_ids_routed(index_dir: str, urls: list[str],
     from raydex.search.scatter import SearcherBase
 
     check_write(index_dir)
-    parts = {int(p) for p in route_partitions(urls, num_partitions)}
+    keys = routing if routing is not None else urls
+    parts = {int(p) for p in route_partitions(keys, num_partitions)}
     s = SearcherBase(index_dir)
     tags = {f"part={p:05d}" for p in parts}
     seg_dirs = [d for d in s.seg_dirs
-                if os.path.basename(os.path.dirname(d)) in tags]
+                if os.path.basename(os.path.dirname(d)) in tags
+                and os.path.basename(d) not in (exclude_segs or ())]
     qdict = {"ids": {"values": list(urls)}}
     terms, fpairs = s._collect_stats_spec(qdict)
     df = dict.fromkeys(terms, 0)
@@ -586,21 +701,23 @@ def index_doc(index_dir: str, doc: dict, create: bool = False,
 def update_doc(index_dir: str, url: str, doc: dict | None = None,
                doc_as_upsert: bool = False, upsert: dict | None = None,
                detect_noop: bool = True, refresh: bool = True,
-               script: dict | None = None) -> dict:
+               script: dict | None = None,
+               routing: str | None = None) -> dict:
     """``POST <index>/_update/<id>?refresh=true`` one-shot."""
     w = DocWriter(index_dir)
     r = w.update_doc(url, doc=doc, doc_as_upsert=doc_as_upsert,
                      upsert=upsert, detect_noop=detect_noop,
-                     script=script)
+                     script=script, routing=routing)
     if refresh:
         w.refresh()
     return r
 
 
-def delete_doc(index_dir: str, url: str, refresh: bool = True) -> dict:
+def delete_doc(index_dir: str, url: str, refresh: bool = True,
+               routing: str | None = None) -> dict:
     """``DELETE <index>/_doc/<id>?refresh=true`` one-shot."""
     w = DocWriter(index_dir)
-    r = w.delete_doc(url)
+    r = w.delete_doc(url, routing=routing)
     if refresh:
         w.refresh()
     return r
@@ -641,6 +758,7 @@ def bulk_apply(index_dir: str, body, refresh: bool = True) -> dict:
     # ONE routed mget resolves every item's created/updated status —
     # never a per-action partition read
     ids = []
+    id_routing: dict[str, str] = {}
     for ln in lines:
         try:
             d = json.loads(ln) if isinstance(ln, str) else ln
@@ -651,7 +769,9 @@ def bulk_apply(index_dir: str, body, refresh: bool = True) -> dict:
             if op0 in _BULK_OPS and isinstance(d[op0], dict) \
                     and d[op0].get("_id"):
                 ids.append(d[op0]["_id"])
-    w.prime_existence(ids)
+                if d[op0].get("routing"):
+                    id_routing[d[op0]["_id"]] = d[op0]["routing"]
+    w.prime_existence(ids, routing=id_routing or None)
     items: list[dict] = []
     i = 0
     while i < len(lines):
@@ -694,12 +814,13 @@ def bulk_apply(index_dir: str, body, refresh: bool = True) -> dict:
                     doc_as_upsert=bool(src.get("doc_as_upsert")),
                     upsert=src.get("upsert"),
                     detect_noop=bool(src.get("detect_noop", True)),
-                    script=src.get("script"))
+                    script=src.get("script"),
+                    routing=meta.get("routing"))
                 status = 201 if r["result"] == "created" else 200
             else:
                 if not _id:
                     raise ValueError("delete requires _id")
-                r = w.delete_doc(_id)
+                r = w.delete_doc(_id, routing=meta.get("routing"))
                 status = 404 if r["result"] == "not_found" else 200
             items.append({op: {**r, "status": status}})
         except VersionConflict as e:

@@ -52,9 +52,12 @@ def _lookup_docid(seg_dir: str, d, target: str) -> int:
     return _bisect_url(d["url"].combine_chunks(), target)
 
 
-def get_doc(index_dir: str, url: str, columns: list[str] | None = None) -> dict | None:
+def get_doc(index_dir: str, url: str, columns: list[str] | None = None,
+            routing: str | None = None) -> dict | None:
     """GET one document by id (url). Reads ONLY the routed partition's
-    docs tables; returns the stored row dict or None."""
+    docs tables; returns the stored row dict or None. ``routing``
+    overrides the partition key (the ``?routing=`` parameter — child
+    docs of a join field live in their PARENT's partition)."""
     manifest = load_index_manifest(index_dir)
     params_path = os.path.join(index_dir, "build_params.json")
     if os.path.exists(params_path):
@@ -62,7 +65,7 @@ def get_doc(index_dir: str, url: str, columns: list[str] | None = None) -> dict 
             num_partitions = json.load(f)["num_partitions"]
     else:
         num_partitions = manifest["num_partitions"]
-    part = int(route_partitions([url], num_partitions)[0])
+    part = int(route_partitions([routing or url], num_partitions)[0])
     for r in manifest["segments"]:
         if r["part"] != part:
             continue
@@ -93,9 +96,11 @@ def _is_live(seg_dir: str, docid: int) -> bool:
     return bool(np.load(lp, mmap_mode="r")[docid])
 
 
-def mget(index_dir: str, urls: list[str], columns: list[str] | None = None) -> list:
+def mget(index_dir: str, urls: list[str], columns: list[str] | None = None,
+         routing: list[str] | None = None) -> list:
     """`_mget`: batched GET — groups ids by routed partition so each
-    partition's doc tables are read once."""
+    partition's doc tables are read once. ``routing``: optional
+    per-id routing keys (parallel to ``urls``)."""
     manifest = load_index_manifest(index_dir)
     params_path = os.path.join(index_dir, "build_params.json")
     if os.path.exists(params_path):
@@ -103,7 +108,9 @@ def mget(index_dir: str, urls: list[str], columns: list[str] | None = None) -> l
             num_partitions = json.load(f)["num_partitions"]
     else:
         num_partitions = manifest["num_partitions"]
-    parts = route_partitions(urls, num_partitions)
+    parts = route_partitions(
+        [r or u for r, u in zip(routing, urls)] if routing else urls,
+        num_partitions)
     by_part: dict[int, list[int]] = {}
     for i, p in enumerate(parts):
         by_part.setdefault(int(p), []).append(i)

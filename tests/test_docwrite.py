@@ -279,3 +279,118 @@ def test_realtime_get_reads_buffer(built):
     w.refresh()
     assert get_doc(built, "rt.example/1")["text"] == "realtime ocelot"
     assert get_doc(built, "s4.example/p/4") is None
+
+
+# -- round-5: join-field routing + translog replay --------------------------
+
+def _join_index(tmp_path, ray_session):
+    import json
+
+    from raydex.index.segment import FieldSpec
+
+    rows = []
+    for i in range(12):
+        rows.append((f"q{i}", f"question topic{i % 3}",
+                     json.dumps({"name": "question"})))
+        for j in range(i % 3):
+            rows.append((f"a{i}-{j}", f"answer detail{j}",
+                         json.dumps({"name": "answer", "parent": f"q{i}"})))
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array(list(range(len(rows)))).cast(pa.timestamp("us")),
+        "text": pa.array([r[1] for r in rows], pa.large_string()),
+        "join_field": pa.array([r[2] for r in rows]),
+    })
+    p = str(tmp_path / "jp.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "jidx")
+    spec = FieldSpec("join_field", source="join_field", analyzer="join",
+                     relations={"question": ["answer"]})
+    build_index(p, idx, num_partitions=3, analyzer="standard",
+                source="text", max_docs_per_segment=8, fields=[spec])
+    return idx
+
+
+def test_join_index_child_ops_require_routing(ray_session, tmp_path):
+    """ADVICE r4: id-only ops on a join index must not silently target
+    the wrong partition — child ops require routing; parent ops
+    self-route."""
+    import json
+
+    idx = _join_index(tmp_path, ray_session)
+    w = DocWriter(idx)
+    # parent resolves via self-routing (no explicit routing needed)
+    assert w.delete_doc("q3")["result"] == "deleted"
+    # child without routing: rejected, not silently not_found
+    with pytest.raises(ValueError, match="routing is required"):
+        w.delete_doc("a5-1")
+    # child WITH routing: found and deleted
+    assert w.delete_doc("a5-1", routing="q5")["result"] == "deleted"
+    w.refresh()
+    s = LocalSearcher(idx)
+    assert s.count({"ids": {"values": ["q3", "a5-1"]}}) == 0
+    # re-index of an existing child doc routes by the PARENT key, so
+    # latest-wins holds (the r4 corruption: old copy stayed live)
+    w2 = DocWriter(idx)
+    before = s.count({"match_all": {}})
+    r = w2.index_doc({
+        "url": "a7-0", "text": "answer rewritten detail",
+        "join_field": json.dumps({"name": "answer", "parent": "q7"})})
+    assert r["result"] == "updated"  # existence seen via parent routing
+    w2.refresh()
+    s2 = LocalSearcher(idx)
+    assert s2.count({"match_all": {}}) == before  # no duplicate
+    assert s2.count({"match": {"text": "rewritten"}}) == 1
+
+
+def test_refresh_crash_between_append_and_delete_recovers(built):
+    """ADVICE r4: a crash mid-refresh must never lose the update. The
+    journal in write_log.json replays; the append-before-delete order
+    leaves at worst a recoverable duplicate."""
+    import json
+    import os
+
+    w = DocWriter(built)
+    w.index_doc({"url": "s1.example/p/1", "text": "page crash rewrite one"})
+    w.delete_doc("s2.example/p/7")
+    # simulate the crash: journal written, nothing else happened
+    from raydex.index.docwrite import _store_seq
+    _store_seq(built, w._seq, pending={"docs": w.buffer,
+                                       "tombstones": w.tombstones})
+    del w
+
+    w2 = DocWriter(built)  # replays the journal
+    assert "s1.example/p/1" in w2.buffer
+    assert "s2.example/p/7" in w2.tombstones
+    out = w2.refresh()
+    assert out["docs"] == 1
+    s = LocalSearcher(built)
+    assert s.count({"match": {"text": "crash"}}) == 1
+    assert s.count({"ids": {"values": ["s2.example/p/7"]}}) == 0
+    assert s.count({"ids": {"values": ["s1.example/p/1"]}}) == 1  # no dup
+    # journal cleared after the successful refresh
+    with open(os.path.join(built, "write_log.json")) as f:
+        assert "pending" not in json.load(f)
+
+
+def test_index_sort_flush_none_safe(ray_session, tmp_path):
+    """ADVICE r4: _flush_segments index-sort path must tolerate None
+    sort values and must not duplicate dl/norm columns."""
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(_pages(), p)
+    idx = str(tmp_path / "idx_sorted")
+    build_index(p, idx, num_partitions=2, analyzer="standard_en",
+                index_sort=("warc_ts", "desc"))
+    w = DocWriter(idx)
+    # None sort value + a doc carrying dl/norm keys (reserved strip)
+    w.index_doc({"url": "x.example/1", "text": "sorted flush alpha",
+                 "warc_ts": None, "dl": 999, "norm": 5})
+    w.index_doc({"url": "x.example/2", "text": "sorted flush beta",
+                 "warc_ts": 12345})
+    w.refresh()
+    row = get_doc(idx, "x.example/1")
+    assert row is not None
+    # stored dl is the COMPUTED doc length, not the injected 999
+    assert row["dl"] == 3
+    s = LocalSearcher(idx)
+    assert s.count({"match": {"text": "flush"}}) == 2

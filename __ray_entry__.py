@@ -1592,6 +1592,10 @@ def q_analyze_tokens(sf):
         ("lithuanian", "knygos miestuose dirbame"),
         ("estonian", "raamatutes ja linnades"),
         ("thai", "ประเทศไทยสวยงาม"),
+        # round-5 tier: dictionary-lattice CJK (kuromoji/nori/smartcn)
+        ("kuromoji", "東京都に住んでいます"),
+        ("nori", "한국어를 공부합니다"),
+        ("smartcn", "我们在北京学习中文"),
     ]
     for cid, (lang, text) in enumerate(lang_cases, start=3):
         for pos, tok in enumerate(get_analyzer(lang)(text)):
@@ -2471,7 +2475,11 @@ def oracle_sql() -> dict[str, str]:
             "(17, 0, 'knyg'), (17, 1, 'miest'), (17, 2, 'dirb'), "
             "(18, 0, 'raamatu'), (18, 1, 'linna'), "
             "(19, 0, 'ประ'), (19, 1, 'เทศ'), (19, 2, 'ไท'), "
-            "(19, 3, 'ย'), (19, 4, 'สวย'), (19, 5, 'งาม')"
+            "(19, 3, 'ย'), (19, 4, 'สวย'), (19, 5, 'งาม'), "
+            "(20, 0, '東京'), (20, 1, '都'), (20, 2, '住ん'), "
+            "(21, 0, '한국어'), (21, 1, '공부'), "
+            "(22, 0, '我们'), (22, 1, '北京'), (22, 2, '学习'), "
+            "(22, 3, '中文')"
             ") AS t(case_id, position, token)"
         ),
         "terms_lang": (

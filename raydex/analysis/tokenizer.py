@@ -243,6 +243,9 @@ def get_analyzer(name: str) -> Analyzer:
     if name in _LIGHT_LANGS and name not in _REGISTRY:
         import raydex.analysis.light_stemmers  # noqa: F401
         import raydex.analysis.euro_stemmers  # noqa: F401
+    if name in ("kuromoji", "japanese", "nori", "korean",
+                "smartcn") and name not in _REGISTRY:
+        import raydex.analysis.cjk_dict  # noqa: F401  (registers them)
     if name == "english" and name not in _REGISTRY:
         import raydex.analysis.stemmer  # noqa: F401  (registers it)
     return _REGISTRY[name]

@@ -1464,15 +1464,15 @@ class SegmentEvaluator:
                 q.fld, q.text, q.operator, q.minimum_should_match, q.boost
             )
         if isinstance(q, MatchPhrase):
-            from raydex.analysis.tokenizer import (
-                ENGLISH_STOP_SET,
-                standard_analyze_with_positions,
-            )
             from raydex.search.phrase import phrase_frequencies
             from raydex.search.bm25 import idf as _idf2
 
-            stop = ENGLISH_STOP_SET if self.analyzer.name == "standard_en" else None
-            terms, qpos = standard_analyze_with_positions(q.text, stop)
+            # query-side analysis uses the INDEX analyzer (the
+            # reference's MatchQuery resolves the field's search
+            # analyzer) — e.g. a kuromoji phrase must segment with the
+            # same dictionary the index used, not the standard rules
+            terms, qpos = self.analyzer.analyze_many_with_positions(
+                [q.text])[0]
             scores = np.zeros(n)
             mask = np.zeros(n, dtype=bool)
             if terms:
@@ -1856,14 +1856,10 @@ class SegmentEvaluator:
             mask |= pmask
             return q.boost * scores, mask
         if isinstance(q, MatchPhrasePrefix):
-            from raydex.analysis.tokenizer import (
-                ENGLISH_STOP_SET,
-                standard_analyze_with_positions,
-            )
             from raydex.search.phrase import phrase_frequencies
 
-            stop = ENGLISH_STOP_SET if self.analyzer.name == "standard_en" else None
-            terms, qpos = standard_analyze_with_positions(q.text, stop)
+            terms, qpos = self.analyzer.analyze_many_with_positions(
+                [q.text])[0]
             scores = np.zeros(n)
             mask = np.zeros(n, dtype=bool)
             if not terms:

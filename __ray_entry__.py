@@ -36,7 +36,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v9_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v10_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.analysis.sayt import sayt_subfield_specs
@@ -79,6 +79,16 @@ def _docs_index_dir(sf_dir: str) -> str:
                 # geo_shape source: an envelope anchored at loc whose
                 # width/height derive from doc_id, so every relation
                 # has an exact interval-logic SQL mirror
+                # flattened field source (x-pack mapper-flattened): a
+                # deterministic JSON object per doc — every leaf has an
+                # exact SQL mirror on doc_id arithmetic; `bucket` is
+                # present only for even ids (exists-query branch)
+                "props_flat": pa.array([
+                    json.dumps(
+                        {"tier": "hot" if int(i) % 5 == 0 else "cold",
+                         **({"meta": {"bucket": f"b{int(i) % 7}"}}
+                            if int(i) % 2 == 0 else {})})
+                    for i in ids]),
                 "shp": pa.array([
                     json.dumps({"type": "envelope", "coordinates": [
                         [((int(i) * 91) % 36000) / 100.0 - 180.0,
@@ -119,7 +129,9 @@ def _docs_index_dir(sf_dir: str) -> str:
                         FieldSpec("loc", source="loc",
                                   analyzer="geo_point"),
                         FieldSpec("shp", source="shp",
-                                  analyzer="geo_shape")]
+                                  analyzer="geo_shape"),
+                        FieldSpec("props_flat", source="props_flat",
+                                  analyzer="flattened")]
                 # text is also a search_as_you_type field: _2gram/_3gram
                 # shingles + the edge-gram _index_prefix sub-field, so
                 # match_bool_prefix gates run the DEDICATED-structure
@@ -1712,6 +1724,13 @@ def q_dsl_count_suite(sf):
             "type": "envelope",
             "coordinates": [[-30.0, 20.0], [30.0, -20.0]]},
             "relation": "disjoint"}}}),
+        # flattened field (x-pack mapper-flattened): keyed term, nested
+        # keyed term, root term (any leaf), keyed exists, keyed prefix
+        ("z9a_flat_term", {"term": {"props_flat.tier": "hot"}}),
+        ("z9b_flat_nested", {"term": {"props_flat.meta.bucket": "b3"}}),
+        ("z9c_flat_root", {"term": {"props_flat": "cold"}}),
+        ("z9d_flat_exists", {"exists": {"field": "props_flat.meta.bucket"}}),
+        ("z9e_flat_prefix", {"prefix": {"props_flat.meta.bucket": "b"}}),
     ]
     rows = [(k, s.count(q)) for k, q in cases]
     # search-request aggregations phase (AggregationPhase /
@@ -2915,6 +2934,16 @@ def oracle_sql() -> dict[str, str]:
             "* (CASE WHEN doc_id % 10 = 0 THEN 20.0 ELSE 1.0 END) AS maxlon "
             "FROM documents) WHERE NOT (minlon <= 30.0 AND maxlon >= -30.0 "
             "AND minlat <= 20.0 AND maxlat >= -20.0) "
+            "UNION ALL SELECT 'z9a_flat_term', COUNT(*) FROM documents "
+            "WHERE doc_id % 5 = 0 "
+            "UNION ALL SELECT 'z9b_flat_nested', COUNT(*) FROM documents "
+            "WHERE doc_id % 2 = 0 AND doc_id % 7 = 3 "
+            "UNION ALL SELECT 'z9c_flat_root', COUNT(*) FROM documents "
+            "WHERE doc_id % 5 <> 0 "
+            "UNION ALL SELECT 'z9d_flat_exists', COUNT(*) FROM documents "
+            "WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT 'z9e_flat_prefix', COUNT(*) FROM documents "
+            "WHERE doc_id % 2 = 0 "
             "UNION ALL SELECT 'z3_tile:' || t, COUNT(*) FROM ("
             "SELECT '3/' || CAST(CAST(FLOOR((lon + 180.0) / 360.0 * 8) AS BIGINT) AS VARCHAR) "
             "|| '/' || CAST(CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS BIGINT) AS VARCHAR) AS t "

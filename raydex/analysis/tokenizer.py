@@ -263,12 +263,60 @@ register_analyzer("keywordish", keywordish_analyze)
 
 def wildcard_3gram_analyze(text: str) -> list[str]:
     """x-pack wildcard field's index analyzer
-    (``WildcardFieldMapper.java:90-107,989``): lowercase, wrap with the
-    \\0 start/end anchors (one leading, two trailing —
+    (``WildcardFieldMapper.java:90-107,989``): lowercase, wrap with
+    start/end anchors (one leading, two trailing —
     ``addLineEndChars``), emit every 3-gram. Anchored grams make
-    prefix/suffix patterns accelerable too."""
-    w = "\x00" + text.lower() + "\x00\x00"
+    prefix/suffix patterns accelerable too. Deviation: the anchor char
+    is \\x1f (unit separator), not the reference's \\0 — the term
+    dictionary's factorize pass hashes object strings as C strings,
+    so embedded NULs would collapse distinct anchored grams."""
+    w = "\x1f" + text.lower() + "\x1f\x1f"
     return [w[i:i + 3] for i in range(len(w) - 2)]
 
 
 register_analyzer("wildcard_3gram", wildcard_3gram_analyze)
+
+
+def flattened_leaves_analyze(text: str) -> list[str]:
+    """x-pack ``flattened`` field's index "analyzer"
+    (``x-pack/plugin/mapper-flattened/.../FlattenedFieldMapper.java``
+    + its ``FlattenedFieldParser``): the value is a JSON object whose
+    LEAVES index as untokenized keywords, twice each — the bare value
+    (root queries match any leaf) and ``dotted.path\\x1fvalue`` (keyed
+    queries address one leaf), exactly the mapper's root/keyed field
+    pair (the reference separates with \\0; we use the unit separator
+    for the same C-string-hash reason as the wildcard anchors). Depth limit 20 like the mapper's ``depth_limit`` default.
+    Values keep keyword case semantics (no lowercasing)."""
+    import json as _json
+
+    if not text:
+        return []
+    try:
+        obj = _json.loads(text)
+    except Exception:
+        # a bare scalar string value: index as root keyword only
+        return [str(text)]
+    out: list[str] = []
+
+    def walk(o, path: str, depth: int) -> None:
+        if depth > 20:
+            raise ValueError(
+                "flattened object depth exceeds depth_limit (20)")
+        if isinstance(o, dict):
+            for k, v in o.items():
+                walk(v, f"{path}.{k}" if path else str(k), depth + 1)
+        elif isinstance(o, (list, tuple)):
+            for v in o:
+                walk(v, path, depth)
+        elif o is not None:
+            s = ("true" if o is True else "false" if o is False
+                 else str(o))
+            out.append(s)
+            if path:
+                out.append(f"{path}\x1f{s}")
+
+    walk(obj, "", 0)
+    return out
+
+
+register_analyzer("flattened_leaves", flattened_leaves_analyze)

@@ -456,6 +456,22 @@ def build_segment(
 
             fields_meta[spec.name] = build_join_field(fdir, spec, values, urls)
             continue
+        if spec.analyzer == "flattened":
+            # x-pack flattened mapper (FlattenedFieldMapper.java): one
+            # field indexing an arbitrary JSON object's leaves as
+            # keywords — bare values (root queries) + `path\0value`
+            # keyed terms, both in ONE postings sub-index (the mapper's
+            # root/keyed field pair collapses to a term-prefix split)
+            fm = _build_field_index(
+                fdir, urls, values, "flattened_leaves", input_fragments,
+                f"{seg_id}-f-{spec.name}", False,
+            )
+            fields_meta[spec.name] = {
+                "kind": "flattened", "analyzer": "flattened",
+                "source": spec.source, "sum_dl": fm["sum_dl"],
+                "term_count": fm["term_count"],
+            }
+            continue
         if spec.analyzer == "match_only_text":
             # MatchOnlyTextFieldMapper (mapper-extras): analyzed with the
             # INDEX analyzer, but queries score as if freq == 1 and

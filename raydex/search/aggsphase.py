@@ -113,13 +113,63 @@ def _doc_values(reader, field: str) -> np.ndarray:
     return dv
 
 
+class _FlattenedKeyView:
+    """Terms-agg view over ONE dotted key of a flattened field: the
+    `key\\x1f`-prefixed term range of the field's sub-index, with the
+    prefix stripped from the surfaced terms. Duck-types the two
+    sub-reader members the agg collectors use (``terms`` +
+    ``all_postings_docids``)."""
+
+    def __init__(self, fr, prefix: str):
+        from raydex.search.query import expand_prefix
+
+        tis = expand_prefix(fr, prefix)
+        docids, starts = fr.all_postings_docids()
+        if tis:
+            lo, hi = tis[0], tis[-1] + 1  # sorted terms: prefix range
+            self.terms = np.array(
+                [str(fr.terms[ti])[len(prefix):] for ti in range(lo, hi)],
+                dtype=object)
+            sl = starts[lo:hi + 1]
+            self._docids = docids[sl[0]:sl[-1]]
+            self._starts = (sl - sl[0]).astype(starts.dtype)
+        else:
+            self.terms = np.array([], dtype=object)
+            self._docids = docids[:0]
+            self._starts = starts[:1]
+        import pyarrow as _pa
+
+        self._terms_pa = _pa.array(list(self.terms), _pa.string())
+
+    def all_postings_docids(self):
+        return self._docids, self._starts
+
+    @property
+    def df(self) -> np.ndarray:
+        return np.diff(self._starts)
+
+    def fg_term_counts(self, mask: np.ndarray) -> np.ndarray:
+        if self._docids.size == 0:
+            return np.zeros(len(self.terms), dtype=np.int64)
+        hits = mask[self._docids].astype(np.int64)
+        return np.add.reduceat(hits, self._starts[:-1])
+
+
 def _field_subreader(reader, field: str):
     """Keyword-ish index-time sub-field reader (the SortedSetDocValues
     analogue for terms/cardinality/missing: exact multi-value semantics,
     a doc counts once per distinct value), or None when the field has no
-    sub-index (callers fall back to doc-values). A reader-load failure
-    propagates — swallowing it would mask real segment corruption behind
-    a misleading no-doc-values error."""
+    sub-index (callers fall back to doc-values). Dotted paths under a
+    flattened field resolve to a keyed view of its sub-index. A
+    reader-load failure propagates — swallowing it would mask real
+    segment corruption behind a misleading no-doc-values error."""
+    fm = getattr(reader, "fields_meta", {})
+    if field not in fm and "." in field:
+        head, _, rest = field.partition(".")
+        if fm.get(head, {}).get("kind") == "flattened":
+            fr = reader.field(head)
+            if fr is not None:
+                return _FlattenedKeyView(fr, rest + "\x1f")
     fr = reader.field(field) if hasattr(reader, "field") else None
     return None if fr is None or fr is reader else fr
 

@@ -63,6 +63,7 @@ class Term(Query):
 @dataclass
 class Terms(Query):
     values: tuple = ()
+    fld: str = "text"
 
 
 @dataclass
@@ -415,7 +416,9 @@ def parse_query(d: dict) -> Query:
             return Term(value=v["value"], fld=fld, boost=v.get("boost", 1.0))
         return Term(value=v, fld=fld)
     if kind == "terms":
-        return Terms(values=tuple(body["text"]), boost=body.get("boost", 1.0))
+        fld = next((k for k in body if k != "boost"), "text")
+        return Terms(values=tuple(body[fld]), fld=fld,
+                     boost=body.get("boost", 1.0))
     if kind == "match":
         fld, v = _field_body(body)
         if isinstance(v, dict):
@@ -847,7 +850,7 @@ def collect_field_stat_terms(q: Query, analyze_field) -> set[tuple[str, str]]:
     if isinstance(q, Term):
         out.add((q.fld, q.value))
     elif isinstance(q, Terms):
-        out.update(("text", v) for v in q.values)
+        out.update((q.fld, v) for v in q.values)
     elif isinstance(q, Match):
         out.update((q.fld, t) for t in analyze_field(q.fld, q.text))
     elif isinstance(q, MatchPhrase):
@@ -1145,7 +1148,7 @@ def wildcard_field_mask(reader, fld: str, pattern: str,
     vals = getattr(reader, "doc_values", {}).get(fld)
     if fr is None or vals is None:
         raise ValueError(f"field {fld!r} is not a wildcard field")
-    anchored = "\x00" + pattern.lower() + "\x00\x00"
+    anchored = "\x1f" + pattern.lower() + "\x1f\x1f"
     grams = {run[i:i + 3]
              for run in _re.split(r"[*?]+", anchored)
              for i in range(len(run) - 2)}
@@ -1301,9 +1304,25 @@ class SegmentEvaluator:
             mask[ids] = True
         return scores, mask
 
+    def _resolve_flattened(self, field: str) -> tuple[str, str]:
+        """``myfield.dotted.key`` against a flattened field resolves to
+        (``myfield``, ``dotted.key\\x1f``) — the keyed-term prefix of
+        the FlattenedFieldMapper's keyed sub-field. Returns (field, "")
+        when the name is not a flattened key path."""
+        fm = getattr(self.r, "fields_meta", {})
+        if field in fm or "." not in field:
+            return field, ""
+        head, _, rest = field.partition(".")
+        if fm.get(head, {}).get("kind") == "flattened":
+            return head, rest + "\x1f"
+        return field, ""
+
     def _field_term_leaf(self, field: str, term: str, boost: float):
         if field == "text":
             return self._term_leaf(term, boost)
+        rf, kp = self._resolve_flattened(field)
+        if kp:
+            field, term = rf, kp + str(term)
         meta = getattr(self.r, "fields_meta", {}).get(field, {})
         an = meta.get("analyzer")
         if an == "boolean":
@@ -1385,6 +1404,11 @@ class SegmentEvaluator:
     def _field_analyze(self, field: str, text: str) -> list[str]:
         if field == "text":
             return self.analyzer(text)
+        rf, kp = self._resolve_flattened(field)
+        if kp or getattr(self.r, "fields_meta", {}).get(
+                field, {}).get("kind") == "flattened":
+            # flattened leaves are keywords: the query text is ONE term
+            return [text]
         fr = self._field_reader(field)
         if fr is not None:
             from raydex.analysis.tokenizer import get_analyzer
@@ -1453,6 +1477,11 @@ class SegmentEvaluator:
             # bool.should of term clauses (reference terms query scoring:
             # constant score per matching term set)
             mask = np.zeros(n, dtype=bool)
+            if q.fld != "text":
+                for v in q.values:
+                    _, m = self._field_term_leaf(q.fld, v, 1.0)
+                    mask |= m
+                return np.where(mask, q.boost, 0.0), mask
             for v in q.values:
                 ti = self.r.lookup(v)
                 if ti >= 0:
@@ -1488,9 +1517,11 @@ class SegmentEvaluator:
             return scores, mask
         if isinstance(q, Prefix):
             if q.fld != "text":
+                rf, kp = self._resolve_flattened(q.fld)
+                pat = kp + q.value if kp else q.value
                 return self._field_expand_const(
-                    q.fld,
-                    lambda fr: expand_prefix(fr, q.value),
+                    rf,
+                    lambda fr: expand_prefix(fr, pat),
                     lambda fi: fi.expand_prefix(q.value),
                     q.boost,
                 )
@@ -1693,6 +1724,23 @@ class SegmentEvaluator:
                 mask = mask & self.r.live
             return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, Exists):
+            rf, kp = self._resolve_flattened(q.fld)
+            fmeta = getattr(self.r, "fields_meta", {}).get(rf, {})
+            if fmeta.get("kind") == "flattened":
+                fr = self._field_reader(rf)
+                mask = np.zeros(n, dtype=bool)
+                if fr is not None:
+                    if kp:
+                        # exists on a keyed leaf: any keyed term
+                        for ti in expand_prefix(fr, kp):
+                            mask[fr.postings(ti)[0]] = True
+                    else:
+                        # root exists: any leaf at all
+                        docids, _ = fr.all_postings_docids()
+                        mask[docids] = True
+                if self.r.live is not None:
+                    mask = mask & self.r.live
+                return np.where(mask, q.boost, 0.0), mask
             return np.full(n, q.boost), np.ones(n, dtype=bool)
         if isinstance(q, ConstantScore):
             _, mask = self.eval(q.filter_q)

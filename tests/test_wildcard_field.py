@@ -151,3 +151,21 @@ def test_wildcard_field_survives_merge(idx, tmp_path):
             pass  # single-segment partitions may refuse to merge
     after = LocalSearcher(d).count({"wildcard": {"path": {"value": "*web*"}}})
     assert after == before > 0
+
+
+def test_distinct_prefix_patterns_no_anchor_collapse(idx):
+    """Round-5 regression: pd.factorize hashes object strings as
+    C strings, so \\x00-anchored grams collapsed to ONE term — every
+    prefix pattern except the first-seen one returned zero candidates
+    (silent false negatives). Anchors are now \\x1f. All prefixes of
+    the fixture must match their fnmatch oracle."""
+    d, paths = idx
+    s = LocalSearcher(d)
+    for kind in ("syslog", "app", "db"):
+        pat = f"/var/log/{kind}/*"
+        want = sum(1 for p in paths if fnmatch.fnmatchcase(p, pat))
+        assert s.count({"wildcard": {"path": pat}}) == want > 0
+    # distinct suffix anchors too
+    for suf in ("*.log", "*.gz", "*.1"):
+        want = sum(1 for p in paths if fnmatch.fnmatchcase(p, suf))
+        assert s.count({"wildcard": {"path": suf}}) == want > 0

@@ -161,20 +161,52 @@ def _weighted_median(values: np.ndarray, counts: np.ndarray) -> float:
     return float((lo + hi) / 2.0)
 
 
-def median_absolute_deviation(ds, col: str, name: str = "mad"):
+def median_absolute_deviation(ds, col: str, name: str = "mad",
+                              max_exact_distinct: int = 10_000):
     """`median_absolute_deviation` (…/metrics/MedianAbsoluteDeviationAggregationBuilder.java):
-    median(|x - median(x)|). EXACT here via ONE value-counts groupby —
-    the (value, count) table is small for real numeric columns, and both
-    medians are weighted medians over it (no second data pass; the
-    deviation multiset derives from the same table). The reference
-    approximates with a TDigest; exact beats approximate when the
-    distinct-value table fits the driver, else use percentiles_tdigest."""
-    vc = ds.groupby(col).count().to_pandas()
-    values = vc[col].to_numpy(dtype=np.float64)
-    counts = vc["count()"].to_numpy(dtype=np.int64)
-    m = _weighted_median(values, counts)
-    mad = _weighted_median(np.abs(values - m), counts)
-    return pa.table({name: pa.array([mad], pa.float64())})
+    median(|x - median(x)|). EXACT via ONE value-counts groupby when the
+    distinct-value table is driver-sized (both medians are weighted
+    medians over it); above ``max_exact_distinct`` (continuous float
+    columns where |distinct| ≈ |rows|) it switches to the REFERENCE's
+    own algorithm — a merged t-digest of the raw values, median from
+    the digest, then MAD as the t where F(med+t) - F(med-t) = 1/2
+    (binary search on the digest's cdf, exactly how
+    ``MedianAbsoluteDeviationAggregator.computeMedianAbsoluteDeviation``
+    derives MAD from one sketch). The distinct-count guard itself is a
+    distributed count — the value table never lands on the driver
+    unless it fits."""
+    gb = ds.groupby(col).count()
+    if gb.count() <= max_exact_distinct:
+        vc = gb.to_pandas()
+        values = vc[col].to_numpy(dtype=np.float64)
+        counts = vc["count()"].to_numpy(dtype=np.int64)
+        m = _weighted_median(values, counts)
+        mad = _weighted_median(np.abs(values - m), counts)
+        return pa.table({name: pa.array([mad], pa.float64())})
+    from raydex.ops.tdigest import TDigest
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = TDigest(200.0).add(
+            t[col].cast(pa.float64()).to_numpy(zero_copy_only=False))
+        means, weights = d.to_arrays()
+        return pa.table({"means": pa.array([list(map(float, means))]),
+                         "weights": pa.array([list(map(float, weights))])})
+
+    d = TDigest(200.0)
+    for b in ds.map_batches(partial, batch_size=65536,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for mns, wts in zip(b["means"].to_pylist(), b["weights"].to_pylist()):
+            d = d.merge(TDigest.from_arrays(mns, wts, 200.0))
+    med = d.quantile(0.5)
+    lo, hi = 0.0, max(med - d.quantile(0.0), d.quantile(1.0) - med, 1e-12)
+    for _ in range(60):
+        mid = (lo + hi) / 2.0
+        if d.cdf(med + mid) - d.cdf(med - mid) >= 0.5:
+            hi = mid
+        else:
+            lo = mid
+    return pa.table({name: pa.array([hi], pa.float64())})
 
 
 def auto_date_histogram(ds, ts_col: str, target_buckets: int = 10,
@@ -238,30 +270,85 @@ def auto_date_histogram(ds, ts_col: str, target_buckets: int = 10,
     )
 
 
-def variable_width_histogram(ds, col: str, buckets: int = 10,
-                             count_name: str = "doc_count"):
-    """`variable_width_histogram` (…/bucket/histogram/VariableWidthHistogramAggregationBuilder.java):
-    data-adaptive buckets. Deterministic re-expression: value-counts
-    groupby -> driver-side agglomerative 1D clustering (repeatedly merge
-    the two adjacent clusters whose weighted means are closest) down to
-    ``buckets`` clusters. Emits (min, key=centroid, max, doc_count)."""
-    vc = ds.groupby(col).count().to_pandas().sort_values(col)
-    v = vc[col].to_numpy(dtype=np.float64)
-    c = vc["count()"].to_numpy(dtype=np.float64)
-    if v.size == 0:
-        return pa.table({"min": pa.array([], pa.float64()), "key": pa.array([], pa.float64()),
-                         "max": pa.array([], pa.float64()), count_name: pa.array([], pa.int64())})
-    mins, maxs, sums, cnts = v.copy(), v.copy(), v * c, c.copy()
+def _agglomerate_1d(mins, maxs, sums, cnts, buckets: int):
+    """Adjacent-merge 1D clustering over range-ordered weighted
+    clusters: repeatedly merge the two adjacent clusters whose weighted
+    means are closest, down to ``buckets``. Deterministic
+    (leftmost-min tie-break)."""
     while mins.size > buckets:
         means = sums / cnts
         gaps = means[1:] - means[:-1]
-        i = int(np.argmin(gaps))  # leftmost-min tie-break: deterministic
+        i = int(np.argmin(gaps))
         sums[i] += sums[i + 1]
         cnts[i] += cnts[i + 1]
         maxs[i] = maxs[i + 1]
         keep = np.ones(mins.size, dtype=bool)
         keep[i + 1] = False
         mins, maxs, sums, cnts = mins[keep], maxs[keep], sums[keep], cnts[keep]
+    return mins, maxs, sums, cnts
+
+
+def _quantile_precluster(t: pa.Table, col: str, k: int,
+                         count_col: str = "count()") -> pa.Table:
+    """Reduce one VALUE-SORTED (value, count) block to <= k weighted
+    centroids by equal-weight quantile slicing (vectorized: cumsum +
+    searchsorted — no O(n^2) merge loop on the hot path). The shard
+    collector's cluster cap in the reference
+    (``VariableWidthHistogramAggregator`` caches shard_size clusters
+    per shard, then the coordinator merges)."""
+    v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    c = t[count_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    if v.size <= k:
+        return pa.table({"mn": pa.array(v, pa.float64()),
+                         "mx": pa.array(v, pa.float64()),
+                         "sm": pa.array(v * c, pa.float64()),
+                         "ct": pa.array(c, pa.float64())})
+    cum = np.cumsum(c)
+    edges = np.searchsorted(cum, np.linspace(0, cum[-1], k + 1)[1:-1],
+                            side="right")
+    edges = np.unique(np.concatenate(([0], edges, [v.size])))
+    sm = np.add.reduceat(v * c, edges[:-1])
+    ct = np.add.reduceat(c, edges[:-1])
+    return pa.table({"mn": pa.array(v[edges[:-1]], pa.float64()),
+                     "mx": pa.array(v[edges[1:] - 1], pa.float64()),
+                     "sm": pa.array(sm, pa.float64()),
+                     "ct": pa.array(ct, pa.float64())})
+
+
+def variable_width_histogram(ds, col: str, buckets: int = 10,
+                             count_name: str = "doc_count",
+                             max_exact_distinct: int = 10_000):
+    """`variable_width_histogram` (…/bucket/histogram/VariableWidthHistogramAggregationBuilder.java):
+    data-adaptive buckets. Exact path (distinct values fit the driver):
+    value-counts groupby -> agglomerative 1D clustering. Scale path
+    (continuous columns, |distinct| ≈ |rows|): the grouped table is
+    SORTED by value and each block pre-clusters to <= 32*buckets
+    weighted centroids (equal-weight quantile slices, vectorized) —
+    the per-shard cluster cap of the reference's collector — then one
+    bounded driver merge agglomerates the range-ordered centroid lists
+    down to ``buckets``. Emits (min, key=centroid, max, doc_count)."""
+    gb = ds.groupby(col).count()
+    if gb.count() <= max_exact_distinct:
+        vc = gb.to_pandas().sort_values(col)
+        v = vc[col].to_numpy(dtype=np.float64)
+        c = vc["count()"].to_numpy(dtype=np.float64)
+        if v.size == 0:
+            return pa.table({"min": pa.array([], pa.float64()), "key": pa.array([], pa.float64()),
+                             "max": pa.array([], pa.float64()), count_name: pa.array([], pa.int64())})
+        mins, maxs, sums, cnts = _agglomerate_1d(
+            v.copy(), v.copy(), v * c, c.copy(), buckets)
+    else:
+        k = 32 * buckets
+        cent = (gb.sort(col)
+                .map_batches(lambda t: _quantile_precluster(t, col, k),
+                             batch_format="pyarrow")
+                .to_pandas())
+        cent = cent.sort_values("mn")  # blocks are range-partitioned
+        mins, maxs, sums, cnts = _agglomerate_1d(
+            cent["mn"].to_numpy(np.float64).copy(),
+            cent["mx"].to_numpy(np.float64).copy(),
+            cent["sm"].to_numpy(np.float64).copy(),
+            cent["ct"].to_numpy(np.float64).copy(), buckets)
     return pa.table(
         {
             "min": pa.array(mins, pa.float64()),

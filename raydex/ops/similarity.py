@@ -13,7 +13,6 @@ Both deterministic; no wall-clock, no randomness outside fixed seeds.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -21,6 +20,45 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _scorer_concurrency(denom: float = 2.0) -> int:
+    """Actor-pool size for the matmul scorers, derived from the
+    cluster's CPU count (the _keyed_blocks pattern, dedup.py) — a
+    hardcoded 2-4 starves a 32-cpu box and any real cluster. A couple
+    of CPUs stay free for the read stage feeding the pool."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    return max(2, int(cpus / denom) - 1)
+
+
+def _final_topk(partials: pa.Table, k: int) -> pa.Table:
+    """Driver reduce of per-block partial top-k rows -> global top-k
+    per query, rank by (cosine desc, doc_id asc). One lexsort over the
+    (k x nq x nblocks)-bounded partial table — no per-row Python."""
+    qid = partials["query_id"].to_numpy(zero_copy_only=False)
+    did = partials["doc_id"].to_numpy(zero_copy_only=False)
+    cos = partials["cosine"].to_numpy(zero_copy_only=False)
+    # lexsort: last key is primary
+    order = np.lexsort((did, -cos, qid))
+    qid, did, cos = qid[order], did[order], cos[order]
+    # rank within each query run; keep rank < k
+    if qid.size == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+    rank = np.arange(qid.size) - np.repeat(starts, np.diff(np.r_[starts, qid.size]))
+    keep = rank < k
+    return pa.table({
+        "query_id": pa.array(qid[keep].astype(np.int64), pa.int64()),
+        "rank": pa.array(rank[keep].astype(np.int32), pa.int32()),
+        "doc_id": pa.array(did[keep].astype(np.int64), pa.int64()),
+        "cosine": pa.array(cos[keep], pa.float64()),
+    })
 
 
 class _BruteScore:
@@ -38,17 +76,15 @@ class _BruteScore:
         v = _normalize(np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64))
         sim = self.q @ v.T  # (nq, nb)
         k = min(self.k, sim.shape[1])
-        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
-        rows_q, rows_id, rows_s = [], [], []
-        for qi in range(sim.shape[0]):
-            sel = part[qi]
-            rows_q.extend([qi] * k)
-            rows_id.extend(ids[sel].tolist())
-            rows_s.extend(sim[qi, sel].tolist())
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]  # (nq, k)
+        nq = sim.shape[0]
+        rows_q = np.repeat(np.arange(nq, dtype=np.int64), k)
+        rows_id = ids[part.ravel()]
+        rows_s = np.take_along_axis(sim, part, axis=1).ravel()
         return pa.table(
             {
                 "query_id": pa.array(rows_q, pa.int64()),
-                "doc_id": pa.array(rows_id, pa.int64()),
+                "doc_id": pa.array(rows_id.astype(np.int64), pa.int64()),
                 "cosine": pa.array(rows_s, pa.float64()),
             }
         )
@@ -60,25 +96,22 @@ def knn_brute_force(ds, queries: np.ndarray, vec_col: str, id_col: str, k: int =
     import ray
 
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
+    partials = _concat_batches(ds.map_batches(
         _BruteScore(qref, vec_col, id_col, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=4,
-    ).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_id"):
-        g = g.sort_values(["cosine", "doc_id"], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows()):
-            out.append((qi, r, int(row["doc_id"]), float(row["cosine"])))
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "rank": pa.array([o[1] for o in out], pa.int32()),
-            "doc_id": pa.array([o[2] for o in out], pa.int64()),
-            "cosine": pa.array([o[3] for o in out], pa.float64()),
-        }
-    )
+        concurrency=_scorer_concurrency(),
+    ))
+    return _final_topk(partials, k)
+
+
+def _concat_batches(ds) -> pa.Table:
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow")]
+    if not batches:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return pa.concat_tables(batches)
 
 
 def train_centroids(ds, vec_col: str, num_centroids: int = 64, sample: int = 4096, iters: int = 5, seed: int = 3):
@@ -227,22 +260,11 @@ def knn_ivf_index(
                 }
             )
 
-    partials = ds.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=4096, concurrency=2
-    ).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_id"):
-        g = g.sort_values(["cosine", "doc_id"], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows()):
-            out.append((qi, r, int(row["doc_id"]), float(row["cosine"])))
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "rank": pa.array([o[1] for o in out], pa.int32()),
-            "doc_id": pa.array([o[2] for o in out], pa.int64()),
-            "cosine": pa.array([o[3] for o in out], pa.float64()),
-        }
-    )
+    partials = _concat_batches(ds.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=4096,
+        concurrency=_scorer_concurrency(),
+    ))
+    return _final_topk(partials, k)
 
 
 def knn_ivf(ds, queries: np.ndarray, vec_col: str, id_col: str, k: int = 10,
@@ -294,19 +316,8 @@ def knn_ivf(ds, queries: np.ndarray, vec_col: str, id_col: str, k: int = 10,
 
     # NOTE: Scorer is an actor pool (stateful); leave CPUs free for the
     # read stage — an actor pool sized to every CPU starves the reads.
-    partials = ds.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=4096, concurrency=2
-    ).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_id"):
-        g = g.sort_values(["cosine", "doc_id"], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows()):
-            out.append((qi, r, int(row["doc_id"]), float(row["cosine"])))
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "rank": pa.array([o[1] for o in out], pa.int32()),
-            "doc_id": pa.array([o[2] for o in out], pa.int64()),
-            "cosine": pa.array([o[3] for o in out], pa.float64()),
-        }
-    )
+    partials = _concat_batches(ds.map_batches(
+        Scorer, batch_format="pyarrow", batch_size=4096,
+        concurrency=_scorer_concurrency(),
+    ))
+    return _final_topk(partials, k)

@@ -886,3 +886,47 @@ def test_collapse_inner_hits_vs_duckdb(ray_session, sf_dir, con):
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False,
     )
+
+
+def test_mad_vwh_sketch_fallback_high_cardinality(ray_session):
+    """Round-5: above max_exact_distinct the distinct-value table must
+    NOT land on the driver — mad switches to the reference's one-digest
+    algorithm (cdf binary search), vwh to per-block quantile
+    pre-clustering. Both stay within stated error bounds of ground
+    truth on a continuous column where |distinct| == |rows|."""
+    import ray.data as rd
+
+    from raydex.ops.more_aggs import (median_absolute_deviation,
+                                      variable_width_histogram)
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    # bimodal continuous data: all values distinct
+    vals = np.concatenate([rng.normal(0.0, 1.0, n // 2),
+                           rng.normal(50.0, 2.0, n // 2)])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+
+    # ground truth MAD
+    med = np.median(vals)
+    true_mad = np.median(np.abs(vals - med))
+    got = median_absolute_deviation(
+        ds, "x", max_exact_distinct=1000).to_pylist()[0]["mad"]
+    assert abs(got - true_mad) / true_mad < 0.05  # 5% error bound
+
+    # exact path (below threshold) still bit-equal to the old behavior
+    small = rd.from_arrow(pa.table({"x": pa.array(
+        np.round(vals[:5000]).astype(np.float64))}))
+    exact = median_absolute_deviation(small, "x").to_pylist()[0]["mad"]
+    sv = np.round(vals[:5000])
+    assert exact == np.median(np.abs(sv - np.median(sv)))
+
+    # vwh fallback: bucket invariants + cluster recovery
+    out = variable_width_histogram(
+        ds, "x", buckets=2, max_exact_distinct=1000).to_pydict()
+    assert len(out["key"]) == 2
+    assert sum(out["doc_count"]) == n          # weight conservation
+    assert out["min"] == sorted(out["min"])    # range-ordered buckets
+    assert abs(out["key"][0] - 0.0) < 1.0      # recovers both modes
+    assert abs(out["key"][1] - 50.0) < 1.0
+    assert out["doc_count"][0] == out["doc_count"][1] == n // 2

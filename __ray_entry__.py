@@ -36,7 +36,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v10_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v11_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.analysis.sayt import sayt_subfield_specs
@@ -79,6 +79,23 @@ def _docs_index_dir(sf_dir: str) -> str:
                 # geo_shape source: an envelope anchored at loc whose
                 # width/height derive from doc_id, so every relation
                 # has an exact interval-logic SQL mirror
+                # pre-aggregated metric sources (x-pack
+                # mapper-aggregate-metric / analytics histogram field):
+                # deterministic doc_id arithmetic, so every recombined
+                # agg has an exact SQL mirror
+                "am": pa.array([
+                    json.dumps({"min": float(int(i) % 5),
+                                "max": float(int(i) % 5 + int(i) % 3),
+                                "sum": float((int(i) % 5) * 2 + int(i) % 3),
+                                "value_count": int(i) % 3 + 1})
+                    for i in ids]),
+                "hst": pa.array([
+                    json.dumps({"values": [float(int(i) % 4),
+                                           float(int(i) % 4 + 2)],
+                                "counts": [int(1 + int(i) % 2), 2]})
+                    for i in ids]),
+                # constant_keyword: one value for the whole index
+                "dc": pa.array(["docs-corpus"] * len(ids)),
                 # flattened field source (x-pack mapper-flattened): a
                 # deterministic JSON object per doc — every leaf has an
                 # exact SQL mirror on doc_id arithmetic; `bucket` is
@@ -131,7 +148,14 @@ def _docs_index_dir(sf_dir: str) -> str:
                         FieldSpec("shp", source="shp",
                                   analyzer="geo_shape"),
                         FieldSpec("props_flat", source="props_flat",
-                                  analyzer="flattened")]
+                                  analyzer="flattened"),
+                        FieldSpec("am", source="am",
+                                  analyzer="aggregate_metric_double",
+                                  default_metric="max"),
+                        FieldSpec("hst", source="hst",
+                                  analyzer="histogram"),
+                        FieldSpec("dc", source="dc",
+                                  analyzer="constant_keyword")]
                 # text is also a search_as_you_type field: _2gram/_3gram
                 # shingles + the edge-gram _index_prefix sub-field, so
                 # match_bool_prefix gates run the DEDICATED-structure
@@ -1731,8 +1755,28 @@ def q_dsl_count_suite(sf):
         ("z9c_flat_root", {"term": {"props_flat": "cold"}}),
         ("z9d_flat_exists", {"exists": {"field": "props_flat.meta.bucket"}}),
         ("z9e_flat_prefix", {"prefix": {"props_flat.meta.bucket": "b"}}),
+        # constant_keyword: all-or-none term (ConstantKeywordFieldMapper)
+        ("zA_ck_hit", {"term": {"dc": "docs-corpus"}}),
+        ("zB_ck_miss", {"term": {"dc": "other-corpus"}}),
     ]
     rows = [(k, s.count(q)) for k, q in cases]
+    # pre-aggregated field recombination (aggregate_metric_double +
+    # histogram mappers): integer-valued metric aggs over the docs
+    # matching `batch`, each an exact SQL mirror on doc_id arithmetic
+    pre = s.search_aggs(
+        {"match": {"text": "batch"}},
+        {"am_sum": {"sum": {"field": "am"}},
+         "am_vc": {"value_count": {"field": "am"}},
+         "am_min": {"min": {"field": "am"}},
+         "am_max": {"max": {"field": "am"}},
+         "h_sum": {"sum": {"field": "hst"}},
+         "h_vc": {"value_count": {"field": "hst"}}})["aggregations"]
+    rows += [("zC_am_sum", int(pre["am_sum"]["value"])),
+             ("zD_am_vc", int(pre["am_vc"]["value"])),
+             ("zE_am_min", int(pre["am_min"]["value"])),
+             ("zF_am_max", int(pre["am_max"]["value"])),
+             ("zG_hist_sum", int(pre["h_sum"]["value"])),
+             ("zH_hist_vc", int(pre["h_vc"]["value"]))]
     # search-request aggregations phase (AggregationPhase /
     # InternalAggregations#reduce): per-segment collect over the
     # matching docs of `match text 'batch'`, coordinator reduce —
@@ -2944,6 +2988,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 2 = 0 "
             "UNION ALL SELECT 'z9e_flat_prefix', COUNT(*) FROM documents "
             "WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT 'zA_ck_hit', COUNT(*) FROM documents "
+            "UNION ALL SELECT 'zB_ck_miss', 0 "
+            "UNION ALL SELECT 'zC_am_sum', CAST(SUM((doc_id % 5) * 2 "
+            "+ doc_id % 3) AS BIGINT) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "UNION ALL SELECT 'zD_am_vc', CAST(SUM(doc_id % 3 + 1) "
+            "AS BIGINT) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "UNION ALL SELECT 'zE_am_min', CAST(MIN(doc_id % 5) "
+            "AS BIGINT) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "UNION ALL SELECT 'zF_am_max', CAST(MAX(doc_id % 5 "
+            "+ doc_id % 3) AS BIGINT) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "UNION ALL SELECT 'zG_hist_sum', CAST(SUM((doc_id % 4) "
+            "* (1 + doc_id % 2) + (doc_id % 4 + 2) * 2) AS BIGINT) "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "UNION ALL SELECT 'zH_hist_vc', CAST(SUM(1 + doc_id % 2 "
+            "+ 2) AS BIGINT) FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% batch %' "
             "UNION ALL SELECT 'z3_tile:' || t, COUNT(*) FROM ("
             "SELECT '3/' || CAST(CAST(FLOOR((lon + 180.0) / 360.0 * 8) AS BIGINT) AS VARCHAR) "
             "|| '/' || CAST(CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS BIGINT) AS VARCHAR) AS t "

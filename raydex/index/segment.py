@@ -83,6 +83,9 @@ class FieldSpec:
     # scaled_float-only (`ScaledFloatFieldMapper`): doubles stored as
     # round(v * scaling_factor) int64 doc-values
     scaling_factor: float = 0.0
+    # aggregate_metric_double-only (`AggregateDoubleMetricFieldMapper`'s
+    # `default_metric` parameter): the sub-metric queries/sorts read
+    default_metric: str = ""
 
     def to_json(self) -> dict:
         out = {
@@ -99,6 +102,8 @@ class FieldSpec:
             out["relations"] = self.relations
         if self.analyzer == "scaled_float":
             out["scaling_factor"] = float(self.scaling_factor)
+        if self.analyzer == "aggregate_metric_double":
+            out["default_metric"] = self.default_metric or "max"
         return out
 
     @staticmethod
@@ -109,7 +114,45 @@ class FieldSpec:
             int(d.get("dims", 0)), d.get("similarity", "cosine"),
             int(d.get("ivf_nlist", 0)), d.get("relations"),
             float(d.get("scaling_factor", 0.0)),
+            d.get("default_metric", ""),
         )
+
+
+def _agg_metric_columns(arr) -> dict:
+    """Parse an aggregate_metric_double source column (struct with
+    min/max/sum/value_count children, or JSON strings) into the four
+    float64/int64 sub-arrays."""
+    if pa.types.is_struct(arr.type):
+        return {
+            "min": pc.struct_field(arr, "min").cast(pa.float64()),
+            "max": pc.struct_field(arr, "max").cast(pa.float64()),
+            "sum": pc.struct_field(arr, "sum").cast(pa.float64()),
+            "value_count": pc.struct_field(arr, "value_count").cast(
+                pa.int64()),
+        }
+    objs = [json.loads(v) if v is not None else {}
+            for v in arr.cast(pa.string()).to_pylist()]
+    return {
+        "min": pa.array([o.get("min") for o in objs], pa.float64()),
+        "max": pa.array([o.get("max") for o in objs], pa.float64()),
+        "sum": pa.array([o.get("sum") for o in objs], pa.float64()),
+        "value_count": pa.array([o.get("value_count") for o in objs],
+                                pa.int64()),
+    }
+
+
+def _histogram_columns(arr) -> tuple:
+    """Parse a histogram-field source column (struct with values/counts
+    list children, or JSON strings) into (list<double>, list<int64>)."""
+    if pa.types.is_struct(arr.type):
+        return (pc.struct_field(arr, "values").cast(pa.list_(pa.float64())),
+                pc.struct_field(arr, "counts").cast(pa.list_(pa.int64())))
+    objs = [json.loads(v) if v is not None else {}
+            for v in arr.cast(pa.string()).to_pylist()]
+    return (pa.array([o.get("values") or [] for o in objs],
+                     pa.list_(pa.float64())),
+            pa.array([o.get("counts") or [] for o in objs],
+                     pa.list_(pa.int64())))
 
 
 def _list_col(flat: np.ndarray, counts: np.ndarray, typ: pa.DataType) -> pa.ListArray:
@@ -193,7 +236,9 @@ def build_segment(
                  "murmur3", "size", "boolean", "ip",
                  "long_range", "double_range", "date_range", "geo_point",
                  "geo_shape", "integer", "short", "byte", "float",
-                 "half_float", "unsigned_long", "binary", "version")
+                 "half_float", "unsigned_long", "binary", "version",
+                 "constant_keyword", "aggregate_metric_double",
+                 "histogram")
     dv_specs = [
         (s, v) for s, v in (extra_fields or []) if s.analyzer in _DV_KINDS
     ]
@@ -207,6 +252,67 @@ def build_segment(
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             extra_meta: dict = {}
+            if spec.analyzer == "constant_keyword":
+                # x-pack mapper-constant-keyword
+                # (ConstantKeywordFieldMapper.java): ONE value for every
+                # doc of the index; the first non-null value pins it and
+                # a conflicting value REJECTS at index time. Stored as a
+                # (trivially dictionary-compressed) doc-values column so
+                # terms/cardinality/missing aggs ride the generic path.
+                arr = arr.cast(pa.string())
+                uniq = [u for u in _pc.unique(arr).to_pylist()
+                        if u is not None]
+                if len(uniq) > 1:
+                    raise ValueError(
+                        f"constant_keyword field {spec.name!r} holds "
+                        f"conflicting values {sorted(uniq)[:3]}")
+                value = uniq[0] if uniq else None
+                if value is not None:
+                    arr = _pc.fill_null(arr, value)
+                d = d.append_column(spec.name, arr)
+                manifest[f"min_{spec.name}"] = value
+                manifest[f"max_{spec.name}"] = value
+                fields_meta[spec.name] = {
+                    "kind": "doc_values", "analyzer": "constant_keyword",
+                    "source": spec.source, "sum_dl": 0,
+                    "constant_value": value,
+                }
+                continue
+            if spec.analyzer == "aggregate_metric_double":
+                # x-pack mapper-aggregate-metric
+                # (AggregateDoubleMetricFieldMapper.java): per-doc
+                # PRE-AGGREGATED {min,max,sum,value_count} — four
+                # doc-values sub-columns; queries/sorts read the
+                # default_metric sub-column (stored under the field's
+                # own name so range/sort ride the generic numeric path)
+                sub = _agg_metric_columns(arr)
+                dm = spec.default_metric or "max"
+                for mname, marr in sub.items():
+                    d = d.append_column(f"{spec.name}__{mname}", marr)
+                d = d.append_column(spec.name, sub[dm])
+                manifest[f"min_{spec.name}"] = _pc.min(sub[dm]).as_py()
+                manifest[f"max_{spec.name}"] = _pc.max(sub[dm]).as_py()
+                fields_meta[spec.name] = {
+                    "kind": "doc_values",
+                    "analyzer": "aggregate_metric_double",
+                    "source": spec.source, "sum_dl": 0,
+                    "default_metric": dm,
+                }
+                continue
+            if spec.analyzer == "histogram":
+                # x-pack analytics histogram field
+                # (HistogramFieldMapper.java): per-doc pre-aggregated
+                # (values, counts) pairs — two list sub-columns; not
+                # searchable (exists only), consumed by the metric /
+                # percentiles aggs which re-weight the pairs
+                hvals, hcnts = _histogram_columns(arr)
+                d = d.append_column(f"{spec.name}__values", hvals)
+                d = d.append_column(f"{spec.name}__counts", hcnts)
+                fields_meta[spec.name] = {
+                    "kind": "doc_values", "analyzer": "histogram",
+                    "source": spec.source, "sum_dl": 0,
+                }
+                continue
             if spec.analyzer == "long":
                 arr = arr.cast(pa.int64())
             elif spec.analyzer in ("integer", "short", "byte"):

@@ -214,6 +214,72 @@ def _metric_partial(kind: str, vals: np.ndarray, body: dict | None = None):
     }
 
 
+def _agg_metric_field_partial(reader, midx, field: str, kind: str) -> dict:
+    """Metric partial over an aggregate_metric_double field: the
+    pre-aggregated sub-columns COMBINE instead of re-aggregating raw
+    values (AggregateDoubleMetricFieldMapper's agg support) — min of
+    mins, max of maxes, sum of sums, count of value_counts. avg derives
+    sum/value_count at render; extended_stats is unsupported (no
+    sum-of-squares in the stored metrics), matching the reference."""
+    if kind not in ("min", "max", "sum", "avg", "stats", "value_count"):
+        raise ValueError(
+            f"aggregation {kind!r} is not supported on an "
+            "aggregate_metric_double field")
+    dv = reader.doc_values
+    mn = dv[f"{field}__min"][midx]
+    mx = dv[f"{field}__max"][midx]
+    sm = dv[f"{field}__sum"][midx]
+    vc = dv[f"{field}__value_count"][midx]
+    keep = ~np.isnan(mn)
+    if kind == "value_count":
+        return {"k": "count", "count": int(vc[keep].sum())}
+    if not keep.any():
+        return {"k": "stats", "count": 0, "sum": 0.0,
+                "min": None, "max": None, "sum_sq": 0.0}
+    return {"k": "stats", "count": int(vc[keep].sum()),
+            "sum": float(sm[keep].sum()),
+            "min": float(mn[keep].min()), "max": float(mx[keep].max()),
+            "sum_sq": 0.0}
+
+
+def _histogram_field_partial(reader, midx, field: str, kind: str,
+                             body: dict | None = None) -> dict:
+    """Metric / percentiles partial over a histogram field: the
+    per-doc (values, counts) pairs re-weight into the partial
+    (HistogramFieldMapper's agg support — the analytics plugin's
+    HistoBackedAggregators)."""
+    dv = reader.doc_values
+    vlists = dv[f"{field}__values"][midx]
+    clists = dv[f"{field}__counts"][midx]
+    if len(vlists):
+        v = np.concatenate([np.asarray(x, dtype=np.float64)
+                            for x in vlists])
+        c = np.concatenate([np.asarray(x, dtype=np.float64)
+                            for x in clists])
+    else:
+        v = np.empty(0, dtype=np.float64)
+        c = np.empty(0, dtype=np.float64)
+    if kind == "percentiles":
+        from raydex.ops.tdigest import TDigest
+
+        d = TDigest.from_arrays(v.tolist(), c.tolist())
+        means, weights = d.to_arrays()
+        return {"k": "tdigest", "means": [float(x) for x in means],
+                "weights": [float(x) for x in weights]}
+    if kind == "value_count":
+        return {"k": "count", "count": int(c.sum())}
+    if kind not in ("min", "max", "sum", "avg", "stats"):
+        raise ValueError(
+            f"aggregation {kind!r} is not supported on a histogram field")
+    if v.size == 0:
+        return {"k": "stats", "count": 0, "sum": 0.0,
+                "min": None, "max": None, "sum_sq": 0.0}
+    return {"k": "stats", "count": int(c.sum()),
+            "sum": float((v * c).sum()),
+            "min": float(v.min()), "max": float(v.max()),
+            "sum_sq": float((v * v * c).sum())}
+
+
 def _set_to_hll(values, thresh: int) -> dict:
     """Exact value set → HLL++ sketch partial (p=14, 16 KiB registers).
     Values hash via ``str()`` so exact-regime partials fold into sketch
@@ -520,6 +586,16 @@ def collect_partials(reader, evaluator, mask: np.ndarray,
         elif kind in _METRICS:
             if sub:
                 raise ValueError("metric aggregations take no sub-aggregations")
+            fmeta = getattr(reader, "fields_meta", {}).get(
+                body.get("field", ""), {})
+            if fmeta.get("analyzer") == "aggregate_metric_double":
+                out[name] = _agg_metric_field_partial(
+                    reader, midx, body["field"], kind)
+                continue
+            if fmeta.get("analyzer") == "histogram":
+                out[name] = _histogram_field_partial(
+                    reader, midx, body["field"], kind, body)
+                continue
             if kind == "cardinality":
                 # same precedence as terms/missing: a stored doc-values
                 # column wins over a keyword sub-index of the same name

@@ -1325,6 +1325,24 @@ class SegmentEvaluator:
             field, term = rf, kp + str(term)
         meta = getattr(self.r, "fields_meta", {}).get(field, {})
         an = meta.get("analyzer")
+        if an == "constant_keyword":
+            # ConstantKeywordFieldMapper.termQuery: all-or-none — the
+            # whole index shares one value (segment can-match in spirit)
+            value = meta.get("constant_value")
+            hit = value is not None and str(term) == str(value)
+            mask = (np.ones(self.n, dtype=bool) if hit
+                    else np.zeros(self.n, dtype=bool))
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, boost, 0.0), mask
+        if an == "aggregate_metric_double":
+            # term/range queries read the default_metric sub-column
+            # (AggregateDoubleMetricFieldMapper.termQuery)
+            dv = self.r.doc_values[field]
+            mask = dv == float(term)
+            if self.r.live is not None:
+                mask = mask & self.r.live
+            return np.where(mask, boost, 0.0), mask
         if an == "boolean":
             # BooleanFieldMapper.termQuery: true/false (accepts the
             # JSON bool or its string form) against the 0/1 doc-values

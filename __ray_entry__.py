@@ -1777,6 +1777,34 @@ def q_dsl_count_suite(sf):
              ("zF_am_max", int(pre["am_max"]["value"])),
              ("zG_hist_sum", int(pre["h_sum"]["value"])),
              ("zH_hist_vc", int(pre["h_vc"]["value"]))]
+    # geo aggregations (geo_bounds / geo_centroid / geo_distance) over
+    # the derived geo_point: bounds are exact min/max of 2-decimal
+    # coordinates (scaled to ints), the centroid is a mean rounded to
+    # 1e-3 (both sides compute the same double arithmetic), and the
+    # distance rings reuse the z2 haversine mirror in km
+    geo = s.search_aggs(
+        {"match": {"text": "batch"}},
+        {"gb": {"geo_bounds": {"field": "loc"}},
+         "gc": {"geo_centroid": {"field": "loc"}},
+         "gd": {"geo_distance": {"field": "loc",
+                                 "origin": {"lat": 0.0, "lon": 0.0},
+                                 "unit": "km",
+                                 "ranges": [
+                                     {"to": 5000, "key": "near"},
+                                     {"from": 5000, "to": 10000,
+                                      "key": "mid"},
+                                     {"from": 10000, "key": "far"}]}}},
+    )["aggregations"]
+    gb = geo["gb"]["bounds"]
+    rows += [("zI_gb_top", int(round(gb["top_left"]["lat"] * 100))),
+             ("zI_gb_bot", int(round(gb["bottom_right"]["lat"] * 100))),
+             ("zI_gb_left", int(round(gb["top_left"]["lon"] * 100))),
+             ("zI_gb_right", int(round(gb["bottom_right"]["lon"] * 100)))]
+    gc = geo["gc"]["location"]
+    rows += [("zJ_gc_lat", int(round(gc["lat"] * 1000))),
+             ("zJ_gc_lon", int(round(gc["lon"] * 1000)))]
+    rows += [(f"zK_gd:{b['key']}", b["doc_count"])
+             for b in geo["gd"]["buckets"]]
     # search-request aggregations phase (AggregationPhase /
     # InternalAggregations#reduce): per-segment collect over the
     # matching docs of `match text 'batch'`, coordinator reduce —
@@ -3008,6 +3036,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'zH_hist_vc', CAST(SUM(1 + doc_id % 2 "
             "+ 2) AS BIGINT) FROM documents "
             "WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "UNION ALL SELECT k, v FROM (SELECT "
+            "CAST(ROUND(MAX(la) * 100) AS BIGINT) AS top_, "
+            "CAST(ROUND(MIN(la) * 100) AS BIGINT) AS bot_, "
+            "CAST(ROUND(MIN(lo) * 100) AS BIGINT) AS left_, "
+            "CAST(ROUND(MAX(lo) * 100) AS BIGINT) AS right_, "
+            "CAST(ROUND(AVG(la) * 1000) AS BIGINT) AS clat_, "
+            "CAST(ROUND(AVG(lo) * 1000) AS BIGINT) AS clon_ "
+            "FROM (SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS la, "
+            "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lo "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %')) "
+            "t, LATERAL (VALUES ('zI_gb_top', top_), ('zI_gb_bot', bot_), "
+            "('zI_gb_left', left_), ('zI_gb_right', right_), "
+            "('zJ_gc_lat', clat_), ('zJ_gc_lon', clon_)) AS u(k, v) "
+            "UNION ALL SELECT 'zK_gd:' || CASE "
+            "WHEN dkm < 5000 THEN 'near' "
+            "WHEN dkm < 10000 THEN 'mid' ELSE 'far' END, COUNT(*) FROM ("
+            "SELECT 2.0 * CAST(6371008.7714150598 AS DOUBLE) * asin(sqrt("
+            "sin(la / 2.0) * sin(la / 2.0) + cos(0.0) * cos(la) * "
+            "sin(lo / 2.0) * sin(lo / 2.0))) / 1000.0 AS dkm FROM ("
+            "SELECT radians(((doc_id * 37) % 12000) / 100.0 - 60.0) AS la, "
+            "radians(((doc_id * 91) % 36000) / 100.0 - 180.0) AS lo "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %')) "
+            "GROUP BY 1 "
             "UNION ALL SELECT 'z3_tile:' || t, COUNT(*) FROM ("
             "SELECT '3/' || CAST(CAST(FLOOR((lon + 180.0) / 360.0 * 8) AS BIGINT) AS VARCHAR) "
             "|| '/' || CAST(CAST(FLOOR((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS BIGINT) AS VARCHAR) AS t "

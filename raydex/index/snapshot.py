@@ -8,14 +8,23 @@ snapshots of an unchanged index reuse the existing blobs — only the
 per-snapshot metadata is new. Restore materializes the file list back
 into an index directory.
 
-Here the blob store is a directory of content-addressed files
-(``blobs/<sha256>``), which makes the incremental property automatic:
-re-snapshotting an unchanged segment writes nothing. Snapshot metadata
-(``snapshots/<name>.json``) records the relative path -> digest map plus
-the index manifest, so a restored index is byte-identical.
+The blob store is content-addressed (``blobs/<sha256>``), which makes
+the incremental property automatic: re-snapshotting an unchanged
+segment writes nothing. Snapshot metadata (``snapshots/<name>.json``)
+records the relative path -> digest map plus the index manifest, so a
+restored index is byte-identical.
 
-Layout contract matches build_index: the repo path must be reachable
-from wherever snapshot/restore runs (driver-side; segment files stream
+Repository addressing — the ``repository-s3`` / ``repository-gcs`` /
+``repository-azure`` plugin tier collapses to ONE URI-addressed
+backend: a repo path with a scheme (``s3://bucket/path``,
+``gs://…``, ``az://…``, ``memory://…`` for tests) opens an fsspec
+filesystem; a plain path keeps the local-filesystem backend
+(``repository-fs``). Object stores have atomic single-object puts, so
+the local backend's tmp+rename dance is unnecessary there — the same
+crash-safety contract either way.
+
+Layout contract matches build_index: the repo must be reachable from
+wherever snapshot/restore runs (driver-side; segment files stream
 through this process, not through Ray tasks — snapshots are a control
 plane operation, sized in segment files, not in documents).
 """
@@ -44,6 +53,101 @@ def _iter_files(index_dir: str):
             yield os.path.relpath(p, index_dir), p
 
 
+class _LocalRepo:
+    """repository-fs: plain directory, atomic publish via tmp+rename."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _p(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._p(key))
+
+    def read_bytes(self, key: str) -> bytes:
+        with open(self._p(key), "rb") as f:
+            return f.read()
+
+    def write_bytes(self, key: str, data: bytes) -> None:
+        p = self._p(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)
+
+    def put_file(self, local_path: str, key: str) -> None:
+        p = self._p(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        shutil.copyfile(local_path, tmp)
+        os.replace(tmp, p)
+
+    def get_file(self, key: str, local_path: str) -> None:
+        os.makedirs(os.path.dirname(local_path), exist_ok=True)
+        shutil.copyfile(self._p(key), local_path)
+
+    def list_keys(self, prefix: str) -> list[str]:
+        d = self._p(prefix)
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.listdir(d))
+
+    def delete(self, key: str) -> None:
+        os.remove(self._p(key))
+
+
+class _ObjectRepo:
+    """URI-addressed object store behind fsspec (the repository-s3 /
+    -gcs / -azure plugin tier; ``memory://`` backs the tests). Puts of
+    a single object are atomic on every real object store, so no
+    tmp+rename is needed."""
+
+    def __init__(self, uri: str):
+        import fsspec
+
+        self.fs, self.root = fsspec.core.url_to_fs(uri)
+        self.root = self.root.rstrip("/")
+
+    def _p(self, key: str) -> str:
+        return f"{self.root}/{key}"
+
+    def exists(self, key: str) -> bool:
+        return self.fs.exists(self._p(key))
+
+    def read_bytes(self, key: str) -> bytes:
+        return self.fs.cat_file(self._p(key))
+
+    def write_bytes(self, key: str, data: bytes) -> None:
+        self.fs.pipe_file(self._p(key), data)
+
+    def put_file(self, local_path: str, key: str) -> None:
+        self.fs.put_file(local_path, self._p(key))
+
+    def get_file(self, key: str, local_path: str) -> None:
+        os.makedirs(os.path.dirname(local_path), exist_ok=True)
+        self.fs.get_file(self._p(key), local_path)
+
+    def list_keys(self, prefix: str) -> list[str]:
+        d = self._p(prefix)
+        if not self.fs.exists(d):
+            return []
+        return sorted(os.path.basename(p.rstrip("/"))
+                      for p in self.fs.ls(d, detail=False))
+
+    def delete(self, key: str) -> None:
+        self.fs.rm_file(self._p(key))
+
+
+def open_repository(repo: str):
+    """Resolve a repository address: URI scheme -> object-store
+    backend, plain path -> local filesystem backend."""
+    if "://" in repo:
+        return _ObjectRepo(repo)
+    return _LocalRepo(repo)
+
+
 def create_snapshot(index_dir: str, repo: str, name: str) -> dict:
     """Snapshot ``index_dir`` into repository ``repo`` under ``name``.
 
@@ -52,23 +156,18 @@ def create_snapshot(index_dir: str, repo: str, name: str) -> dict:
     """
     if not os.path.exists(os.path.join(index_dir, "index_manifest.json")):
         raise ValueError(f"not an index dir (no index_manifest.json): {index_dir}")
-    blob_dir = os.path.join(repo, "blobs")
-    snap_dir = os.path.join(repo, "snapshots")
-    os.makedirs(blob_dir, exist_ok=True)
-    os.makedirs(snap_dir, exist_ok=True)
-    snap_path = os.path.join(snap_dir, f"{name}.json")
-    if os.path.exists(snap_path):
+    r = open_repository(repo)
+    snap_key = f"snapshots/{name}.json"
+    if r.exists(snap_key):
         raise ValueError(f"snapshot already exists: {name}")
     files, reused, stored = {}, 0, 0
     for rel, full in _iter_files(index_dir):
         digest = _sha256(full)
-        blob = os.path.join(blob_dir, digest)
-        if os.path.exists(blob):
+        blob_key = f"blobs/{digest}"
+        if r.exists(blob_key):
             reused += 1
         else:
-            tmp = blob + ".tmp"
-            shutil.copyfile(full, tmp)
-            os.replace(tmp, blob)  # atomic publish, crash-safe
+            r.put_file(full, blob_key)
             stored += 1
         files[rel] = digest
     meta = {
@@ -79,37 +178,34 @@ def create_snapshot(index_dir: str, repo: str, name: str) -> dict:
         "reused_blobs": reused,
         "created_epoch": time.time(),
     }
-    tmp = snap_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, snap_path)
+    r.write_bytes(snap_key, json.dumps(meta, indent=1).encode())
     return meta
 
 
 def list_snapshots(repo: str) -> list[str]:
-    snap_dir = os.path.join(repo, "snapshots")
-    if not os.path.isdir(snap_dir):
-        return []
+    r = open_repository(repo)
     return sorted(
-        f[: -len(".json")] for f in os.listdir(snap_dir) if f.endswith(".json")
+        f[: -len(".json")] for f in r.list_keys("snapshots")
+        if f.endswith(".json")
     )
+
+
+def _load_meta(r, name: str) -> dict:
+    return json.loads(r.read_bytes(f"snapshots/{name}.json"))
 
 
 def restore_snapshot(repo: str, name: str, dest: str) -> dict:
     """Materialize snapshot ``name`` into ``dest`` (must not already be
     an index). Verifies every blob's digest on the way out."""
-    snap_path = os.path.join(repo, "snapshots", f"{name}.json")
-    with open(snap_path) as f:
-        meta = json.load(f)
+    r = open_repository(repo)
+    meta = _load_meta(r, name)
     if os.path.exists(os.path.join(dest, "index_manifest.json")):
         raise ValueError(f"destination is already an index: {dest}")
     for rel, digest in meta["files"].items():
-        blob = os.path.join(repo, "blobs", digest)
-        if _sha256(blob) != digest:
-            raise ValueError(f"corrupt blob for {rel}: {digest}")
         out = os.path.join(dest, rel)
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        shutil.copyfile(blob, out)
+        r.get_file(f"blobs/{digest}", out)
+        if _sha256(out) != digest:
+            raise ValueError(f"corrupt blob for {rel}: {digest}")
     return meta
 
 
@@ -117,20 +213,19 @@ def delete_snapshot(repo: str, name: str, gc_blobs: bool = True) -> dict:
     """Remove a snapshot; with ``gc_blobs`` also delete blobs no other
     snapshot references (the reference's blob-store cleanup on snapshot
     delete, ``BlobStoreRepository#deleteSnapshots``)."""
-    snap_path = os.path.join(repo, "snapshots", f"{name}.json")
-    if not os.path.exists(snap_path):
+    r = open_repository(repo)
+    snap_key = f"snapshots/{name}.json"
+    if not r.exists(snap_key):
         raise ValueError(f"unknown snapshot: {name}")
-    os.remove(snap_path)
+    r.delete(snap_key)
     removed = 0
     if gc_blobs:
         referenced: set[str] = set()
         for other in list_snapshots(repo):
-            with open(os.path.join(repo, "snapshots", f"{other}.json")) as f:
-                referenced |= set(json.load(f)["files"].values())
-        blob_dir = os.path.join(repo, "blobs")
-        for b in os.listdir(blob_dir) if os.path.isdir(blob_dir) else []:
+            referenced |= set(_load_meta(r, other)["files"].values())
+        for b in r.list_keys("blobs"):
             if b not in referenced:
-                os.remove(os.path.join(blob_dir, b))
+                r.delete(f"blobs/{b}")
                 removed += 1
     return {"deleted": name, "blobs_removed": removed}
 
@@ -146,6 +241,7 @@ def slm_run(policy: dict) -> dict:
     prefix = policy["name"]
     repo = policy["repository"]
     index_dir = policy["config"]["index_dir"]
+    r = open_repository(repo)
     mine = [s for s in list_snapshots(repo)
             if s.startswith(prefix + "-")]
     seq = 1 + max(
@@ -165,9 +261,7 @@ def slm_run(policy: dict) -> dict:
     if expire_s is not None:
         now = time.time()
         for s_name in droppable:
-            with open(os.path.join(repo, "snapshots",
-                                   f"{s_name}.json")) as f:
-                created = json.load(f).get("created_epoch", now)
+            created = _load_meta(r, s_name).get("created_epoch", now)
             if now - created >= float(expire_s) and s_name != taken:
                 delete_snapshot(repo, s_name)
                 deleted.append(s_name)

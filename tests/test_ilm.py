@@ -154,3 +154,60 @@ def test_searchable_snapshot_mount(ray_session, tmp_path):
     s2 = mount_searchable_snapshot(repo, "snap1", cache)
     assert s2.count({"match_all": {}}) == 12
     assert os.path.isdir(os.path.join(cache, "mount-snap1"))
+
+
+def test_object_store_repository_uri(ray_session, tmp_path):
+    """Round-5: URI-addressed repositories (the repository-s3/gcs/azure
+    plugin tier via fsspec). The full snapshot lifecycle — incremental
+    create, list, digest-verified restore, gc-on-delete, searchable
+    mount — runs against an object store (memory://) instead of a
+    local directory."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydex.index.build import build_index
+    from raydex.index.snapshot import (create_snapshot, delete_snapshot,
+                                       list_snapshots,
+                                       mount_searchable_snapshot,
+                                       restore_snapshot)
+    from raydex.search.scatter import LocalSearcher
+
+    t = pa.table({
+        "url": pa.array([f"s/{i}" for i in range(30)]),
+        "warc_ts": pa.array(np.arange(30, dtype="int64")).cast(
+            pa.timestamp("us")),
+        "text": pa.array([f"snapshot object store doc {i}"
+                          for i in range(30)], pa.large_string()),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard")
+
+    repo = "memory://snaprepo_r5"
+    m1 = create_snapshot(idx, repo, "s1")
+    assert m1["stored_blobs"] > 0 and m1["reused_blobs"] == 0
+    # incremental: unchanged index stores ZERO new blobs
+    m2 = create_snapshot(idx, repo, "s2")
+    assert m2["stored_blobs"] == 0 and m2["reused_blobs"] > 0
+    assert list_snapshots(repo) == ["s1", "s2"]
+
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "s1", dest)
+    s = LocalSearcher(dest)
+    assert s.count({"match_all": {}}) == 30
+    assert s.count({"term": {"text": "snapshot"}}) == 30
+
+    # gc: deleting one snapshot removes nothing (s2 references all),
+    # deleting both clears the blobs
+    assert delete_snapshot(repo, "s1")["blobs_removed"] == 0
+    out = delete_snapshot(repo, "s2")
+    assert out["blobs_removed"] > 0
+    assert list_snapshots(repo) == []
+
+    # searchable mount straight off the object store
+    m3 = create_snapshot(idx, repo, "s3")
+    ms = mount_searchable_snapshot(repo, "s3",
+                                   str(tmp_path / "mounts"))
+    assert ms.count({"term": {"text": "object"}}) == 30

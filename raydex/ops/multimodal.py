@@ -4,9 +4,12 @@ Image/audio/video payloads are opaque ``binary`` columns + metadata
 (mime, width/height/duration). Decode/resize/frame-sample are
 actor-pool ``map_batches`` stages whose Ray-side plumbing (schema,
 batch sizing for large payloads, actor ``__init__`` model-load slot,
-output layout) is REAL and tested; the codec call itself is stubbed
-(no image/audio libraries in this container) behind
-``DecodeBackend`` — swap in PIL/ffmpeg by registering a backend.
+output layout) is REAL and tested. The codec slot (``DecodeBackend``)
+has two shipped backends: ``"builtin"`` — a REAL pure-Python PNG/WAV
+codec (``raydex.ops.codecs``: zlib inflate + scanline unfilter,
+RIFF PCM) — and ``"fake"``, the deterministic pseudo-codec kept for
+synthetic media and the video pseudo-container. PIL/ffmpeg-class
+codecs plug in via ``register_backend``.
 """
 
 from __future__ import annotations
@@ -43,6 +46,16 @@ def register_backend(name: str, backend: DecodeBackend) -> None:
     _BACKENDS[name] = backend
 
 
+def _get_backend(name: str) -> DecodeBackend:
+    if name == "builtin" and name not in _BACKENDS:
+        # real pure-Python PNG/WAV codec (raydex.ops.codecs) — lazy so
+        # the fake tier never pays the import
+        from raydex.ops.codecs import BuiltinBackend
+
+        _BACKENDS["builtin"] = BuiltinBackend()
+    return _BACKENDS[name]
+
+
 class MediaFeatureExtract:
     """Actor-pool stage: backend loaded ONCE per actor in __init__;
     per batch, decode each binary payload to a feature vector.
@@ -53,7 +66,7 @@ class MediaFeatureExtract:
     def __init__(self, payload_col: str = "payload", dim: int = 64, backend: str = "fake"):
         self.payload_col = payload_col
         self.dim = dim
-        self.backend = _BACKENDS[backend]
+        self.backend = _get_backend(backend)
         self.backend.load()
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -110,7 +123,7 @@ class ImageResize:
                  backend: str = "fake"):
         self.max_side = max_side
         self.payload_col = payload_col
-        self.backend = _BACKENDS[backend]
+        self.backend = _get_backend(backend)
         self.backend.load()
 
     def _fit(self, w: int, h: int) -> tuple[int, int]:
@@ -173,7 +186,7 @@ class FrameSample:
         self.every_n = max(1, int(every_n))
         self.payload_col = payload_col
         self.carry_cols = tuple(carry_cols)
-        self.backend = _BACKENDS[backend]
+        self.backend = _get_backend(backend)
         self.backend.load()
 
     def _frames(self, payload: bytes):

@@ -707,6 +707,184 @@ ARROW_PROCESSORS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# geoip / user_agent processor shells (modules/ingest-geoip,
+# modules/ingest-user-agent): pluggable databases with tiny bundled
+# test data. The reference ships MaxMind mmdb + the uap-core regex
+# bank (both public formats); the shells keep the exact API surface —
+# database_file selection, properties filtering, target_field layout —
+# with a CIDR-range table / compiled-regex bank as the database.
+# ---------------------------------------------------------------------------
+
+
+class GeoIpDatabase:
+    """CIDR-range -> attributes table with vectorized longest-prefix
+    lookup (sorted range starts + searchsorted; one containment check).
+    Rows: (cidr, {country_iso_code, country_name, continent_name,
+    city_name, location}). Register real GeoLite2-CSV-shaped data via
+    register_geoip_database."""
+
+    def __init__(self, rows: list[tuple[str, dict]]):
+        import ipaddress
+
+        nets = []
+        for cidr, attrs in rows:
+            n = ipaddress.ip_network(cidr)
+            nets.append((int(n.network_address),
+                         int(n.broadcast_address), attrs))
+        nets.sort()
+        self.starts = np.array([n[0] for n in nets], dtype=np.int64)
+        self.ends = np.array([n[1] for n in nets], dtype=np.int64)
+        self.attrs = [n[2] for n in nets]
+
+    def lookup_many(self, ips) -> list[dict | None]:
+        import socket
+        import struct as _struct
+
+        vals = np.zeros(len(ips), dtype=np.int64)
+        ok = np.zeros(len(ips), dtype=bool)
+        for i, ip in enumerate(ips):
+            try:
+                vals[i] = _struct.unpack(
+                    "!I", socket.inet_aton(str(ip)))[0]
+                ok[i] = True
+            except OSError:
+                pass
+        idx = np.searchsorted(self.starts, vals, side="right") - 1
+        out: list[dict | None] = [None] * len(ips)
+        for i in range(len(ips)):
+            j = int(idx[i])
+            if ok[i] and j >= 0 and vals[i] <= self.ends[j]:
+                out[i] = self.attrs[j]
+        return out
+
+
+# bundled test database: documentation/TEST-NET ranges + two well-known
+# public resolver blocks (the shape GeoLite2-Country/City CSV carries)
+_GEOIP_TEST_DB = GeoIpDatabase([
+    ("192.0.2.0/24", {"country_iso_code": "US", "country_name":
+                      "United States", "continent_name": "North America",
+                      "city_name": "Test City",
+                      "location": {"lat": 37.751, "lon": -97.822}}),
+    ("198.51.100.0/24", {"country_iso_code": "DE", "country_name":
+                         "Germany", "continent_name": "Europe",
+                         "city_name": "Berlin",
+                         "location": {"lat": 52.52, "lon": 13.405}}),
+    ("203.0.113.0/24", {"country_iso_code": "JP", "country_name":
+                        "Japan", "continent_name": "Asia",
+                        "city_name": "Tokyo",
+                        "location": {"lat": 35.689, "lon": 139.692}}),
+    ("8.8.8.0/24", {"country_iso_code": "US", "country_name":
+                    "United States", "continent_name": "North America",
+                    "city_name": None,
+                    "location": {"lat": 37.751, "lon": -97.822}}),
+    ("1.1.1.0/24", {"country_iso_code": "AU", "country_name":
+                    "Australia", "continent_name": "Oceania",
+                    "city_name": None,
+                    "location": {"lat": -33.494, "lon": 143.2104}}),
+])
+
+_GEOIP_DBS: dict[str, GeoIpDatabase] = {
+    "GeoLite2-City.mmdb": _GEOIP_TEST_DB, "test": _GEOIP_TEST_DB}
+
+
+def register_geoip_database(name: str, db: GeoIpDatabase) -> None:
+    _GEOIP_DBS[name] = db
+
+
+def p_geoip(batch, field, target_field="geoip",
+            database_file="GeoLite2-City.mmdb", properties=None):
+    """`geoip` processor (GeoIpProcessor.java): decorate each row with
+    the database attributes of its IP. Unmatched/private IPs yield None
+    (the reference drops the field). ``properties`` filters the emitted
+    keys like the processor option of the same name."""
+    db = _GEOIP_DBS[database_file]
+    rows = db.lookup_many(batch[field].tolist())
+    if properties:
+        props = set(properties)
+        rows = [None if r is None else
+                {k: v for k, v in r.items() if k in props} for r in rows]
+    batch[target_field] = rows
+    return batch
+
+
+# user_agent: compiled pattern bank in uap-core's spirit (family
+# regex -> replacement), covering the major browser/OS/device families
+_UA_BROWSERS = [
+    (re.compile(r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)"), "Edge"),
+    (re.compile(r"OPR/(\d+)\.(\d+)"), "Opera"),
+    (re.compile(r"Chrome/(\d+)\.(\d+)"), "Chrome"),
+    (re.compile(r"CriOS/(\d+)\.(\d+)"), "Chrome Mobile iOS"),
+    (re.compile(r"Firefox/(\d+)\.(\d+)"), "Firefox"),
+    (re.compile(r"Version/(\d+)\.(\d+).*Safari/"), "Safari"),
+    (re.compile(r"MSIE (\d+)\.(\d+)"), "IE"),
+    (re.compile(r"Trident/.*rv:(\d+)\.(\d+)"), "IE"),
+    (re.compile(r"curl/(\d+)\.(\d+)"), "curl"),
+    (re.compile(r"(?:bot|Bot|spider|crawler)[/ ]?(\d+)?\.?(\d+)?"),
+     "Spider"),
+]
+_UA_OS = [
+    (re.compile(r"Windows NT 10\.0"), "Windows", "10"),
+    (re.compile(r"Windows NT 6\.3"), "Windows", "8.1"),
+    (re.compile(r"Windows NT 6\.1"), "Windows", "7"),
+    (re.compile(r"Mac OS X (\d+)[._](\d+)"), "Mac OS X", None),
+    (re.compile(r"Android (\d+)(?:\.(\d+))?"), "Android", None),
+    (re.compile(r"(?:iPhone|CPU) OS (\d+)_(\d+)"), "iOS", None),
+    (re.compile(r"Linux"), "Linux", None),
+]
+_UA_DEVICES = [
+    (re.compile(r"iPhone"), "iPhone"),
+    (re.compile(r"iPad"), "iPad"),
+    (re.compile(r"Android.*Mobile"), "Generic Smartphone"),
+    (re.compile(r"Android"), "Generic Tablet"),
+]
+
+
+def parse_user_agent(ua: str) -> dict:
+    """One UA string -> the reference processor's output shape
+    (UserAgentProcessor.java: name/version/os/device)."""
+    ua = str(ua or "")
+    out = {"name": "Other", "version": None,
+           "os": {"name": "Other", "version": None},
+           "device": {"name": "Other"}}
+    for rx, name in _UA_BROWSERS:
+        m = rx.search(ua)
+        if m:
+            out["name"] = name
+            g = [x for x in m.groups() if x]
+            if g:
+                out["version"] = ".".join(g)
+            break
+    for rx, name, fixed in _UA_OS:
+        m = rx.search(ua)
+        if m:
+            out["os"]["name"] = name
+            if fixed is not None:
+                out["os"]["version"] = fixed
+            elif m.groups():
+                out["os"]["version"] = ".".join(
+                    x for x in m.groups() if x)
+            break
+    for rx, name in _UA_DEVICES:
+        if rx.search(ua):
+            out["device"]["name"] = name
+            break
+    return out
+
+
+def p_user_agent(batch, field, target_field="user_agent",
+                 properties=None):
+    """`user_agent` processor (IngestUserAgentPlugin /
+    UserAgentProcessor.java): parse browser/OS/device out of a UA
+    string via the compiled pattern bank."""
+    rows = [parse_user_agent(v) for v in batch[field]]
+    if properties:
+        props = set(properties)
+        rows = [{k: v for k, v in r.items() if k in props} for r in rows]
+    batch[target_field] = rows
+    return batch
+
+
 PROCESSORS = {
     "set": p_set, "remove": p_remove, "rename": p_rename,
     "lowercase": p_lowercase, "uppercase": p_uppercase, "trim": p_trim,
@@ -722,6 +900,7 @@ PROCESSORS = {
     "registered_domain": p_registered_domain,
     "community_id": p_community_id,
     "network_direction": p_network_direction,
+    "geoip": p_geoip, "user_agent": p_user_agent,
 }
 
 

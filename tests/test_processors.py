@@ -320,3 +320,51 @@ def test_arrow_tier_on_failure():
     out = run(pa.table({"a": ["not-a-number"]}))
     assert out["err"].to_pylist() == ["handled"]
     assert out["_ingest.on_failure_processor_type"].to_pylist() == ["convert"]
+
+
+def test_geoip_processor():
+    from raydex.ops.processors import GeoIpDatabase, register_geoip_database
+
+    run = compile_pipeline([("geoip", {"field": "ip"})])
+    out = run(_b(ip=["192.0.2.55", "203.0.113.9", "10.0.0.1",
+                     "not-an-ip", "8.8.8.8"]))
+    g = list(out["geoip"])
+    assert g[0]["country_iso_code"] == "US"
+    assert g[0]["city_name"] == "Test City"
+    assert g[1]["country_iso_code"] == "JP"
+    assert g[2] is None and g[3] is None       # private / invalid
+    assert g[4]["country_iso_code"] == "US"
+    # properties filter + pluggable database
+    register_geoip_database("custom.mmdb", GeoIpDatabase(
+        [("198.18.0.0/15", {"country_iso_code": "FR",
+                            "country_name": "France"})]))
+    out = compile_pipeline(
+        [("geoip", {"field": "ip", "database_file": "custom.mmdb",
+                    "properties": ["country_iso_code"]})]
+    )(_b(ip=["198.18.4.4"]))
+    assert list(out["geoip"]) == [{"country_iso_code": "FR"}]
+
+
+def test_user_agent_processor():
+    run = compile_pipeline([("user_agent", {"field": "ua"})])
+    out = run(_b(ua=[
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/114.0.5735.99 "
+        "Mobile/15E148 Safari/604.1",
+        "curl/8.4.0",
+        "weirdclient/1.0",
+    ]))
+    rows = list(out["user_agent"])
+    assert rows[0]["name"] == "Chrome" and rows[0]["version"] == "120.0"
+    assert rows[0]["os"] == {"name": "Windows", "version": "10"}
+    assert rows[1]["name"] == "Safari"
+    assert rows[1]["os"]["name"] == "Mac OS X"
+    assert rows[2]["name"] == "Chrome Mobile iOS"
+    assert rows[2]["os"] == {"name": "iOS", "version": "16.5"}
+    assert rows[2]["device"]["name"] == "iPhone"
+    assert rows[3]["name"] == "curl"
+    assert rows[4]["name"] == "Other"

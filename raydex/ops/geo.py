@@ -96,11 +96,15 @@ def geohash_encode(lat, lon, precision: int = 5) -> list[str]:
             bits[:, i] = hi_side
             lat_lo = np.where(hi_side, mid, lat_lo)
             lat_hi = np.where(hi_side, lat_hi, mid)
-    # pack 5 bits per base-32 character
+    # pack 5 bits per base-32 character, then assemble each row's hash
+    # in ONE numpy byte-gather (no per-row string join)
     chunks = bits.reshape(len(lat), precision, 5)
     weights = np.array([16, 8, 4, 2, 1], dtype=np.int64)
     codes = (chunks * weights).sum(axis=2)
-    return ["".join(_GEOHASH32[c] for c in row) for row in codes]
+    lut = np.frombuffer(_GEOHASH32.encode(), dtype=np.uint8)
+    flat = lut[codes].tobytes()
+    step = precision
+    return [flat[i:i + step].decode() for i in range(0, len(flat), step)]
 
 
 def points_in_polygon_mask(lat, lon, points) -> np.ndarray:

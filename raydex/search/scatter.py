@@ -360,8 +360,13 @@ class SegmentGroup:
             for f, col in r.doc_values.items():
                 v = col[d]
                 sf = _scaled_float_factor(r, f)
-                doc[f] = (float(v) / sf if sf else
-                          (v.item() if hasattr(v, "item") else v))
+                if sf:
+                    doc[f] = float(v) / sf
+                elif isinstance(v, np.ndarray):
+                    # list-valued doc values (histogram-field sub-cols)
+                    doc[f] = v.tolist()
+                else:
+                    doc[f] = v.item() if hasattr(v, "item") else v
             # keyword index-time fields surface too (the reference's
             # _source carries them); single postings inversion per
             # (segment, field) per request, shared across its hits

@@ -1632,6 +1632,8 @@ def q_analyze_tokens(sf):
         ("kuromoji", "東京都に住んでいます"),
         ("nori", "한국어를 공부합니다"),
         ("smartcn", "我们在北京学习中文"),
+        ("icu_analyzer", "Ｈéllo Ｗorld 中文文本"),
+        ("polish", "książkami w miastach dobrymi"),
     ]
     for cid, (lang, text) in enumerate(lang_cases, start=3):
         for pos, tok in enumerate(get_analyzer(lang)(text)):
@@ -2570,7 +2572,10 @@ def oracle_sql() -> dict[str, str]:
             "(20, 0, '東京'), (20, 1, '都'), (20, 2, '住ん'), "
             "(21, 0, '한국어'), (21, 1, '공부'), "
             "(22, 0, '我们'), (22, 1, '北京'), (22, 2, '学习'), "
-            "(22, 3, '中文')"
+            "(22, 3, '中文'), "
+            "(23, 0, 'héllo'), (23, 1, 'world'), (23, 2, '中文'), "
+            "(23, 3, '文'), (23, 4, '本'), "
+            "(24, 0, 'książk'), (24, 1, 'miast'), (24, 2, 'dobr')"
             ") AS t(case_id, position, token)"
         ),
         "terms_lang": (

@@ -119,3 +119,28 @@ def test_phrase_query_matches_across_segmentation(ray_session, tmp_path):
     # term query on a dictionary word
     assert s.count({"term": {"text": "検索"}}) == 1
     assert s.count({"term": {"text": "京都"}}) == 1  # ja/2
+
+
+def test_icu_analyzer_and_folding():
+    from raydex.analysis.icu_stempel import icu_fold, nfkc_cf
+
+    icu = get_analyzer("icu_analyzer")
+    # nfkc_cf: full-width latin folds, case folds; CJK runs segment via
+    # the dictionary lattice
+    assert icu("Ｈéllo Ｗorld 中文文本") == ["héllo", "world", "中文", "文", "本"]
+    assert nfkc_cf("ＡＢＣ") == "abc"
+    fold = get_analyzer("icu_folding")
+    assert fold("Crème Brûlée") == ["creme", "brulee"]
+    assert icu_fold("Über") == "uber"
+
+
+def test_polish_stempel_analyzer():
+    from raydex.analysis.icu_stempel import polish_stem
+
+    pl = get_analyzer("polish")
+    assert pl("książkami w miastach dobrymi") == ["książk", "miast", "dobr"]
+    assert pl("pracował nad nowymi projektami") == \
+        ["pracow", "now", "projekt"]
+    # inflection family collapses to one stem
+    assert polish_stem("książkami") == polish_stem("książkach") == "książk"
+    assert get_analyzer("stempel") is not None

@@ -112,3 +112,43 @@ register_analyzer("icu_analyzer", _analyze_icu)
 register_analyzer("icu_folding", _analyze_icu_folding)
 register_analyzer("polish", _analyze_polish)
 register_analyzer("stempel", _analyze_polish)
+
+
+# ---------------------------------------------------------- ukrainian
+
+# plugins/analysis-ukrainian (UkrainianAnalyzer: stop + the
+# morfologik-ukrainian dictionary stemmer — a binary artifact; light
+# suffix rules stand in, same convention as the polish tier above)
+UKRAINIAN_STOP_SET = frozenset("""
+і в на з до не що це як та але за від по у й чи для про так же ми ви
+вони він вона воно його її їх цей ця це ці той та те ті був була було
+були бути є буде мати має можна треба вже тільки дуже коли де хто
+також або ні аби б би яких який яка яке які себе собі нас вам
+""".split())
+
+_UK_SUFFIXES = (
+    "ами", "ями", "ові", "еві", "єві", "ого", "ього", "ому", "ьому",
+    "ації", "ація", "ацію", "ацій",
+    "ість", "ості", "істю",
+    "ував", "ювал", "ував", "увати", "ювати",
+    "ення", "ання", "ення", "іння",
+    "ах", "ях", "ів", "їв", "ом", "ем", "єм", "ою", "ею", "єю",
+    "ий", "ій", "их", "іх", "им", "ім", "ими", "іми",
+    "а", "я", "о", "е", "є", "у", "ю", "и", "і", "ї", "ь",
+)
+_UK_MIN_STEM = 3
+
+
+def ukrainian_stem(token: str) -> str:
+    for suf in sorted(_UK_SUFFIXES, key=len, reverse=True):
+        if token.endswith(suf) and len(token) - len(suf) >= _UK_MIN_STEM:
+            return token[: -len(suf)]
+    return token
+
+
+def _analyze_ukrainian(text: str) -> list[str]:
+    return [ukrainian_stem(t) for t in tokenize(text.lower())
+            if t not in UKRAINIAN_STOP_SET]
+
+
+register_analyzer("ukrainian", _analyze_ukrainian)

@@ -247,7 +247,7 @@ def get_analyzer(name: str) -> Analyzer:
                 "smartcn") and name not in _REGISTRY:
         import raydex.analysis.cjk_dict  # noqa: F401  (registers them)
     if name in ("icu_analyzer", "icu_folding", "polish",
-                "stempel") and name not in _REGISTRY:
+                "stempel", "ukrainian") and name not in _REGISTRY:
         import raydex.analysis.icu_stempel  # noqa: F401
     if name == "english" and name not in _REGISTRY:
         import raydex.analysis.stemmer  # noqa: F401  (registers it)

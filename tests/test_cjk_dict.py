@@ -144,3 +144,12 @@ def test_polish_stempel_analyzer():
     # inflection family collapses to one stem
     assert polish_stem("książkami") == polish_stem("książkach") == "książk"
     assert get_analyzer("stempel") is not None
+
+
+def test_ukrainian_analyzer():
+    from raydex.analysis.icu_stempel import ukrainian_stem
+
+    uk = get_analyzer("ukrainian")
+    assert uk("книжками в містах") == ["книжк", "міст"]
+    assert uk("українська мова") == ["українськ", "мов"]
+    assert ukrainian_stem("книжками") == ukrainian_stem("книжках") == "книжк"

@@ -696,6 +696,18 @@ def a_grok(t, field, pattern, patterns: dict | None = None):
     return t
 
 
+def a_html_strip(t, field, target=None):
+    """html_strip over an Arrow batch: the extractor itself is the
+    byte-identical load-bearing path (html_strip.py); membership in the
+    Arrow tier keeps a pipeline containing it on zero-copy tables."""
+    from raydex.analysis.html_strip import extract_text_many
+
+    col = t[field]
+    vals = col.to_pylist()
+    out = extract_text_many([v if v is not None else b"" for v in vals])
+    return _put(t, target or field, pa.array(out, pa.large_string()))
+
+
 ARROW_PROCESSORS = {
     "set": a_set, "remove": a_remove, "rename": a_rename,
     "lowercase": a_lowercase, "uppercase": a_uppercase, "trim": a_trim,
@@ -703,7 +715,7 @@ ARROW_PROCESSORS = {
     "fingerprint": a_fingerprint, "append": a_append, "bytes": a_bytes,
     "date": a_date, "urldecode": a_urldecode, "uri_parts": a_uri_parts,
     "date_index_name": a_date_index_name,
-    "dissect": a_dissect, "grok": a_grok,
+    "dissect": a_dissect, "grok": a_grok, "html_strip": a_html_strip,
 }
 
 

@@ -383,16 +383,142 @@ def soundex(word: str) -> str:
     return (first.upper() + code + "000")[:4]
 
 
-def phonetic_filter(tokens, encoder: str = "soundex", replace: bool = True):
+_VOWELS = "aeiou"
+
+
+def metaphone(word: str) -> str:
+    """Classic Metaphone (Lawrence Philips, 1990 — the phonetic
+    plugin's DEFAULT encoder). Re-implemented from the published rule
+    table (goldens trace the rules, not any one library's quirks):
+    metaphone->MTFN, Knight->NT, Philip->FLP, Smith/Smyth->SM0,
+    white->WT, Xavier->SFR, school->SKL, thought->0T."""
+    w = "".join(c for c in word.lower() if c.isalpha())
+    if not w:
+        return ""
+    # initial-pair exceptions
+    if w[:2] in ("ae", "gn", "kn", "pn", "wr"):
+        w = w[1:]
+    elif w[0] == "x":
+        w = "s" + w[1:]
+    elif w[:2] == "wh":
+        w = "w" + w[2:]
+    out = []
+    n = len(w)
+    i = 0
+    while i < n:
+        c = w[i]
+        nxt = w[i + 1] if i + 1 < n else ""
+        nxt2 = w[i + 2] if i + 2 < n else ""
+        prev = w[i - 1] if i > 0 else ""
+        # collapse doubled letters (except c)
+        if c == prev and c != "c":
+            i += 1
+            continue
+        if c in _VOWELS:
+            if i == 0:
+                out.append(c.upper())
+        elif c == "b":
+            if not (i == n - 1 and prev == "m"):  # silent -mb
+                out.append("B")
+        elif c == "c":
+            if nxt == "i" and nxt2 == "a":            # -cia-
+                out.append("X")
+            elif nxt == "h":
+                if prev == "s":                        # sch -> k
+                    out.append("K")
+                else:
+                    out.append("X")
+                i += 1
+            elif nxt in "iey":
+                if prev != "s":                        # sci/sce silent c
+                    out.append("S")
+            else:
+                out.append("K")
+        elif c == "d":
+            if nxt == "g" and nxt2 in "iey":           # -dge -> j
+                out.append("J")
+                i += 1
+            else:
+                out.append("T")
+        elif c == "g":
+            if nxt == "h":
+                if i + 2 >= n or w[i + 2] in _VOWELS:  # ghI -> k
+                    out.append("K")
+                i += 1                                 # else silent gh
+            elif nxt == "n":
+                pass                                   # silent gn
+            elif nxt in "iey":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "h":
+            if prev in _VOWELS and nxt not in _VOWELS:
+                pass                                   # silent
+            elif prev in "csptg":
+                pass                                   # digraph handled
+            else:
+                out.append("H")
+        elif c == "k":
+            if prev != "c":
+                out.append("K")
+        elif c == "p":
+            if nxt == "h":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "q":
+            out.append("K")
+        elif c == "s":
+            if nxt == "h":
+                out.append("X")
+                i += 1
+            elif nxt == "i" and nxt2 in "ao":          # -sio-/-sia-
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "t":
+            if nxt == "h":
+                out.append("0")                        # theta
+                i += 1
+            elif nxt == "i" and nxt2 in "ao":          # -tio-/-tia-
+                out.append("X")
+            else:
+                out.append("T")
+        elif c == "v":
+            out.append("F")
+        elif c == "w":
+            if nxt in _VOWELS:
+                out.append("W")
+        elif c == "x":
+            out.append("KS")
+        elif c == "y":
+            if nxt in _VOWELS:
+                out.append("Y")
+        elif c == "z":
+            out.append("S")
+        elif c in "fjlmnr":
+            out.append(c.upper())
+        i += 1
+    return "".join(out)
+
+
+_PHONETIC_ENCODERS = {"soundex": soundex, "metaphone": metaphone}
+
+
+def phonetic_filter(tokens, encoder: str = "metaphone",
+                    replace: bool = True):
     """`phonetic` token filter (plugins/analysis-phonetic
-    PhoneticTokenFilterFactory shape): encode each token; ``replace``
-    False emits the original token followed by its encoding, mirroring
-    the plugin's inject-vs-replace switch."""
-    if encoder != "soundex":
+    PhoneticTokenFilterFactory shape; default encoder metaphone like
+    the plugin): encode each token; ``replace`` False emits the
+    original token followed by its encoding, mirroring the plugin's
+    inject-vs-replace switch."""
+    enc_fn = _PHONETIC_ENCODERS.get(encoder)
+    if enc_fn is None:
         raise ValueError(f"unsupported phonetic encoder: {encoder}")
     out = []
     for t in tokens:
-        enc = soundex(t)
+        enc = enc_fn(t)
         if replace:
             out.append(enc)
         else:

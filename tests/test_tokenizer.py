@@ -62,3 +62,24 @@ def test_simple_and_registry():
 def test_none_safe_batch():
     a = get_analyzer("standard")
     assert a.analyze_many(["a b", None, "c"]) == [["a", "b"], [], ["c"]]
+
+
+def test_metaphone_encoder():
+    """Classic Metaphone (round-5): rule-table goldens + the phonetic
+    filter's default-encoder switch."""
+    from raydex.analysis.extra_filters import metaphone, phonetic_filter
+
+    for w, want in [("metaphone", "MTFN"), ("Knight", "NT"),
+                    ("Philip", "FLP"), ("Smith", "SM0"),
+                    ("Smyth", "SM0"), ("white", "WT"),
+                    ("Xavier", "SFR"), ("school", "SKL"),
+                    ("science", "SNS"), ("lodge", "LJ"),
+                    ("thought", "0T"), ("lamb", "LM"),
+                    ("graduation", "KRTXN")]:
+        assert metaphone(w) == want, (w, metaphone(w), want)
+    # homophones collapse
+    assert metaphone("night") != ""  # smoke
+    assert metaphone("wright") == metaphone("rite") == "RT"
+    assert phonetic_filter(["Smith"]) == ["SM0"]  # metaphone default
+    assert phonetic_filter(["Smith"], encoder="soundex") == ["S530"]
+    assert phonetic_filter(["Smith"], replace=False) == ["Smith", "SM0"]

@@ -153,3 +153,25 @@ def test_ukrainian_analyzer():
     assert uk("книжками в містах") == ["книжк", "міст"]
     assert uk("українська мова") == ["українськ", "мов"]
     assert ukrainian_stem("книжками") == ukrainian_stem("книжках") == "книжк"
+
+
+def test_viterbi_coverage_property():
+    """Hypothesis: the lattice path COVERS the input exactly — the
+    concatenation of emitted tokens equals the input string for
+    arbitrary mixed CJK text (no char lost or duplicated)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raydex.analysis.cjk_dict import _JA_LEX, _ZH_LEX
+
+    cjk_chars = st.sampled_from(list(
+        "東京都日本語検索勉強学校あいうえおかきくけしアイウエオー"
+        "中文北京学习我们的了是在有和人一二三鷹鴉"))
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(alphabet=cjk_chars, min_size=1, max_size=30))
+    def check(s):
+        for lex in (_JA_LEX, _ZH_LEX):
+            assert "".join(viterbi_segment(s, lex)) == s
+
+    check()

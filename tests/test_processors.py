@@ -368,3 +368,43 @@ def test_user_agent_processor():
     assert rows[2]["device"]["name"] == "iPhone"
     assert rows[3]["name"] == "curl"
     assert rows[4]["name"] == "Other"
+
+
+def test_arrow_pandas_tier_property_parity():
+    """Hypothesis: for arbitrary unicode inputs (incl. None), the Arrow
+    tier and the pandas tier agree on the core string family."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from raydex.ops.processors import compile_pipeline_arrow
+
+    steps = [
+        ("lowercase", {"field": "s", "target": "lo"}),
+        ("uppercase", {"field": "s", "target": "up"}),
+        ("trim", {"field": "s", "target": "tr"}),
+        ("gsub", {"field": "s", "pattern": "[0-9]+",
+                  "replacement": "#", "target": "g"}),
+        ("split", {"field": "s", "separator": " ", "target": "sp"}),
+    ]
+    arrow_fn = compile_pipeline_arrow(steps)
+    pandas_fn = compile_pipeline(steps)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(),
+                  st.text(st.characters(blacklist_categories=("Cs",)),
+                          max_size=40)),
+        min_size=1, max_size=8))
+    def check(vals):
+        t = pa.table({"s": pa.array(vals, pa.string())})
+        a = arrow_fn(t)
+        p = pandas_fn(t.to_pandas())
+        for c in ("lo", "up", "tr", "g"):
+            av = a[c].to_pylist()
+            pv = ["" if v is None else v for v in p[c].tolist()]
+            assert av == pv, (c, vals, av, pv)
+        assert a["sp"].to_pylist() == [list(x) for x in p["sp"]]
+
+    check()

@@ -53,6 +53,11 @@ def main(argv=None) -> int:
     b.add_argument("--index-sort", default=None,
                    help="field:order (e.g. warc_ts:desc) — store docs in "
                         "sort order per segment (IndexSortConfig)")
+    b.add_argument("--mappings", default=None,
+                   help="JSON list of field mappings (FieldSpec dicts: "
+                        'e.g. [{"name": "labels", "source": "labels", '
+                        '"analyzer": "flattened"}]) — the PUT-mapping '
+                        "analogue at build time")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -295,10 +300,17 @@ def main(argv=None) -> int:
         if a.index_sort:
             f, _, o = a.index_sort.partition(":")
             isort = (f, o or "asc")
+        fields = None
+        if a.mappings:
+            from raydex.index.segment import FieldSpec
+
+            fields = [FieldSpec.from_json(d)
+                      for d in json.loads(a.mappings)]
         man = build_index(
             a.input, a.index, num_partitions=a.partitions, analyzer=a.analyzer,
             source=a.source, resume=a.resume, store_positions=a.positions,
             max_docs_per_segment=a.max_docs_per_segment, index_sort=isort,
+            fields=fields,
         )
         print(json.dumps({k: man[k] for k in
                           ("doc_count", "sum_dl", "num_partitions", "build_sec",

@@ -297,8 +297,10 @@ def test_cjk_and_phonetic_filters():
         ("Pfister", "P236"), ("Jackson", "J250"),
     ]:
         assert soundex(w) == code, (w, soundex(w))
-    assert phonetic_filter(["smith", "smyth"]) == ["S530", "S530"]
-    assert phonetic_filter(["smith"], replace=False) == ["smith", "S530"]
+    assert phonetic_filter(["smith", "smyth"],
+                       encoder="soundex") == ["S530", "S530"]
+    assert phonetic_filter(["smith"], encoder="soundex",
+                       replace=False) == ["smith", "S530"]
 
 
 def test_from_size_window(tmp_path, ray_session):

@@ -107,3 +107,50 @@ def test_terms_agg_on_dotted_key(built):
     assert env_buckets == {"prod": 2, "dev": 1}
     st_buckets = {b["key"]: b["doc_count"] for b in aggs["st"]["buckets"]}
     assert st_buckets == {"ok": 3, "error": 1}
+
+
+def test_flattened_survives_merge(ray_session, tmp_path):
+    """The flattened sub-index rides the generic field-merge path:
+    after a full per-partition merge, keyed/root term counts and the
+    dotted-key terms agg are unchanged."""
+    from raydex.index.build import load_index_manifest
+    from raydex.index.merge import merge_partition_segments
+
+    rows = [(f"d/{i}", f"doc number {i}",
+             json.dumps({"env": "prod" if i % 2 else "dev",
+                         "tier": f"t{i % 3}"})) for i in range(60)]
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array(list(range(60)), pa.int64()).cast(
+            pa.timestamp("us")),
+        "text": pa.array([r[1] for r in rows], pa.large_string()),
+        "meta": pa.array([r[2] for r in rows]),
+    })
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard",
+                max_docs_per_segment=10,
+                fields=[FieldSpec("meta", source="meta",
+                                  analyzer="flattened")])
+    s = LocalSearcher(idx)
+    before = (s.count({"term": {"meta.env": "prod"}}),
+              s.count({"term": {"meta.tier": "t1"}}),
+              s.count({"term": {"meta": "prod"}}))
+    assert len(s.seg_dirs) > 2
+    m = load_index_manifest(idx)
+    plan: dict = {}
+    for r in m["segments"]:
+        plan.setdefault(r["part"], []).append(r["seg_id"])
+    merge_partition_segments(idx, plan, num_buckets=2)
+    s2 = LocalSearcher(idx)
+    assert len(s2.seg_dirs) == 2
+    after = (s2.count({"term": {"meta.env": "prod"}}),
+             s2.count({"term": {"meta.tier": "t1"}}),
+             s2.count({"term": {"meta": "prod"}}))
+    assert before == after == (30, 20, 30)
+    a = s2.search_aggs({"match_all": {}},
+                       {"e": {"terms": {"field": "meta.env"}}})
+    assert {b["key"]: b["doc_count"]
+            for b in a["aggregations"]["e"]["buckets"]} == \
+        {"prod": 30, "dev": 30}

@@ -124,3 +124,62 @@ def test_field_specs_roundtrip():
                      default_metric="sum")
     again = FieldSpec.from_json(spec.to_json())
     assert again.default_metric == "sum"
+
+
+def test_preagg_fields_survive_merge(ray_session, tmp_path):
+    """constant_keyword / aggregate_metric_double / histogram columns
+    (incl. the list-valued histogram sub-columns) ride the docs.parquet
+    merge path intact: term/range counts and recombined metric aggs are
+    unchanged after a full per-partition merge."""
+    from raydex.index.build import load_index_manifest
+    from raydex.index.merge import merge_partition_segments
+
+    ids = np.arange(40)
+    t = pa.table({
+        "url": pa.array([f"d/{i}" for i in ids]),
+        "warc_ts": pa.array(ids.astype("int64")).cast(pa.timestamp("us")),
+        "text": pa.array([f"doc {i} body" for i in ids],
+                         pa.large_string()),
+        "am": pa.array([json.dumps(
+            {"min": float(i % 5), "max": float(i % 5 + 1),
+             "sum": float(i % 5) * 2 + 1, "value_count": 2})
+            for i in ids]),
+        "hst": pa.array([json.dumps({"values": [float(i % 3)],
+                                     "counts": [2]}) for i in ids]),
+        "dc": pa.array(["corpus-x"] * 40),
+    })
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard",
+                max_docs_per_segment=8,
+                fields=[
+                    FieldSpec("am", source="am",
+                              analyzer="aggregate_metric_double",
+                              default_metric="max"),
+                    FieldSpec("hst", source="hst", analyzer="histogram"),
+                    FieldSpec("dc", source="dc",
+                              analyzer="constant_keyword"),
+                ])
+
+    def probe(s):
+        a = s.search_aggs(
+            {"match_all": {}},
+            {"s": {"sum": {"field": "am"}},
+             "h": {"sum": {"field": "hst"}},
+             "v": {"value_count": {"field": "hst"}}})["aggregations"]
+        return (s.count({"term": {"dc": "corpus-x"}}),
+                s.count({"range": {"am": {"gte": 4}}}),
+                a["s"]["value"], a["h"]["value"], a["v"]["value"])
+
+    s = LocalSearcher(idx)
+    before = probe(s)
+    assert len(s.seg_dirs) > 2
+    m = load_index_manifest(idx)
+    plan: dict = {}
+    for r in m["segments"]:
+        plan.setdefault(r["part"], []).append(r["seg_id"])
+    merge_partition_segments(idx, plan, num_buckets=2)
+    s2 = LocalSearcher(idx)
+    assert len(s2.seg_dirs) == 2
+    assert probe(s2) == before == (40, 16, 200.0, 78.0, 80)

@@ -154,3 +154,32 @@ def test_flattened_survives_merge(ray_session, tmp_path):
     assert {b["key"]: b["doc_count"]
             for b in a["aggregations"]["e"]["buckets"]} == \
         {"prod": 30, "dev": 30}
+
+
+def test_docwriter_on_flattened_index(ray_session, tmp_path):
+    """Single-doc writes re-index flattened leaves through the same
+    micro-segment path (the leaf analyzer runs in _flush_segments)."""
+    from raydex.index.docwrite import DocWriter
+
+    t = pa.table({
+        "url": pa.array([f"d/{i}" for i in range(10)]),
+        "warc_ts": pa.array(list(range(10)), pa.int64()).cast(
+            pa.timestamp("us")),
+        "text": pa.array([f"doc {i}" for i in range(10)],
+                         pa.large_string()),
+        "meta": pa.array([json.dumps({"env": "dev"})] * 10),
+    })
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard",
+                fields=[FieldSpec("meta", source="meta",
+                                  analyzer="flattened")])
+    w = DocWriter(idx)
+    w.index_doc({"url": "w/new", "text": "written doc",
+                 "meta": json.dumps({"env": "prod", "tier": "hot"})})
+    w.refresh()
+    s = LocalSearcher(idx)
+    assert s.count({"term": {"meta.env": "prod"}}) == 1
+    assert s.count({"term": {"meta.tier": "hot"}}) == 1
+    assert s.count({"term": {"meta.env": "dev"}}) == 10

@@ -234,7 +234,13 @@ def _keyed_blocks(ds, keys: list[str], cpu_denom: float = 4.0):
     # CPU reservation at ncpu/4: near-dup pipelines chain TWO hash
     # shuffles, and Ray's default (half the cluster per pool) deadlocks
     # a 4-cpu cluster with both pools pending plus the read task.
-    for c in (ctx, getattr(ds, "context", None)):
+    dctx = getattr(ds, "context", None)
+    saved_ds = None if dctx is None else (
+        dctx.shuffle_strategy,
+        dctx.max_hash_shuffle_aggregators,
+        dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+    )
+    for c in (ctx, dctx):
         if c is not None:
             c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
             c.max_hash_shuffle_aggregators = max(2, min(8, int(ncpu // cpu_denom)))
@@ -242,13 +248,33 @@ def _keyed_blocks(ds, keys: list[str], cpu_denom: float = 4.0):
                 ncpu / (cpu_denom * nb)
             )
     try:
-        return ds.repartition(num_blocks=nb, keys=keys)
+        out = ds.repartition(num_blocks=nb, keys=keys)
+        # Ray Data DERIVED datasets share the parent's context object —
+        # without a detach, the override above would leak into the
+        # CALLER'S input dataset (and everything else sharing its
+        # lineage) forever, silently switching later unrelated shuffles
+        # to tiny hash-aggregator pools (measured: a post-LSH
+        # semi-join deadlocking a 4-cpu cluster). Give the returned
+        # chain its own context snapshot carrying the override, then
+        # restore the shared one in the finally.
+        import copy as _copy
+
+        plan = getattr(out, "_plan", None)
+        if plan is not None and getattr(plan, "_context", None) is not None:
+            plan._context = _copy.deepcopy(plan._context)
+        return out
     finally:
         (
             ctx.shuffle_strategy,
             ctx.max_hash_shuffle_aggregators,
             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
         ) = saved
+        if dctx is not None and dctx is not ctx:
+            (
+                dctx.shuffle_strategy,
+                dctx.max_hash_shuffle_aggregators,
+                dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ) = saved_ds
 
 
 def _group_bounds(*key_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -830,3 +856,125 @@ def duplicated_window_stats(ds, text_col: str, id_col: str, k: int = 8):
         return t.append_column("dup_fraction", pa.array(frac, pa.float64()))
 
     return out.map_batches(finish, batch_format="pyarrow").sort(id_col)
+
+
+# ------------------------------------------------- connected components
+
+
+def _inherit_global_context(ds):
+    """Pair datasets built by the LSH tier carry a SCOPED hash-shuffle
+    context (tiny aggregator pools sized for that one repartition —
+    _keyed_blocks). Iterative consumers (the CC loop's joins/groupbys)
+    must run under the session defaults or their shuffles inherit those
+    pool sizes and deadlock on small clusters; copy the global
+    context's shuffle fields onto the materialized dataset."""
+    from ray.data.context import DataContext as _DC
+
+    g = _DC.get_current()
+    c = getattr(ds, "context", None)
+    if c is not None:
+        c.shuffle_strategy = g.shuffle_strategy
+        c.max_hash_shuffle_aggregators = g.max_hash_shuffle_aggregators
+        c.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            g.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    return ds
+
+
+def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                         node_col: str = "doc_id",
+                         label_col: str = "component",
+                         max_iters: int = 25):
+    """Distributed connected components over a near-dup pair Dataset —
+    the pairs -> clusters step every dedup pipeline needs before
+    choosing survivors. Min-label propagation (the MapReduce-CC family,
+    Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    every node repeatedly adopts the minimum label among itself and its
+    neighbors; each iteration is one co-partitioned join (labels onto
+    the symmetric edge stream) plus one keyed groupby-min — no
+    driver-side graph. Convergence detected by the global label sum,
+    which is strictly decreasing while any label changes (labels are
+    int64 doc ids, min-propagation only lowers them). The LSH bucket
+    emitter's star pairs keep component diameter tiny, so 2-3
+    iterations typically suffice; ``max_iters`` bounds pathological
+    chains. Returns a Dataset (node_col, label_col) with one row per
+    node that appears in any pair; the label is the component's
+    minimum doc id."""
+    import pyarrow.compute as pc
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[id_a].cast(pa.int64()).combine_chunks()
+        b = t[id_b].cast(pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    edges = _inherit_global_context(
+        pairs_ds.map_batches(sym, batch_format="pyarrow").materialize())
+
+    def init_cand(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "label": pc.min_element_wise(t["node"], t["nbr"])})
+
+    def _gmin(ds_):
+        # bound the block count: union + groupby otherwise multiply
+        # blocks every round (iteration cost grows superlinearly)
+        out = ds_.groupby("node").min("label")
+        return out.map_batches(
+            lambda t: t.rename_columns(["node", "label"]),
+            batch_format="pyarrow").repartition(8)
+
+    labels = _inherit_global_context(
+        _gmin(edges.map_batches(init_cand,
+                                batch_format="pyarrow")).materialize())
+    prev_sum = labels.sum("label")
+    from raydex.ops.joins import copartition_join
+
+    for _ in range(max_iters):
+        # neighbor propagation: each node sees its neighbors' labels
+        j = copartition_join(edges, labels, "nbr", "node",
+                             ["node", "nbr"], ["node", "label"],
+                             num_buckets=8)
+        cand = j.map_batches(
+            lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                                "label": t["label_r"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        # pointer jumping (label <- label[label]): halves the residual
+        # path length each round, so long chains converge in O(log d)
+        # joins instead of O(d) (the CC-MR "large-star" acceleration)
+        jj = copartition_join(labels, labels, "label", "node",
+                              ["node", "label"], ["node", "label"],
+                              num_buckets=8)
+        hop = jj.map_batches(
+            lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                                "label": t["label_r"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        labels = _inherit_global_context(
+            _gmin(cand.union(hop).union(labels)).materialize())
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.map_batches(
+        lambda t: t.rename_columns([node_col, label_col]),
+        batch_format="pyarrow")
+
+
+def dedup_by_components(ds, pairs_ds, id_col: str,
+                        id_a: str = "id_a", id_b: str = "id_b"):
+    """Near-dup dedup end to end: resolve the pair graph to components,
+    keep ONE survivor per component (the minimum doc id — the same
+    latest/first-wins convention as exact_dedup) plus every doc that
+    appears in no pair. The loser set never lands on the driver: the
+    filter is a bucketed ANTI join against it (semi_join machinery)."""
+    comp = _inherit_global_context(
+        connected_components(pairs_ds, id_a=id_a, id_b=id_b,
+                             node_col="node",
+                             label_col="component").materialize())
+    import pyarrow.compute as pc
+
+    losers = comp.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["component"]))
+                   .select(["node"]),
+        batch_format="pyarrow")
+    from raydex.ops.joins import semi_join
+
+    return semi_join(ds, losers, id_col, "node", anti=True)

@@ -558,6 +558,14 @@ def _build_index_inner(
     # captured context too, or the keys= repartition refuses to plan
     from ray.data.context import DataContext as _DC, ShuffleStrategy as _SS
 
+    _plan = getattr(ds, "_plan", None)
+    if _plan is not None and getattr(_plan, "_context", None) is not None:
+        # detach first: derived datasets share the parent's context by
+        # reference, so an in-place override would leak into the
+        # caller's upstream lineage (see raydex.shuffle docstring)
+        import copy as _copy
+
+        _plan._context = _copy.deepcopy(_plan._context)
     dctx = getattr(ds, "context", None)
     if dctx is not None:
         cur = _DC.get_current()

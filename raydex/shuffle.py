@@ -23,7 +23,14 @@ def scoped_hash_shuffle(*datasets, num_partitions: int = 200):
     to the global DataContext (restored on exit) AND to the captured
     context of each given dataset (kept — a Dataset snapshots its
     context at creation, and derived datasets inherit it, so later
-    groupbys stay safe). Yields the cluster CPU count."""
+    groupbys stay safe). Each given dataset's context is DETACHED
+    (deep-copied) first: derived datasets share the parent's context
+    object by reference, so mutating it in place would otherwise leak
+    the override into the caller's upstream lineage forever (the
+    _keyed_blocks post-LSH deadlock class). Yields the cluster CPU
+    count."""
+    import copy as _copy
+
     import ray
     from ray.data.context import DataContext, ShuffleStrategy
 
@@ -44,6 +51,9 @@ def scoped_hash_shuffle(*datasets, num_partitions: int = 200):
     ctx.max_hash_shuffle_aggregators = naggs
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     for ds in datasets:
+        plan = getattr(ds, "_plan", None)
+        if plan is not None and getattr(plan, "_context", None) is not None:
+            plan._context = _copy.deepcopy(plan._context)
         dctx = getattr(ds, "context", None)
         if dctx is not None:
             dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

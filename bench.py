@@ -200,6 +200,18 @@ def run_bench() -> dict:
     ).count()
     timings["minhash_lsh"] = round(time.perf_counter() - t0, 3)
 
+    # ---- full near-dup pipeline: LSH pairs -> connected components ->
+    # one survivor per cluster (the pairs-to-survivors step a training
+    # pipeline runs after candidate generation)
+    from raydex.ops.dedup import dedup_by_components
+
+    t0 = time.perf_counter()
+    docs_dd = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs_dd = minhash_lsh_pairs(docs_dd, "text", "doc_id")
+    dedup_by_components(docs_dd, pairs_dd, "doc_id").count()
+    timings["dedup_components"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     import pyarrow.parquet as pq
 

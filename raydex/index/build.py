@@ -702,6 +702,23 @@ def _build_index_inner(
     manifest["docs_per_sec"] = round(
         manifest["doc_count"] / max(manifest["build_sec"], 1e-9), 2
     )
+    # partition skew metrics (the north rule's throughput/skew report:
+    # routing hot-spots surface here — a skew_ratio near 1.0 means the
+    # murmur3 routing balanced the corpus; per-partition docs_per_sec
+    # lives in each partition_manifest.json)
+    per_part: dict[int, int] = {}
+    for r in segs:
+        per_part[r["part"]] = per_part.get(r["part"], 0) + int(r["doc_count"])
+    if per_part:
+        counts = sorted(per_part.values())
+        mean = sum(counts) / len(counts)
+        manifest["partition_skew"] = {
+            "partitions_with_docs": len(counts),
+            "min_docs": counts[0],
+            "max_docs": counts[-1],
+            "mean_docs": round(mean, 1),
+            "skew_ratio": round(counts[-1] / max(mean, 1e-9), 3),
+        }
     tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -87,6 +87,35 @@ def p_join(batch, field, separator, target=None):
 
 
 def p_convert(batch, field, type, target=None):
+    """`convert` processor (ConvertProcessor.java): the full type set —
+    integer/long/float/double/string/boolean plus `ip` (validates the
+    address, keeps the string form) and `auto` (first successful of
+    boolean/int/float, else the string — the reference's order)."""
+    if type == "ip":
+        import ipaddress
+
+        def toip(v):
+            ipaddress.ip_address(str(v))  # raises on invalid, like the ref
+            return str(v)
+
+        batch[target or field] = batch[field].map(toip)
+        return batch
+    if type == "auto":
+        def auto(v):
+            s_ = str(v)
+            if s_.lower() in ("true", "false"):
+                return s_.lower() == "true"
+            try:
+                return int(s_)
+            except ValueError:
+                pass
+            try:
+                return float(s_)
+            except ValueError:
+                return s_
+
+        batch[target or field] = batch[field].map(auto)
+        return batch
     t = {"integer": "int64", "long": "int64", "float": "float64",
          "double": "float64", "string": "string", "boolean": "bool"}[type]
     batch[target or field] = batch[field].astype(t)
@@ -985,8 +1014,12 @@ def compile_pipeline_arrow(steps: list[tuple[str, dict]], on_failure=None):
 
 
 def _arrow_capable(steps, on_failure=None) -> bool:
-    all_steps = list(steps) + list(on_failure or [])
-    return all(name in ARROW_PROCESSORS for name, _ in all_steps)
+    for name, kw in list(steps) + list(on_failure or []):
+        if name not in ARROW_PROCESSORS:
+            return False
+        if name == "convert" and kw.get("type") not in _ARROW_TYPES:
+            return False  # ip/auto are pandas-tier (per-value dispatch)
+    return True
 
 
 def apply_pipeline(ds, steps: list[tuple[str, dict]], batch_size: int = 4096,

@@ -408,3 +408,22 @@ def test_arrow_pandas_tier_property_parity():
         assert a["sp"].to_pylist() == [list(x) for x in p["sp"]]
 
     check()
+
+
+def test_convert_ip_and_auto():
+    import pytest as _pt
+
+    out = compile_pipeline([("convert", {"field": "v", "type": "auto"})])(
+        _b(v=["true", "7", "2.5", "plain"]))
+    assert list(out["v"]) == [True, 7, 2.5, "plain"]
+    out = compile_pipeline([("convert", {"field": "v", "type": "ip"})])(
+        _b(v=["10.0.0.1"]))
+    assert list(out["v"]) == ["10.0.0.1"]
+    with _pt.raises(Exception):
+        compile_pipeline([("convert", {"field": "v", "type": "ip"})])(
+            _b(v=["not-an-ip"]))
+    # ip/auto are pandas-tier: capability check routes them off Arrow
+    from raydex.ops.processors import _arrow_capable
+
+    assert not _arrow_capable([("convert", {"type": "auto"})])
+    assert _arrow_capable([("convert", {"type": "long"})])

@@ -737,6 +737,36 @@ def a_html_strip(t, field, target=None):
     return _put(t, target or field, pa.array(out, pa.large_string()))
 
 
+def a_registered_domain(t, field, target_prefix=""):
+    """registered_domain on Arrow kernels: last-1/2/3-label extraction
+    via RE2, suffix-table membership via index_in, selection via
+    if_else — no per-row Python."""
+    s = pc.utf8_lower(pc.utf8_trim(_astr(t, field), "."))
+    l1 = pc.struct_field(pc.extract_regex(s, r"(?P<g>[^.]+)$"), "g")
+    l2 = pc.struct_field(pc.extract_regex(s, r"(?P<g>[^.]+\.[^.]+)$"), "g")
+    l3 = pc.struct_field(
+        pc.extract_regex(s, r"(?P<g>[^.]+\.[^.]+\.[^.]+)$"), "g")
+    sub1 = pc.struct_field(
+        pc.extract_regex(s, r"^(?P<g>.*)\.[^.]+\.[^.]+$"), "g")
+    sub2 = pc.struct_field(
+        pc.extract_regex(s, r"^(?P<g>.*)\.[^.]+\.[^.]+\.[^.]+$"), "g")
+    suffixes = pa.array(sorted(_TWO_LABEL_SUFFIXES), pa.string())
+    two = pc.is_valid(pc.index_in(l2, suffixes))
+    has_dot = pc.match_substring(s, ".")
+    tld = pc.if_else(has_dot, pc.if_else(two, l2, l1),
+                     pa.nulls(t.num_rows, pa.string()))
+    registered = pc.if_else(two, l3, l2)
+    registered = pc.if_else(has_dot, registered,
+                            pa.nulls(t.num_rows, pa.string()))
+    sub = pc.if_else(two, sub2, sub1)
+    sub = pc.if_else(pc.is_valid(registered), sub,
+                     pa.nulls(t.num_rows, pa.string()))
+    t = _put(t, target_prefix + "domain", s)
+    t = _put(t, target_prefix + "top_level_domain", tld)
+    t = _put(t, target_prefix + "registered_domain", registered)
+    return _put(t, target_prefix + "subdomain", sub)
+
+
 ARROW_PROCESSORS = {
     "set": a_set, "remove": a_remove, "rename": a_rename,
     "lowercase": a_lowercase, "uppercase": a_uppercase, "trim": a_trim,
@@ -745,6 +775,7 @@ ARROW_PROCESSORS = {
     "date": a_date, "urldecode": a_urldecode, "uri_parts": a_uri_parts,
     "date_index_name": a_date_index_name,
     "dissect": a_dissect, "grok": a_grok, "html_strip": a_html_strip,
+    "registered_domain": a_registered_domain,
 }
 
 

@@ -427,3 +427,24 @@ def test_convert_ip_and_auto():
 
     assert not _arrow_capable([("convert", {"type": "auto"})])
     assert _arrow_capable([("convert", {"type": "long"})])
+
+
+def test_registered_domain_arrow_parity():
+    import pyarrow as pa
+
+    from raydex.ops.processors import compile_pipeline_arrow
+
+    cases = ["www.example.co.uk", "example.com", "a.b.c.example.com",
+             "localhost", "co.uk", "EXAMPLE.COM.", "sub.x.co.jp",
+             "x.com", ""]
+    t = pa.table({"h": cases})
+    a = compile_pipeline_arrow([("registered_domain", {"field": "h"})])(t)
+    p = compile_pipeline([("registered_domain", {"field": "h"})])(
+        t.to_pandas())
+    for c in ("domain", "top_level_domain", "registered_domain",
+              "subdomain"):
+        av = a[c].to_pylist()
+        pv = [None if (x is None or x != x) else x for x in p[c]]
+        assert av == pv, (c, av, pv)
+    assert a["registered_domain"].to_pylist()[0] == "example.co.uk"
+    assert a["subdomain"].to_pylist()[2] == "a.b.c"

@@ -540,12 +540,36 @@ def a_rename(t, field, target):
     return t.rename_columns([target if c == field else c for c in t.column_names])
 
 
+# code points whose FULL case mapping (Python/Java, the reference's
+# Locale.ROOT behavior) differs from Arrow's simple per-code-point
+# mapping: sharp s, the Latin/Armenian ligatures, and the handful of
+# decomposing forms. Rows containing one take a Python fallback; all
+# other rows stay on the vectorized kernel (the a_urldecode pattern).
+_UPPER_SPECIAL_RX = "[ßﬀ-ﬆŉǰΐΰևẖẗẘẙẚ]"
+_LOWER_SPECIAL_RX = "[İ]"
+
+
+def _full_case(arr, upper: bool):
+    out = pc.utf8_upper(arr) if upper else pc.utf8_lower(arr)
+    m = pc.match_substring_regex(
+        arr, _UPPER_SPECIAL_RX if upper else _LOWER_SPECIAL_RX)
+    if not pc.any(m).as_py():
+        return out
+    vals = arr.to_pylist()
+    mask = m.to_pylist()
+    fixed = out.to_pylist()
+    for i, (v, mk) in enumerate(zip(vals, mask)):
+        if mk:
+            fixed[i] = v.upper() if upper else v.lower()
+    return pa.array(fixed, pa.string())
+
+
 def a_lowercase(t, field, target=None):
-    return _put(t, target or field, pc.utf8_lower(_astr(t, field)))
+    return _put(t, target or field, _full_case(_astr(t, field), False))
 
 
 def a_uppercase(t, field, target=None):
-    return _put(t, target or field, pc.utf8_upper(_astr(t, field)))
+    return _put(t, target or field, _full_case(_astr(t, field), True))
 
 
 def a_trim(t, field, target=None):

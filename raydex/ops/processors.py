@@ -8,9 +8,12 @@ list of (name, kwargs) steps, compiled once into a single vectorized
 ``pyarrow``/pandas batch function applied via ``ds.map_batches``.
 
 Implemented processors: set, remove, rename, lowercase, uppercase,
-trim, gsub, split, join, convert, fingerprint, json (extract), kv,
-urldecode, uri_parts, html_strip, script (user fn), drop (predicate),
-append, bytes, date. Stateless; regexes compiled at pipeline build.
+trim, gsub, split, join, convert (full type set incl. ip/auto),
+fingerprint, json (extract), kv, urldecode, uri_parts, html_strip,
+script (user fn), drop (predicate), append, bytes, date, csv,
+dissect, grok, foreach, enrich, sort, fail, dot_expander,
+date_index_name, registered_domain, community_id, network_direction,
+geoip, user_agent. Stateless; regexes compiled at pipeline build.
 
 Two execution tiers share one registry of names:
 

@@ -58,22 +58,37 @@ from raydex.analysis.tokenizer import register_analyzer, tokenize
 
 HIRAGANA, KATAKANA, HAN, HANGUL, LATIN, DIGIT, OTHER = range(7)
 
+import numpy as _np
+
+
+def _build_class_lut() -> "_np.ndarray":
+    """Char-class lookup table over the BMP+SMP (one numpy gather per
+    input string instead of a Python call per char — the lattice's
+    hottest helper)."""
+    lut = _np.full(0x110000, OTHER, dtype=_np.uint8)
+    # alphabetic/digit below the CJK blocks (LATIN class)
+    for i in range(0x3000):
+        c = chr(i)
+        if c.isdigit():
+            lut[i] = DIGIT
+        elif c.isalpha():
+            lut[i] = LATIN
+    lut[0x3040:0x30A0] = HIRAGANA
+    lut[0x30A0:0x3100] = KATAKANA
+    lut[0x31F0:0x3200] = KATAKANA
+    lut[0xFF70] = KATAKANA
+    lut[0x4E00:0xA000] = HAN
+    lut[0x3400:0x4DC0] = HAN
+    lut[0xAC00:0xD7B0] = HANGUL
+    lut[0x1100:0x1200] = HANGUL
+    return lut
+
+
+_CLASS_LUT = _build_class_lut()
+
 
 def char_class(ch: str) -> int:
-    o = ord(ch)
-    if 0x3040 <= o <= 0x309F:
-        return HIRAGANA
-    if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF or o == 0xFF70:
-        return KATAKANA
-    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
-        return HAN
-    if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF:
-        return HANGUL
-    if ch.isdigit():
-        return DIGIT
-    if ch.isalpha() and o < 0x3000:
-        return LATIN
-    return OTHER
+    return int(_CLASS_LUT[ord(ch)])
 
 
 # one-token-per-run classes (kuromoji groups katakana/latin/digit runs)
@@ -96,26 +111,26 @@ def word_cost(length: int, bonus: float = 0.0) -> float:
 
 
 class Lexicon:
-    """Prefix-bucketed dictionary: first char -> [(word, cost) ...]
+    """Prefix-bucketed dictionary: first char -> [(word, cost, len) ...]
     (longest-first). max word length bounds the lattice fan-out."""
 
     def __init__(self, words: dict[str, float]):
-        self.by_first: dict[str, list[tuple[str, float]]] = {}
+        self.by_first: dict[str, list[tuple[str, float, int]]] = {}
         self.max_len = 1
         for w, c in words.items():
-            self.by_first.setdefault(w[0], []).append((w, c))
+            self.by_first.setdefault(w[0], []).append((w, c, len(w)))
             self.max_len = max(self.max_len, len(w))
         for lst in self.by_first.values():
-            lst.sort(key=lambda wc: -len(wc[0]))
+            lst.sort(key=lambda wc: -wc[2])
 
     def add(self, word: str, cost: float | None = None) -> None:
         c = word_cost(len(word), bonus=200.0) if cost is None else cost
-        self.by_first.setdefault(word[0], []).append((word, c))
-        self.by_first[word[0]].sort(key=lambda wc: -len(wc[0]))
+        self.by_first.setdefault(word[0], []).append((word, c, len(word)))
+        self.by_first[word[0]].sort(key=lambda wc: -wc[2])
         self.max_len = max(self.max_len, len(word))
 
     def candidates(self, s: str, i: int):
-        for w, c in self.by_first.get(s[i], ()):
+        for w, c, _l in self.by_first.get(s[i], ()):
             if s.startswith(w, i):
                 yield w, c
 
@@ -128,17 +143,26 @@ def viterbi_segment(s: str, lex: Lexicon) -> list[str]:
     best = [INF] * (n + 1)
     best[0] = 0.0
     back: list[tuple[int, str] | None] = [None] * (n + 1)
-    classes = [char_class(c) for c in s]
+    # one numpy gather classifies the whole string
+    classes = _CLASS_LUT[
+        _np.frombuffer(s.encode("utf-32-le"), dtype=_np.uint32)
+    ].tolist()
+    by_first = lex.by_first
+    startswith = s.startswith
     for i in range(n):
         bi = best[i]
         if bi == INF:
             continue
-        # dictionary edges
-        for w, c in lex.candidates(s, i):
-            j = i + len(w)
-            if bi + c < best[j]:
-                best[j] = bi + c
-                back[j] = (i, w)
+        # dictionary edges (inlined candidate scan, no generator)
+        lst = by_first.get(s[i])
+        if lst is not None:
+            for w, c, lw in lst:
+                if startswith(w, i):
+                    j = i + lw
+                    nc = bi + c
+                    if nc < best[j]:
+                        best[j] = nc
+                        back[j] = (i, w)
         # unknown edges
         cls = classes[i]
         if cls in _RUN_CLASSES:

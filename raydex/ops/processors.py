@@ -645,7 +645,8 @@ def a_bytes(t, field, target=None):
     mult_vals = np.array(list(_BYTES_MULT.values()), np.float64)
     idx = pc.index_in(unit, mult_keys).to_numpy(zero_copy_only=False)
     mult = pa.array(mult_vals[np.where(np.isnan(idx.astype(np.float64)), 0, idx).astype(np.int64)])
-    out = pc.cast(pc.multiply(num, mult), pa.int64())
+    # int() truncation semantics ("0.5b" -> 0), like the pandas tier
+    out = pc.cast(pc.trunc(pc.multiply(num, mult)), pa.int64())
     return _put(t, target or field, out)
 
 

@@ -233,3 +233,21 @@ def test_snowball_stem_dispatch_covers_new_tier():
     assert snowball_stem("estonian")("linnades") == "linna"
     with pytest.raises(ValueError):
         snowball_stem("klingon")
+
+
+def test_thai_segment_coverage_property():
+    """Hypothesis: Thai orthographic-cluster segmentation covers the
+    input exactly (concatenation identity — no char lost/duplicated)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raydex.analysis.euro_stemmers import thai_segment
+
+    thai_chars = st.sampled_from(list("กขคงจชซทนบปผพมยรลวสหอะาิีุูเแโไ็่้ำ"))
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(alphabet=thai_chars, min_size=1, max_size=25))
+    def check(s):
+        assert "".join(thai_segment(s)) == s
+
+    check()

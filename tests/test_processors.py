@@ -448,3 +448,54 @@ def test_registered_domain_arrow_parity():
         assert av == pv, (c, av, pv)
     assert a["registered_domain"].to_pylist()[0] == "example.co.uk"
     assert a["subdomain"].to_pylist()[2] == "a.b.c"
+
+
+def test_bytes_and_uri_parts_property_parity():
+    """Hypothesis: a_bytes/a_uri_parts agree with the pandas tier over
+    generated size strings and URL-ish inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from raydex.ops.processors import compile_pipeline_arrow
+
+    # fractions only WITH a unit — the reference's ByteSizeValue
+    # requires a unit for non-integers and both tiers mirror that
+    size_strs = st.builds(
+        lambda n, frac, unit, pad:
+            f"{pad}{n}{frac if unit else ''}{unit}{pad}",
+        st.integers(0, 10**6),
+        st.sampled_from(["", ".5", ".25"]),
+        st.sampled_from(["b", "kb", "mb", "gb", "B", "KB", "MB", "GB", ""]),
+        st.sampled_from(["", " ", "  "]))
+    a_bytes = compile_pipeline_arrow([("bytes", {"field": "v"})])
+    p_bytes_fn = compile_pipeline([("bytes", {"field": "v"})])
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(size_strs, min_size=1, max_size=6))
+    def check_bytes(vals):
+        t = pa.table({"v": pa.array(vals, pa.string())})
+        assert a_bytes(t)["v"].to_pylist() == list(p_bytes_fn(t.to_pandas())["v"])
+
+    check_bytes()
+
+    urls = st.builds(
+        lambda sch, host, path, q: f"{sch}{host}{path}{q}",
+        st.sampled_from(["https://", "http://", "ftp://", ""]),
+        st.sampled_from(["example.com", "a.b.co.uk:8080", "127.0.0.1", ""]),
+        st.sampled_from(["/x/y", "/", "", "/p%20q"]),
+        st.sampled_from(["?a=1&b=2", "?", ""]))
+    a_uri = compile_pipeline_arrow([("uri_parts", {"field": "v"})])
+    p_uri = compile_pipeline([("uri_parts", {"field": "v"})])
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=6))
+    def check_uri(vals):
+        t = pa.table({"v": pa.array(vals, pa.string())})
+        a = a_uri(t)
+        p = p_uri(t.to_pandas())
+        for c in ("uri_scheme", "uri_host", "uri_path", "uri_query"):
+            assert a[c].to_pylist() == list(p[c]), (c, vals)
+
+    check_uri()

@@ -2073,9 +2073,20 @@ def q_near_dup_pairs_suite(sf):
 
     a = q_minhash_pairs(sf).to_pandas()
     b = q_jaccard_near_dup_pairs(sf).to_pandas()
+    # connected components over the minhash08 pair graph (the
+    # pairs -> clusters step; SQL mirror = recursive transitive
+    # closure + min-reachable label)
+    import ray.data as rd
+
+    from raydex.ops.dedup import connected_components
+
+    comp = connected_components(
+        rd.from_pandas(a[["id_a", "id_b"]])).to_pandas()
+    c = comp.rename(columns={"doc_id": "id_a", "component": "id_b"})
     a.insert(0, "kind", "minhash08")
     b.insert(0, "kind", "verify09")
-    out = pd.concat([a, b])
+    c.insert(0, "kind", "components")
+    out = pd.concat([a, b, c])
     return out.sort_values(["kind", "id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -3164,7 +3175,7 @@ def oracle_sql() -> dict[str, str]:
         # banding recall at 128/32 on the fixed data); verify09 branch:
         # all-pairs 3-gram Jaccard at 0.9 (LSH+verify == brute force)
         "near_dup_pairs_suite": (
-            "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "WITH RECURSIVE tl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
             "tp AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tl), "
             "sh2 AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS s "
             "FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
@@ -3184,6 +3195,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'verify09', id_a, id_b FROM i3 "
             "JOIN cnt3 ca ON ca.doc_id = id_a JOIN cnt3 cb ON cb.doc_id = id_b "
             "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.9 "
+            "UNION ALL "
+            "SELECT 'components', u, LEAST(u, MIN(v)) FROM ("
+            "WITH RECURSIVE pr AS (SELECT id_a, id_b FROM i2 "
+            "JOIN cnt2 ca ON ca.doc_id = id_a "
+            "JOIN cnt2 cb ON cb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8), "
+            "ed AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach(u, v) AS (SELECT u, v FROM ed UNION "
+            "SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u) "
+            "SELECT u, v FROM reach) GROUP BY u "
             "ORDER BY 1, 2, 3"
         ),
         # parent/child join field: has_child(sum of constant-score

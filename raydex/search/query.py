@@ -1759,7 +1759,39 @@ class SegmentEvaluator:
                 if self.r.live is not None:
                     mask = mask & self.r.live
                 return np.where(mask, q.boost, 0.0), mask
-            return np.full(n, q.boost), np.ones(n, dtype=bool)
+            # ExistsQueryBuilder: docs carrying a value for the field.
+            # url/dl/text always exist (every indexed doc has them);
+            # doc-values columns test for null (numpy converts nullable
+            # numeric columns to float NaN, object columns keep None);
+            # keyword/text sub-fields test postings membership; unknown
+            # fields keep the lenient all-docs fallback (derived/
+            # runtime fields resolve per request).
+            if q.fld not in ("url", "dl", "text"):
+                dv = getattr(self.r, "doc_values", {})
+                if q.fld in dv:
+                    vals = dv[q.fld]
+                    if vals.dtype.kind == "f":
+                        mask = ~np.isnan(vals)
+                    elif vals.dtype == object:
+                        mask = np.fromiter(
+                            (v is not None for v in vals),
+                            dtype=bool, count=n)
+                    else:
+                        mask = np.ones(n, dtype=bool)
+                    if self.r.live is not None:
+                        mask = mask & self.r.live
+                    return np.where(mask, q.boost, 0.0), mask
+                fr = self._field_reader(q.fld)
+                if fr is not None and hasattr(fr, "all_postings_docids"):
+                    mask = np.zeros(n, dtype=bool)
+                    docids, _ = fr.all_postings_docids()
+                    mask[docids] = True
+                    if self.r.live is not None:
+                        mask = mask & self.r.live
+                    return np.where(mask, q.boost, 0.0), mask
+            mask = (self.r.live.copy() if self.r.live is not None
+                    else np.ones(n, dtype=bool))
+            return np.where(mask, q.boost, 0.0), mask
         if isinstance(q, ConstantScore):
             _, mask = self.eval(q.filter_q)
             return np.where(mask, q.boost, 0.0), mask

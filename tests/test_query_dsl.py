@@ -576,3 +576,40 @@ def test_range_and_terms_set_accept_sibling_name():
     parse_query(ts)
     got = collect_named_queries(ts)
     assert len(got) == 1 and got[0][0] == "t"
+
+
+def test_exists_field_semantics(ray_session, tmp_path):
+    """Round-5: exists matches only docs CARRYING a value — nullable
+    doc-values columns, keyword sub-fields — while url/dl/text and
+    unknown (derived) fields keep the all-docs behavior."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydex.index.build import build_index
+    from raydex.index.segment import FieldSpec
+    from raydex.search.scatter import LocalSearcher
+
+    t = pa.table({
+        "url": pa.array([f"e/{i}" for i in range(8)]),
+        "warc_ts": pa.array(list(range(8)), pa.int64()).cast(
+            pa.timestamp("us")),
+        "text": pa.array([f"doc {i}" for i in range(8)],
+                         pa.large_string()),
+        "score_opt": pa.array([float(i) if i % 2 == 0 else None
+                               for i in range(8)], pa.float64()),
+        "tag": pa.array([f"t{i}" if i < 5 else None for i in range(8)]),
+    })
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, analyzer="standard",
+                fields=[FieldSpec("score_opt", source="score_opt",
+                                  analyzer="double"),
+                        FieldSpec("tag", source="tag",
+                                  analyzer="keyword")])
+    s = LocalSearcher(idx)
+    assert s.count({"exists": {"field": "url"}}) == 8
+    assert s.count({"exists": {"field": "score_opt"}}) == 4  # nulls out
+    assert s.count({"exists": {"field": "tag"}}) == 5
+    # unknown field: lenient all-docs fallback (derived fields)
+    assert s.count({"exists": {"field": "never_mapped"}}) == 8

@@ -128,6 +128,9 @@ def main(argv=None) -> int:
     dw.add_argument("--doc", help="JSON source body (full doc for "
                     "index/create, partial for update)")
     dw.add_argument("--doc-as-upsert", action="store_true")
+    dw.add_argument("--routing", default=None,
+                    help="routing key (required for join-field child "
+                         "docs: the parent id)")
     dw.add_argument("--no-refresh", action="store_true",
                     help="buffer only (caller refreshes later)")
 
@@ -446,10 +449,10 @@ def main(argv=None) -> int:
         elif a.action == "update":
             r = docwrite.update_doc(a.index, body.pop("url"), doc=body,
                                     doc_as_upsert=a.doc_as_upsert,
-                                    refresh=refresh)
+                                    refresh=refresh, routing=a.routing)
         else:
             r = docwrite.delete_doc(a.index, body.pop("url"),
-                                    refresh=refresh)
+                                    refresh=refresh, routing=a.routing)
         print(json.dumps(r, default=str))
     elif a.cmd == "bulk":
         from raydex.index.docwrite import bulk_apply

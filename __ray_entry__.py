@@ -1879,6 +1879,16 @@ def q_dsl_count_suite(sf):
                                     "size": 100_000}}},
     )["aggregations"]["tiles"]["buckets"]
     rows += [(f"z3_tile:{t['key']}", t["doc_count"]) for t in tiles]
+    # geohash_grid agg (Niemeyer base-32 cells): the SQL mirror
+    # reproduces the interleaved-bisection bits as a closed-form
+    # floor((coord-lo)/range * 2^bits) + bit-weave expression
+    # generated by _geohash_oracle_sql below
+    hashes = s.search_aggs(
+        {"match_all": {}},
+        {"gh": {"geohash_grid": {"field": "loc", "precision": 2,
+                                 "size": 100_000}}},
+    )["aggregations"]["gh"]["buckets"]
+    rows += [(f"z8_ghash:{b['key']}", b["doc_count"]) for b in hashes]
     # _terms_enum (x-pack TransportTermsEnumAction): sorted term-dict
     # walk with size cap + search_after resume — two pages must tile
     # the distinct lang set in sorted order (n_docs = 1-based ordinal,
@@ -2514,6 +2524,45 @@ def _hdr_oracle_sql(qs=(0.25, 0.5, 0.75, 0.95, 0.99)) -> str:
     )
 
 
+def _geohash_oracle_sql(precision: int = 2) -> str:
+    """SQL mirror of ``geohash_encode`` (ops/geo.py): the interleaved
+    lon/lat bisection equals floor((coord - lo) / range * 2^bits) per
+    axis, and the base-32 string is a bit-weave of the two integers —
+    generated here as a closed-form DuckDB expression over the same
+    derived lat/lon arithmetic the index stores. Bucket boundaries land
+    on exactly-representable binary fractions (multiples of 45/2^k
+    degrees) while the derived coordinates sit on a 0.01-degree grid,
+    so the floor() form and the engine's >=-midpoint bisection can
+    never disagree by rounding."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    terms = [
+        f"((loni >> {lon_bits - 1 - j}) & 1) * {1 << (nbits - 1 - 2 * j)}"
+        for j in range(lon_bits)
+    ] + [
+        f"((lati >> {lat_bits - 1 - j}) & 1) * {1 << (nbits - 2 - 2 * j)}"
+        for j in range(lat_bits)
+    ]
+    chars = " || ".join(
+        f"substr('{alphabet}', ((v >> {5 * (precision - 1 - c)}) & 31)"
+        " + 1, 1)"
+        for c in range(precision))
+    return (
+        "UNION ALL SELECT 'z8_ghash:' || gh, COUNT(*) FROM ("
+        f"SELECT {chars} AS gh FROM ("
+        f"SELECT ({' + '.join(terms)}) AS v FROM ("
+        "SELECT CAST(FLOOR((lat + 90.0) / 180.0 * "
+        f"{1 << lat_bits}) AS BIGINT) AS lati, "
+        "CAST(FLOOR((lon + 180.0) / 360.0 * "
+        f"{1 << lon_bits}) AS BIGINT) AS loni FROM ("
+        "SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS lat, "
+        "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lon "
+        "FROM documents)))) GROUP BY gh "
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # pii step-wise mirror JOIN decontamination mirror on doc_id
@@ -3081,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS lat, "
             "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lon FROM documents)"
             ") GROUP BY t "
+            + _geohash_oracle_sql(2) +
             # _terms_enum: sorted distinct walk, 1-based ordinal
             "UNION ALL SELECT 'z9_terms_enum:' || lang, "
             "ROW_NUMBER() OVER (ORDER BY lang) "

@@ -880,10 +880,37 @@ def _inherit_global_context(ds):
     return ds
 
 
+def _cc_numpy(a: np.ndarray, b: np.ndarray):
+    """Exact connected components over a driver-sized edge list:
+    min-label propagation with pointer jumping, fully vectorized
+    (``np.minimum.at`` scatter + ``lab[lab]`` doubling) — O(E log d)
+    with no Python loop over edges. Returns (node ids, component
+    labels) where the label is the component's minimum node id
+    (np.unique sorts, so index order == id order)."""
+    ids = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(ids, a)
+    cb = np.searchsorted(ids, b)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ca, lab[cb])
+        np.minimum.at(lab, cb, lab[ca])
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, prev):
+            break
+    return ids, ids[lab]
+
+
 def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
                          node_col: str = "doc_id",
                          label_col: str = "component",
-                         max_iters: int = 25):
+                         max_iters: int = 25,
+                         max_driver_edges: int = 5_000_000):
     """Distributed connected components over a near-dup pair Dataset —
     the pairs -> clusters step every dedup pipeline needs before
     choosing survivors. Min-label propagation (the MapReduce-CC family,
@@ -898,7 +925,16 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     iterations typically suffice; ``max_iters`` bounds pathological
     chains. Returns a Dataset (node_col, label_col) with one row per
     node that appears in any pair; the label is the component's
-    minimum doc id."""
+    minimum doc id.
+
+    The pair graph is the LSH CANDIDATE set — orders of magnitude
+    smaller than the corpus — so below ``max_driver_edges`` (~80 MB of
+    int64 pairs) the exact in-memory path runs instead: one vectorized
+    numpy min-label/pointer-jump pass (``_cc_numpy``), skipping the
+    per-iteration join+shuffle fixed costs that dominate on small
+    graphs. The guard itself is a distributed count over the already
+    materialized edge blocks; above it, the iterative loop below is
+    the 100 TB-shaped path."""
     import pyarrow.compute as pc
 
     def sym(t: pa.Table) -> pa.Table:
@@ -909,6 +945,23 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
 
     edges = _inherit_global_context(
         pairs_ds.map_batches(sym, batch_format="pyarrow").materialize())
+    if edges.count() <= 2 * max_driver_edges:
+        import ray
+        import ray.data as rd
+
+        parts = [p for p in ray.get(edges.to_arrow_refs())
+                 if p.num_rows]
+        if not parts:
+            return rd.from_arrow(pa.table(
+                {node_col: pa.array([], pa.int64()),
+                 label_col: pa.array([], pa.int64())}))
+        t = pa.concat_tables(parts)
+        ids, labs = _cc_numpy(
+            t["node"].to_numpy(zero_copy_only=False),
+            t["nbr"].to_numpy(zero_copy_only=False))
+        return rd.from_arrow(pa.table(
+            {node_col: pa.array(ids, pa.int64()),
+             label_col: pa.array(labs, pa.int64())}))
 
     def init_cand(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"],

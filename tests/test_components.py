@@ -41,21 +41,27 @@ def _pairs_ds(pairs):
     }))
 
 
-def test_chain_star_and_singleton(ray_session):
+# max_driver_edges=0 forces the distributed label-propagation loop so
+# both the driver-sized exact path and the 100 TB-shaped path stay
+# covered by the same oracles
+@pytest.mark.parametrize("cap", [5_000_000, 0], ids=["local", "distributed"])
+def test_chain_star_and_singleton(ray_session, cap):
     pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (7, 8), (8, 9)]
-    got = dict(connected_components(_pairs_ds(pairs))
+    got = dict(connected_components(_pairs_ds(pairs), max_driver_edges=cap)
                .to_pandas()[["doc_id", "component"]].itertuples(index=False))
     assert got == _uf_oracle(pairs)
 
 
-def test_random_graphs_match_union_find(ray_session):
+@pytest.mark.parametrize("cap", [5_000_000, 0], ids=["local", "distributed"])
+def test_random_graphs_match_union_find(ray_session, cap):
     rng = np.random.default_rng(13)
     for trial in range(2):
         n = 60
         m = 45
         pairs = [(int(a), int(b)) for a, b in
                  rng.integers(0, n, size=(m, 2)) if a != b]
-        got = dict(connected_components(_pairs_ds(pairs))
+        got = dict(connected_components(_pairs_ds(pairs),
+                                        max_driver_edges=cap)
                    .to_pandas()[["doc_id", "component"]]
                    .itertuples(index=False))
         assert got == _uf_oracle(pairs), f"trial {trial}"

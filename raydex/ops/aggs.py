@@ -21,9 +21,20 @@ import pyarrow.compute as pc
 
 def terms_agg(ds, key: str, size: int = 10, count_name: str = "doc_count"):
     """Top-N most frequent values (the `terms` bucket agg,
-    ``TermsAggregationBuilder.java:46``) — exact: groupby-count, sort by
-    (count desc, key asc), limit."""
-    out = ds.groupby(key).count()
+    ``TermsAggregationBuilder.java:46``) — exact, with map-side combine:
+    each block collapses to its (value, count) table first (one
+    vectorized ``value_counts``), so the groupby shuffle carries the
+    per-block vocabulary instead of the corpus; the final sort+limit
+    runs over the combined vocabulary table."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[key].combine_chunks())
+        return pa.table({key: vc.field("values"),
+                         "__n": vc.field("counts").cast(pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(key).sum("__n")
     out = out.map_batches(
         lambda t: t.rename_columns([key, count_name]), batch_format="pyarrow"
     )

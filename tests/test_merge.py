@@ -137,3 +137,27 @@ def test_crash_before_manifest_commit_leaves_index_openable(
     assert [(h["url"], h["score"]) for h in before] == [
         (h["url"], h["score"]) for h in after
     ]
+
+
+def test_merge_bucket_count_invariance(ray_session, tmp_path):
+    """num_buckets is shuffle granularity only: merging the same
+    segment set with 4 vs 32 buckets must yield byte-equal search
+    results (urls + float32 scores) — the serve_prepare path sizes
+    buckets to the cpu count, which must never change scores."""
+    t = make_pages_table(300, seed=7, dup_frac=0.0)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    results = []
+    for nb in (4, 32):
+        idx = str(tmp_path / f"idx_nb{nb}")
+        build_index(p, idx, num_partitions=2, max_docs_per_segment=40,
+                    source="text")
+        m = load_index_manifest(idx)
+        plan = {pt: [r["seg_id"] for r in m["segments"] if r["part"] == pt]
+                for pt in {r["part"] for r in m["segments"]}}
+        merge_partition_segments(idx, plan, num_buckets=nb)
+        queries = [(q, k) for q, k in zip(
+            make_queries_table(10)["query_text"].to_pylist(),
+            make_queries_table(10)["k"].to_pylist())]
+        results.append(_search_all(idx, queries))
+    assert results[0] == results[1]

@@ -35,6 +35,22 @@ def test_terms_agg(docs_ds, con):
     assert got["doc_count"].tolist() == want["doc_count"].tolist()
 
 
+def test_terms_agg_null_keys_and_ties(ray_session):
+    """Map-side-combine parity on a synthetic column with nulls and
+    tied counts: value_counts partials must reduce to the same exact
+    counts + (count desc, key asc) tie order as a plain GROUP BY."""
+    import ray.data as rd
+
+    vals = (["a"] * 5 + ["b"] * 5 + ["c"] * 2 + [None] * 3) * 4
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.string())}))
+    got = aggs.terms_agg(ds, "k", size=10).to_pandas()
+    rows = list(zip(got["k"].tolist(), got["doc_count"].tolist()))
+    assert rows[:2] == [("a", 20), ("b", 20)]   # tie broken by key asc
+    norm = [(None if k is None or k != k else k, c) for k, c in rows]
+    assert (None, 12) in norm
+    assert ("c", 8) in norm
+
+
 def test_stats_agg(docs_ds, con):
     got = aggs.stats_agg(docs_ds, "n_chars").to_pylist()[0]
     want = con.execute(

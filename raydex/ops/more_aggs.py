@@ -456,15 +456,25 @@ def significant_text(ds, text_col: str, foreground_mask_fn, size: int = 10,
 
 def multi_terms(ds, key_cols: list[str], size: int = 10):
     """`multi_terms` (``bucket/terms/MultiTermsAggregationBuilder``):
-    top-N composite-key buckets by doc count — one groupby over the key
-    tuple, count desc then key asc (the reference's order)."""
-    out = ds.groupby(key_cols).count().to_pandas()
-    cnt = [c for c in out.columns if c not in key_cols][0]
-    out = out.rename(columns={cnt: "doc_count"})
-    out = out.sort_values(
-        ["doc_count", *key_cols], ascending=[False] + [True] * len(key_cols)
-    ).head(size)
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    top-N composite-key buckets by doc count — count desc then key asc
+    (the reference's order). Map-side combine (per-block Arrow group_by
+    collapses each block to its distinct key tuples) + distributed
+    groupby-sum + distributed sort/limit: only the final ``size`` rows
+    land on the driver, so composite-key cardinality never does."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(key_cols).group_by(key_cols).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(list(key_cols) + ["__n"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(key_cols).sum("__n")
+    out = out.map_batches(
+        lambda t: t.rename_columns(list(key_cols) + ["doc_count"]),
+        batch_format="pyarrow")
+    top = out.sort(["doc_count", *key_cols],
+                   descending=[True] + [False] * len(key_cols)) \
+             .limit(size).to_pandas()
+    return pa.Table.from_pandas(top, preserve_index=False)
 
 
 def top_metrics(ds, sort_col: str, metric_cols: list[str], order: str = "desc",

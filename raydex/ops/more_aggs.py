@@ -19,11 +19,12 @@ def significant_terms(ds, key_col: str, foreground_mask_fn, size: int = 10):
     batch, one groupby, driver-side scoring of the (small) term table."""
 
     def partial(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
         fg = np.asarray(foreground_mask_fn(t), dtype=bool)
-        dfp = pd.DataFrame({"k": keys, "fg": fg.astype(np.int64), "n": 1})
-        g = dfp.groupby("k", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        tk = pa.table({"k": t[key_col],
+                       "fg": pa.array(fg.astype(np.int64)),
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tk.group_by("k").aggregate([("fg", "sum"), ("n", "sum")])
+        return g.rename_columns(["k", "fg", "n"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     g = parts.groupby("k", as_index=False).sum()
@@ -49,9 +50,18 @@ def significant_terms(ds, key_col: str, foreground_mask_fn, size: int = 10):
 
 def rare_terms(ds, key_col: str, max_doc_count: int = 1):
     """`rare_terms`: terms with global count <= max_doc_count (the long
-    tail the terms agg misses). Exact: partial counts -> groupby.sum ->
-    filter."""
-    out = ds.groupby(key_col).count()
+    tail the terms agg misses). Exact, with map-side combine: each
+    block collapses to its (value, count) table first, so the groupby
+    shuffle carries per-block vocabularies, not raw rows."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[key_col].combine_chunks())
+        return pa.table({key_col: vc.field("values"),
+                         "__n": vc.field("counts").cast(pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(key_col).sum("__n")
     out = out.map_batches(
         lambda t: t.rename_columns([key_col, "doc_count"]), batch_format="pyarrow"
     )

@@ -234,6 +234,12 @@ def main(argv=None) -> int:
     sg.add_argument("--size", type=int, default=5)
     sg.add_argument("--field", default=None,
                     help="dedicated completion field name (mode=completion)")
+    sg.add_argument("--contexts", default=None,
+                    help='JSON category contexts filter/boost, e.g. '
+                         '\'{"place": [{"context": "paris", "boost": 2}]}\'')
+    sg.add_argument("--fuzzy", default=None,
+                    help='JSON fuzzy options (or "true"), e.g. '
+                         '\'{"fuzziness": "AUTO", "prefix_length": 1}\'')
 
     pt = sub.add_parser("pit", help="point-in-time readers: open pins "
                         "the current segment set (hardlinked view), "
@@ -666,9 +672,13 @@ def main(argv=None) -> int:
                 merge_completion_options,
             )
 
+            ctx = json.loads(a.contexts) if a.contexts else None
+            fz = (json.loads(a.fuzzy) if a.fuzzy and a.fuzzy != "true"
+                  else (True if a.fuzzy else None))
             per_seg = [
                 completion_field_suggest(SegmentReader(sd), a.field, a.text,
-                                         size=a.size)
+                                         size=a.size, contexts=ctx,
+                                         fuzzy=fz)
                 for sd in segment_dirs(a.index)
             ]
             print(json.dumps(merge_completion_options(per_seg, size=a.size)))

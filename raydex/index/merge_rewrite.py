@@ -130,7 +130,9 @@ def _concat_field_file(field_dirs: list[str], out_dir: str, fname: str,
                 pa.array(d, pa.int64()),
             )
         tables.append(t)
-    out = pa.concat_tables(tables)
+    # promote: a column added by a newer writer (e.g. completion
+    # `contexts`) null-fills on segments that predate it
+    out = pa.concat_tables(tables, promote_options="default")
     if bases is None and inv is not None:  # per-doc row table: reorder
         out = out.take(pa.array(inv))
     os.makedirs(out_dir, exist_ok=True)

@@ -854,24 +854,41 @@ def _build_completion(fdir: str, spec: FieldSpec, values) -> dict:
 
     Source column: struct<input: string, weight: int> (multiple inputs
     per doc via list<struct> also accepted) or a plain string column
-    (weight=1)."""
+    (weight=1). An entry dict may also carry ``contexts`` — a mapping
+    of category-context name -> value or list of values
+    (``suggest/completion/context/CategoryContextMapping.java``) —
+    stored flattened as ``name\\x00value`` tokens per entry for
+    query-time filter/boost."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     inputs: list[str] = []
     weights: list[int] = []
     docids: list[int] = []
+    ctxs: list[list[str]] = []
+
+    def _ctx_tokens(c) -> list[str]:
+        out: list[str] = []
+        for name, vals in (c or {}).items():
+            if vals is None:
+                continue
+            for v in (vals if isinstance(vals, (list, tuple)) else [vals]):
+                if v is not None:
+                    out.append(f"{name}\x00{v}")
+        return out
 
     def add(d: int, item) -> None:
         if item is None:
             return
         if isinstance(item, str):
             inputs.append(item); weights.append(1); docids.append(d)
+            ctxs.append([])
         elif isinstance(item, dict):
             if item.get("input") is None:
                 return
             inputs.append(str(item["input"]))
             weights.append(int(item.get("weight") or 1))
             docids.append(d)
+            ctxs.append(_ctx_tokens(item.get("contexts")))
         elif isinstance(item, list):
             for sub in item:
                 add(d, sub)
@@ -891,6 +908,8 @@ def _build_completion(fdir: str, spec: FieldSpec, values) -> dict:
             "input": pa.array(np.asarray(inputs, dtype=object)[order], pa.string()),
             "weight": pa.array(np.asarray(weights, dtype=np.int64)[order]),
             "docid": pa.array(np.asarray(docids, dtype=np.int64)[order]),
+            "contexts": pa.array(
+                [ctxs[i] for i in order], pa.list_(pa.string())),
         }
     )
     os.makedirs(fdir, exist_ok=True)
@@ -1270,8 +1289,11 @@ class SegmentReader:
         return entry
 
     def completion_field(self, name: str):
-        """(inputs sorted, weights, docids) of a completion field —
-        loaded once per reader (the opened-FST analogue)."""
+        """(inputs sorted, weights, docids, contexts) of a completion
+        field — loaded once per reader (the opened-FST analogue).
+        ``contexts`` is a per-entry list of ``name\\x00value`` tokens
+        (empty list when the entry carries none; pre-contexts segments
+        load with all-empty lists)."""
         cache = getattr(self, "_completion_fields", None)
         if cache is None:
             cache = self._completion_fields = {}
@@ -1285,10 +1307,14 @@ class SegmentReader:
             t = pq.read_table(
                 os.path.join(self.seg_dir, f"field={name}", "completion.parquet")
             )
+            ctx = (t["contexts"].to_pylist()
+                   if "contexts" in t.column_names
+                   else [[] for _ in range(t.num_rows)])
             entry = (
                 np.asarray(t["input"].to_pylist(), dtype=object),
                 t["weight"].to_numpy(),
                 t["docid"].to_numpy(),
+                ctx,
             )
             cache[name] = entry
         return entry

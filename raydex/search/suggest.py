@@ -178,32 +178,140 @@ def phrase_suggest_lm(reader, text: str, max_edits: int = 1,
     return out
 
 
+def _auto_fuzziness(s: str) -> int:
+    """The reference's ``Fuzziness.AUTO`` ladder: 0 edits below 3
+    chars, 1 up to 5, 2 beyond (``Fuzziness.java``)."""
+    n = len(s)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def _prefix_within_edits(q: str, inp: str, k: int,
+                         transpositions: bool = True) -> bool:
+    """FuzzyCompletionQuery acceptance: some PREFIX of ``inp`` is
+    within ``k`` edits of the query prefix ``q`` (the Levenshtein
+    automaton ∩ FST walk). One banded DP over ``inp[:len(q)+k]``;
+    ``transpositions`` enables the restricted Damerau swap."""
+    if k == 0:
+        return inp.startswith(q)
+    m = len(q)
+    t = inp[: m + k]
+    prev = list(range(m + 1))
+    prev2: list[int] | None = None
+    best = prev[m]
+    for j, cj in enumerate(t, start=1):
+        cur = [j] + [0] * m
+        for i in range(1, m + 1):
+            cost = 0 if q[i - 1] == cj else 1
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+            if (transpositions and i > 1 and j > 1 and prev2 is not None
+                    and q[i - 1] == t[j - 2] and q[i - 2] == cj):
+                cur[i] = min(cur[i], prev2[i - 2] + 1)
+        best = min(best, cur[m])
+        prev2, prev = prev, cur
+    return best <= k
+
+
+def _context_boost(entry_ctx: list[str], want: dict[str, dict[str, float]]):
+    """Match an entry's ``name\\x00value`` tokens against the parsed
+    query contexts; returns the boost multiplier or None if filtered
+    out. Per the reference (ContextMappings): every queried context
+    NAME must match; boost is the product over context names of the
+    best matching clause's boost."""
+    total = 1.0
+    have = set(entry_ctx)
+    for name, clauses in want.items():
+        best = None
+        for val, boost in clauses.items():
+            if f"{name}\x00{val}" in have:
+                best = boost if best is None else max(best, boost)
+        if best is None:
+            return None
+        total *= best
+    return total
+
+
+def _parse_contexts(contexts: dict | None) -> dict[str, dict[str, float]]:
+    """ES query form -> {name: {value: boost}}. Each clause is a bare
+    value string or ``{"context": v, "boost": b}``."""
+    out: dict[str, dict[str, float]] = {}
+    for name, clauses in (contexts or {}).items():
+        cl: dict[str, float] = {}
+        for c in (clauses if isinstance(clauses, (list, tuple)) else [clauses]):
+            if isinstance(c, dict):
+                cl[str(c["context"])] = float(c.get("boost", 1.0))
+            else:
+                cl[str(c)] = 1.0
+        out[name] = cl
+    return out
+
+
 def completion_field_suggest(reader, field: str, prefix: str, size: int = 5,
-                             skip_duplicates: bool = False) -> list[dict]:
+                             skip_duplicates: bool = False,
+                             contexts: dict | None = None,
+                             fuzzy: dict | bool | None = None) -> list[dict]:
     """`completion` suggester over a DEDICATED index-time completion
     field (``CompletionFieldMapper.java`` + ``suggest/completion/``):
     one binary-search range over the input-sorted table (the weighted-FST
-    prefix walk analogue), top-``size`` by (weight desc, input asc,
-    docid asc). ``skip_duplicates`` keeps the best-weighted option per
-    distinct input (TopSuggestDocsCollector's dedup mode)."""
+    prefix walk analogue), top-``size`` by (score desc, input asc,
+    docid asc) where score = weight × context boost.
+    ``skip_duplicates`` keeps the best-weighted option per distinct
+    input (TopSuggestDocsCollector's dedup mode).
+
+    ``contexts`` filters and boosts by category contexts
+    (``CategoryQueryContext``: {"name": ["v", {"context": v, "boost": b}]}).
+    ``fuzzy`` enables FuzzyCompletionQuery semantics — options whose
+    input prefix is within ``fuzziness`` edits (AUTO ladder by default,
+    exact-first tie order like the reference's exact-match preference):
+    {"fuzziness": "AUTO"|0|1|2, "prefix_length": 1, "min_length": 3,
+    "transpositions": true}."""
     import numpy as np
 
-    inputs, weights, docids = reader.completion_field(field)
-    lo = int(np.searchsorted(inputs, prefix, side="left"))
-    hi = int(np.searchsorted(inputs, prefix + "\U0010FFFF", side="left"))
-    cand = [
-        (int(-weights[i]), str(inputs[i]), int(docids[i]))
-        for i in range(lo, hi)
-        if str(inputs[i]).startswith(prefix)
-    ]
+    inputs, weights, docids, ctxs = reader.completion_field(field)
+    want = _parse_contexts(contexts)
+    fz = ({} if fuzzy is True else dict(fuzzy)) if fuzzy else None
+    if fz is not None and len(prefix) < int(fz.get("min_length", 3)):
+        fz = None  # below min_length fuzzy degrades to exact (reference)
+    if fz is None:
+        lo = int(np.searchsorted(inputs, prefix, side="left"))
+        hi = int(np.searchsorted(inputs, prefix + "\U0010FFFF",
+                                 side="left"))
+        span = [(i, True) for i in range(lo, hi)
+                if str(inputs[i]).startswith(prefix)]
+    else:
+        fuzz = fz.get("fuzziness", "AUTO")
+        k = (_auto_fuzziness(prefix) if str(fuzz).upper() == "AUTO"
+             else int(fuzz))
+        plen = int(fz.get("prefix_length", 1))
+        tr = bool(fz.get("transpositions", True))
+        anchor = prefix[:plen]
+        lo = int(np.searchsorted(inputs, anchor, side="left"))
+        hi = int(np.searchsorted(inputs, anchor + "\U0010FFFF",
+                                 side="left")) if anchor else len(inputs)
+        span = []
+        for i in range(lo, hi):
+            s = str(inputs[i])
+            if s.startswith(prefix):
+                span.append((i, True))
+            elif _prefix_within_edits(prefix, s, k, transpositions=tr):
+                span.append((i, False))
+    cand = []
+    for i, exact in span:
+        boost = _context_boost(ctxs[i] or [], want)
+        if boost is None:
+            continue
+        cand.append((0 if exact else 1, -float(weights[i]) * boost,
+                     str(inputs[i]), int(docids[i])))
     cand.sort()
     out, seen = [], set()
-    for negw, text, d in cand:
+    for fuzz_rank, negscore, text, d in cand:
         if skip_duplicates:
             if text in seen:
                 continue
             seen.add(text)
-        out.append({"text": text, "weight": -negw, "url": reader.url_of(d)})
+        out.append({"text": text, "weight": int(-negscore) if
+                    float(-negscore).is_integer() else -negscore,
+                    "score": -negscore, "exact": not fuzz_rank,
+                    "url": reader.url_of(d)})
         if len(out) >= size:
             break
     return out
@@ -212,10 +320,13 @@ def completion_field_suggest(reader, field: str, prefix: str, size: int = 5,
 def merge_completion_options(per_segment: list[list[dict]], size: int = 5,
                              skip_duplicates: bool = False) -> list[dict]:
     """Coordinator-side reduce for scatter-gathered completion options
-    (same contract as TopDocs.merge: weight desc, text asc)."""
+    (same contract as TopDocs.merge: exact-before-fuzzy, score desc,
+    text asc)."""
     allc = sorted(
         (o for seg in per_segment for o in seg),
-        key=lambda o: (-o["weight"], o["text"], o["url"]),
+        key=lambda o: (0 if o.get("exact", True) else 1,
+                       -float(o.get("score", o["weight"])),
+                       o["text"], o["url"]),
     )
     out, seen = [], set()
     for o in allc:

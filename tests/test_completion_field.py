@@ -65,7 +65,7 @@ def test_layout_and_manifest(built):
     total = 0
     for sd in segment_dirs(idx, m):
         r = SegmentReader(sd)
-        inputs, weights, docids = r.completion_field("sugg")
+        inputs, weights, docids, _ctx = r.completion_field("sugg")
         assert list(inputs) == sorted(inputs)  # the dedicated sort
         assert r.field("sugg") is None
         total += len(inputs)
@@ -144,3 +144,112 @@ def test_skip_duplicates(ray_session, tmp_path_factory):
     full = _scatter(idx, m, "du", size=5)
     assert [(o["text"], o["weight"]) for o in full] == [
         ("dup", 9), ("dup", 5), ("dupx", 1)]
+
+
+CTX_SUGG = [
+    ("paris cafe", 10, ["paris"]),
+    ("paris metro", 20, ["paris"]),
+    ("london cafe", 30, ["london"]),
+    ("paradise", 40, []),
+]
+
+
+@pytest.fixture(scope="module")
+def ctx_built(ray_session, tmp_path_factory):
+    n = len(CTX_SUGG)
+    typ = pa.struct([
+        ("input", pa.string()), ("weight", pa.int64()),
+        ("contexts", pa.struct([("place", pa.list_(pa.string()))])),
+    ])
+    t = pa.table({
+        "url": pa.array([f"c{i}.example/p/{i}" for i in range(n)]),
+        "warc_ts": pa.array(list(range(n)), pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"doc {i}" for i in range(n)], pa.large_string()),
+        "sugg": pa.array(
+            [{"input": s, "weight": w,
+              "contexts": {"place": c}} for s, w, c in CTX_SUGG], typ),
+    })
+    p = str(tmp_path_factory.mktemp("comp_ctx") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("comp_ctx_idx") / "index")
+    m = build_index(p, idx, num_partitions=1, analyzer="standard",
+                    source="text",
+                    fields=[FieldSpec("sugg", "sugg", "completion")])
+    return idx, m
+
+
+def _one(idx, m, prefix, **kw):
+    (sd,) = segment_dirs(idx, m)
+    return completion_field_suggest(SegmentReader(sd), "sugg", prefix, **kw)
+
+
+def test_context_filter_and_boost(ctx_built):
+    idx, m = ctx_built
+    # filter: only paris-context entries survive
+    got = _one(idx, m, "pa", contexts={"place": ["paris"]})
+    assert [o["text"] for o in got] == ["paris metro", "paris cafe"]
+    # boost: a boosted clause reorders by weight x boost
+    got = _one(idx, m, "", size=10, contexts={"place": [
+        {"context": "paris", "boost": 10}, "london"]})
+    scores = {o["text"]: o["score"] for o in got}
+    assert scores["paris metro"] == 200.0   # 20 * 10
+    assert scores["london cafe"] == 30.0    # boost 1 clause
+    assert got[0]["text"] == "paris metro"
+    # entries with no contexts are filtered when contexts are queried
+    assert "paradise" not in scores
+
+
+def test_no_contexts_query_matches_everything(ctx_built):
+    idx, m = ctx_built
+    got = _one(idx, m, "par", size=10)
+    assert {o["text"] for o in got} == {"paris cafe", "paris metro",
+                                       "paradise"}
+
+
+def test_fuzzy_completion(built):
+    idx, m = built
+    # 'sugest' (dropped g) is 1 edit from the 'suggest*' prefixes
+    per_seg = [completion_field_suggest(SegmentReader(sd), "sugg",
+                                        "sugest", fuzzy=True, size=5)
+               for sd in segment_dirs(idx, m)]
+    got = merge_completion_options(per_seg, size=5)
+    assert [o["text"] for o in got] == [
+        "suggest", "suggestion", "suggestive"]
+    assert all(not o["exact"] for o in got)
+    # exact matches rank before fuzzy ones regardless of weight
+    per_seg = [completion_field_suggest(SegmentReader(sd), "sugg",
+                                        "sug", fuzzy=True, size=10)
+               for sd in segment_dirs(idx, m)]
+    got = merge_completion_options(per_seg, size=10)
+    exact = [o["text"] for o in got if o["exact"]]
+    # weight desc within the exact tier
+    assert exact == ["suggest", "suggestion", "sugar", "suggestive"]
+    fuzzy_tail = [o["text"] for o in got if not o["exact"]]
+    assert "sum" in fuzzy_tail          # 'sug' -> 'sum' = 1 substitution
+    assert got.index(next(o for o in got if o["text"] == "sum")) >= len(exact)
+
+
+def test_fuzzy_min_length_gate(built):
+    idx, m = built
+    # prefix shorter than min_length: fuzzy degrades to exact
+    (sd0, *_) = segment_dirs(idx, m)
+    got = completion_field_suggest(SegmentReader(sd0), "sugg", "ta",
+                                   fuzzy={"fuzziness": 2}, size=10)
+    assert all(o["text"].startswith("ta") for o in got)
+
+
+def test_fuzzy_transpositions(built):
+    idx, m = built
+    # 'usggest' = one adjacent swap from 'suggest'
+    per_seg = [completion_field_suggest(
+        SegmentReader(sd), "sugg", "usggest",
+        fuzzy={"fuzziness": 1, "prefix_length": 0}, size=5)
+        for sd in segment_dirs(idx, m)]
+    got = merge_completion_options(per_seg, size=5)
+    assert "suggest" in [o["text"] for o in got]
+    per_seg = [completion_field_suggest(
+        SegmentReader(sd), "sugg", "usggest",
+        fuzzy={"fuzziness": 1, "prefix_length": 0,
+               "transpositions": False}, size=5)
+        for sd in segment_dirs(idx, m)]
+    assert merge_completion_options(per_seg, size=5) == []

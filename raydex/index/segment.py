@@ -872,8 +872,18 @@ def _build_completion(fdir: str, spec: FieldSpec, values) -> dict:
             if vals is None:
                 continue
             for v in (vals if isinstance(vals, (list, tuple)) else [vals]):
-                if v is not None:
-                    out.append(f"{name}\x00{v}")
+                if v is None:
+                    continue
+                if isinstance(v, dict) and "lat" in v and "lon" in v:
+                    # geo context (GeoContextMapping): the point is
+                    # indexed as its geohash cell at precision 6 (the
+                    # reference default); query-time matching is by
+                    # cell prefix, so coarser query precisions match
+                    from raydex.ops.geo import geohash_encode
+
+                    v = geohash_encode([float(v["lat"])],
+                                       [float(v["lon"])], precision=6)[0]
+                out.append(f"{name}\x00{v}")
         return out
 
     def add(d: int, item) -> None:

@@ -107,6 +107,59 @@ def geohash_encode(lat, lon, precision: int = 5) -> list[str]:
     return [flat[i:i + step].decode() for i in range(0, len(flat), step)]
 
 
+def geohash_decode_bounds(gh: str):
+    """(lat_lo, lat_hi, lon_lo, lon_hi) of a geohash cell — the inverse
+    bit de-interleave of ``geohash_encode``."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True  # bit 0 is a lon bit
+    for ch in gh:
+        code = _GEOHASH32.index(ch)
+        for shift in (16, 8, 4, 2, 1):
+            hi_side = bool(code & shift)
+            if even:
+                mid = (lon_lo + lon_hi) / 2.0
+                if hi_side:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2.0
+                if hi_side:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def geohash_neighbors(gh: str) -> list[str]:
+    """The 8 surrounding cells of a geohash (plus nothing for cells
+    clipped at the poles; longitude wraps). Computed by re-encoding the
+    center point displaced by one cell size in each direction — no
+    lookup tables."""
+    lat_lo, lat_hi, lon_lo, lon_hi = geohash_decode_bounds(gh)
+    clat = (lat_lo + lat_hi) / 2.0
+    clon = (lon_lo + lon_hi) / 2.0
+    dlat = lat_hi - lat_lo
+    dlon = lon_hi - lon_lo
+    out = []
+    for dy in (-1, 0, 1):
+        la = clat + dy * dlat
+        if la <= -90.0 or la >= 90.0:
+            continue
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            lo = clon + dx * dlon
+            if lo >= 180.0:
+                lo -= 360.0
+            elif lo < -180.0:
+                lo += 360.0
+            out.append(geohash_encode([la], [lo], precision=len(gh))[0])
+    return sorted(set(out) - {gh})
+
+
 def points_in_polygon_mask(lat, lon, points) -> np.ndarray:
     """Vectorized even-odd (PNPOLY) point-in-polygon over doc lat/lon
     arrays; ``points`` = [{"lat":..,"lon":..}] or [[lon, lat], ...]

@@ -211,18 +211,24 @@ def _prefix_within_edits(q: str, inp: str, k: int,
     return best <= k
 
 
-def _context_boost(entry_ctx: list[str], want: dict[str, dict[str, float]]):
+def _context_boost(entry_ctx: list[str],
+                   want: dict[str, list[tuple[bool, str, float]]]):
     """Match an entry's ``name\\x00value`` tokens against the parsed
-    query contexts; returns the boost multiplier or None if filtered
-    out. Per the reference (ContextMappings): every queried context
-    NAME must match; boost is the product over context names of the
-    best matching clause's boost."""
+    query clauses (is_prefix, value, boost); returns the boost
+    multiplier or None if filtered out. Per the reference
+    (ContextMappings): every queried context NAME must match; boost is
+    the product over context names of the best matching clause's
+    boost. Prefix clauses (geo cells) match any token whose value
+    starts with the cell string."""
     total = 1.0
     have = set(entry_ctx)
     for name, clauses in want.items():
         best = None
-        for val, boost in clauses.items():
-            if f"{name}\x00{val}" in have:
+        for is_prefix, val, boost in clauses:
+            tok = f"{name}\x00{val}"
+            hit = (any(t.startswith(tok) for t in have)
+                   if is_prefix else tok in have)
+            if hit:
                 best = boost if best is None else max(best, boost)
         if best is None:
             return None
@@ -230,17 +236,37 @@ def _context_boost(entry_ctx: list[str], want: dict[str, dict[str, float]]):
     return total
 
 
-def _parse_contexts(contexts: dict | None) -> dict[str, dict[str, float]]:
-    """ES query form -> {name: {value: boost}}. Each clause is a bare
-    value string or ``{"context": v, "boost": b}``."""
-    out: dict[str, dict[str, float]] = {}
+def _parse_contexts(contexts: dict | None) \
+        -> dict[str, list[tuple[bool, str, float]]]:
+    """ES query form -> {name: [(is_prefix, value, boost)]}. A clause
+    is a bare value string, ``{"context": v, "boost": b}``, or a GEO
+    clause ``{"context": {"lat": .., "lon": ..}, "precision": p,
+    "boost": b, "neighbours": true}`` (``GeoQueryContext``): the point
+    maps to its geohash cell at ``precision`` (default 6, the indexed
+    precision cap) plus the 8 surrounding cells, matched by cell
+    prefix so coarser query precisions widen the net."""
+    out: dict[str, list[tuple[bool, str, float]]] = {}
     for name, clauses in (contexts or {}).items():
-        cl: dict[str, float] = {}
+        cl: list[tuple[bool, str, float]] = []
         for c in (clauses if isinstance(clauses, (list, tuple)) else [clauses]):
-            if isinstance(c, dict):
-                cl[str(c["context"])] = float(c.get("boost", 1.0))
+            if not isinstance(c, dict):
+                cl.append((False, str(c), 1.0))
+                continue
+            v = c["context"]
+            boost = float(c.get("boost", 1.0))
+            if isinstance(v, dict) and "lat" in v and "lon" in v:
+                from raydex.ops.geo import geohash_encode, geohash_neighbors
+
+                prec = min(6, int(c.get("precision", 6)))
+                cell = geohash_encode([float(v["lat"])],
+                                      [float(v["lon"])],
+                                      precision=prec)[0]
+                cells = [cell]
+                if c.get("neighbours", True):
+                    cells += geohash_neighbors(cell)
+                cl += [(True, g, boost) for g in cells]
             else:
-                cl[str(c)] = 1.0
+                cl.append((False, str(v), boost))
         out[name] = cl
     return out
 

@@ -253,3 +253,72 @@ def test_fuzzy_transpositions(built):
                "transpositions": False}, size=5)
         for sd in segment_dirs(idx, m)]
     assert merge_completion_options(per_seg, size=5) == []
+
+
+def test_geo_contexts(ray_session, tmp_path_factory):
+    """GeoContextMapping: points index as precision-6 geohash cells;
+    a geo query clause matches its cell + neighbours by prefix, so a
+    coarser query precision widens the net."""
+    paris = {"lat": 48.8566, "lon": 2.3522}
+    london = {"lat": 51.5074, "lon": -0.1278}
+    typ = pa.struct([
+        ("input", pa.string()), ("weight", pa.int64()),
+        ("contexts", pa.struct([
+            ("location", pa.struct([("lat", pa.float64()),
+                                    ("lon", pa.float64())]))])),
+    ])
+    t = pa.table({
+        "url": pa.array(["g0.x/0", "g1.x/1"]),
+        "warc_ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array(["a", "b"], pa.large_string()),
+        "sugg": pa.array(
+            [{"input": "cafe de flore", "weight": 5,
+              "contexts": {"location": paris}},
+             {"input": "cafe nero", "weight": 9,
+              "contexts": {"location": london}}], typ),
+    })
+    p = str(tmp_path_factory.mktemp("comp_geo") / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path_factory.mktemp("comp_geo_idx") / "index")
+    m = build_index(p, idx, num_partitions=1, analyzer="standard",
+                    source="text",
+                    fields=[FieldSpec("sugg", "sugg", "completion")])
+    (sd,) = segment_dirs(idx, m)
+    r = SegmentReader(sd)
+    # query near Paris at precision 6: only the Paris entry
+    got = completion_field_suggest(
+        r, "sugg", "cafe",
+        contexts={"location": [{"context": paris}]})
+    assert [o["text"] for o in got] == ["cafe de flore"]
+    # coarse precision 3 from a point a few km away still matches via
+    # the cell prefix + neighbours
+    nearby = {"lat": 48.9, "lon": 2.4}
+    got = completion_field_suggest(
+        r, "sugg", "cafe",
+        contexts={"location": [{"context": nearby, "precision": 3}]})
+    assert [o["text"] for o in got] == ["cafe de flore"]
+    # both cities queried: both match, boost reorders
+    got = completion_field_suggest(
+        r, "sugg", "cafe",
+        contexts={"location": [
+            {"context": paris, "boost": 10},
+            {"context": london}]})
+    assert [o["text"] for o in got] == ["cafe de flore", "cafe nero"]
+    assert got[0]["score"] == 50.0
+
+
+def test_geohash_neighbors_roundtrip():
+    from raydex.ops.geo import (geohash_decode_bounds, geohash_encode,
+                                geohash_neighbors)
+
+    gh = geohash_encode([48.8566], [2.3522], precision=5)[0]
+    lo, hi, llo, lhi = geohash_decode_bounds(gh)
+    # center decodes back into the same cell
+    assert geohash_encode([(lo + hi) / 2], [(llo + lhi) / 2], 5)[0] == gh
+    nb = geohash_neighbors(gh)
+    assert len(nb) == 8 and gh not in nb
+    # every neighbour's center is one cell-size step away
+    for n in nb:
+        nlo, nhi, nllo, nlhi = geohash_decode_bounds(n)
+        assert abs((nlo + nhi) / 2 - (lo + hi) / 2) <= (hi - lo) * 1.5
+        assert abs((nllo + nlhi) / 2 - (llo + lhi) / 2) <= (lhi - llo) * 1.5

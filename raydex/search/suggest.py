@@ -11,7 +11,8 @@ from raydex.search.query import _edit_distance_le
 
 def term_suggest(reader, text: str, max_edits: int = 2, size: int = 5,
                  analyzer=None, prefix_length: int = 1,
-                 min_word_length: int = 4) -> dict:
+                 min_word_length: int = 4,
+                 suggest_mode: str = "missing") -> dict:
     """Per input token: up to ``size`` dictionary terms within
     ``max_edits``, ranked by (edit distance asc, df desc, term asc).
 
@@ -21,7 +22,13 @@ def term_suggest(reader, text: str, max_edits: int = 2, size: int = 5,
     RANGE over the sorted term dict and the +-max_edits length window is
     one vectorized mask (utf8_length cached per reader) — the exact
     banded edit-distance check runs only on the survivors, not the
-    vocabulary."""
+    vocabulary.
+
+    ``suggest_mode`` (``TermSuggestionBuilder.SuggestMode``):
+    ``missing`` (default) suggests only for tokens absent from the
+    dictionary; ``popular`` also suggests for present tokens but keeps
+    only candidates with a HIGHER doc frequency than the input;
+    ``always`` suggests regardless with no df gate."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -33,8 +40,11 @@ def term_suggest(reader, text: str, max_edits: int = 2, size: int = 5,
         lens = reader._term_lens = pc.utf8_length(
             reader._terms_pa).to_numpy(zero_copy_only=False)
     for tok in toks:
-        if reader.lookup(tok) >= 0 or len(tok) < min_word_length:
-            out[tok] = []  # exact hit / too short: no suggestion
+        tid = reader.lookup(tok)
+        tok_df = int(df[tid]) if tid >= 0 else 0
+        if ((suggest_mode == "missing" and tid >= 0)
+                or len(tok) < min_word_length):
+            out[tok] = []  # exact hit (missing mode) / too short
             continue
         from raydex.search.query import expand_prefix
 
@@ -49,7 +59,11 @@ def term_suggest(reader, text: str, max_edits: int = 2, size: int = 5,
                       & (w <= len(tok) + max_edits)]
         cands = []
         for i in idx:
+            if suggest_mode == "popular" and int(df[i]) <= tok_df:
+                continue
             t = str(reader._terms_pa[int(i)].as_py())
+            if t == tok:
+                continue
             for d in range(1, max_edits + 1):
                 if _edit_distance_le(tok, t, d):
                     cands.append((d, -int(df[i]), t))

@@ -113,9 +113,32 @@ def test_suggest(feat_seg):
     out = term_suggest(r, "serch")
     assert out["serch"][0]["text"] == "search"
     out = term_suggest(r, "search")
-    assert out["search"] == []  # exact term -> no suggestions
+    assert out["search"] == []  # exact term -> no suggestions (missing)
     ph = phrase_suggest(r, "serch qualiti")
     assert ph[0]["text"] == "search quality"
+
+
+def test_term_suggest_modes(tmp_path):
+    """TermSuggestionBuilder.SuggestMode: missing (default) skips
+    dictionary hits; always suggests for them too; popular keeps only
+    higher-df candidates."""
+    from raydex.search.suggest import term_suggest
+
+    d = str(tmp_path / "seg")
+    # df: apple=2, apples=3, appley=1
+    docs = [("u0", "apple apples appley"), ("u1", "apples"),
+            ("u2", "apple apples")]
+    build_segment(d, [u for u, _ in docs], [t for _, t in docs],
+                  analyzer="standard_en")
+    r = SegmentReader(d)
+    assert term_suggest(r, "apple")["apple"] == []      # missing mode
+    got = term_suggest(r, "apple", suggest_mode="always")["apple"]
+    assert [o["text"] for o in got] == ["apples", "appley"]
+    got = term_suggest(r, "apple", suggest_mode="popular")["apple"]
+    assert [o["text"] for o in got] == ["apples"]       # df 3 > 2
+    # popular still corrects a missing token, df-gated at 0
+    got = term_suggest(r, "aplle", suggest_mode="popular")["aplle"]
+    assert got[0]["text"] == "apple"
 
 
 def test_simple_query_string():

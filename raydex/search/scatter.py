@@ -1158,7 +1158,8 @@ class LocalSearcher(SearcherBase):
                      min_score: float | None = None,
                      routing: str | None = None,
                      source=None,
-                     script_fields: dict | None = None):
+                     script_fields: dict | None = None,
+                     track_total_hits=None):
         """Structured DSL search (`POST _search {"query": ...}` analogue).
         ``runtime_mappings``: per-request runtime fields ({field:
         {"factory": <registered>, "params": {...}}}) — the search body's
@@ -1237,6 +1238,20 @@ class LocalSearcher(SearcherBase):
                     h["_source"] = doc
                 if script_fields:
                     h.setdefault("fields", {}).update(scripts)
+        if track_total_hits is not None and track_total_hits is not False:
+            # `track_total_hits` (SearchSourceBuilder): opt into the
+            # hits+total envelope. True = exact count; an int N caps
+            # the reported value at N with relation "gte" beyond it
+            # (the reference's default-10000 cap shape). The count is
+            # one extra vectorized match pass, paid only on request.
+            c = self.count(qdict, runtime_mappings=runtime_mappings)
+            if track_total_hits is True:
+                total = {"value": c, "relation": "eq"}
+            else:
+                cap = int(track_total_hits)
+                total = ({"value": cap, "relation": "gte"} if c > cap
+                         else {"value": c, "relation": "eq"})
+            return {"hits": hits, "total": total}
         return hits
 
     def count(self, qdict: dict, runtime_mappings: dict | None = None) -> int:

@@ -124,7 +124,8 @@ def completion_suggest(reader, prefix: str, size: int = 5) -> list[dict]:
 
 def phrase_suggest_lm(reader, text: str, max_edits: int = 1,
                       num_candidates: int = 5, size: int = 3,
-                      backoff: float = 0.4, analyzer=None) -> list[dict]:
+                      backoff: float = 0.4, analyzer=None,
+                      collate: bool = False) -> list[dict]:
     """`phrase` suggester with the reference's real shape
     (``PhraseSuggester.java``: per-term candidate generation + a
     word-LM rescore; the default smoothing is StupidBackoff(0.4)):
@@ -181,12 +182,34 @@ def phrase_suggest_lm(reader, text: str, max_edits: int = 1,
                 nxt.append((words + [cand], lp + math.log(p)))
         nxt.sort(key=lambda x: (-x[1], x[0]))
         beams = nxt[: max(size, num_candidates)]
+    def collate_hit(words: list[str]) -> bool:
+        """`collate` (PhraseSuggester collate query): keep only
+        corrections that actually MATCH — here the default collate
+        query, a conjunction of the suggestion's terms (>=1 doc
+        contains them all), evaluated by posting-list intersection."""
+        import numpy as np
+
+        docs = None
+        for w in words:
+            ti = reader.lookup(w)
+            if ti < 0:
+                return False
+            d, _ = reader.postings(ti)
+            docs = d if docs is None else np.intersect1d(
+                docs, d, assume_unique=True)
+            if docs.size == 0:
+                return False
+        return True
+
     seen, out = set(), []
     for words, lp in beams:
         s = " ".join(words)
-        if s not in seen:
-            seen.add(s)
-            out.append({"text": s, "score": float(math.exp(lp / max(len(words), 1)))})
+        if s in seen:
+            continue
+        seen.add(s)
+        if collate and not collate_hit(words):
+            continue
+        out.append({"text": s, "score": float(math.exp(lp / max(len(words), 1)))})
         if len(out) >= size:
             break
     return out

@@ -145,6 +145,18 @@ def test_searcher_integration(tmp_path, ray_session):
     nb = s.count({"bool": {"must": [{"term": {"text": "search"}}],
                            "must_not": [{"term": {"text": "engine"}}]}})
     assert 0 <= nb <= n
+    # track_total_hits: opt-in hits+total envelope; exact with True,
+    # capped with relation "gte" when the count exceeds an int cap
+    q = {"term": {"text": "search"}}
+    env = s.search_query(q, k=3, track_total_hits=True)
+    assert env["total"] == {"value": s.count(q), "relation": "eq"}
+    assert len(env["hits"]) <= 3
+    capped = s.search_query(q, k=3, track_total_hits=1)
+    assert capped["total"] == {"value": 1, "relation": "gte"}
+    big = s.search_query(q, k=3, track_total_hits=10_000)
+    assert big["total"] == {"value": s.count(q), "relation": "eq"}
+    # default stays the plain hits list (backward contract)
+    assert isinstance(s.search_query(q, k=3), list)
 
 
 # ------------------------- round-2 DSL surface (multi_match family etc.)

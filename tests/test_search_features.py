@@ -250,6 +250,33 @@ def test_phrase_suggest_lm(feat_pseg):
     assert out[0]["text"] == "search engine"
 
 
+def test_phrase_suggest_collate(feat_pseg):
+    """collate: corrections must actually co-occur in >=1 doc
+    (conjunction of the suggestion's terms), the reference's collate
+    query prune."""
+    from raydex.search.suggest import phrase_suggest_lm
+
+    r, _ = feat_pseg
+    # 'databases engine' never co-occur: collate prunes pairings the
+    # LM alone would emit
+    plain = phrase_suggest_lm(r, "databasez engin", size=5)
+    collated = phrase_suggest_lm(r, "databasez engin", size=5,
+                                 collate=True)
+    assert all(" " in o["text"] for o in plain)
+    for o in collated:
+        a, b = o["text"].split(" ", 1)
+        import numpy as np
+
+        da, _ = r.postings(r.lookup(a))
+        db, _ = r.postings(r.lookup(b))
+        assert np.intersect1d(da, db).size > 0
+    texts = [o["text"] for o in collated]
+    assert "databases engine" not in texts
+    # a genuinely co-occurring correction survives collate
+    out = phrase_suggest_lm(r, "serch engin", collate=True)
+    assert out[0]["text"] == "search engine"
+
+
 def test_unified_highlight(feat_seg):
     from raydex.search.highlight import unified_highlight
 

@@ -36,7 +36,7 @@ def _docs_index_dir(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/raydex_cache/docs_index_v11_{tag}"
+    idx = f"/tmp/raydex_cache/docs_index_v12_{tag}"
     if os.path.exists(os.path.join(idx, "index_manifest.json")):
         return idx
     from raydex.analysis.sayt import sayt_subfield_specs
@@ -45,8 +45,25 @@ def _docs_index_dir(sf_dir: str) -> str:
 
     def to_pages(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
+        # completion-suggester source: input = the doc's first two
+        # whitespace tokens, weight = n_chars, lang as a category
+        # context — every piece has an exact SQL mirror
+        sugg_typ = pa.struct([
+            ("input", pa.string()), ("weight", pa.int64()),
+            ("contexts", pa.struct([("lang", pa.list_(pa.string()))])),
+        ])
+        suggs = []
+        for txt, nc, lg in zip(t["text"].to_pylist(),
+                               t["n_chars"].to_pylist(),
+                               t["lang"].to_pylist()):
+            toks = str(txt or "").split()
+            suggs.append(
+                None if len(toks) < 2 else
+                {"input": f"{toks[0]} {toks[1]}", "weight": int(nc),
+                 "contexts": {"lang": [str(lg)]}})
         return pa.table(
             {
+                "sugg": pa.array(suggs, sugg_typ),
                 "url": pa.array([str(i) for i in ids], pa.string()),
                 "warc_ts": pa.array(ids.astype("int64")).cast(pa.timestamp("us")),
                 "text": t["text"].cast(pa.large_string()),
@@ -155,7 +172,9 @@ def _docs_index_dir(sf_dir: str) -> str:
                         FieldSpec("hst", source="hst",
                                   analyzer="histogram"),
                         FieldSpec("dc", source="dc",
-                                  analyzer="constant_keyword")]
+                                  analyzer="constant_keyword"),
+                        FieldSpec("sugg", source="sugg",
+                                  analyzer="completion")]
                 # text is also a search_as_you_type field: _2gram/_3gram
                 # shingles + the edge-gram _index_prefix sub-field, so
                 # match_bool_prefix gates run the DEDICATED-structure
@@ -1375,6 +1394,56 @@ def q_analytics_aggs_events(sf):
     )
 
 
+def q_suggest_docs(sf):
+    """Suggester-tier driver gate: distributed `term` suggestions
+    (DirectSpellChecker candidate narrowing per segment, shard-freq
+    SUMMED in the coordinator reduce, re-ranked distance asc / freq
+    desc / text asc) + the dedicated `completion` field (weight top-k,
+    skip_duplicates best-per-input) + a category-context filtered
+    completion — every branch mirrored in SQL (DuckDB levenshtein over
+    the token vocabulary / GROUP BY MAX over the first-two-token
+    inputs)."""
+    from raydex.index.build import segment_dirs
+    from raydex.index.segment import SegmentReader
+    from raydex.search.suggest import (
+        completion_field_suggest,
+        merge_completion_options,
+        merge_term_suggestions,
+        term_suggest,
+    )
+
+    idx = _docs_index_dir(sf)
+    readers = [SegmentReader(sd) for sd in segment_dirs(idx)]
+    rows = []
+    for tok in ("scat", "strem"):
+        per = [term_suggest(r, tok, max_edits=2, size=10)
+               for r in readers]
+        merged = merge_term_suggestions(per, size=5)
+        for rank, o in enumerate(merged[tok], 1):
+            rows.append((f"a_term:{tok}", o["text"], float(rank)))
+    for prefix in ("batch", "the "):
+        per = [completion_field_suggest(r, "sugg", prefix, size=5,
+                                        skip_duplicates=True)
+               for r in readers]
+        for o in merge_completion_options(per, size=5,
+                                          skip_duplicates=True):
+            rows.append((f"b_comp:{prefix}", o["text"],
+                         float(o["weight"])))
+    per = [completion_field_suggest(r, "sugg", "", size=5,
+                                    skip_duplicates=True,
+                                    contexts={"lang": ["en"]})
+           for r in readers]
+    for o in merge_completion_options(per, size=5, skip_duplicates=True):
+        rows.append(("c_comp_ctx:en", o["text"], float(o["score"])))
+    return pa.table(
+        {
+            "tag": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 def q_ip_range_events(sf):
     """ip_range agg over a deterministic per-user IPv4 derived from
     user_id (testdata has no IP column; the same derivation runs in the
@@ -2321,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_fields_top": q_multi_match_fields_top,
         "dsl_bool": q_dsl_bool,
         "dsl_count_suite": q_dsl_count_suite,
+        "suggest_docs": q_suggest_docs,
         "nested_suite": q_nested_suite,
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
@@ -2560,6 +2630,54 @@ def _geohash_oracle_sql(precision: int = 2) -> str:
         "SELECT ((doc_id * 37) % 12000) / 100.0 - 60.0 AS lat, "
         "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lon "
         "FROM documents)))) GROUP BY gh "
+    )
+
+
+def _suggest_oracle_sql() -> str:
+    """SQL mirror of q_suggest_docs: the term branches re-derive the
+    DirectSpellChecker narrowing (first-char anchor, ±2 length window,
+    levenshtein <= 2 — plain Levenshtein, matching _edit_distance_le)
+    over the whitespace-token vocabulary with doc frequencies, ranked
+    exactly as the coordinator reduce ranks; the completion branches
+    are GROUP BY MAX over the first-two-token inputs."""
+    def term_branch(t: str) -> str:
+        order = f"levenshtein('{t}', tok), df DESC, tok"
+        return (
+            f"SELECT 'a_term:{t}' AS tag, tok AS key, "
+            f"CAST(ROW_NUMBER() OVER (ORDER BY {order}) AS DOUBLE) "
+            f"AS value FROM vocab "
+            f"WHERE substr(tok, 1, 1) = '{t[0]}' "
+            f"AND length(tok) BETWEEN {len(t) - 2} AND {len(t) + 2} "
+            f"AND levenshtein('{t}', tok) BETWEEN 1 AND 2 "
+            f"QUALIFY ROW_NUMBER() OVER (ORDER BY {order}) <= 5"
+        )
+
+    def comp_branch(tag: str, where: str) -> str:
+        return (
+            f"SELECT * FROM (SELECT '{tag}' AS tag, input AS key, "
+            "CAST(MAX(nc) AS DOUBLE) AS value FROM firsts "
+            f"{where} GROUP BY input "
+            "ORDER BY MAX(nc) DESC, input LIMIT 5)"
+        )
+
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "vocab AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks "
+        "WHERE tok <> '' GROUP BY tok), "
+        "firsts AS (SELECT string_split(text, ' ')[1] || ' ' || "
+        "string_split(text, ' ')[2] AS input, n_chars AS nc, lang "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2) "
+        "SELECT tag, key, value FROM ("
+        + term_branch("scat")
+        + " UNION ALL " + term_branch("strem")
+        + " UNION ALL " + comp_branch("b_comp:batch",
+                                      "WHERE input LIKE 'batch%'")
+        + " UNION ALL " + comp_branch("b_comp:the ",
+                                      "WHERE input LIKE 'the %'")
+        + " UNION ALL " + comp_branch("c_comp_ctx:en",
+                                      "WHERE lang = 'en'")
+        + ") ORDER BY tag, key"
     )
 
 
@@ -2930,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # one branch per DSL kind (the pre-r3 per-kind count oracles,
         # UNION ALLed under the kind tag of q_dsl_count_suite)
+        "suggest_docs": _suggest_oracle_sql(),
         "dsl_count_suite": (
             "SELECT kind, n_docs FROM ("
             "SELECT 'a_match_phrase' AS kind, COUNT(*) AS n_docs FROM documents "

@@ -76,6 +76,30 @@ def term_suggest(reader, text: str, max_edits: int = 2, size: int = 5,
     return out
 
 
+def merge_term_suggestions(per_seg: list[dict], size: int = 5) -> dict:
+    """Coordinator reduce for scatter-gathered term suggestions
+    (``TermSuggestion#reduce``): per-text doc frequencies SUM across
+    shards, distance is shard-invariant (min kept defensively), and
+    the merged list re-ranks by (distance asc, freq desc, text asc)."""
+    out: dict[str, list] = {}
+    toks: set = set()
+    for p in per_seg:
+        toks.update(p)
+    for tok in toks:
+        agg: dict[str, dict] = {}
+        for p in per_seg:
+            for o in p.get(tok, []):
+                e = agg.setdefault(o["text"],
+                                   {"distance": o["distance"], "freq": 0})
+                e["freq"] += o["freq"]
+                e["distance"] = min(e["distance"], o["distance"])
+        ranked = sorted(agg.items(),
+                        key=lambda kv: (kv[1]["distance"],
+                                        -kv[1]["freq"], kv[0]))
+        out[tok] = [{"text": t, **v} for t, v in ranked[:size]]
+    return out
+
+
 def phrase_suggest(reader, text: str, max_edits: int = 1, size: int = 3,
                    analyzer=None) -> list[dict]:
     """Whole-input correction: per-token best replacements, combined and

@@ -1394,6 +1394,74 @@ def q_analytics_aggs_events(sf):
     )
 
 
+def q_pipeline_aggs_events(sf):
+    """Pipeline-aggregation tier driver gate (agg-over-agg,
+    ``search/aggregations/pipeline/``): over the per-day
+    date_histogram of events — derivative, cumulative_sum, moving_fn
+    (7-day mean), serial_diff (lag 7), bucket_script, bucket_selector
+    (above-average days), bucket_sort (top-3 by count) and
+    stats_bucket — every branch one window-function SQL mirror."""
+    from raydex.ops.aggs import date_histogram_agg
+    from raydex.ops.pipeline_aggs import (
+        bucket_script,
+        bucket_selector,
+        bucket_sort,
+        cumulative_sum,
+        derivative,
+        moving_fn,
+        serial_diff,
+        stats_bucket,
+    )
+
+    buckets = date_histogram_agg(
+        _ds(sf, "events", ["ts"]), "ts", unit="day").to_pandas()
+
+    def day(v) -> str:
+        return str(np.datetime64(v, "us"))[:10]
+
+    rows = []
+    d = derivative(buckets, "doc_count")
+    for _, r in d[d["derivative"].notna()].iterrows():
+        rows.append(("a_deriv", day(r["bucket_ts"]),
+                     float(r["derivative"])))
+    c = cumulative_sum(buckets, "doc_count")
+    for _, r in c.iterrows():
+        rows.append(("b_cumsum", day(r["bucket_ts"]),
+                     float(r["cumulative_sum"])))
+    m = moving_fn(buckets, "doc_count", 7, np.mean)
+    for _, r in m.iterrows():
+        rows.append(("c_movavg", day(r["bucket_ts"]),
+                     float(r["moving_fn"])))
+    sd = serial_diff(buckets, "doc_count", lag=7)
+    for _, r in sd[sd["serial_diff"].notna()].iterrows():
+        rows.append(("d_serial7", day(r["bucket_ts"]),
+                     float(r["serial_diff"])))
+    bs = bucket_script(buckets, lambda r: 2 * r["doc_count"] + 1)
+    for _, r in bs.iterrows():
+        rows.append(("e_script", day(r["bucket_ts"]),
+                     float(r["bucket_script"])))
+    avg = float(buckets["doc_count"].mean())
+    sel = bucket_selector(buckets, lambda r: r["doc_count"] > avg)
+    for _, r in sel.iterrows():
+        rows.append(("f_selector", day(r["bucket_ts"]),
+                     float(r["doc_count"])))
+    srt = bucket_sort(buckets, ["doc_count", "bucket_ts"],
+                      ascending=[False, True], size=3)
+    for rank, (_, r) in enumerate(srt.iterrows(), 1):
+        rows.append((f"g_sort:{rank}", day(r["bucket_ts"]),
+                     float(r["doc_count"])))
+    st = stats_bucket(buckets, "doc_count")
+    for k in ("count", "min", "max", "sum", "avg"):
+        rows.append(("h_stats", k, float(st[k])))
+    return pa.table(
+        {
+            "tag": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 def q_suggest_docs(sf):
     """Suggester-tier driver gate: distributed `term` suggestions
     (DirectSpellChecker candidate narrowing per segment, shard-freq
@@ -2391,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_bool": q_dsl_bool,
         "dsl_count_suite": q_dsl_count_suite,
         "suggest_docs": q_suggest_docs,
+        "pipeline_aggs_events": q_pipeline_aggs_events,
         "nested_suite": q_nested_suite,
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
@@ -3049,6 +3118,41 @@ def oracle_sql() -> dict[str, str]:
         # one branch per DSL kind (the pre-r3 per-kind count oracles,
         # UNION ALLed under the kind tag of q_dsl_count_suite)
         "suggest_docs": _suggest_oracle_sql(),
+        # pipeline aggs: one window-function branch per op over the
+        # per-day GROUP BY
+        "pipeline_aggs_events": (
+            "WITH daily AS (SELECT date_trunc('day', ts) AS d, "
+            "COUNT(*) AS n FROM events GROUP BY 1) "
+            "SELECT tag, key, value FROM ("
+            "SELECT 'a_deriv' AS tag, strftime(d, '%Y-%m-%d') AS key, "
+            "CAST(n - LAG(n) OVER (ORDER BY d) AS DOUBLE) AS value "
+            "FROM daily QUALIFY LAG(n) OVER (ORDER BY d) IS NOT NULL "
+            "UNION ALL SELECT 'b_cumsum', strftime(d, '%Y-%m-%d'), "
+            "CAST(SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) "
+            "AS DOUBLE) FROM daily "
+            "UNION ALL SELECT 'c_movavg', strftime(d, '%Y-%m-%d'), "
+            "AVG(CAST(n AS DOUBLE)) OVER (ORDER BY d "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) FROM daily "
+            "UNION ALL SELECT 'd_serial7', strftime(d, '%Y-%m-%d'), "
+            "CAST(n - LAG(n, 7) OVER (ORDER BY d) AS DOUBLE) "
+            "FROM daily QUALIFY LAG(n, 7) OVER (ORDER BY d) IS NOT NULL "
+            "UNION ALL SELECT 'e_script', strftime(d, '%Y-%m-%d'), "
+            "CAST(2 * n + 1 AS DOUBLE) FROM daily "
+            "UNION ALL SELECT 'f_selector', strftime(d, '%Y-%m-%d'), "
+            "CAST(n AS DOUBLE) FROM daily "
+            "WHERE n > (SELECT AVG(CAST(n AS DOUBLE)) FROM daily) "
+            "UNION ALL SELECT 'g_sort:' || CAST(ROW_NUMBER() OVER "
+            "(ORDER BY n DESC, d) AS VARCHAR), strftime(d, '%Y-%m-%d'), "
+            "CAST(n AS DOUBLE) FROM daily "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, d) <= 3 "
+            "UNION ALL SELECT 'h_stats', k, v FROM (SELECT "
+            "CAST(COUNT(*) AS DOUBLE) AS c_, "
+            "CAST(MIN(n) AS DOUBLE) AS mn_, CAST(MAX(n) AS DOUBLE) AS mx_, "
+            "CAST(SUM(n) AS DOUBLE) AS s_, AVG(CAST(n AS DOUBLE)) AS a_ "
+            "FROM daily) t, LATERAL (VALUES ('count', c_), ('min', mn_), "
+            "('max', mx_), ('sum', s_), ('avg', a_)) AS u(k, v)"
+            ") ORDER BY tag, key"
+        ),
         "dsl_count_suite": (
             "SELECT kind, n_docs FROM ("
             "SELECT 'a_match_phrase' AS kind, COUNT(*) AS n_docs FROM documents "

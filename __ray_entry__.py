@@ -2026,6 +2026,17 @@ def q_dsl_count_suite(sf):
                                  "size": 100_000}}},
     )["aggregations"]["gh"]["buckets"]
     rows += [(f"z8_ghash:{b['key']}", b["doc_count"]) for b in hashes]
+    # geo_distance SORT (GeoDistanceSortBuilder): top-10 docs by
+    # haversine meters from the origin; floor-to-meter values so the
+    # SQL mirror (same formula text as zK_gd) compares exactly —
+    # ties share a value, so rank association is order-insensitive
+    gs = s.search_sorted(
+        {"match_all": {}},
+        sort_field={"_geo_distance": {"loc": {"lat": 0.0, "lon": 0.0},
+                                      "unit": "m"}},
+        order="asc", k=10)
+    rows += [(f"zL_gsort:{i:02d}", int(np.floor(h["sort_value"])))
+             for i, h in enumerate(gs, 1)]
     # _terms_enum (x-pack TransportTermsEnumAction): sorted term-dict
     # walk with size cap + search_after resume — two pages must tile
     # the distinct lang set in sorted order (n_docs = 1-based ordinal,
@@ -3354,6 +3365,15 @@ def oracle_sql() -> dict[str, str]:
             "((doc_id * 91) % 36000) / 100.0 - 180.0 AS lon FROM documents)"
             ") GROUP BY t "
             + _geohash_oracle_sql(2) +
+            "UNION ALL SELECT 'zL_gsort:' || lpad(CAST(rn AS VARCHAR), 2, '0'), "
+            "CAST(FLOOR(dm) AS BIGINT) FROM ("
+            "SELECT ROW_NUMBER() OVER (ORDER BY dm) AS rn, dm FROM ("
+            "SELECT 2.0 * CAST(6371008.7714150598 AS DOUBLE) * asin(sqrt("
+            "sin(la / 2.0) * sin(la / 2.0) + cos(0.0) * cos(la) * "
+            "sin(lo / 2.0) * sin(lo / 2.0))) AS dm FROM ("
+            "SELECT radians(((doc_id * 37) % 12000) / 100.0 - 60.0) AS la, "
+            "radians(((doc_id * 91) % 36000) / 100.0 - 180.0) AS lo "
+            "FROM documents))) WHERE rn <= 10 "
             # _terms_enum: sorted distinct walk, 1-based ordinal
             "UNION ALL SELECT 'z9_terms_enum:' || lang, "
             "ROW_NUMBER() OVER (ORDER BY lang) "

@@ -1394,6 +1394,34 @@ def q_analytics_aggs_events(sf):
     )
 
 
+def q_rank_eval_docs(sf):
+    """`_rank_eval` metric arithmetic driver gate (modules/rank-eval):
+    the ranked list is the engine's field-sorted retrieval (top-20
+    `batch` matches by url — deterministic, so the SQL mirror is a
+    ROW_NUMBER window) with graded qrels from doc_id arithmetic
+    (g = doc_id % 4); P@10 / recall@10 / MRR / nDCG@10 / ERR@10 then
+    mirror as window-function SQL, rounded to 6 decimals on both
+    sides."""
+    from raydex.search.rank_eval import rank_eval
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    hits = s.search_sorted({"match": {"text": "batch"}},
+                           sort_field="url", order="asc", k=20)
+    ids = [int(h["url"]) for h in hits]
+    res = rank_eval({"q": ids}, {"q": {i: int(i % 4) for i in ids}},
+                    k=10)
+    metrics = sorted(res["metrics"])
+    return pa.table(
+        {
+            "metric": pa.array(metrics, pa.string()),
+            "value": pa.array(
+                [float(round(res["metrics"][m], 6)) for m in metrics],
+                pa.float64()),
+        }
+    )
+
+
 def q_pipeline_aggs_events(sf):
     """Pipeline-aggregation tier driver gate (agg-over-agg,
     ``search/aggregations/pipeline/``): over the per-day
@@ -2471,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_count_suite": q_dsl_count_suite,
         "suggest_docs": q_suggest_docs,
         "pipeline_aggs_events": q_pipeline_aggs_events,
+        "rank_eval_docs": q_rank_eval_docs,
         "nested_suite": q_nested_suite,
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
@@ -3129,6 +3158,39 @@ def oracle_sql() -> dict[str, str]:
         # one branch per DSL kind (the pre-r3 per-kind count oracles,
         # UNION ALLed under the kind tag of q_dsl_count_suite)
         "suggest_docs": _suggest_oracle_sql(),
+        # _rank_eval: ranked list = ROW_NUMBER window over the url-
+        # ordered batch matches; metric arithmetic as window SQL
+        "rank_eval_docs": (
+            "WITH judged AS ("
+            "SELECT doc_id % 4 AS g, "
+            "ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rn "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "QUALIFY rn <= 20), "
+            "top10 AS (SELECT * FROM judged WHERE rn <= 10), "
+            "dcg AS (SELECT SUM((POW(2, g) - 1) / log2(rn + 1)) AS v "
+            "FROM top10), "
+            "ideal AS (SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC) "
+            "AS irn FROM judged QUALIFY irn <= 10), "
+            "idcg AS (SELECT SUM((POW(2, g) - 1) / log2(irn + 1)) AS v "
+            "FROM ideal), "
+            "errt AS (SELECT rn, (POW(2, g) - 1) / 8.0 AS r FROM top10), "
+            "errp AS (SELECT rn, r, COALESCE(EXP(SUM(LN(1.0 - r)) OVER ("
+            "ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING)), 1.0) AS pprev FROM errt), "
+            "err AS (SELECT SUM(pprev * r / rn) AS v FROM errp) "
+            "SELECT metric, ROUND(value, 6) AS value FROM ("
+            "SELECT 'precision_at_k' AS metric, (SELECT "
+            "COUNT(*) FILTER (WHERE g > 0) / 10.0 FROM top10) AS value "
+            "UNION ALL SELECT 'recall_at_k', (SELECT "
+            "COUNT(*) FILTER (WHERE g > 0) FROM top10) * 1.0 / "
+            "NULLIF((SELECT COUNT(*) FILTER (WHERE g > 0) FROM judged), 0) "
+            "UNION ALL SELECT 'mrr', COALESCE((SELECT 1.0 / MIN(rn) "
+            "FROM top10 WHERE g > 0), 0.0) "
+            "UNION ALL SELECT 'ndcg', (SELECT v FROM dcg) / "
+            "(SELECT v FROM idcg) "
+            "UNION ALL SELECT 'err', (SELECT v FROM err)"
+            ") ORDER BY metric"
+        ),
         # pipeline aggs: one window-function branch per op over the
         # per-day GROUP BY
         "pipeline_aggs_events": (

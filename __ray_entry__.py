@@ -1394,6 +1394,52 @@ def q_analytics_aggs_events(sf):
     )
 
 
+def q_highlight_docs(sf):
+    """Highlighter driver gate: over the top-20 `batch` matches (by
+    url — deterministic), run the unified highlighter with a
+    whole-document passage (fragment_size >> text) and count the
+    emitted ``<em>`` marks per doc; with one all-covering passage the
+    mark count equals the token's term frequency, which the SQL mirror
+    computes with a list_filter over the whitespace tokens. Also runs
+    the plain highlighter on the same docs as a >=1-fragment presence
+    check (value 1 per doc). Text comes from the corpus parquet (the
+    highlight_hits corpus_lookup contract — the bulk index stores no
+    _source for the primary field)."""
+    import pyarrow.parquet as _pq
+
+    from raydex.search.highlight import highlight, unified_highlight
+    from raydex.search.scatter import LocalSearcher
+
+    idx = _docs_index_dir(sf)
+    s = LocalSearcher(idx)
+    hits = s.search_sorted({"match": {"text": "batch"}},
+                           sort_field="url", order="asc", k=20)
+    urls = [h["url"] for h in hits]
+    src = _pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = {str(i): t for i, t in zip(src["doc_id"].to_pylist(),
+                                       src["text"].to_pylist())}
+    rows = []
+    for url in urls:
+        text = texts[url]
+        frags = unified_highlight(
+            text, {"batch"}, analyzer="standard",
+            fragment_size=10 ** 9, number_of_fragments=1)
+        em = frags[0].count("<em>") if frags else 0
+        rows.append(("h_em", url, float(em)))
+        plain = highlight(text, {"batch"}, "standard")
+        rows.append(("h_plain", url,
+                     1.0 if plain and "<em>batch</em>" in plain[0]
+                     else 0.0))
+    return pa.table(
+        {
+            "tag": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 def q_rank_eval_docs(sf):
     """`_rank_eval` metric arithmetic driver gate (modules/rank-eval):
     the ranked list is the engine's field-sorted retrieval (top-20
@@ -2500,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_docs": q_suggest_docs,
         "pipeline_aggs_events": q_pipeline_aggs_events,
         "rank_eval_docs": q_rank_eval_docs,
+        "highlight_docs": q_highlight_docs,
         "nested_suite": q_nested_suite,
         "percolate_counts": q_percolate_counts,
         "analyze_tokens": q_analyze_tokens,
@@ -3158,6 +3205,23 @@ def oracle_sql() -> dict[str, str]:
         # one branch per DSL kind (the pre-r3 per-kind count oracles,
         # UNION ALLed under the kind tag of q_dsl_count_suite)
         "suggest_docs": _suggest_oracle_sql(),
+        # highlighter: whole-doc passage => <em> count == term freq
+        "highlight_docs": (
+            "SELECT tag, key, value FROM ("
+            "SELECT 'h_em' AS tag, url AS key, CAST(len(list_filter("
+            "string_split(text, ' '), x -> x = 'batch')) AS DOUBLE) "
+            "AS value FROM ("
+            "SELECT CAST(doc_id AS VARCHAR) AS url, text, "
+            "ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rn "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "QUALIFY rn <= 20) "
+            "UNION ALL SELECT 'h_plain', url, 1.0 FROM ("
+            "SELECT CAST(doc_id AS VARCHAR) AS url, "
+            "ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rn "
+            "FROM documents WHERE ' ' || text || ' ' LIKE '% batch %' "
+            "QUALIFY rn <= 20)"
+            ") ORDER BY tag, key"
+        ),
         # _rank_eval: ranked list = ROW_NUMBER window over the url-
         # ordered batch matches; metric arithmetic as window SQL
         "rank_eval_docs": (

@@ -124,7 +124,10 @@ def run_bench() -> dict:
     # segment set; one RPC per query round-robined across replicas
     # (measured: 5-7x the scatter-gather path for batch QPS at this
     # index size; RaySearcher remains the big-index configuration)
-    num_replicas = max(2, num_cpus // 2)
+    # 3 replicas per 4 cpus: serving is I/O-wait-y enough that modest
+    # oversubscription wins (measured at 32 cpus: 16 reps ~2.6k QPS,
+    # 24 reps ~3.2-3.7k, 32 reps regresses)
+    num_replicas = max(2, num_cpus * 3 // 4)
     searcher = ReplicatedSearcher(serve_idx, num_replicas=num_replicas)
     pairs = list(zip(q["query_text"].to_pylist(), q["k"].to_pylist()))
     # await EVERY replica's constructor (one laggard otherwise gates the

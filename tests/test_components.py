@@ -99,3 +99,24 @@ def test_dedup_by_components_end_to_end(ray_session):
             seen[t] = i
             want.append(i)
     assert kept == sorted(want)
+
+
+def test_cc_numpy_long_chain_and_shapes():
+    """The pointer-jumping doubling must collapse a long chain (worst
+    case for plain min-propagation) and mixed shapes to single labels
+    without Ray."""
+    from raydex.ops.dedup import _cc_numpy
+
+    n = 10_000
+    a = np.arange(n - 1, dtype=np.int64)
+    b = np.arange(1, n, dtype=np.int64)
+    ids, labs = _cc_numpy(a, b)
+    assert (labs == 0).all() and len(ids) == n
+    # two stars + a bridge + a far singleton pair
+    pairs = np.array([[100, 1], [100, 2], [100, 3],
+                      [200, 201], [200, 202], [3, 201],
+                      [900, 901]], dtype=np.int64)
+    ids, labs = _cc_numpy(pairs[:, 0], pairs[:, 1])
+    got = dict(zip(ids.tolist(), labs.tolist()))
+    assert {got[x] for x in (1, 2, 3, 100, 200, 201, 202)} == {1}
+    assert got[900] == got[901] == 900

@@ -312,3 +312,23 @@ def test_geo_polygon_query(idx):
     q2 = {"geo_polygon": {"loc": {"points": [
         [-10.0, 40.0], [5.0, 60.0], [20.0, 40.0]]}}}
     assert s.count(q2) == len(want)
+
+
+def test_geohash_decode_roundtrip_random():
+    """decode(encode(p)) bounds always contain p; the cell center
+    re-encodes to the same hash (pure-python, seeded grid of points)."""
+    import numpy as np
+
+    from raydex.ops.geo import geohash_decode_bounds, geohash_encode
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-85, 85, 50)
+    lon = rng.uniform(-180, 180, 50)
+    for prec in (1, 3, 5):
+        hs = geohash_encode(lat, lon, precision=prec)
+        for la, lo, h in zip(lat, lon, hs):
+            a, b, c, d = geohash_decode_bounds(h)
+            assert a <= la < b or la == b
+            assert c <= lo < d or lo == d
+            assert geohash_encode([(a + b) / 2], [(c + d) / 2],
+                                  precision=prec)[0] == h

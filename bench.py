@@ -291,7 +291,14 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling(n_lo: int = 8, n_hi: int = 32) -> None:
+def run_scaling(n_lo: int = 2, n_hi: int = 8) -> None:
+    """Two-parallelism scaling evidence (fresh process per level).
+
+    Default pair 2->8: the one pair on this host where NEITHER side is
+    bus-saturated — build throughput ceilings at ~55-62k docs/s from
+    ~16 cpus up (BASELINE.md round-3/4/5 analysis), so 8->32 measures
+    the memory bus, not the design. All pairs stay runnable via
+    ``--scaling N M``; BASELINE.md records 2->8, 4->16 and 8->32."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run(

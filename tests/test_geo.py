@@ -332,3 +332,39 @@ def test_geohash_decode_roundtrip_random():
             assert c <= lo < d or lo == d
             assert geohash_encode([(a + b) / 2], [(c + d) / 2],
                                   precision=prec)[0] == h
+
+
+def test_geohash_closed_form_equals_bisection():
+    """The z8 driver oracle's closed-form floor((x-lo)/range * 2^bits)
+    + bit-weave must equal the engine's >=-midpoint bisection for
+    arbitrary points (validates the SQL-mirror assumption beyond the
+    derived 0.01-degree grid)."""
+    import numpy as np
+
+    from raydex.ops.geo import geohash_encode
+
+    _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def closed_form(lat, lon, precision):
+        nbits = precision * 5
+        lon_bits = (nbits + 1) // 2
+        lat_bits = nbits // 2
+        loni = min(int((lon + 180.0) / 360.0 * (1 << lon_bits)),
+                   (1 << lon_bits) - 1)
+        lati = min(int((lat + 90.0) / 180.0 * (1 << lat_bits)),
+                   (1 << lat_bits) - 1)
+        v = 0
+        for j in range(lon_bits):
+            v += ((loni >> (lon_bits - 1 - j)) & 1) << (nbits - 1 - 2 * j)
+        for j in range(lat_bits):
+            v += ((lati >> (lat_bits - 1 - j)) & 1) << (nbits - 2 - 2 * j)
+        return "".join(_GH32[(v >> (5 * (precision - 1 - c))) & 31]
+                       for c in range(precision))
+
+    rng = np.random.default_rng(23)
+    lat = rng.uniform(-90, 90, 200)
+    lon = rng.uniform(-180, 180, 200)
+    for prec in (1, 2, 4):
+        got = geohash_encode(lat, lon, precision=prec)
+        for la, lo, h in zip(lat, lon, got):
+            assert closed_form(la, lo, prec) == h, (la, lo, prec)

@@ -2111,6 +2111,24 @@ def q_dsl_count_suite(sf):
         order="asc", k=10)
     rows += [(f"zL_gsort:{i:02d}", int(np.floor(h["sort_value"])))
              for i, h in enumerate(gs, 1)]
+    # function_score (FunctionScoreQueryBuilder): field_value_factor
+    # sqrt over n_chars, boost_mode=replace on a match_all base —
+    # exact global top-10 rescoring; sqrt is IEEE-correctly-rounded so
+    # floor(score * 1e6) compares bit-exactly against SQL, and ties
+    # (equal n_chars) share a value so rank association is safe
+    from raydex.search.function_score import function_score_hits
+
+    fs_base = s.search_query({"match_all": {}}, k=int(s.ndocs),
+                             docvalue_fields=["n_chars"])
+    fs = function_score_hits(
+        fs_base,
+        [{"field_value_factor": {"field": "n_chars", "factor": 2.0,
+                                 "modifier": "sqrt"}}],
+        boost_mode="replace",
+        dl_lookup=lambda h: h["fields"]["n_chars"])
+    rows += [(f"zM_fscore:{i:02d}",
+              int(np.floor(fs[i - 1]["score"] * 1e6)))
+             for i in range(1, 11)]
     # _terms_enum (x-pack TransportTermsEnumAction): sorted term-dict
     # walk with size cap + search_after resume — two pages must tile
     # the distinct lang set in sorted order (n_docs = 1-based ordinal,
@@ -3500,6 +3518,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT radians(((doc_id * 37) % 12000) / 100.0 - 60.0) AS la, "
             "radians(((doc_id * 91) % 36000) / 100.0 - 180.0) AS lo "
             "FROM documents))) WHERE rn <= 10 "
+            "UNION ALL SELECT 'zM_fscore:' || "
+            "lpad(CAST(rn AS VARCHAR), 2, '0'), "
+            "CAST(FLOOR(sqrt(2.0 * n_chars) * 1000000.0) AS BIGINT) "
+            "FROM (SELECT ROW_NUMBER() OVER (ORDER BY "
+            "sqrt(2.0 * n_chars) DESC) AS rn, n_chars FROM documents) "
+            "WHERE rn <= 10 "
             # _terms_enum: sorted distinct walk, 1-based ordinal
             "UNION ALL SELECT 'z9_terms_enum:' || lang, "
             "ROW_NUMBER() OVER (ORDER BY lang) "

@@ -906,6 +906,36 @@ def q_rank_feature_top(sf):
     return t.sort_by("doc_id")
 
 
+def q_distance_feature_top(sf):
+    """`distance_feature` query (DistanceFeatureQueryBuilder) over the
+    long `n_chars` doc-values: bool(filter: term text='data', should:
+    distance_feature origin=700 pivot=500) — scores are pure
+    pivot/(pivot+|v-origin|) values (int64 doc-values -> float64 math
+    -> float32 emission), mirrored bit-exactly in SQL. Complete (not
+    top-k-truncated), so doc_id totally orders the rows."""
+    from raydex.search.scatter import LocalSearcher
+
+    s = LocalSearcher(_docs_index_dir(sf))
+    hits = s.search_query(
+        {"bool": {"filter": [{"term": {"text": "data"}}],
+                  "should": [{"distance_feature": {
+                      "field": "n_chars", "origin": 700.0,
+                      "pivot": 500.0}}]}},
+        k=10_000,
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([int(h["url"]) for h in hits], pa.int64()),
+            "score": pa.array(
+                np.asarray([h["score"] for h in hits],
+                           np.float32).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+    return t.sort_by("doc_id")
+
+
 def q_bm25_brute_equals_wand(sf):
     """WAND vs exhaustive over the docs index: returns rows only when the
     two paths are IDENTICAL (self-checking query)."""
@@ -2557,6 +2587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_math_range_events": q_date_math_range_events,
         "bm25_term_conj": q_bm25_term_conj,
         "rank_feature_top": q_rank_feature_top,
+        "distance_feature_top": q_distance_feature_top,
         "match_phrase_top": q_match_phrase_top,
         "multi_match_fields_top": q_multi_match_fields_top,
         "dsl_bool": q_dsl_bool,
@@ -3601,6 +3632,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, CAST(CAST(n_chars AS FLOAT) AS DOUBLE) AS v "
             "FROM documents WHERE ' ' || text || ' ' LIKE '% data %') "
             "ORDER BY doc_id"
+        ),
+        "distance_feature_top": (
+            "SELECT doc_id, CAST(CAST(500.0 / (500.0 + "
+            "ABS(CAST(n_chars AS DOUBLE) - 700.0)) AS FLOAT) AS DOUBLE) "
+            "AS score FROM documents "
+            "WHERE ' ' || text || ' ' LIKE '% data %' ORDER BY doc_id"
         ),
         # score oracle + fetch-phase projection mirror (n_chars/lang
         # from the documents row, nc2 = the script field's n_chars*2)

@@ -2013,10 +2013,25 @@ class SegmentEvaluator:
                 s = v
             return np.where(mask, q.boost * s, 0.0), mask
         if isinstance(q, DistanceFeature):
-            vals = self.r.dl.astype(np.float64)
+            # score over the NAMED field's doc-values (the eval
+            # previously hardcoded dl, silently mis-scoring any other
+            # field); missing values don't match (the reference: docs
+            # without the field are excluded)
+            if q.fld == "dl":
+                vals = self.r.dl.astype(np.float64)
+                present = np.ones(n, dtype=bool)
+            else:
+                dv = self.r.doc_values.get(q.fld)
+                if dv is None:
+                    raise ValueError(
+                        f"distance_feature field {q.fld!r} has no "
+                        "stored doc-values column")
+                vals = np.asarray(dv, dtype=np.float64)
+                present = ~np.isnan(vals)
+                vals = np.where(present, vals, 0.0)
             dist = np.abs(vals - q.origin)
             scores = q.boost * (q.pivot / (q.pivot + dist))
-            return scores, np.ones(n, dtype=bool)
+            return scores, present
         if isinstance(q, KnnQuery):
             from raydex.search.knn import segment_knn
 

@@ -625,3 +625,48 @@ def test_exists_field_semantics(ray_session, tmp_path):
     assert s.count({"exists": {"field": "tag"}}) == 5
     # unknown field: lenient all-docs fallback (derived fields)
     assert s.count({"exists": {"field": "never_mapped"}}) == 8
+
+
+def test_distance_feature_named_field(tmp_path, ray_session):
+    """distance_feature must score over the NAMED field's doc-values
+    (a regression: the evaluator previously hardcoded dl regardless of
+    `field`)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydex.index.build import build_index
+    from raydex.index.segment import FieldSpec
+    from raydex.search.scatter import LocalSearcher
+
+    n = 20
+    t = pa.table({
+        "url": pa.array([f"d{i}.x/{i}" for i in range(n)]),
+        "warc_ts": pa.array(list(range(n)), pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"tok{i} filler words here" for i in range(n)],
+                         pa.large_string()),
+        "rank": pa.array([(i * 7) % 100 for i in range(n)], pa.int64()),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, source="text",
+                fields=[FieldSpec("rank", "rank", "long")])
+    s = LocalSearcher(idx)
+    hits = s.search_query(
+        {"distance_feature": {"field": "rank", "origin": 50.0,
+                              "pivot": 10.0}}, k=n)
+    import numpy as np
+
+    ranks = {f"d{i}.x/{i}": (i * 7) % 100 for i in range(n)}
+    for h in hits:
+        want = np.float32(10.0 / (10.0 + abs(ranks[h["url"]] - 50.0)))
+        assert abs(h["score"] - float(want)) < 1e-6, h
+    # best hit is the doc whose rank is closest to the origin
+    best_rank = ranks[hits[0]["url"]]
+    assert abs(best_rank - 50) == min(abs(v - 50) for v in ranks.values())
+    # unknown field raises instead of silently scoring dl
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.search_query({"distance_feature": {"field": "nope",
+                                             "origin": 0, "pivot": 1}}, k=3)

@@ -2062,6 +2062,7 @@ class SegmentEvaluator:
             if fn is None:
                 raise ValueError(f"unregistered score script: {q.source!r}")
             cols = {
+                **getattr(self.r, "doc_values", {}),
                 "url": np.asarray(self.r.urls.to_pylist(), dtype=object),
                 "dl": self.r.dl,
             }
@@ -2090,6 +2091,7 @@ class SegmentEvaluator:
             if fn is None:
                 raise ValueError(f"unregistered script query: {q.source!r}")
             cols = {
+                **getattr(self.r, "doc_values", {}),
                 "url": np.asarray(self.r.urls.to_pylist(), dtype=object),
                 "dl": self.r.dl,
             }

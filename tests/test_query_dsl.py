@@ -670,3 +670,37 @@ def test_distance_feature_named_field(tmp_path, ray_session):
     with _pytest.raises(ValueError):
         s.search_query({"distance_feature": {"field": "nope",
                                              "origin": 0, "pivot": 1}}, k=3)
+
+
+def test_script_query_reads_doc_values(tmp_path, ray_session):
+    """Script query/score callables see every stored doc-values column
+    (the painless doc['field'] surface), not just url/dl."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydex.index.build import build_index
+    from raydex.index.segment import FieldSpec
+    from raydex.search.query import register_script_query
+    from raydex.search.scatter import LocalSearcher
+
+    n = 12
+    t = pa.table({
+        "url": pa.array([f"s{i}.x/{i}" for i in range(n)]),
+        "warc_ts": pa.array(list(range(n)), pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"word{i} common" for i in range(n)],
+                         pa.large_string()),
+        "grade": pa.array([i % 4 for i in range(n)], pa.int64()),
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, num_partitions=2, source="text",
+                fields=[FieldSpec("grade", "grade", "long")])
+    register_script_query(
+        "grade_at_least", lambda cols, params: cols["grade"] >= params["min"])
+    s = LocalSearcher(idx)
+    hits = s.search_query(
+        {"script": {"script": {"source": "grade_at_least",
+                               "params": {"min": 2}}}}, k=n)
+    got = sorted(int(h["url"][1:].split(".")[0]) for h in hits)
+    assert got == [i for i in range(n) if i % 4 >= 2]

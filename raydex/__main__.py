@@ -75,6 +75,11 @@ def main(argv=None) -> int:
     s.add_argument("--sort", default=None,
                    help="field:order (e.g. dl:asc) — field-sorted hits "
                         "with index-sort early termination; needs --dsl")
+    s.add_argument("--track-total-hits", dest="track_total_hits",
+                   default=None,
+                   help='"true" for the exact total, or an int cap '
+                        '(relation "gte" beyond it); adds a total line '
+                        "after the hits (needs --dsl)")
     s.add_argument("--profile", action="store_true",
                    help='the `"profile": true` search option: emit a '
                         "per-segment timing/matched breakdown after the hits")
@@ -237,6 +242,10 @@ def main(argv=None) -> int:
     sg.add_argument("--contexts", default=None,
                     help='JSON category contexts filter/boost, e.g. '
                          '\'{"place": [{"context": "paris", "boost": 2}]}\'')
+    sg.add_argument("--suggest-mode", dest="suggest_mode",
+                    default="missing",
+                    choices=["missing", "popular", "always"],
+                    help="term-suggester mode (TermSuggestionBuilder)")
     sg.add_argument("--fuzzy", default=None,
                     help='JSON fuzzy options (or "true"), e.g. '
                          '\'{"fuzziness": "AUTO", "prefix_length": 1}\'')
@@ -389,11 +398,23 @@ def main(argv=None) -> int:
         sfields = json.loads(a.script_fields) if getattr(
             a, "script_fields", None) else None
         if a.dsl:
-            hits = searcher.search_query(
+            tth = None
+            if a.track_total_hits is not None:
+                tth = (True if a.track_total_hits.lower() == "true"
+                       else int(a.track_total_hits))
+            res = searcher.search_query(
                 json.loads(a.dsl), k=a.k, from_=a.from_,
                 min_score=a.min_score, docvalue_fields=dv_fields,
                 routing=a.routing, source=src, script_fields=sfields,
+                track_total_hits=tth,
             )
+            if isinstance(res, dict):
+                hits = res["hits"]
+                for h in hits:
+                    print(json.dumps(h, default=str))
+                print(json.dumps({"total": res["total"]}))
+                return 0
+            hits = res
         elif a.min_score is not None or dv_fields or src is not None or sfields:
             # plain-text path with fetch/threshold options: route
             # through the DSL entry so the flags are honored
@@ -685,7 +706,9 @@ def main(argv=None) -> int:
         else:
             r = SegmentReader(segment_dirs(a.index)[0])
             if a.mode == "term":
-                print(json.dumps(term_suggest(r, a.text, size=a.size)))
+                print(json.dumps(term_suggest(
+                    r, a.text, size=a.size,
+                    suggest_mode=a.suggest_mode)))
             elif a.mode == "phrase":
                 print(json.dumps(phrase_suggest_lm(r, a.text, size=a.size)))
             else:

@@ -353,6 +353,8 @@ def main(argv=None) -> int:
             searcher = LocalSearcher(a.index)
         dv_fields = ([f.strip() for f in a.docvalue_fields.split(",")
                       if f.strip()] if a.docvalue_fields else None)
+        if a.track_total_hits is not None and not a.dsl:
+            p.error("--track-total-hits needs --dsl")
         if a.aggs:
             if (a.sort or a.profile or a.min_score is not None or dv_fields
                     or a.routing):
